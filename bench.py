@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Comparable to BASELINE.md: the retrieval path (topk_cosine ≈ the
+reference's ~2-3 s/query minus external API calls) and the
+chunk→embed→index throughput pipeline (vs ~100 chunks/s CPU).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "topk_cosine",
+    "topk_filtered",
+    "rag_e2e_echo",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_pairs",
+    "text_quality_profile",
+    "text_langid_confusion",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "events_sessionized",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+        REGISTRY,
+        _import_all,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.session import (
+        get_spark,
+    )
+
+    _import_all()
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # query, not session bootstrap
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = REGISTRY[name]
+        t0 = time.time()
+        df = qd.fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

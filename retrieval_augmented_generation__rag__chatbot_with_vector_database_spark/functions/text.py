@@ -1,0 +1,120 @@
+"""Scalar text functions (SURVEY.md §2h) — all pure SQL expressions.
+
+Reference counterparts:
+- chunk id       ``scripts/ingest_documents.py:93-105`` (F1)
+- context line   ``app/rag/retriever.py:75-95``        (F2)
+- history rewrite ``app/rag/chain.py:144-151``          (F3)
+- truncation     ``app/rag/chain.py:113-120``           (F4/P3)
+
+Plus the text-analysis primitives a training-data pipeline needs
+(token counting, quality features) — these stay JVM-side (regexp /
+length / split), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def chunk_id(chunk_index: Column | str, text: Column | str) -> Column:
+    """``f"doc_{index}_{md5(text).hexdigest()[:8]}"`` — content-addressed,
+    idempotent under re-ingestion (scripts/ingest_documents.py:93-105)."""
+    return F.concat(
+        F.lit("doc_"),
+        _c(chunk_index).cast("string"),
+        F.lit("_"),
+        F.substring(F.md5(_c(text).cast("binary")), 1, 8),
+    )
+
+
+def truncate_ellipsis(text: Column | str, n: int = 200) -> Column:
+    """``text[:n] + "..."`` (app/rag/chain.py:115). Note the reference
+    appends "..." unconditionally; we preserve that exactly."""
+    return F.concat(F.substring(_c(text), 1, n), F.lit("..."))
+
+
+def format_context_line(
+    rank: Column | str,
+    source: Column | str,
+    score: Column | str,
+    text: Column | str,
+) -> Column:
+    """One retrieved-doc context block
+    (``app/rag/retriever.py:86-93``):
+    ``[Document {i}] (Source: {source}, Relevance: {score:.3f})\\n{text}\\n``
+    """
+    return F.format_string(
+        "[Document %d] (Source: %s, Relevance: %.3f)\n%s\n",
+        _c(rank).cast("int"),
+        _c(source),
+        _c(score).cast("double"),
+        _c(text),
+    )
+
+
+def rewrite_with_history(question: Column | str, history: Column | str) -> Column:
+    """History-contextualized question (``app/rag/chain.py:144-151``).
+
+    ``history`` is ``array<struct<question:string, answer:string>>``;
+    only the last 3 pairs are used; empty history passes the question
+    through unchanged. The rewritten string is what gets embedded —
+    retrieval intentionally reflects conversation context.
+    """
+    q, h = _c(question), _c(history)
+    last3 = F.slice(h, F.greatest(F.size(h) - F.lit(2), F.lit(1)), 3)
+    joined = F.array_join(
+        F.transform(
+            last3,
+            lambda p: F.concat(F.lit("Q: "), p["question"], F.lit("\nA: "), p["answer"]),
+        ),
+        "\n",
+    )
+    rewritten = F.concat(
+        F.lit("Previous conversation:\n"), joined, F.lit("\n\nCurrent question: "), q
+    )
+    return F.when((h.isNull()) | (F.size(h) == 0), q).otherwise(rewritten)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Cheap quality-scoring features for corpus filtering:
+    length, token count, mean token length, punctuation ratio,
+    digit ratio, uppercase ratio, stopword ratio (English function
+    words). All codegen'd SQL — run them over 100 TB without Python.
+    """
+    t = _c(text)
+    n = F.length(t)
+    toks = token_count(t)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+
+    def _ratio(pattern: str) -> Column:
+        # pattern removes everything EXCEPT the class of interest, so
+        # the remaining length is the class count
+        kept = F.length(F.regexp_replace(t, pattern, ""))
+        return F.when(nonspace > 0, kept / nonspace).otherwise(F.lit(0.0))
+
+    stop = (
+        r"(?i)\b(the|a|an|and|or|of|to|in|is|are|was|were|it|that|this|for|on|with|as|at|by|be)\b"
+    )
+    stop_hits = (
+        F.size(F.split(F.concat(F.lit(" "), t, F.lit(" ")), stop)) - 1
+    )
+    return {
+        "n_chars": n,
+        "n_tokens": toks,
+        "mean_token_len": F.when(toks > 0, nonspace / toks).otherwise(F.lit(0.0)),
+        "punct_ratio": _ratio(r"[^\p{Punct}]"),
+        "digit_ratio": _ratio(r"[^0-9]"),
+        "upper_ratio": _ratio(r"[^A-Z]"),
+        "stopword_ratio": F.when(toks > 0, stop_hits / toks).otherwise(F.lit(0.0)),
+    }

@@ -1,0 +1,89 @@
+"""Vector similarity metrics as pure SQL higher-order-function Columns.
+
+Reference semantics: Pinecone index metrics ``cosine`` (default),
+``euclidean``, ``dotproduct`` — accepted at index creation
+(``/root/reference/app/services/pinecone_service.py:33-39``), cosine
+chosen by all callers (``app/api/routes.py:139,152``,
+``scripts/ingest_documents.py:198-201``).
+
+Everything here stays inside Catalyst whole-stage codegen — no Python
+UDFs on the scoring hot path. Inputs are cast to ``array<double>`` so
+the fold accumulates in float64 (matches the DuckDB oracle's
+``list_cosine_similarity`` / ``list_inner_product`` / ``list_distance``
+to well past 6 decimals on float32 inputs).
+
+At 100 TB scale these expressions are the per-row kernel of the
+broadcast top-k scan (operators.topk): one pass over the index, no
+shuffle, vectorized Parquet read underneath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+METRICS = ("cosine", "euclidean", "dotproduct")
+
+
+def _d(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("array<double>")
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Inner product via zip_with + aggregate (left fold, deterministic order)."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(_d(a), F.lit(0.0), lambda s, x: s + x * x)
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """cos(a,b) = <a,b> / (|a||b|); null-safe on zero norms (returns NULL)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot_product(a, b) / denom)
+
+
+def euclidean_distance(a: Column | str, b: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+
+
+def normalize(a: Column | str) -> Column:
+    """Unit-normalize a vector column (array<double> out); NULL for zero vectors."""
+    norm = l2_norm(a)
+    return F.when(norm != 0.0, F.transform(_d(a), lambda x: x / norm))
+
+
+def similarity_expr(metric: str, a: Column | str, b: Column | str) -> Column:
+    """Score column for a metric name, reference-compatible.
+
+    For ``euclidean`` the natural ordering is ascending (smaller =
+    closer); ``topk`` handles the sort direction — this just returns
+    the raw metric value.
+    """
+    if metric == "cosine":
+        return cosine_similarity(a, b)
+    if metric == "dotproduct":
+        return dot_product(a, b)
+    if metric == "euclidean":
+        return euclidean_distance(a, b)
+    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+
+def dim_check(a: Column | str, dim: int) -> Column:
+    """Dimension invariant (reference enforces via index dimension,
+    mismatch handling ``scripts/ingest_documents.py:176-195``)."""
+    return F.size(_d(a)) == F.lit(dim)

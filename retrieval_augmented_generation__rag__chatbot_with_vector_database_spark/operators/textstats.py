@@ -1,0 +1,117 @@
+"""Text analysis operators for a training-data pipeline at scale:
+language ID, quality scoring, token counting, document fingerprinting.
+
+The reference implies these needs (chunking + metadata over financial
+text, ``scripts/ingest_documents.py``); a 100 TB corpus pipeline makes
+them first-class. Everything here is pure SQL expressions — codegen'd
+JVM-side, no Python on the hot path — so the operators are just column
+builders over ``documents``-shaped frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+    quality_features,
+    token_count,
+)
+
+# Tiny per-language function-word lists for the stopword-vote language
+# heuristic. Chosen to be unambiguous across the five fixture
+# languages (FIXTURES.md: en/de/es/fr/zh).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "with", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "es": ["el", "la", "que", "los", "es"],
+    "fr": ["le", "les", "des", "est", "dans"],
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker hit counts (word-boundary matches,
+    case-insensitive). CJK is detected by unicode-range ratio."""
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    scores: dict[str, Column] = {}
+    for lang, words in LANG_MARKERS.items():
+        hits = None
+        for w in words:
+            h = F.size(F.split(padded, rf"(?i)\b{w}\b")) - 1
+            hits = h if hits is None else hits + h
+        scores[lang] = hits
+    # zh: percentage of CJK codepoints (double — no int cast, DuckDB
+    # rounds on int casts while Spark truncates)
+    total = F.length(t)
+    cjk = total - F.length(F.regexp_replace(t, r"[一-鿿]", ""))
+    scores["zh"] = F.when(total > 0, (cjk * 100.0) / total).otherwise(F.lit(0.0))
+    return scores
+
+
+def detect_language(text: Column | str) -> Column:
+    """Argmax over marker votes; 'zh' wins if CJK ratio > 5%;
+    'unknown' when no marker fires. Deterministic tiebreak by language
+    code order (en < de < es < fr handled by explicit precedence)."""
+    s = lang_scores(text)
+    return (
+        F.when(s["zh"] > 5, F.lit("zh"))
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] > 0),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] > 0), F.lit("de"))
+        .when((s["es"] >= s["fr"]) & (s["es"] > 0), F.lit("es"))
+        .when(s["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards mid-length docs
+    with mostly alphabetic text and typical stopword density; punishes
+    digit/punct-heavy or fragmentary text. A cheap first-pass corpus
+    filter (the C4/Gopher-style rules, SQL-only)."""
+    f = quality_features(text)
+    len_ok = F.when((f["n_chars"] >= 200) & (f["n_chars"] <= 20000), 1.0).otherwise(0.5)
+    tok_ok = F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 12), 1.0).otherwise(
+        0.5
+    )
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.4)
+    digit_ok = F.when(f["digit_ratio"] <= 0.2, 1.0).otherwise(0.4)
+    return F.round(0.25 * len_ok + 0.25 * tok_ok + 0.25 * punct_ok + 0.25 * digit_ok, 6)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized, lowercased
+    text — the normalization-robust exact-dup key (vs the raw chunk id
+    which is byte-exact, ``functions.text.chunk_id``)."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return F.md5(norm.cast("binary"))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the full analysis column set — one projection, one pass."""
+    f = quality_features(text_col)
+    return df.select(
+        "*",
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(f["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        detect_language(text_col).alias("detected_lang"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+__all__ = [
+    "detect_language",
+    "lang_scores",
+    "quality_score",
+    "fingerprint",
+    "text_profile",
+    "token_count",
+]

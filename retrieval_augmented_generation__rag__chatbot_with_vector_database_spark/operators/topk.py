@@ -1,0 +1,140 @@
+"""Top-k vector similarity search (SURVEY.md §2c J1/J3, §2e W1).
+
+Reference: ``PineconeService.query``
+(``/root/reference/app/services/pinecone_service.py:148-182``) — score a
+query vector against every index vector with the index metric, return
+the ``top_k`` best matches sorted by score with metadata; optional
+metadata pre-filter (``:152,171-176``); k default 5, clamped 1–20 by
+the API layer (``app/api/routes.py:31``).
+
+Spark-first design for 100 TB:
+
+- The query side is small (a batch of user questions); the index side
+  is huge. We **broadcast the queries** and stream the index through a
+  single narrow stage — the big side is never shuffled. Catalyst plans
+  BroadcastNestedLoopJoin; scoring runs inside codegen (pure HOF
+  exprs from ``functions.vector``).
+- Per-query top-k uses ``row_number`` over (score desc, id asc).
+  Spark ≥3.5 inserts a **WindowGroupLimit** below the shuffle, so each
+  map task keeps only its local top-k per query before exchanging —
+  the shuffle moves O(|Q|·k·partitions) rows, not O(|Q|·|V|).
+- Metadata filters (P2) are plain ``.filter`` below the join →
+  predicate pushdown reaches the Parquet scan (row-group pruning).
+- Ties are broken deterministically by ascending id (Pinecone breaks
+  them arbitrarily; FIXTURES.md pins this for the oracle).
+
+The exact brute-force path here is the correctness baseline; the ANN
+path for sub-linear scans is ``operators.ann`` (IVF partition pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+    similarity_expr,
+)
+
+TOP_K_MIN, TOP_K_MAX = 1, 20  # app/api/routes.py:31
+
+
+def clamp_top_k(k: int) -> int:
+    return max(TOP_K_MIN, min(TOP_K_MAX, k))
+
+
+def _order(metric: str, score: Column, id_col: Column) -> list[Column]:
+    # euclidean: smaller is closer; cosine/dotproduct: larger is better
+    lead = score.asc() if metric == "euclidean" else score.desc()
+    return [lead, id_col.asc()]
+
+
+def topk_search(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pre_filter: Column | None = None,
+    per_query_filter: Column | None = None,
+    query_extra_cols: tuple[str, ...] = (),
+    payload_cols: tuple[str, ...] = (),
+    clamp: bool = True,
+) -> DataFrame:
+    """Batch top-k: for every row of ``queries``, the ``k`` closest rows
+    of ``index`` under ``metric``.
+
+    ``pre_filter`` is a static predicate over index columns (pushed to
+    the Parquet scan). ``per_query_filter`` is Pinecone's per-query
+    ``filter_dict`` analog (pinecone_service.py:152): a predicate over
+    index × query columns (expose query columns via
+    ``query_extra_cols``) applied as the broadcast-join condition, so
+    filtering still happens before scoring, per query.
+
+    Returns ``[query_id, vec_id, score, rank, *payload_cols]`` with
+    ``rank`` 1..k in match order (W1's ``enumerate(docs, 1)``).
+    Queries whose filter matches nothing simply have no output rows
+    (the P5 empty-guard joins them back).
+    """
+    if clamp:
+        k = clamp_top_k(k)
+    if pre_filter is not None:
+        index = index.filter(pre_filter)
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+        *[F.col(c) for c in query_extra_cols],
+    )
+    joined = (
+        index.join(F.broadcast(q), per_query_filter)
+        if per_query_filter is not None
+        else index.join(F.broadcast(q))
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        similarity_expr(metric, F.col("__qvec"), F.col(vec_col)).alias("score"),
+        *[F.col(c) for c in payload_cols],
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        *_order(metric, F.col("score"), F.col("vec_id"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank", *payload_cols)
+    )
+
+
+def topk_single(
+    index: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pre_filter: Column | None = None,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Single-query top-k — ``ORDER BY score LIMIT k`` so Catalyst plans
+    TakeOrderedAndProject (per-partition heap, no full sort, no window
+    shuffle). This is the latency path for one interactive question.
+    """
+    k = clamp_top_k(k)
+    if pre_filter is not None:
+        index = index.filter(pre_filter)
+    qvec = F.lit(query_vector).cast("array<double>")
+    scored = index.select(
+        F.col(id_col).alias("vec_id"),
+        similarity_expr(metric, qvec, F.col(vec_col)).alias("score"),
+        *[F.col(c) for c in payload_cols],
+    )
+    ordered = scored.orderBy(*_order(metric, F.col("score"), F.col("vec_id"))).limit(k)
+    w = Window.orderBy(*_order(metric, F.col("score"), F.col("vec_id")))
+    return ordered.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "score", "rank", *payload_cols
+    )

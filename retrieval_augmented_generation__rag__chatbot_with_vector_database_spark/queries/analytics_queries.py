@@ -1,0 +1,415 @@
+"""Relational analytics layer (SURVEY.md §2d, §7 step 7).
+
+Generalizes the reference notebook's batch-analysis queries
+(``/root/reference/notebooks/demo.ipynb`` cells 22-26: per-query
+metrics, retrieval frequency, argmax selection) over the driver's
+TPC-H-ish star schema — demonstrating "same data-processing
+capabilities" breadth on relational data.
+
+Scale notes baked into each query:
+- dimension tables (region/nation/customer-side aggregates) are
+  broadcast — no shuffle of the fact table for the join;
+- aggregations are expressed so Catalyst plans partial (map-side)
+  aggregation before the exchange;
+- top-k uses row_number + filter → WindowGroupLimit pushes the limit
+  below the shuffle.
+
+Float determinism: cross-engine value-hash comparison cannot rely on
+double summation order, so money sums are computed in DECIMAL (exact,
+order-independent) and cast to double at the end (FIXTURES.md
+conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    load,
+    register,
+)
+
+DEC = "decimal(18,4)"
+
+
+def _dec(col):
+    return F.col(col).cast(DEC)
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_base_price,
+       sum((l_extendedprice::DECIMAL(18,4)) * (1 - l_discount::DECIMAL(18,4)))::DOUBLE AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter (pushed to Parquet) + partial agg.
+    The canonical 100 TB sanity query — one shuffle of
+    #groups·#partitions pre-aggregated rows only."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+WITH rev AS (
+  SELECT l_orderkey, sum((l_extendedprice::DECIMAL(18,4)) * (1 - l_discount::DECIMAL(18,4))) AS r
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderkey, o.o_orderdate, rev.r
+  FROM orders o JOIN rev ON o.o_orderkey = rev.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+), ranked AS (
+  SELECT o_orderkey, o_orderdate, r,
+         row_number() OVER (ORDER BY r DESC, o_orderkey ASC) AS rank
+  FROM j
+)
+SELECT o_orderkey, o_orderdate, r::DOUBLE AS revenue, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: fact-fact join on the order key + broadcast of
+    the filtered customer dimension + global top-k."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).alias("r")
+    )
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(rev, orders.o_orderkey == rev.l_orderkey)
+        .select("o_orderkey", "o_orderdate", "r")
+    )
+    w = Window.orderBy(F.col("r").desc(), F.col("o_orderkey").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("r").cast("double").alias("revenue"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "nation_revenue",
+    """
+SELECT n.n_name AS nation, r.r_name AS region,
+       sum((l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4)))::DOUBLE AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""",
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — every dimension broadcast, single
+    shuffle for the final group-by."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    ).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """
+WITH spend AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         sum(o.o_totalprice::DECIMAL(18,4)) AS total
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+), ranked AS (
+  SELECT n_name AS nation, c_custkey, c_name, total,
+         row_number() OVER (PARTITION BY n_name ORDER BY total DESC, c_custkey ASC) AS rank
+  FROM spend
+)
+SELECT nation, c_custkey, c_name, total::DOUBLE AS total_spend, rank::INT AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — WindowGroupLimit keeps only 3
+    rows per nation per map task before the exchange."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec("o_totalprice")).alias("total"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("total").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("n_name").alias("nation"),
+            "c_custkey",
+            "c_name",
+            F.col("total").cast("double").alias("total_spend"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "order_priority_stats",
+    """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS total_price,
+       (sum(o_totalprice::DECIMAL(18,4)) / count(*))::DOUBLE AS avg_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderpriority
+""",
+)
+def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            (F.sum(_dec("o_totalprice")) / F.count("*")).cast("double").alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "part_brand_share",
+    """
+WITH b AS (
+  SELECT p_brand, count(*) AS n_parts,
+         sum(p_retailprice::DECIMAL(18,4)) AS total_retail
+  FROM part GROUP BY p_brand
+)
+SELECT p_brand, n_parts, total_retail::DOUBLE AS total_retail,
+       round(total_retail / sum(total_retail) OVER (), 6)::DOUBLE AS share
+FROM b
+""",
+)
+def part_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed share-of-total (unpartitioned window over the small
+    aggregated frame, not over the raw fact table)."""
+    part = load(spark, sf_dir, "part")
+    b = part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(_dec("p_retailprice")).alias("total_retail"),
+    )
+    w = Window.partitionBy()
+    return b.select(
+        "p_brand",
+        "n_parts",
+        F.col("total_retail").cast("double").alias("total_retail"),
+        F.round(F.col("total_retail") / F.sum("total_retail").over(w), 6)
+        .cast("double")
+        .alias("share"),
+    )
+
+
+@register(
+    "events_hourly",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(value::DECIMAL(18,6))::DOUBLE AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch form — the same plan a
+    Structured Streaming job produces for `window(ts, '1 hour')`."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "events_sessionized",
+    """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+), d AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+                   OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), s AS (
+  SELECT user_id, us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM d
+), g AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         (max(us) - min(us)) // 1000000 AS duration_s
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       sum(n_events)::BIGINT AS total_events,
+       max(duration_s)::BIGINT AS max_session_s
+FROM g GROUP BY user_id
+""",
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the batch twin of `session_window(ts, '30 minutes')`.
+    One shuffle on user_id serves both windows and the final group-by
+    (same partitioning reused across stages)."""
+    # integer microseconds end-to-end: bit-exact vs the oracle's
+    # epoch_ns(ts) // 1000 (no float epoch, no second truncation)
+    ev = load(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    by_user = Window.partitionBy("user_id").orderBy("us")
+    d = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(by_user).isNull()
+            | (F.col("us") - F.lag("us").over(by_user) > 1800 * 1000 * 1000),
+            1,
+        ).otherwise(0),
+    )
+    s = d.withColumn(
+        "session_id",
+        F.sum("new_session").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("(max(us) - min(us)) div 1000000").alias("duration_s"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.max("duration_s").cast("bigint").alias("max_session_s"),
+    )
+
+
+@register(
+    "argmax_best_index",
+    """
+WITH stats AS (
+  SELECT label AS index_name, count(*) AS vector_count
+  FROM embeddings GROUP BY label
+)
+SELECT index_name, vector_count
+FROM stats
+ORDER BY vector_count DESC, index_name ASC
+LIMIT 1
+""",
+)
+def argmax_best_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: best-index argmax probe (app/api/routes.py:78-116) — pick
+    the candidate with the most vectors; deterministic tiebreak."""
+    emb = load(spark, sf_dir, "embeddings")
+    stats = emb.groupBy(F.col("label").alias("index_name")).agg(
+        F.count("*").alias("vector_count")
+    )
+    return stats.orderBy(
+        F.col("vector_count").desc(), F.col("index_name").asc()
+    ).limit(1)
+
+
+@register(
+    "retrieval_frequency",
+    """
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY source
+""",
+)
+def retrieval_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-source frequency (demo.ipynb cell-26 source_counts)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "batch_query_metrics",
+    """
+WITH m AS (
+  SELECT doc_id, length(text) AS answer_length,
+         len(string_split(source, ',')) AS num_sources
+  FROM documents
+)
+SELECT count(*) AS n_queries,
+       (sum(answer_length::DECIMAL(18,4)) / count(*))::DOUBLE AS avg_answer_length,
+       (sum(num_sources::DECIMAL(18,4)) / count(*))::DOUBLE AS avg_num_sources
+FROM m
+""",
+)
+def batch_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: batch metrics means (demo.ipynb cells 22-24) over the
+    documents fixture as the answer corpus."""
+    docs = load(spark, sf_dir, "documents")
+    m = docs.select(
+        F.length("text").alias("answer_length"),
+        F.size(F.split("source", ",")).alias("num_sources"),
+    )
+    return m.agg(
+        F.count("*").alias("n_queries"),
+        (F.sum(F.col("answer_length").cast(DEC)) / F.count("*"))
+        .cast("double")
+        .alias("avg_answer_length"),
+        (F.sum(F.col("num_sources").cast(DEC)) / F.count("*"))
+        .cast("double")
+        .alias("avg_num_sources"),
+    )

@@ -1,0 +1,180 @@
+"""Dedup queries over the ``documents`` fixture (operators.dedup),
+each mirrored in DuckDB SQL. Hashing is md5-based on both sides so
+signatures match bit-for-bit (FIXTURES.md conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+    dedup,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    load,
+    register,
+)
+
+# shared SQL fragments (DuckDB)
+_SH_CTE = """
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+  FROM toks, unnest(range(1, greatest(len(arr)-1, 1))) AS t(i)
+  WHERE len(arr) >= 3
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS n_copies
+FROM fp GROUP BY fingerprint
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash; survivor = min doc_id."""
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+WITH {_SH_CTE},
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.2
+""",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join)."""
+    return dedup.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+WITH {_SH_CTE},
+seeds AS (SELECT range AS seed FROM range(0, 16)),
+mh AS (
+  SELECT id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh, seeds GROUP BY id, seed
+)
+SELECT id AS doc_id, string_agg(mh, '|' ORDER BY seed) AS signature
+FROM mh GROUP BY id
+""",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash MinHash signature per doc (string-min over md5 space)."""
+    sig = dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=16)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws("|", *[F.col(f"h{i}") for i in range(16)]).alias("signature"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+WITH {_SH_CTE},
+seeds AS (SELECT range AS seed FROM range(0, 16)),
+mh AS (
+  SELECT id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh, seeds GROUP BY id, seed
+),
+sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+bands AS (
+  SELECT id, b,
+         md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS bk
+  FROM sig, (SELECT range AS b FROM range(0, 4)) bs
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.id < c.id
+)
+SELECT cand.id_a, cand.id_b,
+       round(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0, 6) AS est_jaccard
+FROM cand JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b
+WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.25
+""",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates (4 bands × 4 rows) + estimated Jaccard ≥ 0.25 —
+    the scalable near-dup path (band-key join, never all-pairs)."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n_hashes=16, bands=4, min_est=0.25
+    )
+
+
+@register(
+    "dedup_simhash_candidates",
+    """
+WITH tok AS (
+  SELECT doc_id AS id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT id, tok, count(*) AS w FROM tok GROUP BY id, tok),
+h AS (SELECT id, w, md5(tok) AS h FROM cnt),
+bits AS (SELECT id, w, h, range AS b FROM h, range(0, 64) r),
+bv AS (
+  SELECT id, b,
+         CASE WHEN sum((((strpos('0123456789abcdef', h[(b//4)+1]) - 1) >> (3 - (b % 4))) % 2 * 2 - 1) * w) > 0
+              THEN '1' ELSE '0' END AS bitval
+  FROM bits GROUP BY id, b
+),
+sig AS (SELECT id, string_agg(bitval, '' ORDER BY b) AS simhash FROM bv GROUP BY id),
+bands AS (
+  SELECT id, simhash, b, substr(simhash, b*16 + 1, 16) AS bk
+  FROM sig, (SELECT range AS b FROM range(0, 4)) bs
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b, a.simhash AS sh_a, c.simhash AS sh_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.id < c.id
+)
+SELECT id_a, id_b,
+       len(list_filter(range(1, 65), i -> sh_a[i] <> sh_b[i]))::INT AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 65), i -> sh_a[i] <> sh_b[i])) <= 8
+""",
+)
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, 16-bit band match →
+    exact Hamming ≤ 8."""
+    return dedup.simhash_candidates(
+        load(spark, sf_dir, "documents"), max_hamming=8
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@register(
+    "dedup_embedding_pairs",
+    """
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.45
+""",
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force correctness
+    baseline; IVF bounds the pair space at scale)."""
+    return dedup.embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.45
+    )

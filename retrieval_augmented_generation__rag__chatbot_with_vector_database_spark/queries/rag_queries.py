@@ -1,0 +1,285 @@
+"""RAG assembly queries (operators.rag): projection, context
+formatting, sources dedup, truncation, history rewrite, empty guard,
+and the LLM-stubbed end-to-end pipeline — all oracle-checkable string
+outputs (the LLM boundary uses the deterministic echo stub).
+
+The match corpus joins top-k hits on ``embeddings`` with ``documents``
+by id (vec_id ↔ doc_id in the fixtures) for text/source metadata.
+Newlines in oracle SQL are built with chr(10) — DuckDB string
+literals don't interpret backslash escapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+    rag,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+    topk_search,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    load,
+    register,
+)
+
+# top-3 cosine matches for 8 queries, with doc text/source attached
+_MATCH_CTE = """
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+),
+matches AS (
+  SELECT r.query_id, r.vec_id, r.score, r.rank,
+         coalesce(d.text, '') AS text,
+         coalesce(d.source, 'unknown') AS source
+  FROM ranked r LEFT JOIN documents d ON r.vec_id = d.doc_id
+  WHERE r.rank <= 3
+)
+"""
+
+
+def _matches(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    hits = topk_search(queries, emb, k=k, metric="cosine", clamp=True)
+    hits = hits.withColumn("score", F.round("score", 6))
+    return rag.project_matches(
+        hits.join(docs, hits.vec_id == docs.doc_id, "left").select(
+            "query_id", "vec_id", "score", "rank", "text", "source"
+        )
+    )
+
+
+@register(
+    "rag_match_projection",
+    f"""
+WITH {_MATCH_CTE}
+SELECT query_id, vec_id AS id, score, rank::INT AS rank,
+       substr(text, 1, 80) AS text, source
+FROM matches
+""",
+)
+def rag_match_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: match → (id, score, text, source) with missing-key defaults."""
+    return _matches(spark, sf_dir).select(
+        "query_id", "id", "score", "rank", F.substring("text", 1, 80).alias("text"), "source"
+    )
+
+
+@register(
+    "rag_context",
+    f"""
+WITH {_MATCH_CTE},
+lines AS (
+  SELECT query_id, rank, source,
+         printf('[Document %d] (Source: %s, Relevance: %.3f)', rank, source, score)
+           || chr(10) || substr(text, 1, 80) || chr(10) AS line
+  FROM matches
+)
+SELECT query_id,
+       string_agg(line, chr(10) ORDER BY rank) AS context,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+       count(*) AS n_matches
+FROM lines GROUP BY query_id
+""",
+)
+def rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 + A1: rank-ordered context blocks + deduped sorted sources.
+    Text truncated to 80 chars to keep the hashed payload small."""
+    m = _matches(spark, sf_dir).withColumn("text", F.substring("text", 1, 80))
+    return rag.build_context(m)
+
+
+@register(
+    "rag_truncate_docs",
+    f"""
+WITH {_MATCH_CTE}
+SELECT query_id, vec_id AS id, rank::INT AS rank,
+       substr(text, 1, 200) || '...' AS text
+FROM matches
+""",
+)
+def rag_truncate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/F4: unconditional truncate+ellipsis on response docs."""
+    return rag.truncate_docs(_matches(spark, sf_dir)).select(
+        "query_id", "id", "rank", "text"
+    )
+
+
+@register(
+    "rag_history_rewrite",
+    """
+WITH hist(session_id, question, history) AS (VALUES
+  (0, 'What is NRR?', []::STRUCT(question VARCHAR, answer VARCHAR)[]),
+  (1, 'And gross margin?',
+      [{'question': 'What was Q1 revenue?', 'answer': 'Revenue was $450M.'}]),
+  (2, 'How did it trend?',
+      [{'question': 'q1', 'answer': 'a1'}, {'question': 'q2', 'answer': 'a2'},
+       {'question': 'q3', 'answer': 'a3'}]),
+  (3, 'Summarize the year.',
+      [{'question': 'q1', 'answer': 'a1'}, {'question': 'q2', 'answer': 'a2'},
+       {'question': 'q3', 'answer': 'a3'}, {'question': 'q4', 'answer': 'a4'},
+       {'question': 'q5', 'answer': 'a5'}])
+)
+SELECT session_id,
+       CASE WHEN len(history) = 0 THEN question
+            ELSE 'Previous conversation:' || chr(10) ||
+                 array_to_string(
+                   list_transform(history[greatest(len(history)-2, 1):len(history)],
+                                  h -> 'Q: ' || h.question || chr(10) || 'A: ' || h.answer),
+                   chr(10)) ||
+                 chr(10) || chr(10) || 'Current question: ' || question
+       END AS rewritten
+FROM hist
+""",
+)
+def rag_history_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/W2: last-3 history slice + Q:/A: rewrite; empty history
+    passes through (app/rag/chain.py:144-151). Inline literal
+    sessions with history lengths 0/1/3/5 (FIXTURES.md §5)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        rewrite_with_history,
+    )
+
+    hist_t = "array<struct<question:string,answer:string>>"
+    rows = [
+        (0, "What is NRR?", []),
+        (1, "And gross margin?", [("What was Q1 revenue?", "Revenue was $450M.")]),
+        (2, "How did it trend?", [("q1", "a1"), ("q2", "a2"), ("q3", "a3")]),
+        (
+            3,
+            "Summarize the year.",
+            [("q1", "a1"), ("q2", "a2"), ("q3", "a3"), ("q4", "a4"), ("q5", "a5")],
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows, f"session_id int, question string, history {hist_t}"
+    )
+    return df.select(
+        "session_id", rewrite_with_history("question", "history").alias("rewritten")
+    )
+
+
+@register(
+    "rag_empty_guard",
+    f"""
+WITH qf AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
+         'q' || vec_id::VARCHAR AS question,
+         CASE WHEN vec_id % 4 = 3 THEN 99 ELSE 0 END AS filter_label
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT qf.query_id, e.vec_id,
+         list_cosine_similarity(qf.qvec, e.embedding::DOUBLE[]) AS s
+  FROM qf JOIN embeddings e ON e.label = qf.filter_label
+),
+ranked AS (
+  SELECT query_id, vec_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+),
+ctx AS (
+  SELECT query_id, count(*) AS n_matches FROM ranked WHERE rank <= 5 GROUP BY query_id
+)
+SELECT qf.query_id, qf.question,
+       coalesce(ctx.n_matches, 0) AS n_matches,
+       CASE WHEN coalesce(ctx.n_matches, 0) = 0
+            THEN 'I couldn''t find relevant information in the knowledge base to answer your question.'
+            ELSE 'ok' END AS answer
+FROM qf LEFT JOIN ctx ON qf.query_id = ctx.query_id
+""",
+)
+def rag_empty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 + P2: per-query metadata filter (label must equal the
+    query's filter_label; label 99 matches nothing) → queries with
+    zero matches get the canned no-results answer
+    (app/rag/chain.py:87-94)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.concat(F.lit("q"), F.col("vec_id")).alias("question"),
+        F.when(F.col("vec_id") % 4 == 3, 99).otherwise(0).alias("filter_label"),
+    )
+    hits = topk_search(
+        qf,
+        emb,
+        k=5,
+        metric="cosine",
+        per_query_filter=F.col("label") == F.col("filter_label"),
+        query_extra_cols=("filter_label",),
+    )
+    ctx = hits.groupBy("query_id").agg(F.count("*").alias("n_matches"))
+    return (
+        qf.select("query_id", "question")
+        .join(ctx, "query_id", "left")
+        .select(
+            "query_id",
+            "question",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.when(F.coalesce("n_matches", F.lit(0)) == 0, F.lit(rag.EMPTY_ANSWER))
+            .otherwise(F.lit("ok"))
+            .alias("answer"),
+        )
+    )
+
+
+@register(
+    "rag_e2e_echo",
+    f"""
+WITH {_MATCH_CTE},
+lines AS (
+  SELECT query_id, rank, source,
+         printf('[Document %d] (Source: %s, Relevance: %.3f)', rank, source, score)
+           || chr(10) || substr(text, 1, 80) || chr(10) AS line
+  FROM matches
+),
+ctx AS (
+  SELECT query_id,
+         string_agg(line, chr(10) ORDER BY rank) AS context,
+         string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+         count(*) AS n_matches
+  FROM lines GROUP BY query_id
+),
+qs AS (SELECT vec_id AS query_id, 'q' || vec_id::VARCHAR AS question
+       FROM embeddings WHERE vec_id < 8)
+SELECT qs.query_id, qs.question,
+       coalesce(ctx.sources, '') AS sources,
+       coalesce(ctx.n_matches, 0) AS n_matches,
+       CASE WHEN coalesce(ctx.n_matches, 0) = 0
+            THEN 'I couldn''t find relevant information in the knowledge base to answer your question.'
+            ELSE substr(coalesce(ctx.context, ''), 1, 160) END AS answer
+FROM qs LEFT JOIN ctx ON qs.query_id = ctx.query_id
+""",
+)
+def rag_e2e_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end (entry point 1, SURVEY.md §3) with the
+    deterministic echo LLM stub: retrieve top-3 → context → answer.
+    Fully oracle-checked except the real LLM call (⊘)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.concat(F.lit("q"), F.col("vec_id")).alias("question"),
+    )
+    m = _matches(spark, sf_dir).withColumn("text", F.substring("text", 1, 80))
+    ctx = rag.build_context(m)
+    return rag.assemble_answers(queries, ctx).select(
+        "query_id", "question", "sources", "n_matches", "answer"
+    )

@@ -1,0 +1,200 @@
+"""Text-analysis queries (operators.textstats) over ``documents``:
+token counting, quality features, language ID, fingerprinting.
+The oracle SQL is generated from the same marker lists / formulas so
+both engines execute the identical heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+    textstats,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.textstats import (
+    LANG_MARKERS,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    load,
+    register,
+)
+
+
+@register(
+    "text_token_counts",
+    r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        token_count,
+    )
+
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality_profile",
+    r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+  FROM documents
+)
+SELECT doc_id,
+       toks AS n_tokens,
+       round(CASE WHEN toks > 0 THEN nonspace * 1.0 / toks ELSE 0.0 END, 6) AS mean_token_len,
+       round(CASE WHEN nonspace > 0 THEN n_punct * 1.0 / nonspace ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN nonspace > 0 THEN n_digit * 1.0 / nonspace ELSE 0.0 END, 6) AS digit_ratio,
+       round(CASE WHEN nonspace > 0 THEN n_upper * 1.0 / nonspace ELSE 0.0 END, 6) AS upper_ratio
+FROM f
+""",
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features (C4/Gopher-style rules, SQL-only)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        quality_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    f = quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(f["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(f["upper_ratio"], 6).alias("upper_ratio"),
+    )
+
+
+def _duck_hits(lang: str) -> str:
+    terms = [
+        rf"(len(regexp_split_to_array(' ' || lower(text) || ' ', '(?i)\b{w}\b')) - 1)"
+        for w in LANG_MARKERS[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_LANGID_ORACLE = rf"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_duck_hits('en')} AS en_h,
+         {_duck_hits('de')} AS de_h,
+         {_duck_hits('es')} AS es_h,
+         {_duck_hits('fr')} AS fr_h,
+         CASE WHEN length(lower(text)) > 0
+              THEN (length(lower(text)) - length(regexp_replace(lower(text), '[一-鿿]', '', 'g'))) * 100.0 / length(lower(text))
+              ELSE 0.0 END AS zh_pct
+  FROM documents
+),
+d AS (
+  SELECT doc_id, lang,
+         CASE WHEN zh_pct > 5 THEN 'zh'
+              WHEN en_h >= de_h AND en_h >= es_h AND en_h >= fr_h AND en_h > 0 THEN 'en'
+              WHEN de_h >= es_h AND de_h >= fr_h AND de_h > 0 THEN 'de'
+              WHEN es_h >= fr_h AND es_h > 0 THEN 'es'
+              WHEN fr_h > 0 THEN 'fr'
+              ELSE 'unknown' END AS detected_lang
+  FROM s
+)
+SELECT lang, detected_lang, count(*) AS n_docs
+FROM d GROUP BY lang, detected_lang
+"""
+
+
+@register("text_langid_confusion", _LANGID_ORACLE)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID vs fixture ground truth — confusion
+    matrix counts. The heuristic is identical SQL on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("detected_lang", textstats.detect_language("text"))
+        .groupBy("lang", "detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "text_fingerprint_uniques",
+    r"""
+WITH fp AS (
+  SELECT lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, count(DISTINCT fingerprint) AS n_unique
+FROM fp GROUP BY lang
+""",
+)
+def text_fingerprint_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content hash uniqueness per
+    language slice."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fingerprint", textstats.fingerprint("text"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+        )
+    )
+
+
+@register(
+    "text_quality_by_lang",
+    r"""
+WITH f AS (
+  SELECT lang, length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+),
+q AS (
+  SELECT lang,
+         round(0.25 * (CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 ELSE 0.5 END)
+             + 0.25 * (CASE WHEN toks > 0 AND nonspace * 1.0 / toks >= 3 AND nonspace * 1.0 / toks <= 12 THEN 1.0 ELSE 0.5 END)
+             + 0.25 * (CASE WHEN nonspace > 0 AND n_punct * 1.0 / nonspace <= 0.2 THEN 1.0
+                            WHEN nonspace = 0 THEN 1.0 ELSE 0.4 END)
+             + 0.25 * (CASE WHEN nonspace > 0 AND n_digit * 1.0 / nonspace <= 0.2 THEN 1.0
+                            WHEN nonspace = 0 THEN 1.0 ELSE 0.4 END), 6) AS quality
+  FROM f
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(quality::DECIMAL(10,6))::DOUBLE, 6) AS avg_quality,
+       round(min(quality), 6)::DOUBLE AS min_quality
+FROM q GROUP BY lang
+""",
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score aggregated per language (decimal avg —
+    order-independent across engines)."""
+    docs = load(spark, sf_dir, "documents")
+    q = docs.select("lang", textstats.quality_score("text").alias("quality"))
+    return q.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("quality").cast("decimal(10,6)")).cast("double"), 6).alias(
+            "avg_quality"
+        ),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+    )

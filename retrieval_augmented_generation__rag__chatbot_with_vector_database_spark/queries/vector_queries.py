@@ -1,0 +1,259 @@
+"""Vector similarity queries (SURVEY.md §2c J1-J3, §2d A2/A6).
+
+The query workload uses rows of the ``embeddings`` fixture itself as
+query vectors (vec_id < 8) so the DuckDB oracle can reproduce them
+exactly — self-match must rank #1 with cosine ≈ 1.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+    dim_check,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+    topk_search,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    load,
+    register,
+)
+
+N_QUERIES = 8
+K = 5
+
+
+def _query_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def _topk(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = topk_search(_query_side(spark, sf_dir), emb, k=K, metric=metric)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < {nq}
+), scored AS (
+  SELECT q.query_id, e.vec_id, {metric_fn}(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s {dir}, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register(
+    "topk_cosine",
+    _TOPK_ORACLE.format(nq=N_QUERIES, k=K, metric_fn="list_cosine_similarity", dir="DESC"),
+)
+def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J3/W1: brute-force batch top-k, cosine (the flagship path)."""
+    return _topk(spark, sf_dir, "cosine")
+
+
+@register(
+    "topk_dotproduct",
+    _TOPK_ORACLE.format(nq=N_QUERIES, k=K, metric_fn="list_inner_product", dir="DESC"),
+)
+def topk_dotproduct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _topk(spark, sf_dir, "dotproduct")
+
+
+@register(
+    "topk_euclidean",
+    _TOPK_ORACLE.format(nq=N_QUERIES, k=K, metric_fn="list_distance", dir="ASC"),
+)
+def topk_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _topk(spark, sf_dir, "euclidean")
+
+
+@register(
+    "topk_filtered",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN (SELECT * FROM embeddings WHERE label IN (0, 1, 2)) e
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: metadata filter pushed below the similarity scan
+    (reference filter DSL ``$in`` → ``isin``; Catalyst pushes it into
+    the Parquet read — check PushedFilters in the plan)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = topk_search(
+        _query_side(spark, sf_dir),
+        emb,
+        k=K,
+        metric="cosine",
+        pre_filter=F.col("label").isin(0, 1, 2),
+    )
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
+@register(
+    "self_match_rank1",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id AS matched_id, (query_id = vec_id) AS is_self
+FROM ranked WHERE rank = 1
+""",
+)
+def self_match_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanity contract: querying with an index vector returns itself at
+    rank 1 (cosine = 1.0)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = topk_search(_query_side(spark, sf_dir), emb, k=1, metric="cosine")
+    return out.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("vec_id").alias("matched_id"),
+        (F.col("query_id") == F.col("vec_id")).alias("is_self"),
+    )
+
+
+@register(
+    "index_stats",
+    """
+SELECT count(*) AS total_vector_count,
+       min(len(embedding))::INT AS dimension,
+       0.0::DOUBLE AS index_fullness
+FROM embeddings
+""",
+)
+def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: ``describe_index_stats`` analog
+    (app/services/pinecone_service.py:193-204)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count("*").alias("total_vector_count"),
+        F.min(F.size("embedding")).cast("int").alias("dimension"),
+        F.lit(0.0).alias("index_fullness"),
+    )
+
+
+@register(
+    "dim_check",
+    """
+SELECT count(*) AS n_total,
+       sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END)::BIGINT AS n_valid
+FROM embeddings
+""",
+)
+def dim_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension invariant (scripts/ingest_documents.py:176-195)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count("*").alias("n_total"),
+        F.sum(dim_check("embedding", 64).cast("bigint")).alias("n_valid"),
+    )
+
+
+@register(
+    "vector_norm_stats",
+    """
+WITH n AS (
+  SELECT label, sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vectors,
+       round(avg(nrm), 6) AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n GROUP BY label
+""",
+)
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster L2-norm profile — the stats pass an index build runs
+    to pick quantization / detect degenerate vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", l2_norm("embedding").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "pairwise_centroid_sim",
+    """
+WITH idx AS (SELECT range AS i FROM range(1, 65)),
+e AS (
+  SELECT label, i, embedding[i]::DOUBLE AS x FROM embeddings, idx
+),
+c AS (SELECT label, i, avg(x) AS cx FROM e GROUP BY label, i),
+cent AS (SELECT label, list(cx ORDER BY i) AS centroid FROM c GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(list_cosine_similarity(a.centroid, b.centroid), 6) AS sim
+FROM cent a JOIN cent b ON a.label < b.label
+""",
+)
+def pairwise_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (element-wise avg across rows — the IVF
+    centroid computation) + pairwise cosine between centroids."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = 64
+    cols = [
+        F.avg(F.col("embedding").cast("array<double>")[i]).alias(f"c{i}")
+        for i in range(dim)
+    ]
+    cents = (
+        emb.groupBy("label")
+        .agg(*cols)
+        .select("label", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid"))
+    )
+    a = cents.alias("a")
+    b = cents.alias("b")
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.round(
+                cosine_similarity(F.col("a.centroid"), F.col("b.centroid")), 6
+            ).alias("sim"),
+        )
+    )

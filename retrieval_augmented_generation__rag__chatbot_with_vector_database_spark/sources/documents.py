@@ -1,0 +1,102 @@
+"""Document sources (SURVEY.md §2a S1-S3).
+
+Reference: ``load_documents``
+(``/root/reference/scripts/ingest_documents.py:42-64``) — recursive
+``**/*.txt`` one-Document-per-file, ``**/*.pdf`` one-Document-per-page
+(PyPDFLoader), concatenated.
+
+Spark-first: ``text`` wholetext reads (one row per file — Spark
+parallelizes by file), ``binaryFile`` + a pypdf ``mapInPandas`` kernel
+for PDFs. pypdf isn't in this container, so the PDF parse is stubbed
+behind an import-try with the full Spark plumbing (schema, page
+explode) real and tested via the injectable parser seam.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+    ]
+)
+
+
+def load_text_documents(spark: SparkSession, data_dir: str) -> DataFrame:
+    """S1: one row per .txt file — `wholetext` keeps file integrity for
+    the chunker; `input_file_name()` is the `source` metadata."""
+    return (
+        spark.read.format("text")
+        .option("wholetext", True)
+        .option("recursiveFileLookup", True)
+        .option("pathGlobFilter", "*.txt")
+        .load(data_dir)
+        .select(
+            F.col("value").alias("text"),
+            F.input_file_name().alias("source"),
+            F.lit(None).cast("int").alias("page"),
+        )
+    )
+
+
+def _default_pdf_parser(content: bytes) -> list[str]:
+    try:
+        from pypdf import PdfReader  # optional dependency
+    except ImportError as e:  # pragma: no cover - environment without pypdf
+        raise NotImplementedError(
+            "pypdf not installed in this environment; inject parse_fn"
+        ) from e
+    import io
+
+    return [p.extract_text() or "" for p in PdfReader(io.BytesIO(content)).pages]
+
+
+def load_pdf_documents(
+    spark: SparkSession,
+    data_dir: str,
+    parse_fn: Callable[[bytes], list[str]] | None = None,
+) -> DataFrame:
+    """S2: one row per PDF *page* (PyPDFLoader semantics). Binary read
+    + Arrow-batched parse kernel; `parse_fn` is injectable for tests
+    (bytes -> list of page texts)."""
+    import pandas as pd
+
+    parse = parse_fn or _default_pdf_parser
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", True)
+        .option("pathGlobFilter", "*.pdf")
+        .load(data_dir)
+        .select("path", "content")
+    )
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for i, page_text in enumerate(parse(bytes(content))):
+                    rows.append({"text": page_text, "source": path, "page": i})
+            yield pd.DataFrame(rows, columns=["text", "source", "page"])
+
+    return bin_df.mapInPandas(_parse, schema=DOC_SCHEMA)
+
+
+def load_documents(
+    spark: SparkSession,
+    data_dir: str,
+    parse_fn: Callable[[bytes], list[str]] | None = None,
+) -> DataFrame:
+    """S3: txt ∪ pdf (unionByName, schema-aligned)."""
+    txt = load_text_documents(spark, data_dir)
+    try:
+        pdf = load_pdf_documents(spark, data_dir, parse_fn)
+        return txt.unionByName(pdf)
+    except NotImplementedError:
+        return txt

@@ -1,0 +1,121 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+    clamp_top_k,
+    topk_search,
+    topk_single,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _np_topk(ids, mat, q, k):
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:k]
+    return [(int(ids[i]), sims[i]) for i in order]
+
+
+def test_topk_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = topk_search(queries, emb, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        q = mat[list(ids).index(qid)]
+        exp = _np_topk(ids, mat, q, 4)
+        assert [r["vec_id"] for r in rows] == [e[0] for e in exp]
+        for r, e in zip(rows, exp):
+            assert r["score"] == pytest.approx(e[1], abs=1e-9)
+
+
+def test_self_match_rank1(emb):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    top1 = topk_search(queries, emb, k=1).collect()
+    assert len(top1) == 10
+    for r in top1:
+        assert r["vec_id"] == r["query_id"]
+        assert r["score"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_clamp():
+    assert clamp_top_k(0) == 1
+    assert clamp_top_k(5) == 5
+    assert clamp_top_k(100) == 20
+
+
+def test_pre_filter_restricts_matches(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = topk_search(queries, emb, k=5, pre_filter=F.col("label") == 2)
+    labels = (
+        got.join(emb.select("vec_id", "label"), "vec_id")
+        .select("label")
+        .distinct()
+        .collect()
+    )
+    assert {r["label"] for r in labels} == {2}
+
+
+def test_per_query_filter(emb):
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        (F.col("vec_id") % 2).cast("int").alias("want_label"),
+    )
+    got = topk_search(
+        queries,
+        emb,
+        k=3,
+        per_query_filter=F.col("label") == F.col("want_label"),
+        query_extra_cols=("want_label",),
+    )
+    joined = got.join(emb.select("vec_id", "label"), "vec_id").collect()
+    for r in joined:
+        assert r["label"] == r["query_id"] % 2
+
+
+def test_topk_single_matches_batch(emb, emb_np):
+    ids, mat = emb_np
+    qvec = [float(x) for x in mat[7]]
+    got = topk_single(emb, qvec, k=5)
+    rows = sorted(got.collect(), key=lambda r: r["rank"])
+    exp = _np_topk(ids, mat, mat[7], 5)
+    assert [r["vec_id"] for r in rows] == [e[0] for e in exp]
+
+
+def test_euclidean_orders_ascending(emb):
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rows = sorted(
+        topk_search(queries, emb, k=5, metric="euclidean").collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows[0]["vec_id"] == 0  # self at distance 0
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores)

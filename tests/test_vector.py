@@ -1,0 +1,81 @@
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    euclidean_distance,
+    l2_norm,
+    normalize,
+    similarity_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        (2, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (3, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+        (4, [-1.0, 2.0, -0.5], [0.5, -1.0, 2.0]),
+    ]
+    return spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+
+
+def _col(df, c):
+    return {r["id"]: r["v"] for r in df.select("id", c.alias("v")).collect()}
+
+
+def test_dot(vec_df):
+    got = _col(vec_df, dot_product("a", "b"))
+    for r in vec_df.collect():
+        assert got[r["id"]] == pytest.approx(float(np.dot(r["a"], r["b"])), abs=1e-12)
+
+
+def test_cosine_matches_numpy(vec_df):
+    got = _col(vec_df, cosine_similarity("a", "b"))
+    for r in vec_df.collect():
+        a, b = np.array(r["a"]), np.array(r["b"])
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            assert got[r["id"]] is None  # null-safe zero-norm
+        else:
+            assert got[r["id"]] == pytest.approx(float(a @ b / (na * nb)), abs=1e-12)
+
+
+def test_self_cosine_is_one(vec_df):
+    got = _col(vec_df.filter("id != 3"), cosine_similarity("a", "a"))
+    for v in got.values():
+        assert v == pytest.approx(1.0, abs=1e-12)
+
+
+def test_euclidean(vec_df):
+    got = _col(vec_df, euclidean_distance("a", "b"))
+    for r in vec_df.collect():
+        exp = float(np.linalg.norm(np.array(r["a"]) - np.array(r["b"])))
+        assert got[r["id"]] == pytest.approx(exp, abs=1e-12)
+
+
+def test_normalize_unit_norm(vec_df):
+    n = vec_df.filter("id != 3").select(l2_norm(normalize("a")).alias("n")).collect()
+    assert all(r["n"] == pytest.approx(1.0, abs=1e-12) for r in n)
+    z = vec_df.filter("id = 3").select(normalize("a").alias("v")).collect()
+    assert z[0]["v"] is None
+
+
+def test_similarity_expr_dispatch(vec_df):
+    for m in ("cosine", "euclidean", "dotproduct"):
+        assert vec_df.select(similarity_expr(m, "a", "b")).count() == 5
+    with pytest.raises(ValueError):
+        similarity_expr("manhattan", F.col("a"), F.col("b"))
+
+
+def test_float_input_cast(spark):
+    df = spark.createDataFrame([([1.5, 2.5], [2.0, 4.0])], "a array<float>, b array<float>")
+    v = df.select(dot_product("a", "b").alias("d")).collect()[0]["d"]
+    assert v == pytest.approx(13.0)
+    assert isinstance(v, float)
