@@ -54,6 +54,19 @@ def main() -> None:
     # query, not session bootstrap
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # boot the Python worker pool: the first mapInPandas in a session
+    # pays ~30 s of concurrent fork + pandas import across all cores,
+    # which would otherwise be billed to one arbitrary query
+    def _noop(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame({"n": [len(b)]})
+
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        _noop, "n long"
+    ).count()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         qd = REGISTRY[name]

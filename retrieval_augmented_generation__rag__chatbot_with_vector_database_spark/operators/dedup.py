@@ -57,10 +57,28 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 def exploded_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) — one row per distinct shingle per doc."""
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    """(id, shingle) — one row per distinct shingle per doc.
+
+    Tokenization is projected to a column BEFORE the shingle lambdas:
+    interpreted higher-order functions don't common-subexpression-
+    eliminate, so an inline ``tokens()`` would re-run the regexp
+    split per element access (~10× slower here).
+
+    The input is rebalanced first: a compact parquet of long text
+    rows often scans as a handful of input splits, which would
+    serialize the (CPU-heavy) tokenize+shingle stage on a few cores
+    while the rest of the cluster idles."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__arr")
     )
+    arr = F.col("__arr")
+    idx = F.sequence(F.lit(0), F.size(arr) - n)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[arr[i + j] for j in range(n)]))
+    shingles = F.when(F.size(arr) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return toks.select("id", F.explode(shingles).alias("shingle"))
 
 
 def exact_dedup(
@@ -98,7 +116,8 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity for every pair sharing ≥ 1
     shingle. Shuffle is on the shingle key (inverted-index join), not
     all-pairs; at 100 TB gate this behind LSH candidates."""
-    sh = exploded_shingles(df, id_col, text_col, n)
+    # three consumers (both join sides + sizes) — materialize once
+    sh = exploded_shingles(df, id_col, text_col, n).localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -160,7 +179,11 @@ def minhash_lsh_pairs(
     is the fraction of equal signature components. Only band keys are
     joined — the scalable near-dup path."""
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    # signatures are 1 row/doc — tiny next to the shingle explosion
+    # that produces them. Materialize once (eager localCheckpoint) so
+    # the band join + estimate joins reuse it instead of re-running
+    # the shingle → 16×md5-min job per consumer (~10× at 4 bands).
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).localCheckpoint()
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]).cast(
@@ -170,13 +193,22 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select("id", *[F.col(f"h{i}") for i in range(n_hashes)], *band_cols)
-    pairs = None
-    for b in range(bands):
-        a = banded.select(F.col("id").alias("id_a"), F.col(f"band{b}").alias("bk"))
-        c = banded.select(F.col("id").alias("id_b"), F.col(f"band{b}").alias("bk"))
-        p = a.join(c, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
+    # one self-join on (band index, band key) instead of a per-band
+    # union of joins: single shuffle, same candidate set
+    blong = banded.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "b", "bk"
+        ),
+    )
+    a = blong.select(F.col("id").alias("id_a"), "b", "bk")
+    c = blong.select(F.col("id").alias("id_b"), "b", "bk")
+    cand = (
+        a.join(c, ["b", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     sa = banded.select(
         F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)]
     )
@@ -205,7 +237,10 @@ def simhash_bits(
     ``n_bits``: per-token md5 bits, summed ±1 weighted by token count,
     sign per bit. Fully SQL (explode tokens × bits → groupBy) so the
     oracle can mirror it bit-for-bit."""
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(par).select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    )
     counted = tok.groupBy("id", "tok").agg(F.count("*").alias("w"))
     hashed = counted.withColumn("h", F.md5(F.col("tok").cast("binary")))
     bits = hashed.select(
@@ -248,19 +283,25 @@ def simhash_candidates(
     then exact Hamming distance filters. Join is on band substrings —
     never all-pairs."""
     width = n_bits // bands
-    sig = simhash_bits(df, id_col, text_col, n_bits)
-    pairs = None
-    for b in range(bands):
-        key = F.substring("simhash", b * width + 1, width)
-        a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), key.alias("bk"))
-        c = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), key.alias("bk"))
-        p = (
-            a.join(c, "bk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
+    # materialize once (1 row/doc) — see minhash_lsh_pairs
+    sig = simhash_bits(df, id_col, text_col, n_bits).localCheckpoint()
+    blong = sig.select(
+        "id",
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[F.substring("simhash", b * width + 1, width) for b in range(bands)]
+            )
+        ).alias("b", "bk"),
+    )
+    a = blong.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "b", "bk")
+    c = blong.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "b", "bk")
+    cand = (
+        a.join(c, ["b", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
     ham = F.size(
         F.filter(
             F.zip_with(
@@ -283,19 +324,76 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Brute-force cosine near-dup pairs (id_a < id_b, sim ≥ t).
-    Quadratic — correctness baseline; use ``operators.ann`` IVF
-    grouping to bound the pair space at scale."""
-    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
-        cosine_similarity,
+    """Exact cosine near-dup pairs (id_a < id_b, round(sim,6) ≥ t) by
+    blocked matrix multiply.
+
+    Vectors are hashed into ``n_blocks`` blocks; every block pair
+    (i ≤ j) becomes one task that runs a dense normalized GEMM in
+    numpy and emits only above-threshold pairs. Work is still
+    O(N²·dim) — exactness costs that — but each task is a
+    vectorized matmul instead of 2M interpreted higher-order-function
+    evaluations, and the N²/2B² task grid spreads evenly across
+    executors. Size ``n_blocks`` so a block (~N/B × dim doubles)
+    fits comfortably in a task: at 100 TB bound the pair space with
+    ``operators.ann`` IVF first and run this within buckets."""
+    import pandas as pd
+
+    packed = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    )
+    pairs = (
+        packed.alias("a")
+        .crossJoin(F.broadcast(packed.alias("b")))
+        .filter(F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.blk").alias("blk_a"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("a.items").alias("ia"),
+            F.col("b.items").alias("ib"),
+        )
+        .repartition(n_blocks * (n_blocks + 1) // 2)
     )
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for blk_a, blk_b, ia, ib in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["ia"], pdf["ib"]
+            ):
+                ida = np.array([r["id"] for r in ia], dtype=np.int64)
+                A = np.array([r["v"] for r in ia], dtype=np.float64)
+                idb = np.array([r["id"] for r in ib], dtype=np.int64)
+                B = np.array([r["v"] for r in ib], dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                    S = np.round(An @ Bn.T, 6)
+                ii, jj = np.where(S >= threshold)
+                lo, hi = ida[ii], idb[jj]
+                keep = lo != hi
+                if blk_a == blk_b:
+                    keep &= lo < hi
+                lo, hi, sv = lo[keep], hi[keep], S[ii, jj][keep]
+                swap = lo > hi
+                lo2 = np.where(swap, hi, lo)
+                hi2 = np.where(swap, lo, hi)
+                out_a.append(lo2)
+                out_b.append(hi2)
+                out_s.append(sv)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+    return pairs.mapInPandas(kernel, "id_a long, id_b long, cosine double")
