@@ -77,4 +77,5 @@ def _import_all() -> None:
         text_queries,
         dedup_queries,
         rag_queries,
+        ann_queries,
     )

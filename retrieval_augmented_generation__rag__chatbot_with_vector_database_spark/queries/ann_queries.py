@@ -1,0 +1,156 @@
+"""IVF approximate-nearest-neighbor queries (operators.ann) — the
+scale path for the reference's similarity search (SURVEY.md §4 item
+2). Everything is deterministic (seed centroids = lowest-id vectors,
+ties to lower centroid id) so the full pipeline — assignment, probe
+selection, pruned top-k, and recall vs the exact scan — has a DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+    ann,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+    topk_search,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    load,
+    register,
+)
+
+N_CENTROIDS = 16
+N_PROBE = 4
+N_QUERIES = 8
+K = 5
+
+_IVF_CTE = f"""
+cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                                       c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC,
+                                       c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {N_PROBE}
+),
+ivf_scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM probe p
+  JOIN assign a ON a.cid = p.cid
+  JOIN q ON q.query_id = p.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+),
+ivf_ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM ivf_scored
+)
+"""
+
+
+def _queries_and_centroids(spark: SparkSession, sf_dir: str):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cents = ann.seed_centroids(emb, N_CENTROIDS)
+    return emb, queries, cents
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH {_IVF_CTE}
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ivf_ranked WHERE rank <= {K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned top-k (nprobe={N_PROBE} of {N_CENTROIDS} buckets):
+    exact scoring on ~nprobe/k of the index per query."""
+    emb, queries, cents = _queries_and_centroids(spark, sf_dir)
+    out = ann.ivf_topk(queries, emb, cents, k=K, nprobe=N_PROBE, metric="cosine")
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
+@register(
+    "ann_ivf_recall",
+    f"""
+WITH {_IVF_CTE},
+exact_scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+),
+exact_ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM exact_scored
+)
+SELECT x.query_id,
+       round(count(i.vec_id) / {K}.0, 6) AS recall_at_k
+FROM exact_ranked x
+LEFT JOIN (SELECT query_id, vec_id FROM ivf_ranked WHERE rank <= {K}) i
+       ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+WHERE x.rank <= {K}
+GROUP BY x.query_id
+""",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K} of the IVF probe vs the exact brute-force scan,
+    per query — the tuning dial for nprobe."""
+    emb, queries, cents = _queries_and_centroids(spark, sf_dir)
+    ivf = ann.ivf_topk(queries, emb, cents, k=K, nprobe=N_PROBE, metric="cosine")
+    exact = topk_search(queries, emb, k=K, metric="cosine")
+    return (
+        exact.select("query_id", "vec_id")
+        .alias("x")
+        .join(
+            ivf.select(
+                F.col("query_id").alias("i_query_id"),
+                F.col("vec_id").alias("i_vec_id"),
+            ),
+            (F.col("query_id") == F.col("i_query_id"))
+            & (F.col("vec_id") == F.col("i_vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.count("i_vec_id") / F.lit(float(K)), 6).alias("recall_at_k"))
+    )
+
+
+@register(
+    "ann_ivf_partition_sizes",
+    f"""
+WITH {_IVF_CTE}
+SELECT cid AS centroid_id, count(*) AS n_vectors
+FROM assign GROUP BY cid
+""",
+)
+def ann_ivf_partition_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment histogram — the bucket-size skew check an IVF build
+    runs before choosing k (empty/overfull buckets hurt recall and
+    probe cost)."""
+    emb, _, cents = _queries_and_centroids(spark, sf_dir)
+    assigned = ann.assign_centroids(emb, cents, metric="cosine")
+    return assigned.groupBy("centroid_id").agg(F.count("*").alias("n_vectors"))

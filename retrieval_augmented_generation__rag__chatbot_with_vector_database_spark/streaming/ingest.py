@@ -1,0 +1,134 @@
+"""Incremental ingestion via Structured Streaming (SURVEY.md §2k).
+
+Reference semantics: ``POST /api/v1/upload``
+(``/root/reference/app/api/routes.py:314-334``) stages uploaded files
+and re-runs the ingest pipeline on them; the index grows by keyed
+upsert (``app/services/pinecone_service.py:108-146``), and re-uploading
+identical content is idempotent because chunk ids are
+content-addressed (``scripts/ingest_documents.py:93-105``).
+
+Spark shape: a **file-source stream** on a landing directory — every
+new file becomes part of the next micro-batch — driving the same
+batch pipeline (chunk → embed → id) through ``foreachBatch`` into the
+``VectorIndex`` last-write-wins upsert. Exactly-once end state comes
+from the checkpoint (no file is processed twice) *plus* idempotent
+content-addressed ids (a reprocessed file upserts the same rows).
+No watermark: there is no event-time aggregation — late files are
+just later batches (SURVEY.md §2k).
+
+At scale: the landing dir is object storage; ``maxFilesPerTrigger``
+bounds batch size; the embed kernel is the only expensive stage and
+is already Arrow-batched (``embed.providers.embed_text_column``).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+    EmbeddingProvider,
+    embed_text_column,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.chunker import (
+    DEFAULT_CHUNK_OVERLAP,
+    DEFAULT_CHUNK_SIZE,
+    chunk_documents,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+    VectorIndex,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming import StreamingQuery
+
+
+def docs_to_records(
+    docs: DataFrame,
+    provider: EmbeddingProvider,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
+) -> DataFrame:
+    """The shared ingest dataflow (batch and per-micro-batch): docs
+    ``(text, source)`` → chunks → embeddings → upsertable records
+    ``(id, embedding, text, source, chunk_index)``.
+
+    ``doc_id`` is a hash of the source path — stable across re-reads —
+    and chunk ids are content-addressed (``functions.text.chunk_id``),
+    so the whole map is deterministic w.r.t. file content.
+    """
+    base = docs.select(
+        F.xxhash64("source").alias("doc_id"),
+        "text",
+        "source",
+    )
+    chunks = chunk_documents(base, chunk_size, chunk_overlap)
+    embedded = embed_text_column(chunks, provider, text_col="text", out_col="embedding")
+    return embedded.select(
+        F.col("chunk_id").alias("id"),
+        "embedding",
+        "text",
+        "source",
+        F.col("local_index").alias("chunk_index"),
+    )
+
+
+def ingest_directory(
+    spark: SparkSession,
+    data_dir: str,
+    index: VectorIndex,
+    provider: EmbeddingProvider,
+    batch_version: int = 0,
+) -> int:
+    """One-shot batch ingest of a directory (reference entry point 3,
+    ``scripts/ingest_documents.py:108-233``). Returns index size."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.documents import (
+        load_documents,
+    )
+
+    docs = load_documents(spark, data_dir)
+    return index.upsert(docs_to_records(docs, provider), batch=batch_version)
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index: VectorIndex,
+    provider: EmbeddingProvider,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> "StreamingQuery":
+    """Start the incremental-ingestion stream on ``landing_dir``.
+
+    ``available_now=True`` drains everything currently in the
+    directory then stops (the testable/batch-catch-up mode); pass
+    ``False`` for a continuously running ingest with default
+    micro-batch triggers.
+    """
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", True)
+        .option("recursiveFileLookup", True)
+        .option("pathGlobFilter", "*.txt")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(landing_dir).select(
+        F.col("value").alias("text"),
+        F.input_file_name().alias("source"),
+    )
+
+    def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index.upsert(docs_to_records(batch_df, provider), batch=batch_id)
+
+    writer = stream.writeStream.foreachBatch(_upsert_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

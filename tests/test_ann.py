@@ -1,0 +1,107 @@
+"""IVF ANN operator tests (operators.ann)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import ann
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+    topk_search,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def cents(emb):
+    return ann.seed_centroids(emb, 16)
+
+
+def _queries(emb, n=8):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def test_seed_centroids_deterministic(emb, cents):
+    again = ann.seed_centroids(emb, 16)
+    assert [c for c, _ in cents] == [c for c, _ in again] == list(range(16))
+    assert cents[3][1] == again[3][1]
+
+
+def test_assignment_is_nearest(emb, cents):
+    rows = ann.assign_centroids(emb, cents, metric="cosine").collect()
+    cmat = np.array([v for _, v in cents])
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    for r in rows[:50]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        sims = cnorm @ (v / np.linalg.norm(v))
+        best = int(np.argmax(sims))
+        assert r["centroid_id"] == cents[best][0]
+
+
+def test_ivf_self_match_rank1(emb, cents):
+    """A query vector that IS in the index always lands in its own
+    best bucket, so IVF must return it at rank 1 (cosine 1.0)."""
+    out = ann.ivf_topk(_queries(emb), emb, cents, k=1, nprobe=2).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["query_id"] == r["vec_id"]
+        assert abs(r["score"] - 1.0) < 1e-9
+
+
+def test_ivf_recall_vs_exact(emb, cents):
+    k = 5
+    q = _queries(emb)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_search(q, emb, k=k, metric="cosine").collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.ivf_topk(q, emb, cents, k=k, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall@{k} too low: {recall}"
+    # probing everything == exact
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.ivf_topk(q, emb, cents, k=k, nprobe=16).collect()
+    }
+    assert full == exact
+
+
+def test_lloyd_refine_improves_quantization(emb, cents):
+    def mean_best_dist(centroids):
+        a = ann.assign_centroids(emb, centroids, metric="euclidean")
+        cmap = {cid: np.array(v) for cid, v in centroids}
+        tot, n = 0.0, 0
+        for r in a.collect():
+            v = np.array(r["embedding"], dtype=np.float64)
+            tot += float(np.linalg.norm(v - cmap[r["centroid_id"]]))
+            n += 1
+        return tot / n
+
+    refined = ann.lloyd_refine(emb, cents, iters=2, metric="euclidean")
+    assert [c for c, _ in refined] == [c for c, _ in cents]
+    assert mean_best_dist(refined) <= mean_best_dist(cents) + 1e-9
+
+
+def test_write_ivf_index_prunes_partitions(spark, emb, cents, tmp_path):
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_index(emb, path, cents, metric="cosine")
+    back = spark.read.parquet(path)
+    assert back.count() == emb.count()
+    pruned = back.filter(F.col("centroid_id") == cents[0][0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan
+    # probing the written layout gives the same result as on-the-fly
+    q = _queries(emb)
+    on_disk = ann.ivf_topk(q, back, cents, k=5, nprobe=4, assigned=True)
+    on_fly = ann.ivf_topk(q, emb, cents, k=5, nprobe=4)
+    assert sorted(map(tuple, on_disk.collect())) == sorted(map(tuple, on_fly.collect()))
