@@ -1,0 +1,250 @@
+"""Multimodal (image/audio/video) columns for the training-data
+pipeline: opaque ``binary`` content + typed metadata, with
+decode / feature-extract / resize / frame-sample as Arrow-batched
+``mapInPandas`` kernels.
+
+The reference is text-only; this is the north-star extension that
+makes the engine usable for multimodal corpus curation at 100 TB.
+Design rules:
+
+- **Content is an opaque ``binary`` column**; all typed facts about
+  it (width/height/frames/sample rate) live in explicit columns, so
+  Catalyst can filter/prune on metadata WITHOUT touching payload
+  bytes (column pruning keeps multi-MB blobs out of shuffles).
+- **Kernels are mapInPandas** — one Arrow batch of payloads at a
+  time; never collect, never per-row Python UDFs.
+- **Real codecs are not in this container.** Decoding is stubbed
+  behind a deterministic fake payload format (``FAKE`` header +
+  md5-chain body, below) so every kernel's Spark plumbing — schema,
+  batch shape, explode semantics — is real and tested; swapping
+  ``_decode_header`` for PIL/ffmpeg is a kernel-internal change.
+
+Fake payload layout (deterministic from the source row):
+  bytes 0-3   b"FAKE"
+  byte  4     kind: 0=image 1=audio 2=video
+  bytes 5-6   width   (big-endian u16, images/video)
+  bytes 7-8   height  (big-endian u16, images/video)
+  bytes 9-10  n_frames (u16, video; 1 for image, 0 for audio)
+  bytes 11-14 sample_rate (u32, audio; 0 otherwise)
+  body        md5 chain seeded by doc_id (16-byte blocks)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KINDS = ("image", "audio", "video")
+HEADER_LEN = 15
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def fake_media_params(doc_id: int) -> tuple[str, int, int, int, int, int]:
+    """Deterministic (kind, width, height, n_frames, sample_rate,
+    body_len) for a source row — pure integer arithmetic so a SQL
+    oracle can recompute every metadata column without the bytes."""
+    kind = KINDS[doc_id % 3]
+    width = 16 + (doc_id * 7) % 240 if kind != "audio" else 0
+    height = 16 + (doc_id * 11) % 240 if kind != "audio" else 0
+    n_frames = 1 if kind == "image" else (2 + (doc_id * 13) % 30 if kind == "video" else 0)
+    sample_rate = 8000 + (doc_id % 5) * 8000 if kind == "audio" else 0
+    body_len = 64 + (doc_id * 17) % 193
+    return kind, width, height, n_frames, sample_rate, body_len
+
+
+def _build_payload(doc_id: int) -> bytes:
+    kind, width, height, n_frames, sample_rate, body_len = fake_media_params(doc_id)
+    head = (
+        b"FAKE"
+        + bytes([KINDS.index(kind)])
+        + width.to_bytes(2, "big")
+        + height.to_bytes(2, "big")
+        + n_frames.to_bytes(2, "big")
+        + sample_rate.to_bytes(4, "big")
+    )
+    body = b""
+    block = hashlib.md5(f"media:{doc_id}".encode()).digest()
+    while len(body) < body_len:
+        body += block
+        block = hashlib.md5(block).digest()
+    return head + body[:body_len]
+
+
+def _decode_header(content: bytes) -> dict:
+    """The stub decoder — replace with PIL/soundfile/ffmpeg probes in
+    an environment that has them."""
+    if content[:4] != b"FAKE":
+        raise NotImplementedError(
+            "real media decoding requires codec libraries not present "
+            "in this environment; payload is not in the FAKE format"
+        )
+    return {
+        "kind": KINDS[content[4]],
+        "width": int.from_bytes(content[5:7], "big"),
+        "height": int.from_bytes(content[7:9], "big"),
+        "n_frames": int.from_bytes(content[9:11], "big"),
+        "sample_rate": int.from_bytes(content[11:15], "big"),
+    }
+
+
+def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize the media table from any id-bearing source — the
+    fixture generator for multimodal tests/queries (no binary fixture
+    table exists)."""
+    src = docs.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                payload = _build_payload(mid)
+                meta = _decode_header(payload)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": meta["kind"],
+                        "content": payload,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_frames": meta["n_frames"],
+                        "sample_rate": meta["sample_rate"],
+                        "n_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return src.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Re-derive metadata from payload bytes (the 'probe' kernel) —
+    proves the binary round-trips; output matches the typed columns."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                meta = _decode_header(bytes(content))
+                rows.append({"media_id": int(mid), **meta})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "width", "height", "n_frames", "sample_rate"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, kind string, width int, height int, n_frames int, sample_rate int",
+    )
+
+
+def resize_images(media: DataFrame, max_side: int) -> DataFrame:
+    """Resize kernel: shrink width/height preserving aspect ratio
+    (header rewrite in the stub; a PIL thumbnail in production).
+    Non-images pass through untouched."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            new_contents, new_w, new_h = [], [], []
+            for content, kind, w, h in zip(
+                pdf["content"], pdf["kind"], pdf["width"], pdf["height"]
+            ):
+                content = bytes(content)
+                if kind == "audio" or max(w, h) <= max_side:
+                    new_contents.append(content)
+                    new_w.append(w)
+                    new_h.append(h)
+                    continue
+                scale = max_side / max(w, h)
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                content = (
+                    content[:5]
+                    + nw.to_bytes(2, "big")
+                    + nh.to_bytes(2, "big")
+                    + content[9:]
+                )
+                new_contents.append(content)
+                new_w.append(nw)
+                new_h.append(nh)
+            out["content"] = new_contents
+            out["width"] = new_w
+            out["height"] = new_h
+            yield out
+
+    return media.mapInPandas(kernel, media.schema)
+
+
+def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling: one output row per kept frame of each video
+    (frame 0, every `every`-th after). The stub fabricates frame
+    bytes from the payload body; production decodes real frames.
+    Images/audio produce no rows — filter pushes down on ``kind``
+    before the kernel ever sees payload bytes."""
+    vids = media.filter(F.col("kind") == "video")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, n_frames in zip(
+                pdf["media_id"], pdf["content"], pdf["n_frames"]
+            ):
+                body = bytes(content)[HEADER_LEN:]
+                for i in range(0, int(n_frames), every):
+                    frame = hashlib.md5(body + i.to_bytes(4, "big")).digest()
+                    rows.append(
+                        {"media_id": int(mid), "frame_index": i, "frame": frame}
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame"])
+
+    return vids.select("media_id", "content", "n_frames").mapInPandas(
+        kernel, "media_id long, frame_index int, frame binary"
+    )
+
+
+def media_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature-extraction kernel: payload bytes → unit ``array<float>``
+    (md5-chain pseudo-features in the stub; a vision/audio encoder in
+    production). Output plugs straight into operators.topk /
+    operators.ann — multimodal similarity search shares the text
+    index machinery."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                vals: list[float] = []
+                block = hashlib.md5(raw).digest()
+                while len(vals) < dim:
+                    for k in range(0, 16, 4):
+                        if len(vals) >= dim:
+                            break
+                        word = int.from_bytes(block[k : k + 4], "big")
+                        vals.append(word / 4294967295.0 - 0.5)
+                    block = hashlib.md5(block).digest()
+                v = np.asarray(vals, dtype=np.float64)
+                n = float(np.sqrt((v * v).sum()))
+                vecs.append((v / n if n else v).astype(np.float32))
+            out = pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "feature": vecs}
+            )
+            yield out
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, "media_id long, feature array<float>"
+    )

@@ -78,4 +78,5 @@ def _import_all() -> None:
         dedup_queries,
         rag_queries,
         ann_queries,
+        multimodal_queries,
     )

@@ -1,0 +1,143 @@
+"""Multimodal pipeline queries (operators.multimodal).
+
+The fake-payload format derives every metadata field from ``doc_id``
+by pure integer arithmetic (``fake_media_params``), so the DuckDB
+oracle recomputes the metadata WITHOUT the binary payloads — it
+checks that the Spark kernels (build → decode → resize → sample)
+round-trip the bytes faithfully. Feature extraction output is
+byte-derived and registers rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+    multimodal as mm,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+    topk_search,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    load,
+    register,
+)
+
+# mirrors operators.multimodal.fake_media_params
+_PARAMS_CTE = """
+params AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + (doc_id * 7) % 240 END AS width,
+         CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + (doc_id * 11) % 240 END AS height,
+         CASE WHEN doc_id % 3 = 0 THEN 1
+              WHEN doc_id % 3 = 2 THEN 2 + (doc_id * 13) % 30
+              ELSE 0 END AS n_frames,
+         CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 8000 ELSE 0 END AS sample_rate,
+         15 + 64 + (doc_id * 17) % 193 AS n_bytes
+  FROM documents
+)
+"""
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.attach_fake_media(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_manifest",
+    f"""
+WITH {_PARAMS_CTE}
+SELECT kind, count(*) AS n_items,
+       sum(n_bytes)::BIGINT AS total_bytes,
+       round(avg(width), 6) AS avg_width,
+       max(n_frames)::INT AS max_frames,
+       max(sample_rate)::INT AS max_sample_rate
+FROM params GROUP BY kind
+""",
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus manifest by modality — metadata-only aggregation; the
+    payload column is pruned out of the scan entirely."""
+    media = _media(spark, sf_dir)
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.max("n_frames").alias("max_frames"),
+        F.max("sample_rate").alias("max_sample_rate"),
+    )
+
+
+@register(
+    "multimodal_decode_roundtrip",
+    f"""
+WITH {_PARAMS_CTE}
+SELECT media_id, kind, width, height, n_frames, sample_rate
+FROM params WHERE media_id < 200
+""",
+)
+def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload → decode kernel → metadata must equal the typed columns
+    (the binary round-trip proof, checked fully by the oracle)."""
+    media = _media(spark, sf_dir).filter(F.col("media_id") < 200)
+    return mm.decode_media(media)
+
+
+@register(
+    "multimodal_resize_plan",
+    f"""
+WITH {_PARAMS_CTE}
+SELECT media_id, kind,
+       CASE WHEN kind = 'audio' OR greatest(width, height) <= 64 THEN width
+            ELSE greatest(1, floor(width * (64.0 / greatest(width, height)))::INT) END AS width,
+       CASE WHEN kind = 'audio' OR greatest(width, height) <= 64 THEN height
+            ELSE greatest(1, floor(height * (64.0 / greatest(width, height)))::INT) END AS height
+FROM params WHERE media_id < 200
+""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving thumbnail resize (stub header rewrite); the
+    oracle recomputes the target geometry arithmetically."""
+    media = _media(spark, sf_dir).filter(F.col("media_id") < 200)
+    return mm.resize_images(media, max_side=64).select(
+        "media_id", "kind", "width", "height"
+    )
+
+
+@register(
+    "multimodal_frame_counts",
+    f"""
+WITH {_PARAMS_CTE}
+SELECT media_id, ((n_frames + 3) // 4)::BIGINT AS n_sampled
+FROM params WHERE kind = 'video' AND media_id < 500
+""",
+)
+def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 4th frame): per-video kept-frame count.
+    The kind filter prunes images/audio before payloads are read."""
+    media = _media(spark, sf_dir).filter(F.col("media_id") < 500)
+    frames = mm.sample_frames(media, every=4)
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_sampled"))
+
+
+@register("multimodal_feature_selfmatch", None)  # byte-derived → rows-only
+def multimodal_feature_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media → feature vector → top-k self-similarity through the
+    SAME search operators as text (operators.topk): every item's
+    nearest neighbor in feature space is itself. Demonstrates the
+    multimodal → vector-index bridge end-to-end."""
+    media = _media(spark, sf_dir).filter(F.col("media_id") < 64)
+    feats = mm.media_features(media, dim=64)
+    queries = feats.select(
+        F.col("media_id").alias("query_id"), F.col("feature").alias("qvec")
+    )
+    out = topk_search(
+        queries, feats, k=1, metric="cosine", id_col="media_id", vec_col="feature"
+    )
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("matched_id"),
+        (F.col("query_id") == F.col("vec_id")).alias("is_self"),
+    )
