@@ -67,14 +67,49 @@ def main() -> None:
         _noop, "n long"
     ).count()
 
+    # best-of-2 per query: steady-state cost, robust to transient
+    # host/VM contention and one-time codegen compilation
     times: dict[str, float] = {}
     for name in HEADLINE:
         qd = REGISTRY[name]
-        t0 = time.time()
-        df = qd.fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            df = qd.fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    # ingest throughput (BASELINE.md: reference ~100 chunks/s CPU):
+    # full chunk -> content-addressed id -> embed -> parquet-write
+    # pipeline over the documents table
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+        HashEmbedder,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        VectorIndex,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
+        docs_to_records,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "text", "source || '/' || doc_id AS source"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VectorIndex(spark, tmp, "bench-index").create(dimension=64)
+        t0 = time.time()
+        n_chunks = idx.upsert(docs_to_records(docs, HashEmbedder(dimension=64)), batch=0)
+        ingest_s = time.time() - t0
+    chunks_per_s = round(n_chunks / ingest_s, 1)
+    print(
+        f"# ingest: {n_chunks} chunks in {ingest_s:.2f}s = {chunks_per_s}/s",
+        file=sys.stderr,
+    )
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -89,6 +124,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "ingest_chunks_per_sec": chunks_per_s,
+                "ingest_chunks": n_chunks,
             }
         )
     )

@@ -79,4 +79,5 @@ def _import_all() -> None:
         rag_queries,
         ann_queries,
         multimodal_queries,
+        ingest_queries,
     )

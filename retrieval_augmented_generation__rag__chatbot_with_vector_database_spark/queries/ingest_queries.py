@@ -1,0 +1,112 @@
+"""Ingestion-path queries: keyed upsert semantics (S4) and the
+chunker UDTF (T1).
+
+The upsert query simulates two overlapping ingest batches from the
+``embeddings`` fixture and checks last-write-wins resolution — the
+exact Pinecone upsert contract
+(``/root/reference/app/services/pinecone_service.py:108-146``).
+Chunker semantics live in a Python kernel (LangChain
+RecursiveCharacterTextSplitter parity, golden-tested in
+tests/test_chunker.py), so its registry entries are rows-only plus a
+SQL-checkable invariant profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.chunker import (
+    chunk_documents,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    load,
+    register,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+    merge_last_write_wins,
+)
+
+
+@register(
+    "index_upsert_lww",
+    """
+WITH b1 AS (
+  SELECT 'v' || vec_id::VARCHAR AS id, 1::BIGINT AS _batch, label AS payload
+  FROM embeddings WHERE vec_id < 300
+),
+b2 AS (
+  SELECT 'v' || vec_id::VARCHAR AS id, 2::BIGINT AS _batch, label + 100 AS payload
+  FROM embeddings WHERE vec_id >= 200 AND vec_id < 400
+),
+merged AS (
+  SELECT id, _batch, payload,
+         row_number() OVER (PARTITION BY id ORDER BY _batch DESC) AS rn
+  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+)
+SELECT id, _batch AS version, payload
+FROM merged WHERE rn = 1
+""",
+)
+def index_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: overlapping batches → one survivor per id, newest batch
+    wins (ids 200-299 must carry batch-2 payloads)."""
+    emb = load(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.col("vec_id") < 300).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.lit(1).cast("long").alias("_batch"),
+        F.col("label").cast("int").alias("payload"),
+    )
+    b2 = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400)).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.lit(2).cast("long").alias("_batch"),
+        (F.col("label") + 100).cast("int").alias("payload"),
+    )
+    merged = merge_last_write_wins(b1, b2, id_col="id", version_col="_batch")
+    return merged.select("id", F.col("_batch").alias("version"), "payload")
+
+
+@register(
+    "chunk_invariants",
+    """
+SELECT count(*) AS n_docs,
+       sum(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonempty
+FROM documents WHERE doc_id < 200
+""",
+)
+def chunk_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 invariant check, SQL-mirrorable: every non-empty document
+    yields ≥ 1 chunk and every chunk is ≤ chunk_size chars, so
+    (n_docs, n_docs_with_valid_chunks) must equal the oracle's
+    (n_docs, n_nonempty_docs)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chunks = chunk_documents(docs, chunk_size=500, chunk_overlap=50)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+    joined = docs.select("doc_id", F.length("text").alias("doc_len")).join(
+        per_doc, "doc_id", "left"
+    )
+    return joined.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (
+                (F.col("doc_len") > 0)
+                & (F.col("n_chunks") >= 1)
+                & (F.col("max_len") <= 500)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_nonempty"),
+    )
+
+
+@register("chunk_sample", None)  # Python-kernel semantics → rows-only
+def chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 + F1 end-to-end sample: chunks with content-addressed ids
+    for the first documents (golden parity with the reference's
+    splitter is unit-tested; this exercises the distributed path)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    chunks = chunk_documents(docs, chunk_size=500, chunk_overlap=50)
+    return chunks.select("doc_id", "local_index", "n_chunks", "chunk_id", "text")
