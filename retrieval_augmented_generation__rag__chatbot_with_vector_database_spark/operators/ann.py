@@ -36,6 +36,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+    dot_product,
+    l2_norm,
     similarity_expr,
 )
 
@@ -55,12 +57,23 @@ def seed_centroids(index: DataFrame, k: int, id_col: str = "vec_id",
     return [(int(r["id"]), [float(x) for x in r["v"]]) for r in rows]
 
 
+def _py_l2(vec: list[float]) -> float:
+    """Left-fold sum of squares — the same IEEE op order as the
+    Spark/DuckDB folds, so driver-side centroid norms are
+    bit-identical to engine-side ones."""
+    s = 0.0
+    for x in vec:
+        s += x * x
+    return s ** 0.5
+
+
 def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
     return F.array(
         *[
             F.struct(
                 F.lit(cid).cast("int").alias("cid"),
                 F.lit(vec).cast("array<double>").alias("cvec"),
+                F.lit(_py_l2(vec)).alias("cnorm"),
             )
             for cid, vec in centroids
         ]
@@ -68,16 +81,24 @@ def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> Column:
 
 
 def _best_centroids(vec: Column, centroids: list[tuple[int, list[float]]],
-                    metric: str, n: int) -> Column:
+                    metric: str, n: int, vec_norm: Column | None = None) -> Column:
     """Array of the ``n`` best centroid ids for ``vec`` — computed
     entirely inside one projection (sort a k-element struct array;
     ties break to the lower centroid id, mirroring the oracle's
-    ``ORDER BY sim DESC, cid``)."""
+    ``ORDER BY sim DESC, cid``).
+
+    For cosine, pass ``vec_norm`` (pre-projected once) — centroid
+    norms are baked into the literal — so each of the k comparisons
+    folds only the dot product instead of re-folding both norms."""
     carr = _centroid_literal(centroids)
     # euclidean: smaller is better → sort ascending on score;
     # cosine/dot: larger is better → sort ascending on -score
     def keyed(c: Column) -> Column:
-        s = similarity_expr(metric, vec, c["cvec"])
+        if metric == "cosine" and vec_norm is not None:
+            denom = vec_norm * c["cnorm"]
+            s = F.when(denom != 0.0, dot_product(vec, c["cvec"]) / denom)
+        else:
+            s = similarity_expr(metric, vec, c["cvec"])
         key = s if metric == "euclidean" else -s
         return F.struct(key.alias("key"), c["cid"].alias("cid"))
 
@@ -94,7 +115,12 @@ def assign_centroids(
 ) -> DataFrame:
     """Add ``centroid_id`` = nearest centroid, as a narrow map stage
     (no shuffle — see module doc #2)."""
-    best = _best_centroids(F.col(vec_col).cast("array<double>"), centroids, metric, 1)
+    v = F.col(vec_col).cast("array<double>")
+    if metric == "cosine":
+        index = index.withColumn("__vnorm", l2_norm(v))
+        best = _best_centroids(v, centroids, metric, 1, vec_norm=F.col("__vnorm"))
+        return index.withColumn(out_col, best[0]).drop("__vnorm")
+    best = _best_centroids(v, centroids, metric, 1)
     return index.withColumn(out_col, best[0])
 
 
@@ -137,20 +163,39 @@ def ivf_topk(
     which also gets partition pruning); otherwise assignment is
     computed on the fly in the same scan.
     """
-    probe_pairs = queries.select(
+    qv = F.col(query_vec_col).cast("array<double>")
+    qbase = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).cast("array<double>").alias("__qvec"),
+        qv.alias("__qvec"),
+        *( [l2_norm(qv).alias("__qnorm")] if metric == "cosine" else [] ),
+    )
+    probe_pairs = qbase.select(
+        "query_id",
+        "__qvec",
+        *( ["__qnorm"] if metric == "cosine" else [] ),
         F.explode(
             _best_centroids(
-                F.col(query_vec_col).cast("array<double>"), centroids, metric, nprobe
+                F.col("__qvec"),
+                centroids,
+                metric,
+                nprobe,
+                vec_norm=F.col("__qnorm") if metric == "cosine" else None,
             )
         ).alias("centroid_id"),
     )
     idx = index if assigned else assign_centroids(index, centroids, metric, vec_col)
+    if metric == "cosine":
+        idx = idx.withColumn("__vnorm", l2_norm(F.col(vec_col).cast("array<double>")))
+        denom = F.col("__qnorm") * F.col("__vnorm")
+        score = F.when(
+            denom != 0.0, dot_product(F.col("__qvec"), F.col(vec_col)) / denom
+        )
+    else:
+        score = similarity_expr(metric, F.col("__qvec"), F.col(vec_col))
     scored = idx.join(F.broadcast(probe_pairs), "centroid_id").select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        similarity_expr(metric, F.col("__qvec"), F.col(vec_col)).alias("score"),
+        score.alias("score"),
     )
     lead = F.col("score").asc() if metric == "euclidean" else F.col("score").desc()
     w = Window.partitionBy("query_id").orderBy(lead, F.col("vec_id").asc())

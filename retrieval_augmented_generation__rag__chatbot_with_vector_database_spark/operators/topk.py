@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+    dot_product,
+    l2_norm,
     similarity_expr,
 )
 
@@ -89,15 +91,29 @@ def topk_search(
         F.col(query_vec_col).alias("__qvec"),
         *[F.col(c) for c in query_extra_cols],
     )
+    if metric == "cosine":
+        # pre-project each side's L2 norm ONCE: the naive
+        # cosine expression re-folds both norms 2-3x per scored row
+        # (HOF folds are interpreted — ~3x the per-row CPU). Same
+        # operation order as the naive form → bit-identical scores.
+        q = q.withColumn("__qnorm", l2_norm(F.col("__qvec")))
+        index = index.withColumn("__vnorm", l2_norm(F.col(vec_col)))
     joined = (
         index.join(F.broadcast(q), per_query_filter)
         if per_query_filter is not None
         else index.join(F.broadcast(q))
     )
+    if metric == "cosine":
+        denom = F.col("__qnorm") * F.col("__vnorm")
+        score = F.when(
+            denom != 0.0, dot_product(F.col("__qvec"), F.col(vec_col)) / denom
+        )
+    else:
+        score = similarity_expr(metric, F.col("__qvec"), F.col(vec_col))
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        similarity_expr(metric, F.col("__qvec"), F.col(vec_col)).alias("score"),
+        score.alias("score"),
         *[F.col(c) for c in payload_cols],
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -128,9 +144,20 @@ def topk_single(
     if pre_filter is not None:
         index = index.filter(pre_filter)
     qvec = F.lit(query_vector).cast("array<double>")
+    if metric == "cosine":
+        # query norm folds driver-side (same left-fold IEEE order as
+        # the engine); index norm projected once per row
+        qn = 0.0
+        for x in query_vector:
+            qn += float(x) * float(x)
+        qn **= 0.5
+        denom = F.lit(qn) * l2_norm(F.col(vec_col))
+        score = F.when(denom != 0.0, dot_product(qvec, F.col(vec_col)) / denom)
+    else:
+        score = similarity_expr(metric, qvec, F.col(vec_col))
     scored = index.select(
         F.col(id_col).alias("vec_id"),
-        similarity_expr(metric, qvec, F.col(vec_col)).alias("score"),
+        score.alias("score"),
         *[F.col(c) for c in payload_cols],
     )
     ordered = scored.orderBy(*_order(metric, F.col("score"), F.col("vec_id"))).limit(k)
