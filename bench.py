@@ -21,12 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "topk_cosine",
     "topk_filtered",
+    "ann_ivf_topk",
     "rag_e2e_echo",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_pairs",
     "text_quality_profile",
     "text_langid_confusion",
+    "multimodal_manifest",
+    "index_upsert_lww",
     "pricing_summary",
     "top_revenue_orders",
     "nation_revenue",
