@@ -1,0 +1,85 @@
+"""Plan-shape contracts (plans.inspect): the properties that make the
+operators hold at 100 TB, asserted on real plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+    ann,
+    dedup,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+    topk_search,
+    topk_single,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.plans.inspect import (
+    broadcast_join_count,
+    has_partition_filter,
+    has_pushed_filter,
+    has_window_group_limit,
+    physical_plan,
+    reads_columns,
+    shuffle_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def test_topk_broadcasts_queries_not_index(spark, emb):
+    out = topk_search(_queries(emb), emb, k=5, metric="cosine")
+    assert broadcast_join_count(out) >= 1
+    # the index side is never exchanged before scoring: the only
+    # shuffle is the final per-query top-k window
+    assert shuffle_count(out) == 1
+
+
+def test_topk_uses_window_group_limit(spark, emb):
+    out = topk_search(_queries(emb), emb, k=5, metric="cosine")
+    assert has_window_group_limit(out)
+
+
+def test_metadata_filter_pushed_to_scan(spark, emb):
+    out = topk_search(
+        _queries(emb), emb, k=5, metric="cosine",
+        pre_filter=F.col("label").isin(0, 1, 2),
+    )
+    assert has_pushed_filter(out, "label")
+
+
+def test_scoring_reads_only_needed_columns(spark, emb):
+    out = topk_search(_queries(emb), emb, k=5, metric="cosine")
+    cols = reads_columns(out, "embeddings.parquet")
+    assert cols and "label" not in cols  # vec_id + embedding only
+
+
+def test_topk_single_is_take_ordered(spark, emb):
+    qvec = [0.1] * 64
+    out = topk_single(emb, qvec, k=5, metric="cosine")
+    assert "TakeOrderedAndProject" in physical_plan(out)
+
+
+def test_ivf_layout_partition_pruning(spark, emb, tmp_path):
+    cents = ann.seed_centroids(emb, 8)
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_index(emb, path, cents, metric="cosine")
+    layout = spark.read.parquet(path)
+    q = _queries(emb)
+    out = ann.ivf_topk(q, layout, cents, k=5, nprobe=2, assigned=True)
+    assert has_partition_filter(out, "centroid_id")
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.exact_dedup(docs)
+    assert shuffle_count(out) == 1  # one hash-aggregate exchange
