@@ -70,13 +70,14 @@ def main() -> None:
         _noop, "n long"
     ).count()
 
-    # best-of-2 per query: steady-state cost, robust to transient
-    # host/VM contention and one-time codegen compilation
+    # best-of-3 per query: steady-state cost, robust to transient
+    # host/VM contention (observed 5-30x multi-second stalls from
+    # noisy neighbors) and one-time codegen compilation
     times: dict[str, float] = {}
     for name in HEADLINE:
         qd = REGISTRY[name]
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = qd.fn(spark, sf_dir)
             n = df.count()
@@ -103,11 +104,19 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
         "text", "source || '/' || doc_id AS source"
     )
-    with tempfile.TemporaryDirectory() as tmp:
-        idx = VectorIndex(spark, tmp, "bench-index").create(dimension=64)
-        t0 = time.time()
-        n_chunks = idx.upsert(docs_to_records(docs, HashEmbedder(dimension=64)), batch=0)
-        ingest_s = time.time() - t0
+    # best-of-2, fresh index per attempt (same host-noise rationale
+    # as the query loop; a second upsert into the SAME index would
+    # measure the LWW merge, a different workload)
+    ingest_s, n_chunks = None, 0
+    for _ in range(2):
+        with tempfile.TemporaryDirectory() as tmp:
+            idx = VectorIndex(spark, tmp, "bench-index").create(dimension=64)
+            t0 = time.time()
+            n_chunks = idx.upsert(
+                docs_to_records(docs, HashEmbedder(dimension=64)), batch=0
+            )
+            dt = time.time() - t0
+            ingest_s = dt if ingest_s is None or dt < ingest_s else ingest_s
     chunks_per_s = round(n_chunks / ingest_s, 1)
     print(
         f"# ingest: {n_chunks} chunks in {ingest_s:.2f}s = {chunks_per_s}/s",

@@ -324,7 +324,8 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    rows_per_block: int = 8_000,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (id_a < id_b, round(sim,6) ≥ t) by
     blocked matrix multiply.
@@ -335,16 +336,32 @@ def embedding_neardup_pairs(
     O(N²·dim) — exactness costs that — but each task is a
     vectorized matmul instead of 2M interpreted higher-order-function
     evaluations, and the N²/2B² task grid spreads evenly across
-    executors. Size ``n_blocks`` so a block (~N/B × dim doubles)
-    fits comfortably in a task: at 100 TB bound the pair space with
-    ``operators.ann`` IVF first and run this within buckets."""
+    executors.
+
+    ``n_blocks=None`` sizes the grid from the input, balancing two
+    constraints: enough block pairs to spread across the cluster
+    (≥ ⌈N/1000⌉ up to 32), and per-task score matrices bounded to
+    ~(rows_per_block)² doubles so a task never allocates a huge
+    fresh buffer (large first-touch allocations are the observed
+    hot spot — page-fault cost, not FLOPs). At 100 TB bound the
+    pair space with ``operators.ann`` IVF first and run this within
+    buckets (pass ``n_blocks`` explicitly)."""
     import pandas as pd
+
+    if n_blocks is None:
+        n = df.count()
+        b_par = min(-(-n // 1000), 32)  # spread small/mid inputs
+        b_mem = -(-n // rows_per_block)  # bound (N/B)² task memory
+        n_blocks = max(1, b_par, b_mem)
 
     packed = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
         .withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
         .groupBy("blk")
         .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+        # consumed twice (both sides of the block-pair join) — eager
+        # materialization beats re-running the pack per consumer
+        .localCheckpoint()
     )
     pairs = (
         packed.alias("a")
@@ -378,13 +395,20 @@ def embedding_neardup_pairs(
                 with np.errstate(divide="ignore", invalid="ignore"):
                     An = A / np.linalg.norm(A, axis=1, keepdims=True)
                     Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-                    S = np.round(An @ Bn.T, 6)
-                ii, jj = np.where(S >= threshold)
+                    S = An @ Bn.T
+                # pre-filter with an epsilon-widened threshold, then
+                # round only the surviving entries: rounding the full
+                # matrix would allocate a second (N/B)² buffer for
+                # values that are thrown away
+                ii, jj = np.where(S >= threshold - 1e-6)
+                sel = np.round(S[ii, jj], 6)
+                ok = sel >= threshold
+                ii, jj, sel = ii[ok], jj[ok], sel[ok]
                 lo, hi = ida[ii], idb[jj]
                 keep = lo != hi
                 if blk_a == blk_b:
                     keep &= lo < hi
-                lo, hi, sv = lo[keep], hi[keep], S[ii, jj][keep]
+                lo, hi, sv = lo[keep], hi[keep], sel[keep]
                 swap = lo > hi
                 lo2 = np.where(swap, hi, lo)
                 hi2 = np.where(swap, lo, hi)
