@@ -3,6 +3,7 @@ end state via checkpoint + content-addressed idempotent upsert
 (SURVEY.md §2k; reference upload path app/api/routes.py:314-334)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
     HashEmbedder,
@@ -90,3 +91,85 @@ def test_dimension_mismatch_rejected(spark, dirs):
     idx = VectorIndex(spark, root, "dim-idx").create(dimension=32)
     with pytest.raises(Exception, match="dimension mismatch"):
         ingest_directory(spark, str(landing), idx, HashEmbedder(dimension=64))
+
+
+# ---------------------------------------------------------------------------
+# Watermarked event-time rollup (streaming.rollup)
+
+
+def test_hourly_rollup_stream_merges_late_rows_and_matches_batch(spark, tmp_path):
+    """Replay the events fixture as two file drops. For every hour in
+    the 24h band before the split, the FIRST event arrives in drop 1
+    and the rest only in drop 2 — late, but inside the 48h watermark,
+    and into window state already opened by drop 1. Emitted windows
+    must match the batch rollup exactly (late rows merged), and append
+    mode must emit each (hour, event_type) at most once."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+        load,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.rollup import (
+        hourly_rollup,
+        start_hourly_rollup_stream,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    split = ts[len(ts) // 2]
+    band_lo = split - datetime.timedelta(hours=24)
+
+    in_band = (F.col("ts") >= band_lo) & (F.col("ts") < split)
+    rn = F.row_number().over(
+        Window.partitionBy(F.date_trunc("hour", "ts")).orderBy("ts", "event_id")
+    )
+    tagged = ev.withColumn("__late", in_band & (rn > 1))
+    late = tagged.filter("__late").drop("__late")
+    drop1 = tagged.filter((F.col("ts") < split) & ~F.col("__late")).drop("__late")
+    drop2 = tagged.filter(F.col("ts") >= split).drop("__late").unionByName(late)
+    # the merge case is actually exercised: some hour has rows in BOTH drops
+    assert late.count() > 0
+
+    landing = tmp_path / "events_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "rollup_sink")
+    ckpt = str(tmp_path / "rollup_ckpt")
+
+    wm = "48 hours"  # band(24h) < watermark: nothing may be dropped
+    drop1.coalesce(1).write.parquet(str(landing / "drop1"))
+    _drain(start_hourly_rollup_stream(spark, str(landing) + "/*", sink, ckpt, watermark=wm))
+    drop2.coalesce(1).write.parquet(str(landing / "drop2"))
+    _drain(start_hourly_rollup_stream(spark, str(landing) + "/*", sink, ckpt, watermark=wm))
+
+    emitted = spark.read.parquet(sink)
+    assert emitted.count() > 0
+    # append-once: no (hour, event_type) appears twice
+    assert (
+        emitted.groupBy("hour", "event_type").count().filter("count > 1").count() == 0
+    )
+
+    # every emitted window matches the batch twin exactly on the exact
+    # aggregates — including the late-merged band hours
+    batch = hourly_rollup(ev).withColumnRenamed("n_events", "b_events").withColumnRenamed(
+        "total_value", "b_value"
+    )
+    joined = emitted.join(batch.select("hour", "event_type", "b_events", "b_value"),
+                          ["hour", "event_type"], "left")
+    assert (
+        joined.filter(
+            (F.col("b_events") == F.col("n_events"))
+            & (F.abs(F.col("b_value") - F.col("total_value")) < 1e-6)
+        ).count()
+        == emitted.count()
+    )
+    # at least one late-merged hour was actually emitted
+    late_hours = {
+        r["h"]
+        for r in late.select(F.date_trunc("hour", "ts").alias("h")).distinct().collect()
+    }
+    emitted_hours = {r["hour"] for r in emitted.select("hour").distinct().collect()}
+    assert late_hours & emitted_hours
