@@ -413,3 +413,42 @@ def batch_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_num_sources"),
     )
+
+
+@register(
+    "events_session_windows",
+    """
+WITH e AS (
+  SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events
+), d AS (
+  SELECT user_id, value, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+                   OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), s AS (
+  SELECT user_id, value, us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+)
+SELECT user_id,
+       make_timestamp(min(us)) AS session_start,
+       make_timestamp(max(us) + 1800000000) AS session_end,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,6))::DOUBLE AS total_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via the NATIVE `session_window` operator (the
+    Spark-first form of `events_sessionized`'s hand-rolled islands;
+    same operator powers the streaming variant in
+    `streaming/sessions.py`). Oracle mirrors Spark's session-end
+    contract: last event + gap."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.sessions import (
+        session_rollup,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return session_rollup(ev, gap="30 minutes")

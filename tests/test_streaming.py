@@ -173,3 +173,72 @@ def test_hourly_rollup_stream_merges_late_rows_and_matches_batch(spark, tmp_path
     }
     emitted_hours = {r["hour"] for r in emitted.select("hour").distinct().collect()}
     assert late_hours & emitted_hours
+
+
+def test_session_stream_merges_sessions_across_drops(spark, tmp_path):
+    """Split the events timeline at the median into two file drops.
+    With a 24h gap, several users have a session whose events span the
+    split: drop 1 opens the session state, drop 2 extends it, and the
+    final emission must be the MERGED session — identical to running
+    session_window over the whole table in batch."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+        load,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.sessions import (
+        session_rollup,
+        start_session_stream,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    split = ts[len(ts) // 2]
+
+    landing = tmp_path / "sess_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "sess_sink")
+    ckpt = str(tmp_path / "sess_ckpt")
+    gap, wm = "24 hours", "72 hours"
+
+    ev.filter(F.col("ts") < split).coalesce(1).write.parquet(str(landing / "d1"))
+    _drain(start_session_stream(spark, str(landing) + "/*", sink, ckpt, gap=gap, watermark=wm))
+    ev.filter(F.col("ts") >= split).coalesce(1).write.parquet(str(landing / "d2"))
+    _drain(start_session_stream(spark, str(landing) + "/*", sink, ckpt, gap=gap, watermark=wm))
+
+    emitted = spark.read.parquet(sink)
+    assert emitted.count() > 0
+    # append-once per (user, session)
+    assert (
+        emitted.groupBy("user_id", "session_start").count().filter("count > 1").count()
+        == 0
+    )
+
+    # exact parity with the batch session_window on every emitted row
+    batch = (
+        session_rollup(ev, gap=gap)
+        .withColumnRenamed("n_events", "b_events")
+        .withColumnRenamed("total_value", "b_value")
+        .withColumnRenamed("session_end", "b_end")
+    )
+    joined = emitted.join(batch, ["user_id", "session_start"], "left")
+    assert (
+        joined.filter(
+            (F.col("b_events") == F.col("n_events"))
+            & (F.col("b_end") == F.col("session_end"))
+            & (F.abs(F.col("b_value") - F.col("total_value")) < 1e-6)
+        ).count()
+        == emitted.count()
+    )
+
+    # the cross-drop merge actually happened: an emitted session began
+    # before the split and ended (last event) at/after it
+    import datetime
+
+    straddlers = emitted.filter(
+        (F.col("session_start") < split)
+        & (F.col("session_end") >= split + datetime.timedelta(hours=24))
+    )
+    assert straddlers.count() > 0
+    # and those straddlers span multiple events
+    assert straddlers.filter(F.col("n_events") >= 2).count() > 0
