@@ -70,21 +70,25 @@ def main() -> None:
         _noop, "n long"
     ).count()
 
-    # best-of-3 per query: steady-state cost, robust to transient
-    # host/VM contention (observed 5-30x multi-second stalls from
-    # noisy neighbors) and one-time codegen compilation
+    # best-of-3 per query, attempts INTERLEAVED as 3 passes over the
+    # whole list: the host shows sustained multi-second noisy-neighbor
+    # stalls (5-30x), and back-to-back attempts would all land inside
+    # one stall window — passes minutes apart decorrelate them. Pass 1
+    # also absorbs one-time codegen compilation.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        qd = REGISTRY[name]
-        best, n = None, 0
-        for _ in range(3):
+    rows: dict[str, int] = {}
+    for _ in range(3):
+        for name in HEADLINE:
+            qd = REGISTRY[name]
             t0 = time.time()
             df = qd.fn(spark, sf_dir)
-            n = df.count()
+            rows[name] = df.count()
             dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+    for name in HEADLINE:
+        times[name] = round(times[name], 3)
+        print(f"# {name}: {times[name]}s ({rows[name]} rows)", file=sys.stderr)
 
     # ingest throughput (BASELINE.md: reference ~100 chunks/s CPU):
     # full chunk -> content-addressed id -> embed -> parquet-write
