@@ -21,8 +21,8 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.fun
 )
 
 EMPTY_ANSWER = (
-    "I couldn't find relevant information in the knowledge base to answer your question."
-)  # app/rag/chain.py:89-93
+    "I couldn't find any relevant information to answer your question."
+)  # exact string: app/rag/chain.py:91
 
 
 def project_matches(matches: DataFrame) -> DataFrame:

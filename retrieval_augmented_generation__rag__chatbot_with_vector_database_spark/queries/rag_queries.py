@@ -201,7 +201,7 @@ ctx AS (
 SELECT qf.query_id, qf.question,
        coalesce(ctx.n_matches, 0) AS n_matches,
        CASE WHEN coalesce(ctx.n_matches, 0) = 0
-            THEN 'I couldn''t find relevant information in the knowledge base to answer your question.'
+            THEN 'I couldn''t find any relevant information to answer your question.'
             ELSE 'ok' END AS answer
 FROM qf LEFT JOIN ctx ON qf.query_id = ctx.query_id
 """,
@@ -264,7 +264,7 @@ SELECT qs.query_id, qs.question,
        coalesce(ctx.sources, '') AS sources,
        coalesce(ctx.n_matches, 0) AS n_matches,
        CASE WHEN coalesce(ctx.n_matches, 0) = 0
-            THEN 'I couldn''t find relevant information in the knowledge base to answer your question.'
+            THEN 'I couldn''t find any relevant information to answer your question.'
             ELSE substr(coalesce(ctx.context, ''), 1, 160) END AS answer
 FROM qs LEFT JOIN ctx ON qs.query_id = ctx.query_id
 """,

@@ -93,10 +93,19 @@ def load_documents(
     data_dir: str,
     parse_fn: Callable[[bytes], list[str]] | None = None,
 ) -> DataFrame:
-    """S3: txt ∪ pdf (unionByName, schema-aligned)."""
+    """S3: txt ∪ pdf (unionByName, schema-aligned).
+
+    The pypdf probe happens eagerly on the DRIVER: the kernel's
+    NotImplementedError would otherwise only surface inside executors
+    at action time (wrapped in PythonException), long after this call
+    returned a plan that can never run. With no parser available the
+    pdf leg is skipped up front; the kernel raise stays as a backstop.
+    """
     txt = load_text_documents(spark, data_dir)
-    try:
-        pdf = load_pdf_documents(spark, data_dir, parse_fn)
-        return txt.unionByName(pdf)
-    except NotImplementedError:
-        return txt
+    if parse_fn is None:
+        import importlib.util
+
+        if importlib.util.find_spec("pypdf") is None:
+            return txt
+    pdf = load_pdf_documents(spark, data_dir, parse_fn)
+    return txt.unionByName(pdf)
