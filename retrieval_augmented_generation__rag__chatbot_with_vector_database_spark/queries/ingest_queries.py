@@ -67,6 +67,67 @@ def index_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "index_upsert_bucketed",
+    """
+WITH b1 AS (
+  SELECT 'v' || vec_id::VARCHAR AS id, 1::BIGINT AS version,
+         't' || vec_id::VARCHAR AS text
+  FROM embeddings WHERE vec_id < 300
+),
+b2 AS (
+  SELECT 'v' || vec_id::VARCHAR AS id, 2::BIGINT AS version,
+         'u' || vec_id::VARCHAR AS text
+  FROM embeddings WHERE vec_id >= 200 AND vec_id < 400
+),
+merged AS (
+  SELECT id, version, text,
+         row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+)
+SELECT id, version, text FROM merged WHERE rn = 1
+""",
+)
+def index_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end through the bucket-partitioned on-disk
+    ``VectorIndex`` (not just the merge function): two overlapping
+    batches are upserted into a real 32-bucket index — batch 2
+    rewrites only the buckets its ids hash to — then the index is
+    read back. Every id must carry the newest batch's payload
+    regardless of which bucket it landed in (cross-bucket LWW;
+    pinecone_service.py:108-146)."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        VectorIndex,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def recs(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+            F.col("embedding"),
+            F.concat(F.lit(tag), F.col("vec_id")).alias("text"),
+            F.lit("s").alias("source"),
+            F.lit(0).alias("chunk_index"),
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VectorIndex(spark, tmp, "oracle-bucketed").create(dimension=64)
+        idx.upsert(recs(emb.filter(F.col("vec_id") < 300), "t"), batch=1)
+        idx.upsert(
+            recs(
+                emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400)), "u"
+            ),
+            batch=2,
+        )
+        out = idx.read().select("id", F.col("_batch").alias("version"), "text")
+        # materialize before the tempdir disappears; bounded by the
+        # fixture slice (≤400 rows), not index scale
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
     "chunk_invariants",
     """
 SELECT count(*) AS n_docs,

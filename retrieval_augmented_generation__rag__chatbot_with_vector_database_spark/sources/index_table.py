@@ -7,20 +7,26 @@ Reference: ``PineconeService``
 - upsert_vectors — batches of 100, last-write-wins    :108-146 (S4)
 - delete_index                                        :184-191 (S6)
 - describe_index_stats                                :193-204 (A2)
+- dimension-mismatch reroute to ``{name}-{dim}``      scripts/ingest_documents.py:176-195
 
 Spark shape: an index is a **Parquet table directory** with a small
 JSON sidecar for ``(dimension, metric)`` properties (catalog-free so
 it works against any path; swap for TBLPROPERTIES/Delta when a
-metastore is available). Upsert = union + window-dedup by id keeping
-the newest batch — the MERGE-emulation pattern; with Delta this
-becomes ``MERGE INTO`` directly.
+metastore is available). The data table is hash-partitioned into
+``N_BUCKETS`` directories by ``pmod(xxhash64(id), N_BUCKETS)``, so a
+keyed upsert is **incremental**: only the buckets containing upserted
+ids are re-merged and swapped; every other bucket's files are left
+byte-identical on disk. Upsert = (touched existing ∪ new) →
+window-dedup by id keeping the newest batch — the MERGE-emulation
+pattern; with Delta this becomes ``MERGE INTO`` directly.
 
-Scale notes: the upsert shuffles on ``id`` once; at 100 TB you'd
-partition the table by a stable hash bucket of id (``bucket_col``) so
-the merge only rewrites touched buckets, and ANN layouts add a
-``centroid_id`` partition column (operators.ann). Batching (the
-reference's 100-vector requests) is subsumed by Parquet writer
-row groups.
+Scale notes: per micro-batch the work is O(|batch| + |touched
+buckets|), not O(|index|). The incoming record pipeline is
+localCheckpoint'ed once, so the dimension probe and the merge share a
+single execution of the chunk→embed DAG. At 100 TB raise N_BUCKETS
+(e.g. 4096) so a bucket ≈ one executor's working set; the bucket
+column is a pure function of id, so the same layout also serves
+bucket-pruned point lookups.
 """
 
 from __future__ import annotations
@@ -34,10 +40,22 @@ from pyspark.sql import functions as F
 
 PROPS_FILE = "_index_properties.json"
 N_BUCKETS = 32
+BUCKET_COL = "bucket"  # no leading underscore: Spark hides _-prefixed paths
+
+LOGICAL_SCHEMA = (
+    "id string, embedding array<float>, text string, source string, "
+    "chunk_index int, _batch long"
+)
+
+
+def bucket_of(id_col: str = "id"):
+    """Stable id → bucket assignment (pure function of id, so point
+    lookups and upserts prune to one partition directory)."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_BUCKETS)).cast("int")
 
 
 class VectorIndex:
-    """A named vector index backed by a Parquet table."""
+    """A named vector index backed by a bucket-partitioned Parquet table."""
 
     def __init__(self, spark: SparkSession, root: str, name: str):
         self.spark = spark
@@ -51,6 +69,10 @@ class VectorIndex:
     @property
     def _props_path(self) -> str:
         return os.path.join(self.path, PROPS_FILE)
+
+    @property
+    def _data_path(self) -> str:
+        return os.path.join(self.path, "data")
 
     # -- S5: create (idempotent, like pinecone_service.py:44-51) -----
     def create(self, dimension: int, metric: str = "cosine") -> "VectorIndex":
@@ -78,6 +100,9 @@ class VectorIndex:
     def dimension(self) -> int:
         return int(self.properties()["dimension"])
 
+    def metric(self) -> str:
+        return str(self.properties().get("metric", "cosine"))
+
     # -- S6: delete ---------------------------------------------------
     def delete(self) -> None:
         if os.path.exists(self.path):
@@ -85,32 +110,40 @@ class VectorIndex:
 
     # -- read ---------------------------------------------------------
     def read(self) -> DataFrame:
-        data = os.path.join(self.path, "data")
-        if not os.path.exists(data):
-            return self.spark.createDataFrame(
-                [],
-                "id string, embedding array<float>, text string, source string, "
-                "chunk_index int, _batch long",
-            )
-        return self.spark.read.parquet(data)
+        """Logical view of the index (bucket column dropped)."""
+        if not os.path.exists(self._data_path):
+            return self.spark.createDataFrame([], LOGICAL_SCHEMA)
+        return self.spark.read.parquet(self._data_path).drop(BUCKET_COL)
+
+    def _pruned_existing(self, touched: list[int]) -> DataFrame:
+        """Existing rows of the touched buckets only — the isin filter
+        on the partition column becomes a PartitionFilter, so Spark
+        never lists or reads the untouched buckets' files."""
+        return self.spark.read.parquet(self._data_path).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
 
     # -- S4: keyed upsert (last-write-wins by id) --------------------
-    def upsert(self, records: DataFrame, batch: int) -> int:
+    def upsert(self, records: DataFrame, batch: int, on_mismatch: str = "raise") -> int:
         """Upsert ``records`` (id, embedding, text, source,
         chunk_index). Same id overwrites — Pinecone upsert semantics
         (pinecone_service.py:108-146). ``batch`` is a caller-supplied
         monotonic version (idempotent re-runs pass the same value).
 
-        Enforces the dimension invariant the reference checks at
-        ingest (scripts/ingest_documents.py:176-195).
+        The record pipeline (typically chunk→embed) is materialized
+        ONCE via localCheckpoint; the dimension probe and bucket
+        discovery share that single pass with the merge.
+
+        ``on_mismatch``: ``"raise"`` enforces the dimension invariant
+        the reference checks at ingest; ``"reroute"`` reproduces
+        ``scripts/ingest_documents.py:176-195`` — records whose
+        (uniform) dimension differs from this index are written to a
+        sibling index ``{name}-{dim}`` (created on demand, same
+        metric). Returns the target index's row count.
         """
+        if on_mismatch not in ("raise", "reroute"):
+            raise ValueError("on_mismatch must be 'raise' or 'reroute'")
         dim = self.dimension()
-        bad = records.filter(F.size("embedding") != dim).limit(1).count()
-        if bad:
-            raise ValueError(
-                f"dimension mismatch: index {self.name} expects {dim} "
-                "(reference would route to a new '{name}-{dim}' index)"
-            )
         new = records.select(
             F.col("id").cast("string"),
             F.col("embedding").cast("array<float>"),
@@ -118,14 +151,65 @@ class VectorIndex:
             "source",
             F.col("chunk_index").cast("int"),
             F.lit(batch).cast("long").alias("_batch"),
+        ).withColumn(BUCKET_COL, bucket_of("id"))
+        # one execution of the upstream DAG; probe + merge reuse it
+        new = new.localCheckpoint(eager=True)
+        probe = new.agg(
+            F.collect_set(F.size("embedding")).alias("dims"),
+            F.collect_set(BUCKET_COL).alias("buckets"),
+        ).first()
+        dims, touched = sorted(probe["dims"]), sorted(probe["buckets"])
+        if not touched:  # empty batch: nothing to merge or rewrite
+            return self.read().count()
+        if dims != [dim]:
+            if len(dims) > 1:
+                raise ValueError(
+                    f"mixed embedding dimensions {dims} in one batch "
+                    f"(index {self.name} expects {dim})"
+                )
+            if on_mismatch == "raise":
+                raise ValueError(
+                    f"dimension mismatch: index {self.name} expects {dim}, "
+                    f"got {dims[0]} (pass on_mismatch='reroute' for the "
+                    f"reference's '{self.name}-{dims[0]}' fallback)"
+                )
+            target = VectorIndex(self.spark, self.root, f"{self.name}-{dims[0]}")
+            target.create(dimension=dims[0], metric=self.metric())
+            return target._write_merged(new, touched)
+        return self._write_merged(new, touched)
+
+    def _write_merged(self, new: DataFrame, touched: list[int]) -> int:
+        """Merge ``new`` (already bucketed + checkpointed) into the
+        touched buckets and atomically swap only those directories."""
+        data = self._data_path
+        fresh = not os.path.exists(data)
+        existing = (
+            self.spark.createDataFrame([], new.schema)
+            if fresh
+            else self._pruned_existing(touched)
         )
-        merged = merge_last_write_wins(self.read(), new)
-        data = os.path.join(self.path, "data")
+        merged = merge_last_write_wins(existing, new)
+        # co-locate each bucket into one task → one file per touched
+        # bucket (avoids the small-files explosion of 32 writers × 32
+        # buckets); the repartition moves only touched-bucket rows
         tmp = data + "._tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(data):
-            shutil.rmtree(data)
-        os.rename(tmp, data)
+        (
+            merged.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(tmp)
+        )
+        if fresh:
+            os.rename(tmp, data)
+        else:
+            for b in touched:
+                part = f"{BUCKET_COL}={b}"
+                src, dst = os.path.join(tmp, part), os.path.join(data, part)
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+            shutil.rmtree(tmp)
         return self.read().count()
 
     # -- A2: stats ----------------------------------------------------
@@ -141,10 +225,15 @@ def merge_last_write_wins(
     existing: DataFrame, new: DataFrame, id_col: str = "id", version_col: str = "_batch"
 ) -> DataFrame:
     """MERGE-by-key emulation: union → keep newest version per id.
-    Ties (idempotent re-ingestion of the same batch) resolve to one
-    arbitrary-but-deterministic row via a total order."""
+
+    The survivor order is TOTAL: newest version first, then an md5
+    over the payload columns, so two *different* rows sharing an id
+    within one batch resolve to the same survivor on every run (and
+    idempotent re-ingestion of identical rows is a true no-op)."""
     allr = existing.unionByName(new, allowMissingColumns=True)
-    w = Window.partitionBy(id_col).orderBy(F.col(version_col).desc())
+    payload = sorted(c for c in allr.columns if c not in (id_col, version_col))
+    tb = F.md5(F.to_json(F.struct(*payload)))
+    w = Window.partitionBy(id_col).orderBy(F.col(version_col).desc(), tb.asc())
     return (
         allr.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

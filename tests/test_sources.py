@@ -88,6 +88,116 @@ def test_merge_ties_deterministic(spark):
     out = merge_last_write_wins(a, b).collect()
     assert len(out) == 1
 
+    # two DIFFERENT rows, same id, same batch: the payload-md5 total
+    # order must pick the same survivor on every run (not "whichever
+    # task finished first")
+    import hashlib
+
+    c = spark.createDataFrame([("x", 1, "aaa")], cols)
+    d = spark.createDataFrame([("x", 1, "bbb")], cols)
+    expected = min(
+        "aaa",
+        "bbb",
+        key=lambda t: hashlib.md5(f'{{"text":"{t}"}}'.encode()).hexdigest(),
+    )
+    for pair in ((c, d), (d, c)):  # survivor independent of union order
+        out = merge_last_write_wins(*pair).collect()
+        assert len(out) == 1 and out[0]["text"] == expected
+
+
+def _files_md5(root):
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        BUCKET_COL,
+        bucket_of,
+    )
+
+    idx = VectorIndex(spark, str(tmp_path), "idx-b").create(dimension=2)
+    cols = "id string, embedding array<float>, text string, source string, chunk_index int"
+    b1 = spark.createDataFrame(
+        [(f"id{i}", [1.0, 0.0], f"t{i}", "s", 0) for i in range(40)], cols
+    )
+    assert idx.upsert(b1, batch=1) == 40
+    before = _files_md5(idx._data_path)
+
+    b2 = spark.createDataFrame([("id7", [0.5, 0.5], "t7-v2", "s", 0)], cols)
+    assert idx.upsert(b2, batch=2) == 40
+    after = _files_md5(idx._data_path)
+
+    tb = (
+        spark.createDataFrame([("id7",)], "id string")
+        .select(bucket_of("id").alias("b"))
+        .first()["b"]
+    )
+    touched_prefix = f"{BUCKET_COL}={tb}/"
+    # untouched buckets: identical file sets with identical bytes
+    for p, h in before.items():
+        if not p.startswith(touched_prefix):
+            assert after.get(p) == h, f"untouched file rewritten: {p}"
+    # the touched bucket did change
+    assert {p: h for p, h in before.items() if p.startswith(touched_prefix)} != {
+        p: h for p, h in after.items() if p.startswith(touched_prefix)
+    }
+    rows = {r["id"]: r["text"] for r in idx.read().collect()}
+    assert rows["id7"] == "t7-v2" and rows["id6"] == "t6"
+
+
+def test_upsert_existing_read_prunes_partitions(spark, tmp_path):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.plans.inspect import (
+        has_partition_filter,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        BUCKET_COL,
+    )
+
+    idx = VectorIndex(spark, str(tmp_path), "idx-p").create(dimension=2)
+    cols = "id string, embedding array<float>, text string, source string, chunk_index int"
+    idx.upsert(
+        spark.createDataFrame(
+            [(f"id{i}", [1.0, 0.0], "t", "s", 0) for i in range(40)], cols
+        ),
+        batch=1,
+    )
+    pruned = idx._pruned_existing([0, 1])
+    assert has_partition_filter(pruned, BUCKET_COL)
+
+
+def test_upsert_dim_mismatch_reroute(spark, tmp_path):
+    root = str(tmp_path)
+    idx = VectorIndex(spark, root, "base").create(dimension=2, metric="euclidean")
+    cols = "id string, embedding array<float>, text string, source string, chunk_index int"
+    three = spark.createDataFrame([("a", [1.0, 2.0, 3.0], "t", "s", 0)], cols)
+    # strict mode still raises
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        idx.upsert(three, batch=1)
+    # reroute: lands in base-3 with inherited metric
+    assert idx.upsert(three, batch=1, on_mismatch="reroute") == 1
+    routed = VectorIndex(spark, root, "base-3")
+    assert routed.exists() and routed.dimension() == 3
+    assert routed.properties()["metric"] == "euclidean"
+    assert idx.read().count() == 0  # base untouched
+    # idempotent re-ingest into the rerouted index
+    assert idx.upsert(three, batch=1, on_mismatch="reroute") == 1
+    assert routed.read().count() == 1
+    # mixed dims in one batch never reroute
+    mixed = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0], "t", "s", 0), ("b", [1.0, 2.0], "t", "s", 0)], cols
+    )
+    with pytest.raises(ValueError, match="mixed"):
+        idx.upsert(mixed, batch=2, on_mismatch="reroute")
+
 
 def test_best_index_argmax(spark, tmp_path):
     root = str(tmp_path)
