@@ -408,11 +408,16 @@ def lloyd_refine(
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Standard k-means refinement of the seed centroids: assign →
-    per-cluster element-wise mean → repeat. Each iteration is one
-    narrow assignment pass + one groupBy (single shuffle on
-    ``centroid_id``); centroids come back to the driver (k·dim —
-    tiny) to be re-inlined, so the big side is never shuffled on
-    anything but the aggregation.
+    per-cluster element-wise mean → repeat.
+
+    The mean is ``posexplode`` + ``groupBy(centroid_id, pos)`` — ONE
+    aggregate expression regardless of dimension, not a per-dimension
+    ``avg(v[i])`` fan-out (which at production dims, 1024-3072, means
+    thousands of aggregate expressions and a codegen blowup). The
+    explode never materializes N·dim rows: hash aggregation is
+    partial, so each task ships at most k·dim partial sums into the
+    single shuffle, and k·dim finals come back to the driver (tiny)
+    to be re-inlined.
 
     Empty clusters keep their previous centroid.
     """
@@ -422,12 +427,16 @@ def lloyd_refine(
         assigned = assign_centroids_gemm(index, cur, metric, vec_col)
         v = F.col(vec_col).cast("array<double>")
         means = (
-            assigned.groupBy("centroid_id")
-            .agg(*[F.avg(v[i]).alias(f"m{i}") for i in range(dim)])
+            assigned.select("centroid_id", F.posexplode(v).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
             .collect()
         )
-        by_cid = {
-            int(r["centroid_id"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means
-        }
-        cur = [(cid, by_cid.get(cid, vec)) for cid, vec in cur]
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = float(r["m"])
+        cur = [
+            (cid, [by_cid[cid][i] for i in range(dim)] if cid in by_cid else vec)
+            for cid, vec in cur
+        ]
     return cur

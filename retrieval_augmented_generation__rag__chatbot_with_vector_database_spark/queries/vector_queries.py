@@ -253,15 +253,20 @@ def pairwise_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vector (element-wise avg across rows — the IVF
     centroid computation) + pairwise cosine between centroids."""
     emb = load(spark, sf_dir, "embeddings")
-    dim = 64
-    cols = [
-        F.avg(F.col("embedding").cast("array<double>")[i]).alias(f"c{i}")
-        for i in range(dim)
-    ]
+    # one aggregate expression at ANY dimension (no per-dim avg(v[i])
+    # fan-out): posexplode + partial hash-agg ships k*dim partial
+    # sums per task, then the ordered centroid is reassembled from
+    # (pos, avg) structs
     cents = (
-        emb.groupBy("label")
-        .agg(*cols)
-        .select("label", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid"))
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["cx"]).alias("centroid"))
     )
     a = cents.alias("a")
     b = cents.alias("b")

@@ -92,6 +92,29 @@ def test_lloyd_refine_improves_quantization(emb, cents):
     assert mean_best_dist(refined) <= mean_best_dist(cents) + 1e-9
 
 
+def test_lloyd_refine_high_dim_fast(spark):
+    # production dims (1024-3072) must not fan out per-dimension
+    # aggregate expressions; the posexplode form finishes in seconds
+    import time
+
+    dim, n, k = 1024, 2000, 8
+    rng = np.random.default_rng(7)
+    pdf_rows = [
+        (i, rng.standard_normal(dim).astype(np.float32).tolist()) for i in range(n)
+    ]
+    df = spark.createDataFrame(pdf_rows, "vec_id long, embedding array<float>")
+    seeds = ann.seed_centroids(df, k)
+    t0 = time.time()
+    refined = ann.lloyd_refine(df, seeds, iters=1, metric="euclidean")
+    assert time.time() - t0 < 60
+    assert len(refined) == k and all(len(v) == dim for _, v in refined)
+    # means actually moved off the seeds and are finite
+    assert all(np.isfinite(v).all() for _, v in refined)
+    assert any(
+        not np.allclose(sv, rv) for (_, sv), (_, rv) in zip(seeds, refined)
+    )
+
+
 def test_write_ivf_index_prunes_partitions(spark, emb, cents, tmp_path):
     path = str(tmp_path / "ivf")
     ann.write_ivf_index(emb, path, cents, metric="cosine")
