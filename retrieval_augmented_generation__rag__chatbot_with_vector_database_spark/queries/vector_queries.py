@@ -138,6 +138,49 @@ def topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_filtered_dsl",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN (
+    SELECT * FROM embeddings
+    WHERE label >= 1 AND label <= 8 AND label NOT IN (3, 4)
+  ) e
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def topk_filtered_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 via the reference's ``filter_dict`` surface: the Pinecone
+    dict-DSL (``pinecone_service.py:152,171-176``) translated to a
+    Catalyst predicate (``functions.filter_dsl``) — multiple operators
+    on one field AND across fields, pushed to the Parquet scan."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.filter_dsl import (
+        filter_dict_to_column,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    fd = {"label": {"$gte": 1, "$lte": 8, "$nin": [3, 4]}}
+    out = topk_search(
+        _query_side(spark, sf_dir),
+        emb,
+        k=K,
+        metric="cosine",
+        pre_filter=filter_dict_to_column(fd),
+    )
+    return out.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
+@register(
     "self_match_rank1",
     """
 WITH q AS (
