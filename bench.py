@@ -22,6 +22,7 @@ HEADLINE = [
     "topk_cosine",
     "topk_filtered",
     "ann_ivf_topk",
+    "ann_ivf_topk_gemm",
     "rag_e2e_echo",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
@@ -30,6 +31,7 @@ HEADLINE = [
     "text_langid_confusion",
     "multimodal_manifest",
     "index_upsert_lww",
+    "index_upsert_bucketed",
     "pricing_summary",
     "top_revenue_orders",
     "nation_revenue",
@@ -75,6 +77,8 @@ def main() -> None:
     # stalls (5-30x), and back-to-back attempts would all land inside
     # one stall window — passes minutes apart decorrelate them. Pass 1
     # also absorbs one-time codegen compilation.
+    from pyspark.sql import functions as F
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for _ in range(3):
@@ -82,7 +86,16 @@ def main() -> None:
             qd = REGISTRY[name]
             t0 = time.time()
             df = qd.fn(spark, sf_dir)
-            rows[name] = df.count()
+            # full materialization: count() alone would let Catalyst
+            # prune computed columns, so projection-heavy queries
+            # would time as little more than a parquet scan. The
+            # xxhash64-of-all-columns aggregate forces every output
+            # column to be evaluated in the same single pass.
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+            ).first()
+            rows[name] = r["n"]
             dt = time.time() - t0
             if name not in times or dt < times[name]:
                 times[name] = dt

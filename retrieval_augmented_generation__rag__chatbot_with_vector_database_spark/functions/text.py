@@ -57,6 +57,31 @@ def format_context_line(
     )
 
 
+SYSTEM_PROMPT_PREFIX = """You are a helpful financial assistant that answers questions based on provided context.
+
+Your responsibilities:
+1. Answer questions accurately using ONLY the information from the provided context
+2. If the context doesn't contain enough information, say so clearly
+3. Cite the document sources when relevant
+4. Provide clear, concise, and professional responses
+5. Focus on financial accuracy and clarity
+
+Context:
+"""  # exact text: app/rag/chain.py:47-58
+
+
+def format_prompt(context: Column | str, question: Column | str) -> Column:
+    """F5: the reference's ChatPromptTemplate rendered as data
+    (``app/rag/chain.py:47-60``): a struct of the system message
+    (template with ``{context}`` interpolated) and the human message
+    (``{question}``). The LLM call itself stays ⊘ (network boundary);
+    this closes the deterministic string-assembly half of §2h."""
+    return F.struct(
+        F.concat(F.lit(SYSTEM_PROMPT_PREFIX), _c(context)).alias("system"),
+        _c(question).alias("human"),
+    )
+
+
 def rewrite_with_history(question: Column | str, history: Column | str) -> Column:
     """History-contextualized question (``app/rag/chain.py:144-151``).
 

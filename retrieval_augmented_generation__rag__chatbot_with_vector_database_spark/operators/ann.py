@@ -191,6 +191,53 @@ def assign_centroids_gemm(
     return index.mapInArrow(kernel, out_schema)
 
 
+MAX_GEMM_QUERIES = 4096  # driver-collect bound for GEMM query sides
+
+
+def collect_query_matrix(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    metric: str,
+    max_queries: int = MAX_GEMM_QUERIES,
+):
+    """Collect the (bounded) query side for a GEMM kernel.
+
+    The collect is capped via ``limit(max_queries + 1)`` so an
+    oversized query side fails loudly with a clear error BEFORE
+    materializing on the driver — misuse can't OOM it. Zero-norm
+    query vectors are rejected under cosine (their similarity is
+    undefined; the expression path yields NULL scores, which a dense
+    kernel cannot represent)."""
+    import numpy as np
+
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"GEMM query side exceeds {max_queries} rows; the query matrix "
+            "is collected to the driver by design (bounded user questions). "
+            "For corpus-scale 'query' sides use the join/expression paths, "
+            "or raise max_queries explicitly."
+        )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    if metric == "cosine":
+        norms = np.linalg.norm(Q, axis=1)
+        if (norms == 0).any():
+            bad = qids[norms == 0][:5].tolist()
+            raise ValueError(f"zero-norm query vectors under cosine: ids {bad}")
+        Qm = Q / norms[:, None]
+    else:
+        Qm = Q
+    return qids, Q, Qm
+
+
 def ivf_topk_gemm(
     queries: DataFrame,
     index: DataFrame,
@@ -202,32 +249,41 @@ def ivf_topk_gemm(
     query_vec_col: str = "qvec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_GEMM_QUERIES,
 ) -> DataFrame:
     """Production probe: GEMM scoring over an ``assigned`` index
-    (``write_ivf_index`` layout). Probe sets are computed driver-side
-    from the centroid matrix (tiny), the scan is statically pruned to
-    the probed buckets, and each Arrow batch is scored against ALL
-    queries in one matmul with non-probed (query, bucket) pairs
-    masked out. cosine only for now (the RAG metric)."""
+    (``write_ivf_index`` layout), any of the reference's three metrics
+    (``pinecone_service.py:33-39``). Probe sets are computed
+    driver-side from the centroid matrix (tiny), the scan is
+    statically pruned to the probed buckets, and each Arrow batch is
+    scored bucket-by-bucket against only the queries probing it.
+
+    Zero-norm index vectors under cosine are dropped before top-k
+    selection (the expression path gives them NULL scores, which sort
+    last; a NaN from 0/0 would instead sort FIRST in descending numpy
+    partitions — the one place the two paths could diverge)."""
     import numpy as np
 
-    if metric != "cosine":
-        raise ValueError("ivf_topk_gemm currently supports cosine only")
     cids, C = _centroid_matrix(centroids, metric)
-    qrows = queries.select(
-        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
-    ).collect()
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    Q = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids, Q, Qm = collect_query_matrix(
+        queries, query_id_col, query_vec_col, metric, max_queries
+    )
     # top-nprobe buckets per query, lowest-cid tiebreak via stable sort
-    sims = Qn @ C.T
-    order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    if metric == "euclidean":
+        key = (
+            -2.0 * (Q @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )  # |q|^2 constant per row — irrelevant to the argsort
+    else:
+        key = -(Qm @ C.T)
+    order = np.argsort(key, axis=1, kind="stable")[:, :nprobe]
     probed_per_q = [set(cids[row].tolist()) for row in order]
     probed_union = sorted(set().union(*probed_per_q))
 
     pruned = index.filter(F.col("centroid_id").isin(probed_union))
     names = ["query_id", "vec_id", "score"]
+    smaller_better = metric == "euclidean"
+    q_sq = (Q * Q).sum(axis=1)
 
     # queries probing each bucket, precomputed once per worker
     q_by_bucket: dict[int, "np.ndarray"] = {}
@@ -259,8 +315,14 @@ def ivf_topk_gemm(
                 .reshape(n, -1)
                 .astype(np.float64, copy=False)
             )
-            with np.errstate(divide="ignore", invalid="ignore"):
-                B = B / np.linalg.norm(B, axis=1, keepdims=True)
+            if metric == "cosine":
+                bn = np.linalg.norm(B, axis=1)
+                valid = bn != 0
+                if not valid.all():
+                    ids, bucket, B, bn = ids[valid], bucket[valid], B[valid], bn[valid]
+                    if B.shape[0] == 0:
+                        continue
+                B = B / bn[:, None]
             out_q, out_i, out_s = [], [], []
             # the layout is partitioned by centroid_id, so a batch
             # holds one (rarely a few) buckets: score each bucket's
@@ -271,9 +333,22 @@ def ivf_topk_gemm(
                 if qsel is None:
                     continue
                 rsel = np.nonzero(bucket == c)[0]
-                S = B[rsel] @ Qn[qsel].T  # (rows_in_bucket, probing_q)
+                if metric == "euclidean":
+                    Bb = B[rsel]
+                    S = np.sqrt(
+                        np.maximum(
+                            (Bb * Bb).sum(axis=1)[:, None]
+                            - 2.0 * (Bb @ Qm[qsel].T)
+                            + q_sq[qsel][None, :],
+                            0.0,
+                        )
+                    )
+                else:
+                    S = B[rsel] @ Qm[qsel].T  # (rows_in_bucket, probing_q)
                 kk = min(k, len(rsel))
-                part = np.argpartition(-S, kk - 1, axis=0)[:kk, :]
+                part = np.argpartition(S if smaller_better else -S, kk - 1, axis=0)[
+                    :kk, :
+                ]
                 rows_q = np.repeat(np.arange(len(qsel)), kk)
                 rows_i = part.T.reshape(-1)
                 out_q.append(qids[qsel][rows_q])
@@ -292,9 +367,8 @@ def ivf_topk_gemm(
     cand = pruned.select(
         F.col(id_col).alias("vec_id"), F.col("centroid_id"), F.col(vec_col)
     ).mapInArrow(kernel, "query_id long, vec_id long, score double")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
+    lead = F.col("score").asc() if smaller_better else F.col("score").desc()
+    w = Window.partitionBy("query_id").orderBy(lead, F.col("vec_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

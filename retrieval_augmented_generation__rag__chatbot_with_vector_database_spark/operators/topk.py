@@ -137,6 +137,7 @@ def topk_search_gemm(
     vec_col: str = "embedding",
     pre_filter: Column | None = None,
     clamp: bool = True,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Batch top-k by blocked matrix multiply — the high-throughput
     exact path for large indexes.
@@ -157,23 +158,32 @@ def topk_search_gemm(
     bit-exact fold-order parity with a SQL oracle matters more than
     speed — GEMM reorders the accumulation). Assumes null-free,
     equal-length vectors (the index dim invariant).
+
+    The query collect is bounded (``max_queries``, loud failure) and
+    zero-norm index vectors under cosine are dropped before top-k
+    selection — a 0/0 NaN would sort ABOVE every real score in a
+    descending numpy partition, handing NaN rows the top-k slots the
+    expression path (NULL score, sorts last) would never give them.
     """
     import numpy as np
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+        MAX_GEMM_QUERIES,
+        collect_query_matrix,
+    )
 
     if clamp:
         k = clamp_top_k(k)
     if pre_filter is not None:
         index = index.filter(pre_filter)
 
-    qrows = queries.select(
-        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
-    ).collect()
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    Q = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
-    if metric == "cosine":
-        Qm = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    else:
-        Qm = Q
+    qids, Q, Qm = collect_query_matrix(
+        queries,
+        query_id_col,
+        query_vec_col,
+        metric,
+        MAX_GEMM_QUERIES if max_queries is None else max_queries,
+    )
     smaller_better = metric == "euclidean"
     q_sq = (Q * Q).sum(axis=1)
 
@@ -191,8 +201,14 @@ def topk_search_gemm(
             flat = vec_arr.flatten().to_numpy(zero_copy_only=False)
             B = flat.reshape(n, -1).astype(np.float64, copy=False)
             if metric == "cosine":
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    B = B / np.linalg.norm(B, axis=1, keepdims=True)
+                bn = np.linalg.norm(B, axis=1)
+                valid = bn != 0
+                if not valid.all():
+                    ids, B, bn = ids[valid], B[valid], bn[valid]
+                    n = B.shape[0]
+                    if n == 0:
+                        continue
+                B = B / bn[:, None]
                 S = B @ Qm.T  # (batch, q)
             elif metric == "dotproduct":
                 S = B @ Qm.T

@@ -27,7 +27,11 @@ N_PROBE = 4
 N_QUERIES = 8
 K = 5
 
-_IVF_CTE = f"""
+def _ivf_cte(metric_fn: str = "list_cosine_similarity", direction: str = "DESC") -> str:
+    """The IVF oracle pipeline (assign → probe → pruned score → rank)
+    for any of the three metrics; ``direction`` is the better-is
+    ordering (DESC for cosine/dot, ASC for euclidean distance)."""
+    return f"""
 cent AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
   FROM embeddings WHERE vec_id < {N_CENTROIDS}
@@ -36,7 +40,7 @@ assign AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                              ORDER BY {metric_fn}(e.embedding::DOUBLE[], c.cvec) {direction},
                                        c.cid ASC) AS rn
     FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
 ),
@@ -48,13 +52,13 @@ probe AS (
   SELECT query_id, cid FROM (
     SELECT q.query_id, c.cid,
            row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC,
+                              ORDER BY {metric_fn}(q.qvec, c.cvec) {direction},
                                        c.cid ASC) AS rn
     FROM q CROSS JOIN cent c) WHERE rn <= {N_PROBE}
 ),
 ivf_scored AS (
   SELECT p.query_id, a.vec_id,
-         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+         {metric_fn}(q.qvec, e.embedding::DOUBLE[]) AS s
   FROM probe p
   JOIN assign a ON a.cid = p.cid
   JOIN q ON q.query_id = p.query_id
@@ -62,10 +66,13 @@ ivf_scored AS (
 ),
 ivf_ranked AS (
   SELECT query_id, vec_id, s,
-         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY s {direction}, vec_id ASC) AS rank
   FROM ivf_scored
 )
 """
+
+
+_IVF_CTE = _ivf_cte()
 
 
 def _queries_and_centroids(spark: SparkSession, sf_dir: str):
@@ -91,6 +98,67 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, queries, cents = _queries_and_centroids(spark, sf_dir)
     out = ann.ivf_topk(queries, emb, cents, k=K, nprobe=N_PROBE, metric="cosine")
     return out.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
+def _ivf_gemm_over_layout(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+    """Shared body for the production-path GEMM queries: materialize
+    the ``write_ivf_index`` partitioned layout (expression assignment,
+    bit-exact with the oracle's ``assign`` CTE), read it back, probe
+    with ``ivf_topk_gemm`` (partition-pruned, bucket-wise GEMM)."""
+    import tempfile
+
+    emb, queries, cents = _queries_and_centroids(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivf"
+        ann.write_ivf_index(emb, path, cents, metric=metric, fast=False)
+        layout = spark.read.parquet(path)
+        out = ann.ivf_topk_gemm(
+            queries, layout, cents, k=K, nprobe=N_PROBE, metric=metric
+        ).select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+        # materialize before the tempdir disappears (|Q| x k rows)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "ann_ivf_topk_gemm",
+    f"""
+WITH {_ivf_cte()}
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ivf_ranked WHERE rank <= {K}
+""",
+)
+def ann_ivf_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN serving path end-to-end (same oracle as
+    ann_ivf_topk): centroid-partitioned parquet layout + statically
+    pruned scan + bucket-wise GEMM probe (SCALE.md's 28.9x path)."""
+    return _ivf_gemm_over_layout(spark, sf_dir, "cosine")
+
+
+@register(
+    "ann_ivf_topk_gemm_euclidean",
+    f"""
+WITH {_ivf_cte("list_distance", "ASC")}
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ivf_ranked WHERE rank <= {K}
+""",
+)
+def ann_ivf_topk_gemm_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM IVF probe under euclidean distance — the reference accepts
+    all three metrics at index creation (pinecone_service.py:33-39)."""
+    return _ivf_gemm_over_layout(spark, sf_dir, "euclidean")
+
+
+@register(
+    "ann_ivf_topk_gemm_dotproduct",
+    f"""
+WITH {_ivf_cte("list_inner_product", "DESC")}
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ivf_ranked WHERE rank <= {K}
+""",
+)
+def ann_ivf_topk_gemm_dotproduct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM IVF probe under dot-product similarity."""
+    return _ivf_gemm_over_layout(spark, sf_dir, "dotproduct")
 
 
 @register(

@@ -176,6 +176,64 @@ def rag_history_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prompt_prefix_sql() -> str:
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        SYSTEM_PROMPT_PREFIX,
+    )
+
+    return SYSTEM_PROMPT_PREFIX.replace("'", "''")
+
+
+@register(
+    "rag_prompt_template",
+    f"""
+WITH {_MATCH_CTE},
+lines AS (
+  SELECT query_id, rank, source,
+         printf('[Document %d] (Source: %s, Relevance: %.3f)', rank, source, score)
+           || chr(10) || substr(text, 1, 80) || chr(10) AS line
+  FROM matches
+),
+ctx AS (
+  SELECT query_id, string_agg(line, chr(10) ORDER BY rank) AS context
+  FROM lines GROUP BY query_id
+),
+qs AS (SELECT vec_id AS query_id, 'q' || vec_id::VARCHAR AS question
+       FROM embeddings WHERE vec_id < 8)
+SELECT qs.query_id,
+       '{_prompt_prefix_sql()}' || coalesce(ctx.context, '') AS sys_prompt,
+       qs.question AS human_prompt
+FROM qs LEFT JOIN ctx ON qs.query_id = ctx.query_id
+""",
+)
+def rag_prompt_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: the ChatPromptTemplate string assembly
+    (app/rag/chain.py:47-60) as data — system message with the
+    retrieved context interpolated, human message carrying the
+    question. The LLM invocation stays ⊘; the prompt itself is
+    deterministic and oracle-checked byte-for-byte."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        format_prompt,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.concat(F.lit("q"), F.col("vec_id")).alias("question"),
+    )
+    m = _matches(spark, sf_dir).withColumn("text", F.substring("text", 1, 80))
+    ctx = rag.build_context(m).select("query_id", "context")
+    p = format_prompt(F.coalesce("context", F.lit("")), "question")
+    return (
+        queries.join(ctx, "query_id", "left")
+        .select(
+            "query_id",
+            p["system"].alias("sys_prompt"),
+            p["human"].alias("human_prompt"),
+        )
+    )
+
+
 @register(
     "rag_empty_guard",
     f"""

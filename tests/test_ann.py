@@ -160,3 +160,38 @@ def test_ivf_gemm_probe_agrees_with_expression(spark, emb, cents, tmp_path):
         for r in ann.ivf_topk_gemm(q, layout, cents, k=5, nprobe=4).collect()
     }
     assert expr == gemm
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "dotproduct"])
+def test_ivf_gemm_all_metrics_agree_with_expression(spark, emb, cents, tmp_path, metric):
+    path = str(tmp_path / f"ivf-{metric}")
+    ann.write_ivf_index(emb, path, cents, metric=metric, fast=False)
+    layout = spark.read.parquet(path)
+    q = _queries(emb)
+    expr = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 6))
+        for r in ann.ivf_topk(
+            q, layout, cents, k=5, nprobe=4, metric=metric, assigned=True
+        ).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 6))
+        for r in ann.ivf_topk_gemm(
+            q, layout, cents, k=5, nprobe=4, metric=metric
+        ).collect()
+    }
+    assert expr == gemm
+
+
+def test_gemm_query_bound_raises(emb, cents):
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    with pytest.raises(ValueError, match="exceeds 100"):
+        ann.ivf_topk_gemm(q, emb, cents, max_queries=100)
+
+
+def test_gemm_zero_norm_query_raises(spark, emb, cents):
+    q = spark.createDataFrame(
+        [(0, [0.0] * 64)], "query_id long, qvec array<float>"
+    )
+    with pytest.raises(ValueError, match="zero-norm query"):
+        ann.ivf_topk_gemm(q, emb, cents, metric="cosine")

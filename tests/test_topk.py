@@ -119,3 +119,29 @@ def test_euclidean_orders_ascending(emb):
     assert rows[0]["vec_id"] == 0  # self at distance 0
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores)
+
+
+def test_gemm_zero_norm_index_rows_never_win(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        topk_search_gemm,
+    )
+
+    # 6 unit-ish vectors + one all-zero vector: under the old NaN
+    # behavior the zero row's 0/0 score sorted ABOVE every real score
+    rows = [(i, [1.0 + i, float(i % 3), 0.5]) for i in range(6)] + [(99, [0.0, 0.0, 0.0])]
+    idx = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.5])], "query_id long, qvec array<float>")
+    out = topk_search_gemm(q, idx, k=5, metric="cosine").collect()
+    assert len(out) == 5
+    assert all(r["vec_id"] != 99 for r in out)
+    assert all(np.isfinite(r["score"]) for r in out)
+
+
+def test_gemm_query_bound_raises(spark, emb):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        topk_search_gemm,
+    )
+
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    with pytest.raises(ValueError, match="exceeds 50"):
+        topk_search_gemm(q, emb, k=5, max_queries=50)
