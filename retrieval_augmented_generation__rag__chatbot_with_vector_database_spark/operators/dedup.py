@@ -319,6 +319,85 @@ def simhash_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-GROUP clustering: undirected candidate pairs →
+    ``(id, component)`` where ``component`` is the minimum id in the
+    connected component — the step that turns pairwise near-dup
+    evidence (LSH/SimHash/embedding pairs) into keep/drop decisions
+    (canonical survivor = the component id itself).
+
+    Min-label propagation: each iteration every node takes the min of
+    its own label and its neighbors' labels (one join + one groupBy
+    per iteration, both on the node key). Iterations needed = graph
+    diameter; duplicate clusters are small and dense in practice, so
+    this converges in a handful of rounds. Convergence is detected
+    with a 1-row aggregate — per-node labels only ever decrease, so
+    the label sum is strictly decreasing until fixpoint. Each round's
+    frontier is ``localCheckpoint``'ed to cut the exponential lineage
+    iterative joins would otherwise build. For web-scale graphs with
+    long chains swap in large-star/small-star; the operator contract
+    (pairs in, min-id components out) stays the same.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("bcomp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("bcomp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def duplicate_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Component summary: one row per duplicate group —
+    ``(component, n_members, members)`` with members as a sorted CSV
+    (the keep-id is the component id; everything else is droppable)."""
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    return comp.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.concat_ws(",", F.sort_array(F.collect_list("id"))).alias("members"),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

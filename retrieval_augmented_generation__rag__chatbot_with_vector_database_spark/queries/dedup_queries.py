@@ -178,3 +178,55 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(
         load(spark, sf_dir, "embeddings"), threshold=0.45
     )
+
+
+@register(
+    "dedup_duplicate_groups",
+    f"""
+WITH RECURSIVE {_SH_CTE},
+seeds AS (SELECT range AS seed FROM range(0, 16)),
+mh AS (
+  SELECT id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh, seeds GROUP BY id, seed
+),
+sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+bands AS (
+  SELECT id, b,
+         md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS bk
+  FROM sig, (SELECT range AS b FROM range(0, 4)) bs
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.id < c.id
+),
+lshp AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b
+  WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.25
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM lshp
+  UNION
+  SELECT id_b AS a, id_a AS b FROM lshp
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON e.b = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_members,
+       string_agg(id::VARCHAR, ',' ORDER BY id) AS members
+FROM comp GROUP BY component
+""",
+)
+def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS: LSH candidate pairs (est Jaccard >= 0.25)
+    clustered into connected components via min-label propagation —
+    the keep/drop decision stage of corpus dedup (keep = component
+    id, drop the rest). The oracle mirrors the closure with a
+    recursive CTE."""
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n_hashes=16, bands=4, min_est=0.25
+    )
+    return dedup.duplicate_groups(pairs)

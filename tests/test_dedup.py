@@ -1,0 +1,38 @@
+"""Dedup operator unit tests (operators.dedup) — the SQL-mirrorable
+paths are oracle-checked in the registry; these cover the graph
+clustering step and its edge cases."""
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+    connected_components,
+    duplicate_groups,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_components_path_graph_converges(spark):
+    # a 6-node chain needs multiple propagation rounds; every node
+    # must still land on the global min label
+    chain = _pairs(spark, [(i, i + 1) for i in range(1, 6)])
+    comp = {r["id"]: r["component"] for r in connected_components(chain).collect()}
+    assert comp == {i: 1 for i in range(1, 7)}
+
+
+def test_components_two_islands_and_ordering(spark):
+    p = _pairs(spark, [(10, 11), (11, 12), (30, 31), (12, 10)])
+    comp = {r["id"]: r["component"] for r in connected_components(p).collect()}
+    assert comp == {10: 10, 11: 10, 12: 10, 30: 30, 31: 30}
+
+
+def test_components_empty_pairs(spark):
+    out = connected_components(_pairs(spark, [])).collect()
+    assert out == []
+
+
+def test_duplicate_groups_summary(spark):
+    p = _pairs(spark, [(1, 2), (2, 3), (7, 9)])
+    rows = {r["component"]: r for r in duplicate_groups(p).collect()}
+    assert rows[1]["n_members"] == 3 and rows[1]["members"] == "1,2,3"
+    assert rows[7]["n_members"] == 2 and rows[7]["members"] == "7,9"
