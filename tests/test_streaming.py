@@ -242,3 +242,60 @@ def test_session_stream_merges_sessions_across_drops(spark, tmp_path):
     assert straddlers.count() > 0
     # and those straddlers span multiple events
     assert straddlers.filter(F.col("n_events") >= 2).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup (streaming.dedup)
+
+
+def test_stream_dedup_suppresses_duplicates_across_drops(spark, tmp_path):
+    """Drop 1 carries an internal duplicate (same text, different path);
+    drop 2 re-uploads one of drop 1's documents minutes later plus one
+    genuinely new doc. Exactly one row per distinct content must
+    survive, and the surviving fingerprints must equal the batch
+    exact_dedup fingerprints of the full union."""
+    import datetime
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        exact_dedup,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.dedup import (
+        DOC_STREAM_SCHEMA,
+        start_dedup_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 10, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    d1 = [
+        (1, t0, "the quick brown fox", "a.txt"),
+        (2, t0 + m, "lorem ipsum dolor", "b.txt"),
+        (3, t0 + 2 * m, "  The  QUICK brown fox ", "a-copy.txt"),  # dup of 1
+    ]
+    d2 = [
+        (4, t0 + 10 * m, "the quick brown fox", "a-again.txt"),  # dup of 1
+        (5, t0 + 11 * m, "completely new content", "c.txt"),
+    ]
+    landing = tmp_path / "dedup_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "dedup_sink")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    spark.createDataFrame(d1, DOC_STREAM_SCHEMA).coalesce(1).write.parquet(
+        str(landing / "d1")
+    )
+    _drain(start_dedup_stream(spark, str(landing) + "/*", sink, ckpt))
+    spark.createDataFrame(d2, DOC_STREAM_SCHEMA).coalesce(1).write.parquet(
+        str(landing / "d2")
+    )
+    _drain(start_dedup_stream(spark, str(landing) + "/*", sink, ckpt))
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 3  # docs 1/2/5 (or their equivalents), once each
+    assert out.groupBy("fingerprint").count().filter("count > 1").count() == 0
+
+    batch = exact_dedup(
+        spark.createDataFrame(d1 + d2, DOC_STREAM_SCHEMA), id_col="doc_id"
+    )
+    assert {r["fingerprint"] for r in out.select("fingerprint").collect()} == {
+        r["fingerprint"] for r in batch.select("fingerprint").collect()
+    }
