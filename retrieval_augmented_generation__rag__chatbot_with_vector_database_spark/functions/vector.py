@@ -83,6 +83,32 @@ def similarity_expr(metric: str, a: Column | str, b: Column | str) -> Column:
     raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
 
 
+def quantization_scale(a: Column | str) -> Column:
+    """Symmetric per-vector int8 scale: max|x| / 127. Zero for the
+    all-zero vector (its quantized form is all zeros by convention)."""
+    return F.array_max(F.transform(_d(a), F.abs)) / F.lit(127.0)
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """array<double> → array<tinyint> under a precomputed ``scale``
+    column. Pass the scale as a PROJECTED column, not an inline
+    expression — higher-order functions are not common-subexpression
+    eliminated, so an inline array_max would re-fold the whole vector
+    per element (O(d²)). Rounding is HALF_UP away from zero on both
+    Spark and DuckDB, so the oracle matches exactly."""
+    return F.when(
+        scale > 0.0,
+        F.transform(_d(a), lambda x: F.round(x / scale).cast("tinyint")),
+    ).otherwise(F.transform(_d(a), lambda x: F.lit(0).cast("tinyint")))
+
+
+def dequantize_int8(q: Column | str, scale: Column) -> Column:
+    """Approximate reconstruction: q * scale (array<double>). Error is
+    bounded by scale/2 per coordinate (≤ max|x|/254)."""
+    qc = F.col(q) if isinstance(q, str) else q
+    return F.transform(qc, lambda x: x.cast("double") * scale)
+
+
 def dim_check(a: Column | str, dim: int) -> Column:
     """Dimension invariant (reference enforces via index dimension,
     mismatch handling ``scripts/ingest_documents.py:176-195``)."""

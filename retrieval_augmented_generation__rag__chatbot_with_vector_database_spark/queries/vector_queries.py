@@ -323,3 +323,61 @@ def pairwise_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
+
+
+@register(
+    "vector_quantization_error",
+    """
+WITH s AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, label, v,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> round(x / scale) * scale)
+              ELSE list_transform(v, x -> 0.0) END AS deq
+  FROM s
+),
+e AS (
+  SELECT label,
+         list_cosine_similarity(v, deq) AS cs,
+         list_max(list_transform(range(1, len(v) + 1), i -> abs(v[i] - deq[i]))) AS maxerr
+  FROM d
+)
+SELECT label, count(*) AS n_vectors,
+       round(avg(cs), 6) AS avg_cosine,
+       round(max(maxerr), 6) AS max_abs_err
+FROM e GROUP BY label
+""",
+)
+def vector_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization round-trip quality per cluster —
+    the check an index build runs before switching the ANN layout to
+    compressed vectors (4x memory; functions.vector.quantize_int8).
+    Everything stays in whole-stage codegen; the oracle mirrors the
+    quantize→dequantize→compare pipeline exactly."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        dequantize_int8,
+        quantization_scale,
+        quantize_int8,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("scale", quantization_scale("v"))
+    d = s.withColumn("deq", dequantize_int8(quantize_int8("v", F.col("scale")), F.col("scale")))
+    e = d.select(
+        "label",
+        cosine_similarity("v", "deq").alias("cs"),
+        F.array_max(
+            F.zip_with(F.col("v"), F.col("deq"), lambda a, b: F.abs(a - b))
+        ).alias("maxerr"),
+    )
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("cs"), 6).alias("avg_cosine"),
+        F.round(F.max("maxerr"), 6).alias("max_abs_err"),
+    )

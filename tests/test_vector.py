@@ -79,3 +79,37 @@ def test_float_input_cast(spark):
     v = df.select(dot_product("a", "b").alias("d")).collect()[0]["d"]
     assert v == pytest.approx(13.0)
     assert isinstance(v, float)
+
+
+def test_int8_quantization_roundtrip_bounds(spark):
+    import numpy as np
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        dequantize_int8,
+        quantization_scale,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(50)] + [
+        (99, [0.0] * 16)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        df.withColumn("scale", quantization_scale("embedding"))
+        .withColumn("q", quantize_int8("embedding", F.col("scale")))
+        .withColumn("deq", dequantize_int8("q", F.col("scale")))
+        .collect()
+    )
+    for r in out:
+        q = r["q"]
+        assert all(-127 <= x <= 127 for x in q)
+        if r["vec_id"] == 99:
+            assert r["scale"] == 0.0 and all(x == 0 for x in q)
+            continue
+        # per-coordinate error bounded by scale/2
+        err = max(abs(a - b) for a, b in zip(r["embedding"], r["deq"]))
+        assert err <= r["scale"] / 2 + 1e-12
+        v, d = np.array(r["embedding"]), np.array(r["deq"])
+        cos = v @ d / (np.linalg.norm(v) * np.linalg.norm(d))
+        assert cos > 0.999
