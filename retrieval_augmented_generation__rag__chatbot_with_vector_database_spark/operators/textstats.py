@@ -30,17 +30,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Per-language marker hit counts (word-boundary matches,
-    case-insensitive). CJK is detected by unicode-range ratio."""
+    """Per-language marker hit counts: ONE tokenize pass (split on
+    non-alphanumerics — equivalent to per-marker ``\\b`` boundary
+    matches for these ASCII function words) + one array membership
+    filter per language, instead of a regexp split per marker word
+    (20 regex passes over every document, several of which the
+    argmax when-chain re-evaluates). CJK is detected by
+    unicode-range ratio."""
     t = F.lower(F.col(text) if isinstance(text, str) else text)
-    padded = F.concat(F.lit(" "), t, F.lit(" "))
-    scores: dict[str, Column] = {}
-    for lang, words in LANG_MARKERS.items():
-        hits = None
-        for w in words:
-            h = F.size(F.split(padded, rf"(?i)\b{w}\b")) - 1
-            hits = h if hits is None else hits + h
-        scores[lang] = hits
+    toks = F.split(t, r"[^a-z0-9]+")
+    scores: dict[str, Column] = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*words)))
+        for lang, words in LANG_MARKERS.items()
+    }
     # zh: percentage of CJK codepoints (double — no int cast, DuckDB
     # rounds on int casts while Spark truncates)
     total = F.length(t)

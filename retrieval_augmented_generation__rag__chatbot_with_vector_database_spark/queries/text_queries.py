@@ -86,11 +86,12 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_hits(lang: str) -> str:
-    terms = [
-        rf"(len(regexp_split_to_array(' ' || lower(text) || ' ', '(?i)\b{w}\b')) - 1)"
-        for w in LANG_MARKERS[lang]
-    ]
-    return "(" + " + ".join(terms) + ")"
+    # same single-tokenize semantics as textstats.lang_scores
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        f"x -> x IN ({words})))"
+    )
 
 
 _LANGID_ORACLE = rf"""
