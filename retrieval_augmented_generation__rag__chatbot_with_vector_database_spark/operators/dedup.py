@@ -319,6 +319,59 @@ def simhash_candidates(
     )
 
 
+def embedding_neardup_pairs_ivf(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs restricted to INTRA-CENTROID pairs —
+    the sub-quadratic scale route the exact ``embedding_neardup_pairs``
+    docstring promises: assign each vector to its nearest centroid
+    (narrow map, no shuffle — centroids inlined), then self-join on
+    ``centroid_id`` only. Work drops from O(N²) to Σ|bucket|², the
+    shuffle key is the centroid id, and near-duplicates — which sit
+    close in embedding space — co-locate into the same bucket with
+    high probability (this is approximate: cross-bucket pairs are
+    missed; raise k or add multi-assignment for tighter recall).
+
+    Per-side norms are pre-projected once so each candidate pair
+    folds only the dot product."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+        assign_centroids,
+    )
+
+    assigned = assign_centroids(df, centroids, metric="cosine", vec_col=vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        "centroid_id",
+        v.alias("__va"),
+        l2_norm(v).alias("__na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        "centroid_id",
+        v.alias("__vb"),
+        l2_norm(v).alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.round(
+        F.when(denom != 0.0, dot_product(F.col("__va"), F.col("__vb")) / denom), 6
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -230,3 +230,40 @@ def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), n_hashes=16, bands=4, min_est=0.25
     )
     return dedup.duplicate_groups(pairs)
+
+
+@register(
+    "dedup_embedding_pairs_ivf",
+    """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                                       c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+) WHERE cosine >= 0.45
+""",
+)
+def dedup_embedding_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via IVF bucketing — the sub-quadratic scale
+    route (intra-centroid pairs only, single shuffle on centroid_id);
+    the exact brute-force twin is dedup_embedding_pairs."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = ann.seed_centroids(emb, 16)
+    return dedup.embedding_neardup_pairs_ivf(emb, cents, threshold=0.45)
