@@ -183,6 +183,41 @@ def test_ivf_gemm_all_metrics_agree_with_expression(spark, emb, cents, tmp_path,
     assert expr == gemm
 
 
+def test_int8_layout_smaller_and_high_recall(spark, emb, cents, tmp_path):
+    import os
+
+    def disk_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    full, comp = str(tmp_path / "ivf-f"), str(tmp_path / "ivf-c")
+    ann.write_ivf_index(emb, full, cents, metric="cosine", fast=False)
+    ann.write_ivf_index(
+        emb, comp, cents, metric="cosine", fast=False, compression="int8"
+    )
+    # embedding bytes shrink ~4x; whole-file ratio is looser because of
+    # the shared id/metadata columns and parquet framing
+    assert disk_bytes(comp) < 0.55 * disk_bytes(full)
+
+    q = _queries(emb)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.ivf_topk_gemm(
+            q, spark.read.parquet(full), cents, k=5, nprobe=4
+        ).collect()
+    }
+    quant = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.ivf_topk_gemm(
+            q, spark.read.parquet(comp), cents, k=5, nprobe=4
+        ).collect()
+    }
+    assert len(quant & exact) / len(exact) >= 0.9
+
+
 def test_gemm_query_bound_raises(emb, cents):
     q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     with pytest.raises(ValueError, match="exceeds 100"):
