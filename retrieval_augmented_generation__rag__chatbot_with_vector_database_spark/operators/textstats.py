@@ -93,6 +93,46 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document repetition signal (the Gopher-style filter rule):
+    top-bigram share = occurrences of the most frequent word bigram /
+    total bigrams. Boilerplate and template spam score high; docs with
+    < 2 tokens drop out (no bigrams).
+
+    Plan shape: tokenize once (projected — HOFs don't CSE), explode
+    bigrams, two hash aggregations; partial map-side combine keeps the
+    shuffle ∝ distinct (doc, bigram), not total tokens."""
+    t = F.lower(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        F.filter(F.split(t, r"[^a-z0-9]+"), lambda x: x != "").alias("__arr"),
+    )
+    arr = F.col("__arr")
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.concat_ws(" ", arr[i], arr[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = toks.select("id", *extra_cols, F.explode(bigrams).alias("bigram"))
+    cnt = bi.groupBy("id", *extra_cols, "bigram").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy("id", *extra_cols)
+        .agg(F.sum("c").alias("total_bigrams"), F.max("c").alias("top_bigram_count"))
+        .withColumn(
+            "top_bigram_share",
+            F.col("top_bigram_count").cast("double") / F.col("total_bigrams"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the full analysis column set — one projection, one pass."""
     f = quality_features(text_col)
@@ -114,6 +154,7 @@ __all__ = [
     "lang_scores",
     "quality_score",
     "fingerprint",
+    "repetition_stats",
     "text_profile",
     "token_count",
 ]

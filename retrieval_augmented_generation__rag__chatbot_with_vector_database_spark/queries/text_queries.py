@@ -199,3 +199,43 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.min("quality"), 6).alias("min_quality"),
     )
+
+
+@register(
+    "text_repetition_profile",
+    """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, lang, arr[i] || ' ' || arr[i+1] AS bigram
+  FROM toks, unnest(range(1, greatest(len(arr), 1))) t(i)
+  WHERE len(arr) >= 2
+),
+cnt AS (SELECT doc_id, lang, bigram, count(*) AS c FROM bi GROUP BY doc_id, lang, bigram),
+per_doc AS (
+  SELECT doc_id, lang, sum(c) AS total, max(c) AS mx FROM cnt GROUP BY doc_id, lang
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(mx * 1.0 / total), 6) AS avg_top_bigram_share,
+       round(max(mx * 1.0 / total), 6) AS max_top_bigram_share,
+       sum(CASE WHEN mx * 1.0 / total > 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_repetitive
+FROM per_doc GROUP BY lang
+""",
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal per language slice:
+    top-bigram share distribution + count of docs above the 0.1
+    repetitiveness threshold (operators.textstats.repetition_stats)."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = textstats.repetition_stats(docs, extra_cols=("lang",))
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("top_bigram_share"), 6).alias("avg_top_bigram_share"),
+        F.round(F.max("top_bigram_share"), 6).alias("max_top_bigram_share"),
+        F.sum((F.col("top_bigram_share") > 0.1).cast("int"))
+        .cast("bigint")
+        .alias("n_repetitive"),
+    )
