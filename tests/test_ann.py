@@ -217,6 +217,25 @@ def test_int8_layout_smaller_and_high_recall(spark, emb, cents, tmp_path):
     }
     assert len(quant & exact) / len(exact) >= 0.9
 
+    # full-precision rerank over quantized candidates: at least as
+    # good as the raw quantized probe, and the kept scores are exact
+    # (match the uncompressed probe's scores for shared pairs)
+    rr = ann.ivf_topk_rerank(
+        q, spark.read.parquet(comp), emb, cents, k=5, nprobe=4, expand=4
+    ).collect()
+    rset = {(r["query_id"], r["vec_id"]) for r in rr}
+    assert len(rset & exact) / len(exact) >= len(quant & exact) / len(exact)
+    full_scores = {
+        (r["query_id"], r["vec_id"]): round(r["score"], 6)
+        for r in ann.ivf_topk_gemm(
+            q, spark.read.parquet(full), cents, k=20, nprobe=4
+        ).collect()
+    }
+    for r in rr:
+        key = (r["query_id"], r["vec_id"])
+        if key in full_scores:
+            assert abs(round(r["score"], 6) - full_scores[key]) <= 1e-6
+
 
 def test_gemm_query_bound_raises(emb, cents):
     q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))

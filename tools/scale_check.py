@@ -157,6 +157,41 @@ def main() -> None:
             f"recall@{K}={len(ex & ap3) / max(len(ex), 1):.3f}"
         )
 
+        def du(p):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(p)
+                for f in fs
+            )
+
+        path8 = os.path.join(tmp, "ivf8")
+        t0 = time.time()
+        ann.write_ivf_index(emb, path8, cents, metric="cosine", compression="int8")
+        t_build8 = time.time() - t0
+        layout8 = spark.read.parquet(path8)
+        t_g8, gem8 = best_of(
+            lambda: ann.ivf_topk_gemm(
+                queries, layout8, cents, k=K, nprobe=nprobe
+            ).collect()
+        )
+        ap4 = {(r["query_id"], r["vec_id"]) for r in gem8}
+        print(
+            f"IVF int8-compressed layout (GEMM scorer): build {t_build8:.2f}s, "
+            f"probe {t_g8:.2f}s, bytes x{du(path8) / du(path):.2f} of float layout, "
+            f"recall@{K}={len(ex & ap4) / max(len(ex), 1):.3f}"
+        )
+
+        t_rr, rr = best_of(
+            lambda: ann.ivf_topk_rerank(
+                queries, layout8, emb, cents, k=K, nprobe=nprobe, expand=4
+            ).collect()
+        )
+        ap5 = {(r["query_id"], r["vec_id"]) for r in rr}
+        print(
+            f"IVF int8 + full-precision rerank (expand 4x): probe {t_rr:.2f}s, "
+            f"recall@{K}={len(ex & ap5) / max(len(ex), 1):.3f}"
+        )
+
 
 if __name__ == "__main__":
     main()
