@@ -79,6 +79,21 @@ def test_ivf_layout_partition_pruning(spark, emb, tmp_path):
     assert has_partition_filter(out, "centroid_id")
 
 
+def test_rerank_broadcasts_candidates_index_never_shuffled(spark, emb, tmp_path):
+    cents = ann.seed_centroids(emb, 8)
+    path = str(tmp_path / "ivf8")
+    ann.write_ivf_index(emb, path, cents, metric="cosine", compression="int8")
+    layout = spark.read.parquet(path)
+    out = ann.ivf_topk_rerank(
+        _queries(emb), layout, emb, cents, k=5, nprobe=2, expand=4
+    )
+    # candidate ids and the query matrix are broadcast into the full
+    # index scan; the only exchanges are the two top-k windows
+    # (candidate ranking + final ranking)
+    assert broadcast_join_count(out) >= 2
+    assert shuffle_count(out) == 2
+
+
 def test_exact_dedup_is_single_shuffle(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = dedup.exact_dedup(docs)
