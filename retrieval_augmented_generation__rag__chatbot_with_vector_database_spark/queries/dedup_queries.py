@@ -267,3 +267,58 @@ def dedup_embedding_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cents = ann.seed_centroids(emb, 16)
     return dedup.embedding_neardup_pairs_ivf(emb, cents, threshold=0.45)
+
+
+@register(
+    "dedup_simhash_groups",
+    """
+WITH RECURSIVE tok AS (
+  SELECT doc_id AS id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT id, tok, count(*) AS w FROM tok GROUP BY id, tok),
+h AS (SELECT id, w, md5(tok) AS h FROM cnt),
+bits AS (SELECT id, w, h, range AS b FROM h, range(0, 64) r),
+bv AS (
+  SELECT id, b,
+         CASE WHEN sum((((strpos('0123456789abcdef', h[(b//4)+1]) - 1) >> (3 - (b % 4))) % 2 * 2 - 1) * w) > 0
+              THEN '1' ELSE '0' END AS bitval
+  FROM bits GROUP BY id, b
+),
+sig AS (SELECT id, string_agg(bitval, '' ORDER BY b) AS simhash FROM bv GROUP BY id),
+bands AS (
+  SELECT id, simhash, b, substr(simhash, b*16 + 1, 16) AS bk
+  FROM sig, (SELECT range AS b FROM range(0, 4)) bs
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b, a.simhash AS sh_a, c.simhash AS sh_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.id < c.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE len(list_filter(range(1, 65), i -> sh_a[i] <> sh_b[i])) <= 8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON e.b = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_members,
+       string_agg(id::VARCHAR, ',' ORDER BY id) AS members
+FROM comp GROUP BY component
+""",
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups from the SIMHASH candidate generator (Hamming
+    <= 8) — the clustering stage composes across candidate sources
+    (same connected-components core as dedup_duplicate_groups)."""
+    pairs = dedup.simhash_candidates(
+        load(spark, sf_dir, "documents"), max_hamming=8
+    ).select("id_a", "id_b")
+    return dedup.duplicate_groups(pairs)
