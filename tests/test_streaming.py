@@ -299,3 +299,103 @@ def test_stream_dedup_suppresses_duplicates_across_drops(spark, tmp_path):
     assert {r["fingerprint"] for r in out.select("fingerprint").collect()} == {
         r["fingerprint"] for r in batch.select("fingerprint").collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (streaming.stateful, applyInPandasWithState)
+
+
+def test_stateful_profiles_match_batch(spark, tmp_path):
+    """Replay the events fixture as two drops through the
+    applyInPandasWithState profile operator (huge watermark — no
+    timeouts). The latest emitted row per user must equal the batch
+    groupBy profile over the full table."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+        load,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.stateful import (
+        start_profile_stream,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    split = ts[len(ts) // 2]
+
+    landing = tmp_path / "prof_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "prof_sink")
+    ckpt = str(tmp_path / "prof_ckpt")
+
+    ev.filter(F.col("ts") < split).coalesce(1).write.parquet(str(landing / "d1"))
+    _drain(start_profile_stream(spark, str(landing) + "/*", sink, ckpt, watermark="2000 hours"))
+    ev.filter(F.col("ts") >= split).coalesce(1).write.parquet(str(landing / "d2"))
+    _drain(start_profile_stream(spark, str(landing) + "/*", sink, ckpt, watermark="2000 hours"))
+
+    emitted = spark.read.parquet(sink)
+    assert emitted.filter("finalized").count() == 0
+    latest = {}
+    for r in emitted.collect():
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            latest[r["user_id"]] = r
+
+    batch = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, b in batch.items():
+        r = latest[uid]
+        assert r["n_events"] == b["n_events"]
+        assert abs(r["total_value"] - b["total_value"]) < 1e-6
+        assert r["first_ts"] == b["first_ts"] and r["last_ts"] == b["last_ts"]
+
+
+def test_stateful_timeout_finalizes_quiet_users(spark, tmp_path):
+    """Users quiet for >1h behind the advancing watermark get exactly
+    one finalized=True row and their state dropped."""
+    import datetime
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.stateful import (
+        EVENT_SCHEMA,
+        start_profile_stream,
+    )
+
+    t0 = datetime.datetime(2026, 2, 1, 0, 0, 0)
+    day = datetime.timedelta(days=1)
+    landing = tmp_path / "to_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "to_sink")
+    ckpt = str(tmp_path / "to_ckpt")
+    wm = "24 hours"
+
+    d1 = [
+        (1, t0, 101, "view", 1.0),
+        (2, t0 + datetime.timedelta(minutes=5), 101, "click", 2.0),
+        (3, t0 + datetime.timedelta(minutes=10), 102, "view", 5.0),
+    ]
+    d2 = [(4, t0 + 40 * day, 103, "view", 1.0)]   # advances watermark to day 39
+    d3 = [(5, t0 + 41 * day, 103, "click", 1.0)]  # timeouts checked vs day-39 wm
+
+    for name, rows in (("d1", d1), ("d2", d2), ("d3", d3)):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(
+            str(landing / name)
+        )
+        _drain(start_profile_stream(spark, str(landing) + "/*", sink, ckpt, watermark=wm))
+
+    emitted = spark.read.parquet(sink)
+    fin = {r["user_id"]: r for r in emitted.filter("finalized").collect()}
+    assert set(fin) == {101, 102}
+    assert fin[101]["n_events"] == 2 and abs(fin[101]["total_value"] - 3.0) < 1e-9
+    assert fin[102]["n_events"] == 1
+    # exactly one finalized row per quiet user
+    assert emitted.filter("finalized").count() == 2
