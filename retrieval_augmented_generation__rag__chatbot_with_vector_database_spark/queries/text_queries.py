@@ -239,3 +239,49 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_repetitive"),
     )
+
+
+@register(
+    "corpus_mixture_sample",
+    """
+WITH kept AS (
+  SELECT doc_id, lang FROM documents
+  WHERE (lang = 'en' AND doc_id % 1 < 1)
+     OR (lang = 'de' AND doc_id % 2 < 1)
+     OR (lang = 'es' AND doc_id % 5 < 1)
+     OR (lang NOT IN ('en', 'de', 'es') AND doc_id % 10 < 1)
+),
+tot AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang)
+SELECT tot.lang, tot.n_total, coalesce(k.n_kept, 0) AS n_kept,
+       round(coalesce(k.n_kept, 0) * 1.0 / tot.n_total, 6) AS kept_share
+FROM tot LEFT JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang) k
+       ON k.lang = tot.lang
+""",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing stage: deterministic stratified downsampling
+    (keep all en, 1/2 de, 1/5 es, 1/10 everything else) via
+    operators.sampling.stratified_mod_sample — a pure filter, no
+    shuffle, re-run-stable row for row."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        stratified_mod_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_mod_sample(
+        docs,
+        "lang",
+        "doc_id",
+        {"en": (1, 1), "de": (1, 2), "es": (1, 5)},
+        default=(1, 10),
+    )
+    tot = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    k = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    return tot.join(k, "lang", "left").select(
+        "lang",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(
+            F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_total"), 6
+        ).alias("kept_share"),
+    )

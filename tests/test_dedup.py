@@ -36,3 +36,29 @@ def test_duplicate_groups_summary(spark):
     rows = {r["component"]: r for r in duplicate_groups(p).collect()}
     assert rows[1]["n_members"] == 3 and rows[1]["members"] == "1,2,3"
     assert rows[7]["n_members"] == 2 and rows[7]["members"] == "7,9"
+
+
+def test_stratified_mod_sample(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        stratified_mod_sample,
+    )
+
+    rows = [(i, "a" if i < 100 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    kept = stratified_mod_sample(df, "grp", "id", {"a": (1, 4)}, default=(1, 2))
+    by = {
+        r["grp"]: r["n"]
+        for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert by == {"a": 25, "b": 50}
+    # deterministic: same rows survive on re-run
+    ids1 = {r["id"] for r in kept.collect()}
+    ids2 = {r["id"] for r in stratified_mod_sample(
+        df, "grp", "id", {"a": (1, 4)}, default=(1, 2)
+    ).collect()}
+    assert ids1 == ids2
+    with _pytest.raises(ValueError, match="invalid rate"):
+        stratified_mod_sample(df, "grp", "id", {"a": (3, 2)})
