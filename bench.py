@@ -7,6 +7,14 @@ Prints ONE JSON line:
 Comparable to BASELINE.md: the retrieval path (topk_cosine ≈ the
 reference's ~2-3 s/query minus external API calls) and the
 chunk→embed→index throughput pipeline (vs ~100 chunks/s CPU).
+
+NOTE on round-over-round comparison: BENCH_r01 timed queries with
+``df.count()``, which let Catalyst prune computed columns — so r01
+per-query numbers UNDERSTATE true cost for projection-heavy queries.
+From r02 every query is timed under full materialization (a
+bit_xor(xxhash64(all columns)) aggregate); apparent r01→r02 "slowdowns"
+on e.g. text_quality_profile / pricing_summary / nation_revenue are
+the measurement fix, not regressions.
 """
 
 from __future__ import annotations
