@@ -91,3 +91,98 @@ def test_simple_predicate_pushes_to_parquet_scan(spark, tmp_path):
     out = df.filter(filter_dict_to_column({"label": {"$in": [0, 1]}, "id": {"$lt": 50}}))
     assert has_pushed_filter(out, "label")
     assert has_pushed_filter(out, "id")
+
+
+def test_randomized_dsl_agrees_with_python_evaluator(spark):
+    """200 seeded random filter dicts, all evaluated in ONE Spark job
+    (each filter becomes a boolean column) against a row-level Python
+    reference evaluator — catches operator-translation drift the
+    hand-picked cases can't."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (
+            i,
+            rng.choice(["news", "blog", "paper", None]),
+            rng.choice([None] + list(range(10))),
+            rng.uniform(-5, 5) if rng.random() < 0.9 else None,
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id int, kind string, score int, weight double")
+
+    FIELDS = {"kind": ["news", "blog", "paper", "zine"], "score": list(range(10)),
+              "weight": [-1.0, 0.0, 2.5]}
+    OPS = ["$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin", "$exists"]
+
+    def rand_leaf():
+        field = rng.choice(list(FIELDS))
+        op = rng.choice(OPS)
+        vals = FIELDS[field]
+        if op in ("$in", "$nin"):
+            return {field: {op: rng.sample(vals, k=rng.randint(1, min(3, len(vals))))}}
+        if op == "$exists":
+            return {field: {"$exists": rng.random() < 0.5}}
+        if field == "kind" and op in ("$gt", "$gte", "$lt", "$lte"):
+            op = "$eq"  # keep ordering ops numeric: simpler reference
+        return {field: {op: rng.choice(vals)}}
+
+    def rand_filter(depth=0):
+        r = rng.random()
+        if depth < 2 and r < 0.25:
+            return {"$and": [rand_filter(depth + 1) for _ in range(rng.randint(1, 3))]}
+        if depth < 2 and r < 0.5:
+            return {"$or": [rand_filter(depth + 1) for _ in range(rng.randint(1, 3))]}
+        f = rand_leaf()
+        if rng.random() < 0.3:
+            f.update(rand_leaf())  # implicit AND across fields
+        return f
+
+    def py_leaf(row, field, op, val):
+        x = row[field]
+        if op == "$exists":
+            return (x is not None) == bool(val)
+        if x is None:
+            return False  # SQL three-valued logic: NULL never matches
+        return {
+            "$eq": lambda: x == val,
+            "$ne": lambda: x != val,
+            "$gt": lambda: x > val,
+            "$gte": lambda: x >= val,
+            "$lt": lambda: x < val,
+            "$lte": lambda: x <= val,
+            "$in": lambda: x in val,
+            "$nin": lambda: x not in val,
+        }[op]()
+
+    def py_eval(row, fd):
+        if not fd:
+            return True
+        out = True
+        for key, spec in fd.items():
+            if key == "$and":
+                out = out and all(py_eval(row, s) for s in spec)
+            elif key == "$or":
+                out = out and any(py_eval(row, s) for s in spec)
+            elif isinstance(spec, dict):
+                out = out and all(py_leaf(row, key, op, v) for op, v in spec.items())
+            else:
+                out = out and py_leaf(row, key, "$eq", spec)
+        return out
+
+    filters = [rand_filter() for _ in range(200)]
+    cols = [
+        filter_dict_to_column(fd).alias(f"f{i}") for i, fd in enumerate(filters)
+    ]
+    got = df.select("id", *cols).collect()
+    by_id = {r["id"]: r for r in got}
+    pyrows = [dict(zip(["id", "kind", "score", "weight"], r)) for r in rows]
+    for row in pyrows:
+        spark_row = by_id[row["id"]]
+        for i, fd in enumerate(filters):
+            expected = py_eval(row, fd)
+            actual = bool(spark_row[f"f{i}"]) if spark_row[f"f{i}"] is not None else False
+            assert actual == expected, (
+                f"filter {fd} row {row}: spark={actual} python={expected}"
+            )
