@@ -10,10 +10,11 @@ Reference: ``PineconeService``
 - dimension-mismatch reroute to ``{name}-{dim}``      scripts/ingest_documents.py:176-195
 
 Spark shape: an index is a **Parquet table directory** with a small
-JSON sidecar for ``(dimension, metric)`` properties (catalog-free so
-it works against any path; swap for TBLPROPERTIES/Delta when a
-metastore is available). The data table is hash-partitioned into
-``N_BUCKETS`` directories by ``pmod(xxhash64(id), N_BUCKETS)``, so a
+JSON sidecar for ``(dimension, metric, bucket_count)`` properties
+(catalog-free so it works against any path; swap for
+TBLPROPERTIES/Delta when a metastore is available). The data table is
+hash-partitioned into ``bucket_count`` directories by
+``pmod(xxhash64(id), bucket_count)``, so a
 keyed upsert is **incremental**: only the buckets containing upserted
 ids are re-merged and swapped; every other bucket's files are left
 byte-identical on disk. Upsert = (touched existing ∪ new) →
@@ -23,10 +24,25 @@ pattern; with Delta this becomes ``MERGE INTO`` directly.
 Scale notes: per micro-batch the work is O(|batch| + |touched
 buckets|), not O(|index|). The incoming record pipeline is
 localCheckpoint'ed once, so the dimension probe and the merge share a
-single execution of the chunk→embed DAG. At 100 TB raise N_BUCKETS
-(e.g. 4096) so a bucket ≈ one executor's working set; the bucket
-column is a pure function of id, so the same layout also serves
-bucket-pruned point lookups.
+single execution of the chunk→embed DAG. At 100 TB create indexes
+with a larger ``bucket_count`` (e.g. 4096) so a bucket ≈ one
+executor's working set; the bucket column is a pure function of
+(id, bucket_count), so the same layout also serves bucket-pruned
+point lookups.
+
+``bucket_count`` is **persisted per index at create time** and read
+back on every upsert/prune — raising the module default ``N_BUCKETS``
+later only affects *newly created* indexes, so old rows are never
+mis-addressed (pre-r3 the constant was used directly, and raising it
+against an existing index silently broke LWW pruning).
+
+Crash consistency: the per-bucket swap is rename-aside (live bucket →
+``_old_bucket=N`` aside, new → live, then delete the aside), fenced
+by a ``_swap_inprogress.json`` marker written before the first rename
+and removed after the last; ``read``/``upsert`` fail loudly while the
+marker is present so a torn swap is *detected*, and the
+underscore-prefixed aside dirs (invisible to Spark's scanner)
+preserve the pre-swap data for recovery.
 """
 
 from __future__ import annotations
@@ -39,7 +55,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 PROPS_FILE = "_index_properties.json"
-N_BUCKETS = 32
+SWAP_MARKER = "_swap_inprogress.json"
+N_BUCKETS = 32  # default bucket_count for NEWLY CREATED indexes only
 BUCKET_COL = "bucket"  # no leading underscore: Spark hides _-prefixed paths
 
 LOGICAL_SCHEMA = (
@@ -48,10 +65,12 @@ LOGICAL_SCHEMA = (
 )
 
 
-def bucket_of(id_col: str = "id"):
-    """Stable id → bucket assignment (pure function of id, so point
-    lookups and upserts prune to one partition directory)."""
-    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_BUCKETS)).cast("int")
+def bucket_of(id_col: str = "id", n_buckets: int = N_BUCKETS):
+    """Stable id → bucket assignment (pure function of (id, n_buckets),
+    so point lookups and upserts prune to one partition directory).
+    ``n_buckets`` MUST be the index's persisted ``bucket_count`` when
+    addressing an existing index — never the module default."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
 
 
 class VectorIndex:
@@ -75,7 +94,9 @@ class VectorIndex:
         return os.path.join(self.path, "data")
 
     # -- S5: create (idempotent, like pinecone_service.py:44-51) -----
-    def create(self, dimension: int, metric: str = "cosine") -> "VectorIndex":
+    def create(
+        self, dimension: int, metric: str = "cosine", bucket_count: int | None = None
+    ) -> "VectorIndex":
         from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
             METRICS,
         )
@@ -84,9 +105,20 @@ class VectorIndex:
             raise ValueError(f"metric must be one of {METRICS}")
         if self.exists():
             return self
+        if bucket_count is None:
+            bucket_count = N_BUCKETS
+        if bucket_count < 1:
+            raise ValueError("bucket_count must be >= 1")
         os.makedirs(self.path, exist_ok=True)
         with open(self._props_path, "w") as f:
-            json.dump({"dimension": dimension, "metric": metric}, f)
+            json.dump(
+                {
+                    "dimension": dimension,
+                    "metric": metric,
+                    "bucket_count": int(bucket_count),
+                },
+                f,
+            )
         return self
 
     # -- S7: exists / describe ---------------------------------------
@@ -103,6 +135,28 @@ class VectorIndex:
     def metric(self) -> str:
         return str(self.properties().get("metric", "cosine"))
 
+    def bucket_count(self) -> int:
+        """Persisted layout width; N_BUCKETS only for pre-r3 sidecars
+        written before bucket_count was persisted (those were always
+        laid out with the then-constant 32)."""
+        return int(self.properties().get("bucket_count", N_BUCKETS))
+
+    @property
+    def _swap_marker_path(self) -> str:
+        return os.path.join(self.path, SWAP_MARKER)
+
+    def _check_not_torn(self) -> None:
+        if os.path.exists(self._swap_marker_path):
+            with open(self._swap_marker_path) as f:
+                marker = json.load(f)
+            raise RuntimeError(
+                f"index {self.name!r} has a torn bucket swap (marker "
+                f"{SWAP_MARKER} present, touched buckets "
+                f"{marker.get('touched')}); pre-swap data is preserved in "
+                f"'_old_{BUCKET_COL}=N' aside dirs under {self._data_path} "
+                f"— recover manually, then delete the marker"
+            )
+
     # -- S6: delete ---------------------------------------------------
     def delete(self) -> None:
         if os.path.exists(self.path):
@@ -111,6 +165,7 @@ class VectorIndex:
     # -- read ---------------------------------------------------------
     def read(self) -> DataFrame:
         """Logical view of the index (bucket column dropped)."""
+        self._check_not_torn()
         if not os.path.exists(self._data_path):
             return self.spark.createDataFrame([], LOGICAL_SCHEMA)
         return self.spark.read.parquet(self._data_path).drop(BUCKET_COL)
@@ -143,6 +198,7 @@ class VectorIndex:
         """
         if on_mismatch not in ("raise", "reroute"):
             raise ValueError("on_mismatch must be 'raise' or 'reroute'")
+        self._check_not_torn()
         dim = self.dimension()
         new = records.select(
             F.col("id").cast("string"),
@@ -151,7 +207,7 @@ class VectorIndex:
             "source",
             F.col("chunk_index").cast("int"),
             F.lit(batch).cast("long").alias("_batch"),
-        ).withColumn(BUCKET_COL, bucket_of("id"))
+        ).withColumn(BUCKET_COL, bucket_of("id", self.bucket_count()))
         # one execution of the upstream DAG; probe + merge reuse it
         new = new.localCheckpoint(eager=True)
         probe = new.agg(
@@ -175,6 +231,18 @@ class VectorIndex:
                 )
             target = VectorIndex(self.spark, self.root, f"{self.name}-{dims[0]}")
             target.create(dimension=dims[0], metric=self.metric())
+            if target.bucket_count() != self.bucket_count():
+                # re-address for the target's persisted layout (cheap:
+                # ``new`` is already checkpointed)
+                new = new.withColumn(
+                    BUCKET_COL, bucket_of("id", target.bucket_count())
+                )
+                touched = sorted(
+                    r["b"]
+                    for r in new.select(F.col(BUCKET_COL).alias("b"))
+                    .distinct()
+                    .collect()
+                )
             return target._write_merged(new, touched)
         return self._write_merged(new, touched)
 
@@ -202,14 +270,29 @@ class VectorIndex:
         if fresh:
             os.rename(tmp, data)
         else:
+            # Crash-consistent per-bucket swap: marker fence + rename-
+            # aside. A crash mid-loop leaves the marker in place, so
+            # read()/upsert() fail loudly instead of serving a mix of
+            # old and new bucket versions; the _old_* aside dirs
+            # (underscore prefix → invisible to Spark) keep the
+            # pre-swap data for recovery.
+            with open(self._swap_marker_path, "w") as f:
+                json.dump({"touched": touched, "tmp": tmp}, f)
             for b in touched:
                 part = f"{BUCKET_COL}={b}"
-                src, dst = os.path.join(tmp, part), os.path.join(data, part)
+                src = os.path.join(tmp, part)
+                dst = os.path.join(data, part)
+                old = os.path.join(data, f"_old_{part}")
+                if os.path.exists(old):  # stale aside from a recovered run
+                    shutil.rmtree(old)
                 if os.path.exists(dst):
-                    shutil.rmtree(dst)
+                    os.rename(dst, old)
                 if os.path.exists(src):
                     os.rename(src, dst)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
             shutil.rmtree(tmp)
+            os.remove(self._swap_marker_path)
         return self.read().count()
 
     # -- A2: stats ----------------------------------------------------

@@ -214,3 +214,108 @@ def test_best_index_argmax(spark, tmp_path):
     cands = ["base", "base-3072", "base-384", "missing"]
     assert best_index_argmax(spark, root, cands) == "base-384"
     assert best_index_argmax(spark, root, ["missing"]) is None
+
+
+def test_bucket_count_persisted_survives_default_change(spark, tmp_path, monkeypatch):
+    """VERDICT r2 #1: an index created at 8 buckets must keep addressing
+    rows by 8 even after the module default N_BUCKETS changes — else
+    touched-bucket pruning misses old row locations and LWW breaks
+    (duplicate ids survive)."""
+    import retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table as it
+
+    idx = VectorIndex(spark, str(tmp_path), "idx-bc").create(
+        dimension=2, bucket_count=8
+    )
+    assert idx.bucket_count() == 8
+    cols = "id string, embedding array<float>, text string, source string, chunk_index int"
+    b1 = spark.createDataFrame(
+        [(f"id{i}", [1.0, 0.0], f"t{i}", "s", 0) for i in range(40)], cols
+    )
+    assert idx.upsert(b1, batch=1) == 40
+    before = _files_md5(idx._data_path)
+
+    # simulate the documented scale-up: raise the module default
+    monkeypatch.setattr(it, "N_BUCKETS", 64)
+    assert idx.bucket_count() == 8  # persisted, not the new default
+
+    b2 = spark.createDataFrame([("id7", [0.5, 0.5], "t7-v2", "s", 0)], cols)
+    assert idx.upsert(b2, batch=2) == 40  # LWW holds: no duplicate ids
+    rows = idx.read().collect()
+    assert len(rows) == len({r["id"] for r in rows}) == 40
+    assert {r["id"]: r["text"] for r in rows}["id7"] == "t7-v2"
+
+    # untouched buckets stay byte-identical under the OLD addressing
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        BUCKET_COL,
+        bucket_of,
+    )
+
+    tb = (
+        spark.createDataFrame([("id7",)], "id string")
+        .select(bucket_of("id", 8).alias("b"))
+        .first()["b"]
+    )
+    after = _files_md5(idx._data_path)
+    for p, h in before.items():
+        if not p.startswith(f"{BUCKET_COL}={tb}/"):
+            assert after.get(p) == h, f"untouched file rewritten: {p}"
+
+
+def test_reroute_rebuckets_for_target_layout(spark, tmp_path):
+    """Dim-mismatch reroute into a target index whose persisted
+    bucket_count differs from the source's must re-address rows."""
+    root = str(tmp_path)
+    idx = VectorIndex(spark, root, "base").create(dimension=2, bucket_count=4)
+    # pre-create the reroute target with a DIFFERENT layout width
+    VectorIndex(spark, root, "base-3").create(dimension=3, bucket_count=16)
+    cols = "id string, embedding array<float>, text string, source string, chunk_index int"
+    three = spark.createDataFrame(
+        [(f"r{i}", [1.0, 2.0, 3.0], "t", "s", 0) for i in range(20)], cols
+    )
+    assert idx.upsert(three, batch=1, on_mismatch="reroute") == 20
+    routed = VectorIndex(spark, root, "base-3")
+    # every row sits in the bucket dir its id hashes to under 16
+    import os as _os
+
+    got = sorted(
+        int(d.split("=")[1])
+        for d in _os.listdir(routed._data_path)
+        if d.startswith("bucket=")
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        bucket_of,
+    )
+
+    want = sorted(
+        r["b"]
+        for r in spark.createDataFrame([(f"r{i}",) for i in range(20)], "id string")
+        .select(bucket_of("id", 16).alias("b"))
+        .distinct()
+        .collect()
+    )
+    assert got == want
+    # LWW still keyed correctly in the rerouted layout
+    assert idx.upsert(three, batch=2, on_mismatch="reroute") == 20
+
+
+def test_torn_swap_detected(spark, tmp_path):
+    """ADVICE r2: a swap marker left behind (crash mid-swap) must make
+    read() and upsert() fail loudly instead of serving mixed buckets."""
+    idx = VectorIndex(spark, str(tmp_path), "idx-torn").create(dimension=2)
+    cols = "id string, embedding array<float>, text string, source string, chunk_index int"
+    b1 = spark.createDataFrame([("a", [1.0, 0.0], "t", "s", 0)], cols)
+    idx.upsert(b1, batch=1)
+    # simulate a crash between the marker write and swap completion
+    import json as _json
+
+    with open(idx._swap_marker_path, "w") as f:
+        _json.dump({"touched": [3], "tmp": "gone"}, f)
+    with pytest.raises(RuntimeError, match="torn"):
+        idx.read()
+    with pytest.raises(RuntimeError, match="torn"):
+        idx.upsert(b1, batch=2)
+    # recovery: delete the marker, index serves again
+    import os as _os
+
+    _os.remove(idx._swap_marker_path)
+    assert idx.read().count() == 1
