@@ -290,6 +290,39 @@ def ann_ivf_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_upsert_probe",
+    f"""
+WITH {_IVF_CTE}
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ivf_ranked WHERE rank <= {K}
+""",
+)
+def ann_ivf_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance end-to-end (VERDICT r2 next #2):
+    build the layout from a 4/5 subset, ``upsert_ivf_index`` the
+    remaining 1/5 (only touched centroid partitions rewritten), then
+    probe. The oracle is the SAME full-corpus IVF pipeline as
+    ``ann_ivf_topk`` — an incrementally maintained layout must be
+    indistinguishable from a from-scratch build."""
+    import tempfile
+
+    emb, queries, cents = _queries_and_centroids(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivf"
+        ann.write_ivf_index(
+            emb.filter(F.col("vec_id") % 5 != 0), path, cents, fast=False
+        )
+        ann.upsert_ivf_index(
+            spark, path, emb.filter(F.col("vec_id") % 5 == 0), cents, fast=False
+        )
+        layout = ann.read_ivf_index(spark, path)
+        out = ann.ivf_topk_gemm(
+            queries, layout, cents, k=K, nprobe=N_PROBE, metric="cosine"
+        ).select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
     "ann_ivf_topk_gemm_euclidean",
     f"""
 WITH {_ivf_cte("list_distance", "ASC")}

@@ -54,8 +54,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+    SWAP_MARKER,
+    swap_partition_dirs,
+)
+
 PROPS_FILE = "_index_properties.json"
-SWAP_MARKER = "_swap_inprogress.json"
 N_BUCKETS = 32  # default bucket_count for NEWLY CREATED indexes only
 BUCKET_COL = "bucket"  # no leading underscore: Spark hides _-prefixed paths
 
@@ -151,10 +155,10 @@ class VectorIndex:
                 marker = json.load(f)
             raise RuntimeError(
                 f"index {self.name!r} has a torn bucket swap (marker "
-                f"{SWAP_MARKER} present, touched buckets "
-                f"{marker.get('touched')}); pre-swap data is preserved in "
-                f"'_old_{BUCKET_COL}=N' aside dirs under {self._data_path} "
-                f"— recover manually, then delete the marker"
+                f"{SWAP_MARKER} present, touched partitions "
+                f"{marker.get('partitions', marker.get('touched'))}); pre-swap "
+                f"data is preserved in '_old_{BUCKET_COL}=N' aside dirs under "
+                f"{self._data_path} — recover manually, then delete the marker"
             )
 
     # -- S6: delete ---------------------------------------------------
@@ -270,29 +274,13 @@ class VectorIndex:
         if fresh:
             os.rename(tmp, data)
         else:
-            # Crash-consistent per-bucket swap: marker fence + rename-
-            # aside. A crash mid-loop leaves the marker in place, so
-            # read()/upsert() fail loudly instead of serving a mix of
-            # old and new bucket versions; the _old_* aside dirs
-            # (underscore prefix → invisible to Spark) keep the
-            # pre-swap data for recovery.
-            with open(self._swap_marker_path, "w") as f:
-                json.dump({"touched": touched, "tmp": tmp}, f)
-            for b in touched:
-                part = f"{BUCKET_COL}={b}"
-                src = os.path.join(tmp, part)
-                dst = os.path.join(data, part)
-                old = os.path.join(data, f"_old_{part}")
-                if os.path.exists(old):  # stale aside from a recovered run
-                    shutil.rmtree(old)
-                if os.path.exists(dst):
-                    os.rename(dst, old)
-                if os.path.exists(src):
-                    os.rename(src, dst)
-                if os.path.exists(old):
-                    shutil.rmtree(old)
-            shutil.rmtree(tmp)
-            os.remove(self._swap_marker_path)
+            # crash-consistent marker-fenced swap (sources.layout)
+            swap_partition_dirs(
+                data,
+                tmp,
+                [f"{BUCKET_COL}={b}" for b in touched],
+                self._swap_marker_path,
+            )
         return self.read().count()
 
     # -- A2: stats ----------------------------------------------------
