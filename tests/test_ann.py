@@ -249,3 +249,55 @@ def test_gemm_zero_norm_query_raises(spark, emb, cents):
     )
     with pytest.raises(ValueError, match="zero-norm query"):
         ann.ivf_topk_gemm(q, emb, cents, metric="cosine")
+
+
+def test_split_skewed_centroids_bounds_partitions(spark):
+    """A deliberately skewed corpus (84% of vectors in one tight blob)
+    must end with every IVF cell under the size bound after splitting,
+    with recall intact (VERDICT r2 #3)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n_blob, n_rest = 16, 420, 80
+    center = rng.normal(size=dim)
+    blob = center[None, :] + 0.05 * rng.normal(size=(n_blob, dim))
+    rest = rng.normal(size=(n_rest, dim)) * 3.0
+    vecs = np.vstack([blob, rest])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ann.seed_centroids(df, 8)
+    bound = 100
+
+    assigned0 = ann.assign_centroids_gemm(df, cents, "cosine")
+    sizes0 = [
+        r["n"]
+        for r in assigned0.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(sizes0) > bound  # the skew is real before splitting
+
+    split = ann.split_skewed_centroids(df, cents, max_rows=bound)
+    assert len(split) > len(cents)
+    assert split == sorted(split)  # cid-ordered contract for GEMM argmax
+    assert len({cid for cid, _ in split}) == len(split)  # ids unique
+    assigned1 = ann.assign_centroids_gemm(df, split, "cosine")
+    sizes1 = {
+        r["centroid_id"]: r["n"]
+        for r in assigned1.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(sizes1.values()) <= bound
+    assert sum(sizes1.values()) == len(vecs)  # no row lost or duplicated
+
+    # recall with the split centroids stays healthy (nprobe scaled with
+    # the split factor)
+    q = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    k = 5
+    ivf = ann.ivf_topk(q, df, split, k=k, nprobe=8, metric="cosine")
+    exact = topk_search(q, df, k=k, metric="cosine")
+    got = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, f"recall collapsed after split: {recall}"
