@@ -94,11 +94,17 @@ class HashEmbedder(EmbeddingProvider):
 
     def embed_one(self, text: str) -> list[float]:
         v = self._raw(text)
-        n = math.sqrt(float((v * v).sum()))
+        # sequential left-fold sum (NOT np.sum's pairwise summation):
+        # bit-identical with SQL engines' list_sum folds, so oracles
+        # can reproduce the vector exactly (see rag_chat_e2e)
+        s = 0.0
+        for x in v:
+            s += float(x) * float(x)
+        n = math.sqrt(s)
         if n == 0.0:
             v = np.ones(self.dimension) / math.sqrt(self.dimension)
             return [float(x) for x in v]
-        return [float(x) for x in (v / n)]
+        return [float(x) / n for x in v]
 
     def embed_batch(self, texts: list[str]) -> list[list[float]]:
         return [self.embed_one(t or "") for t in texts]

@@ -109,6 +109,39 @@ def dequantize_int8(q: Column | str, scale: Column) -> Column:
     return F.transform(qc, lambda x: x.cast("double") * scale)
 
 
+def hash_embed(text: Column | str, dim: int = 64, seed: int = 42) -> Column:
+    """``embed.providers.HashEmbedder`` as a pure Catalyst expression
+    (array<double>): vector[j] = centered uniform from md5 bytes of
+    ``f"{seed}:{j//4}:{text}"``, L2-normalized with a sequential fold.
+
+    Bit-identical with the Python provider AND with the DuckDB
+    mirror (``'0x'||substr(md5(...),..)::UBIGINT`` — see
+    ``rag_chat_e2e``'s oracle), so a query that embeds *derived* text
+    (e.g. a history-rewritten question) stays fully hash-checkable.
+    JVM-side and shuffle-free — on the real provider path this seam is
+    replaced by ``embed_text_column``'s Arrow kernel; this expression
+    exists so e2e pipelines have a deterministic, engine-reproducible
+    stand-in that never leaves codegen."""
+    t = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def word(j: Column) -> Column:
+        block = F.shiftright(j, 2)  # j // 4
+        h = F.md5(
+            F.concat(F.lit(f"{seed}:"), block.cast("string"), F.lit(":"), t)
+        )
+        # bytes 4k..4k+4 of the digest == hex chars 8k+1..8k+8
+        hexpart = h.substr(F.pmod(j, F.lit(4)) * 8 + 1, F.lit(8))
+        return F.conv(hexpart, 16, 10).cast("double") / 4294967295.0 - 0.5
+
+    raw = F.transform(idx, word)
+    n = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda s, x: s + x * x))
+    fallback = F.transform(idx, lambda _: F.lit(1.0) / F.sqrt(F.lit(float(dim))))
+    return F.when(n == 0.0, fallback).otherwise(
+        F.transform(raw, lambda x: x / n)
+    )
+
+
 def dim_check(a: Column | str, dim: int) -> Column:
     """Dimension invariant (reference enforces via index dimension,
     mismatch handling ``scripts/ingest_documents.py:176-195``)."""

@@ -299,6 +299,142 @@ def rag_empty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_VALUES = """
+hist(session_id, question, history) AS (VALUES
+  (0, 'What is NRR?', []::STRUCT(question VARCHAR, answer VARCHAR)[]),
+  (1, 'And gross margin?',
+      [{'question': 'What was Q1 revenue?', 'answer': 'Revenue was $450M.'}]),
+  (2, 'How did it trend?',
+      [{'question': 'q1', 'answer': 'a1'}, {'question': 'q2', 'answer': 'a2'},
+       {'question': 'q3', 'answer': 'a3'}]),
+  (3, 'Summarize the year.',
+      [{'question': 'q1', 'answer': 'a1'}, {'question': 'q2', 'answer': 'a2'},
+       {'question': 'q3', 'answer': 'a3'}, {'question': 'q4', 'answer': 'a4'},
+       {'question': 'q5', 'answer': 'a5'}])
+)
+"""
+
+
+@register(
+    "rag_chat_e2e",
+    f"""
+WITH {_HIST_VALUES},
+rw AS (
+  SELECT session_id, question,
+         CASE WHEN len(history) = 0 THEN question
+              ELSE 'Previous conversation:' || chr(10) ||
+                   array_to_string(
+                     list_transform(history[greatest(len(history)-2, 1):len(history)],
+                                    h -> 'Q: ' || h.question || chr(10) || 'A: ' || h.answer),
+                     chr(10)) ||
+                   chr(10) || chr(10) || 'Current question: ' || question
+         END AS rewritten
+  FROM hist
+),
+rawv AS (
+  SELECT session_id, question, rewritten,
+         list_transform(range(0, 64), j ->
+           ('0x' || substr(md5('42:' || (j // 4)::VARCHAR || ':' || rewritten),
+                           (j % 4) * 8 + 1, 8))::UBIGINT
+           / 4294967295.0 - 0.5) AS v
+  FROM rw
+),
+qv AS (
+  SELECT session_id, question, rewritten,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS qvec
+  FROM rawv
+),
+scored AS (
+  SELECT q.session_id AS query_id, e.vec_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM qv q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+),
+matches AS (
+  SELECT r.query_id, r.vec_id, r.score, r.rank,
+         coalesce(d.text, '') AS text,
+         coalesce(d.source, 'unknown') AS source
+  FROM ranked r LEFT JOIN documents d ON r.vec_id = d.doc_id
+  WHERE r.rank <= 3
+),
+lines AS (
+  SELECT query_id, rank, source,
+         printf('[Document %d] (Source: %s, Relevance: %.3f)', rank, source, score)
+           || chr(10) || substr(text, 1, 80) || chr(10) AS line
+  FROM matches
+),
+ctx AS (
+  SELECT query_id,
+         string_agg(line, chr(10) ORDER BY rank) AS context,
+         string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+         count(*) AS n_matches
+  FROM lines GROUP BY query_id
+)
+SELECT q.session_id AS query_id, q.question, q.rewritten,
+       coalesce(c.sources, '') AS sources,
+       coalesce(c.n_matches, 0) AS n_matches,
+       CASE WHEN coalesce(c.n_matches, 0) = 0
+            THEN 'I couldn''t find any relevant information to answer your question.'
+            ELSE substr(coalesce(c.context, ''), 1, 160) END AS answer
+FROM qv q LEFT JOIN ctx c ON q.session_id = c.query_id
+""",
+)
+def rag_chat_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 2 fused (SURVEY.md §3; app/rag/chain.py:126-154):
+    history rewrite → embed the REWRITTEN string → top-3 retrieval →
+    context → echo answer, one DataFrame plan end to end. The
+    embedding step is ``functions.vector.hash_embed`` — bit-identical
+    with the Python HashEmbedder and the oracle's SQL mirror — so the
+    whole chain (including retrieval driven by conversation context)
+    is hash-checked. Sessions cover history lengths 0/1/3/5."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        rewrite_with_history,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        hash_embed,
+    )
+
+    hist_t = "array<struct<question:string,answer:string>>"
+    rows = [
+        (0, "What is NRR?", []),
+        (1, "And gross margin?", [("What was Q1 revenue?", "Revenue was $450M.")]),
+        (2, "How did it trend?", [("q1", "a1"), ("q2", "a2"), ("q3", "a3")]),
+        (
+            3,
+            "Summarize the year.",
+            [("q1", "a1"), ("q2", "a2"), ("q3", "a3"), ("q4", "a4"), ("q5", "a5")],
+        ),
+    ]
+    sess = spark.createDataFrame(
+        rows, f"session_id int, question string, history {hist_t}"
+    )
+    q = sess.select(
+        F.col("session_id").alias("query_id"),
+        "question",
+        rewrite_with_history("question", "history").alias("rewritten"),
+    ).withColumn("qvec", hash_embed("rewritten", dim=64, seed=42))
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    hits = topk_search(
+        q.select("query_id", "qvec"), emb, k=3, metric="cosine", clamp=True
+    ).withColumn("score", F.round("score", 6))
+    m = rag.project_matches(
+        hits.join(docs, hits.vec_id == docs.doc_id, "left").select(
+            "query_id", "vec_id", "score", "rank", "text", "source"
+        )
+    ).withColumn("text", F.substring("text", 1, 80))
+    ctx = rag.build_context(m)
+    out = rag.assemble_answers(q.select("query_id", "question"), ctx)
+    return out.join(q.select("query_id", "rewritten"), "query_id").select(
+        "query_id", "question", "rewritten", "sources", "n_matches", "answer"
+    )
+
+
 @register(
     "rag_e2e_echo",
     f"""

@@ -113,3 +113,34 @@ def test_int8_quantization_roundtrip_bounds(spark):
         v, d = np.array(r["embedding"]), np.array(r["deq"])
         cos = v @ d / (np.linalg.norm(v) * np.linalg.norm(d))
         assert cos > 0.999
+
+
+def test_hash_embed_expr_matches_python_provider(spark):
+    """functions.vector.hash_embed (Catalyst) must be bit-identical
+    with embed.providers.HashEmbedder (Python) — the contract that
+    makes derived-text embedding oracle-checkable (rag_chat_e2e)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+        HashEmbedder,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        hash_embed,
+    )
+
+    texts = [
+        "abc",
+        "",
+        "Current question: hello",
+        "Previous conversation:\nQ: q1\nA: a1\n\nCurrent question: x?",
+        "x" * 2000,
+        "naïve café 日本語",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["text"]: r["v"] for r in df.select("text", hash_embed("text").alias("v")).collect()}
+    e = HashEmbedder(dimension=64, seed=42)
+    for t in texts:
+        assert got[t] == e.embed_one(t), f"bit mismatch for {t[:30]!r}"
+    # different seed/dim produce different, correctly-sized vectors
+    small = df.select(hash_embed("text", dim=16, seed=7).alias("v")).first()["v"]
+    assert len(small) == 16
+    e2 = HashEmbedder(dimension=16, seed=7)
+    assert small == e2.embed_one(texts[0])
