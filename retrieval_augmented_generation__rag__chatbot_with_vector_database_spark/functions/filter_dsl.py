@@ -51,10 +51,15 @@ def _field_predicate(field: str, spec: Any) -> Column:
     for op, val in spec.items():
         if op in _COMPARATORS:
             parts.append(_COMPARATORS[op](col, val))
-        elif op == "$in":
-            parts.append(col.isin(list(val)))
-        elif op == "$nin":
-            parts.append(~col.isin(list(val)))
+        elif op in ("$in", "$nin"):
+            # strings are iterable, so list("abc") would silently become
+            # isin('a','b','c') — reject anything but a real sequence
+            if not isinstance(val, (list, tuple)):
+                raise ValueError(
+                    f"{op} for {field!r} expects a list/tuple, got {type(val).__name__}"
+                )
+            pred = col.isin(list(val))
+            parts.append(pred if op == "$in" else ~pred)
         elif op == "$exists":
             parts.append(col.isNotNull() if val else col.isNull())
         else:

@@ -32,6 +32,8 @@ Scale design:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -409,6 +411,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -430,8 +433,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before the "
+            "label fixpoint — long chains may be split across components; "
+            "raise max_iter or switch to large-star/small-star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("comp").alias("component"))
 
 
