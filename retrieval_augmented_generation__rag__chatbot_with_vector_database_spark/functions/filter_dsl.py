@@ -25,6 +25,7 @@ key-presence test on schemaless metadata.
 
 from __future__ import annotations
 
+from collections.abc import Collection
 from functools import reduce
 from typing import Any, Mapping
 
@@ -53,10 +54,15 @@ def _field_predicate(field: str, spec: Any) -> Column:
             parts.append(_COMPARATORS[op](col, val))
         elif op in ("$in", "$nin"):
             # strings are iterable, so list("abc") would silently become
-            # isin('a','b','c') — reject anything but a real sequence
-            if not isinstance(val, (list, tuple)):
+            # isin('a','b','c') — reject those, but accept any other
+            # concrete collection (list/tuple/set/frozenset/dict_keys);
+            # generators stay rejected (not Collection, single-use)
+            if isinstance(val, (str, bytes, Mapping)) or not isinstance(
+                val, Collection
+            ):
                 raise ValueError(
-                    f"{op} for {field!r} expects a list/tuple, got {type(val).__name__}"
+                    f"{op} for {field!r} expects a collection of values, "
+                    f"got {type(val).__name__}"
                 )
             pred = col.isin(list(val))
             parts.append(pred if op == "$in" else ~pred)

@@ -51,6 +51,20 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sou
 IVF_META = "_ivf_meta.json"
 
 
+def _centroid_hash(centroids: list[tuple[int, list[float]]]) -> str:
+    """Content hash of a centroid list (order-normalized, exact float
+    repr via JSON shortest-roundtrip). Persisted in the layout sidecar
+    so an upsert can prove the caller's quantizer IS the build-time
+    quantizer — rows assigned under a different centroid list would
+    silently land in partitions the probe's pruning never looks at."""
+    import hashlib
+
+    canon = json.dumps(
+        sorted((int(cid), [float(x) for x in vec]) for cid, vec in centroids)
+    )
+    return hashlib.md5(canon.encode()).hexdigest()
+
+
 def seed_centroids(index: DataFrame, k: int, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """Deterministic coarse-quantizer seeds: the ``k`` lowest-id
@@ -519,6 +533,14 @@ def write_ivf_index(
                 "metric": metric,
                 "compression": compression,
                 "n_centroids": len(centroids),
+                # the full build-time quantizer (k·dim doubles — small
+                # by construction) + its content hash: upserts after a
+                # process restart recover the EXACT centroids instead
+                # of re-deriving different ones from the mutated corpus
+                "centroids": [
+                    [int(cid), [float(x) for x in vec]] for cid, vec in centroids
+                ],
+                "centroid_hash": _centroid_hash(centroids),
                 "vec_col": vec_col,
                 "rows_at_build": n_rows,
                 "upserted_since_build": 0,
@@ -550,6 +572,19 @@ def ivf_meta(path: str) -> dict:
         return json.load(f)
 
 
+def load_centroids(path: str) -> list[tuple[int, list[float]]]:
+    """Recover the exact build-time quantizer from the layout sidecar
+    (survives process restarts — ``seed_centroids`` re-run against the
+    since-mutated corpus would yield a DIFFERENT list)."""
+    meta = ivf_meta(path)
+    if "centroids" not in meta:
+        raise ValueError(
+            f"layout at {path} predates centroid persistence (no 'centroids' "
+            "in sidecar); rebuild with write_ivf_index to enable recovery"
+        )
+    return [(int(cid), [float(x) for x in vec]) for cid, vec in meta["centroids"]]
+
+
 def ivf_staleness(path: str) -> float:
     """Fraction of the layout upserted since the last full build — the
     retrain trigger (centroids drift as the corpus moves; rebuild when
@@ -568,7 +603,7 @@ def upsert_ivf_index(
     spark: SparkSession,
     path: str,
     records: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fast: bool = True,
@@ -598,14 +633,53 @@ def upsert_ivf_index(
 
     Metric and compression are read from the sidecar, so the merged
     partitions are produced by the same kernels as the original build.
+    The quantizer is too: ``centroids=None`` (the default) loads the
+    exact build-time centroid list back from the sidecar; a caller-
+    supplied list is validated against the persisted content hash and
+    REJECTED on mismatch — rows assigned under a different quantizer
+    would silently corrupt nprobe pruning (partitions inconsistent
+    with the existing layout, no error at probe time).
+
+    Intra-batch duplicates resolve by the same total order as the flat
+    index's ``merge_last_write_wins`` (md5 over the payload), so a
+    micro-batch carrying one ``vec_id`` twice — possibly assigned to
+    two different centroids — contributes exactly one survivor row.
+
     Returns ``{"touched": [...], "n_upserted": int, "staleness": float}``.
     """
     check_not_torn(path)
     meta = ivf_meta(path)
     metric, compression = meta["metric"], meta.get("compression")
+    if centroids is None:
+        centroids = load_centroids(path)
+    elif "centroid_hash" in meta:
+        got = _centroid_hash(centroids)
+        if got != meta["centroid_hash"]:
+            raise ValueError(
+                f"centroid list does not match the layout's build-time "
+                f"quantizer (hash {got} != {meta['centroid_hash']}); pass "
+                "centroids=None to use the persisted list, or rebuild with "
+                "write_ivf_index to change quantizers"
+            )
+    elif len(centroids) != meta["n_centroids"]:
+        # pre-persistence sidecar: length is the only check available
+        raise ValueError(
+            f"centroid count {len(centroids)} != layout's n_centroids "
+            f"{meta['n_centroids']}"
+        )
     assign = assign_centroids_gemm if fast else assign_centroids
-    assigned = assign(records, centroids, metric, vec_col).localCheckpoint(
-        eager=True
+    assigned = assign(records, centroids, metric, vec_col)
+    # intra-batch LWW: one survivor per id, same md5-payload total
+    # order as merge_last_write_wins (deterministic across runs)
+    payload = sorted(c for c in assigned.columns if c != id_col)
+    dw = Window.partitionBy(id_col).orderBy(
+        F.md5(F.to_json(F.struct(*payload))).asc()
+    )
+    assigned = (
+        assigned.withColumn("__rn", F.row_number().over(dw))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
     )
     n_new = assigned.count()
     if n_new == 0:
@@ -752,11 +826,23 @@ def split_skewed_centroids(
     windowed seed-pick over only the oversized cells. The final
     histogram is what ``ann_ivf_partition_sizes`` reports; probes use
     the returned centroid list unchanged (scale nprobe with the split
-    factor to hold recall)."""
+    factor to hold recall).
+
+    Sub-seed id uniqueness is enforced, not assumed: kept centroids'
+    cids are excluded from sub-seed candidacy (the "member vector
+    self-assigns" argument fails under exact ties and never held for
+    ``lloyd_refine``'d means), and split cells are disjoint, so the
+    returned cid list is always duplicate-free — guarded by an
+    invariant check that raises rather than silently breaking the GEMM
+    argmax tiebreak. Failing to reach the bound within ``max_rounds``
+    (e.g. a cell of exact-duplicate vectors, which no quantizer can
+    separate) warns instead of returning silently."""
     import math
+    import warnings
 
     cur = sorted(centroids)
     assign = assign_centroids_gemm if fast else assign_centroids
+    need: dict[int, int] = {}
     for _ in range(max_rounds):
         assigned = assign(index, cur, metric, vec_col)
         counts = {
@@ -770,9 +856,18 @@ def split_skewed_centroids(
         }
         if not need:
             break
+        # sub-seed ids must not collide with KEPT centroids' cids. The
+        # "a centroid's own source vector self-assigns" invariant breaks
+        # under exact ties (two identical centroids → all tied rows,
+        # including a centroid's own member vector, collapse into the
+        # tiebreak winner's cell), and lloyd_refine'd means never had it
+        # — so exclude kept cids from candidacy outright. Split cells
+        # are disjoint, so sub-seeds can't collide with each other.
+        kept_cids = [cid for cid, _ in cur if cid not in need]
         w = Window.partitionBy("centroid_id").orderBy(F.col(id_col).asc())
         seed_rows = (
             assigned.filter(F.col("centroid_id").isin(list(need)))
+            .filter(~F.col(id_col).isin(kept_cids))
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= max(need.values()))
             .select(
@@ -792,6 +887,26 @@ def split_skewed_centroids(
             for r in rows[: need[cid]]:
                 nxt.append((int(r["__sid"]), [float(x) for x in r["__svec"]]))
         cur = sorted(nxt)
+        cids = [cid for cid, _ in cur]
+        if len(set(cids)) != len(cids):
+            dupes = sorted({c for c in cids if cids.count(c) > 1})[:5]
+            raise ValueError(
+                f"duplicate centroid ids after split: {dupes} — invariant "
+                "violation (kept cids are excluded from sub-seed candidacy "
+                "and split cells are disjoint); please report"
+            )
+    if need:
+        # the loop exhausted max_rounds with cells still oversized in
+        # its LAST count; the final split may or may not have fixed
+        # them — surface it rather than return silently
+        warnings.warn(
+            f"split_skewed_centroids: {len(need)} cell(s) still exceeded "
+            f"max_rows={max_rows} entering the final round (worst needed "
+            f"{max(need.values())}-way split); the size bound may still be "
+            "violated — raise max_rounds or max_rows",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return cur
 
 

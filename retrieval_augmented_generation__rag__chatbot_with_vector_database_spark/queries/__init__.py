@@ -40,23 +40,47 @@ def register(name: str, oracle: str | None = None):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # runtime SQL conf — the driver's session may not have it; the
-        # events file stores TIMESTAMP(NANOS) which otherwise errors
+        # Older Spark needs this to read TIMESTAMP(NANOS) at all (as
+        # long nanos); Spark >= 4.1 ignores it and reads NANOS natively
+        # as TIMESTAMP_NTZ. Harmless where ignored.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    # events.ts is TIMESTAMP(NANOS) → read as long nanos
-    # (spark.sql.legacy.parquet.nanosAsLong); convert with integer
-    # division — double division would lose precision at ~1e18.
+    # Normalize events.ts to TIMESTAMP_NTZ — the file's naive wall-clock
+    # semantic, matching what DuckDB oracles see — across reader
+    # behaviors: long nanos (legacy conf honored; integer division, a
+    # double epoch would lose precision at ~1e18) or native NTZ
+    # (Spark >= 4.1, already correct). timestampadd from the NTZ epoch
+    # keeps the long branch independent of the session timezone.
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampType):
+            # LTZ from some other reader path: reinterpret in session tz
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
+
+
+def epoch_micros(col) -> "Column":  # noqa: F821 - Column via F
+    """Integer microseconds since epoch for a TIMESTAMP_NTZ column —
+    the NTZ-safe twin of ``unix_micros`` (which requires LTZ and fails
+    analysis on NTZ), timezone-independent by construction."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    epoch_micros,
     load,
     register,
 )
@@ -316,8 +317,9 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id serves both windows and the final group-by
     (same partitioning reused across stages)."""
     # integer microseconds end-to-end: bit-exact vs the oracle's
-    # epoch_ns(ts) // 1000 (no float epoch, no second truncation)
-    ev = load(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    # epoch_ns(ts) // 1000 (no float epoch, no second truncation);
+    # epoch_micros is the NTZ-safe unix_micros (ts is TIMESTAMP_NTZ)
+    ev = load(spark, sf_dir, "events").withColumn("us", epoch_micros("ts"))
     by_user = Window.partitionBy("user_id").orderBy("us")
     d = ev.withColumn(
         "new_session",

@@ -235,6 +235,9 @@ class VectorIndex:
                 )
             target = VectorIndex(self.spark, self.root, f"{self.name}-{dims[0]}")
             target.create(dimension=dims[0], metric=self.metric())
+            # a pre-existing reroute target may itself be mid-swap:
+            # detect BEFORE swapping partitions into it, not after
+            target._check_not_torn()
             if target.bucket_count() != self.bucket_count():
                 # re-address for the target's persisted layout (cheap:
                 # ``new`` is already checkpointed)

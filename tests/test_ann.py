@@ -187,10 +187,14 @@ def test_int8_layout_smaller_and_high_recall(spark, emb, cents, tmp_path):
     import os
 
     def disk_bytes(p):
+        # data files only: the sidecar (_ivf_meta.json) now carries the
+        # full centroid list, a constant-size cost shared by both
+        # layouts that would wash out the embedding-byte ratio under test
         return sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(p)
             for f in fs
+            if f.endswith(".parquet")
         )
 
     full, comp = str(tmp_path / "ivf-f"), str(tmp_path / "ivf-c")
@@ -301,3 +305,17 @@ def test_split_skewed_centroids_bounds_partitions(spark):
     want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.8, f"recall collapsed after split: {recall}"
+
+
+def test_split_skewed_centroids_warns_when_bound_unreachable(spark):
+    """420 identical vectors can never be split below a 100-row bound
+    (every sub-seed is the same point, all rows follow the lowest-cid
+    tiebreak) — the call must WARN, not return silently (ADVICE r3 #3)."""
+    df = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(420)] + [(1000, [-1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ann.seed_centroids(df, 2)
+    with pytest.warns(RuntimeWarning, match="still exceeded"):
+        split = ann.split_skewed_centroids(df, cents, max_rows=100, max_rounds=2)
+    assert len({cid for cid, _ in split}) == len(split)

@@ -148,3 +148,61 @@ def test_torn_ivf_swap_detected(spark, emb, cents, tmp_path):
         ann.upsert_ivf_index(spark, path, emb.limit(1), cents)
     os.remove(marker_path_for(path))
     assert ann.read_ivf_index(spark, path).count() == emb.count()
+
+
+def test_upsert_rejects_mismatched_quantizer(spark, emb, cents, tmp_path):
+    """A centroid list that is not the layout's build-time quantizer
+    must be rejected BEFORE any write — rows assigned under a second
+    quantizer silently corrupt nprobe pruning (ADVICE r3 #1)."""
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_index(emb, path, cents)
+    wrong = [(cid, [x + 1.0 for x in vec]) for cid, vec in cents]
+    before = _files_md5(path)
+    with pytest.raises(ValueError, match="quantizer"):
+        ann.upsert_ivf_index(spark, path, emb.limit(3), wrong)
+    assert _files_md5(path) == before  # nothing was written
+
+
+def test_upsert_recovers_centroids_from_sidecar(spark, emb, cents, tmp_path):
+    """centroids=None loads the exact build-time list back from the
+    sidecar — the post-restart recovery path (ADVICE r3 #1)."""
+    path = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    rest = emb.filter(F.col("vec_id") % 3 == 0)
+    ann.write_ivf_index(base, path, cents)
+    assert ann.load_centroids(path) == cents
+    res = ann.upsert_ivf_index(spark, path, rest)  # no centroids passed
+    assert res["n_upserted"] == rest.count()
+    full_path = str(tmp_path / "full")
+    ann.write_ivf_index(emb, full_path, cents)
+    assert _probe(spark, path, cents, emb) == _probe(spark, full_path, cents, emb)
+
+
+def test_upsert_intra_batch_lww(spark, emb, cents, tmp_path):
+    """A micro-batch carrying the same vec_id twice — with different
+    vectors that assign to different centroids — must contribute
+    exactly one survivor row, like merge_last_write_wins (ADVICE r3 #2),
+    and resolve to the same survivor on every run."""
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_index(emb, path, cents)
+    v_a = [float(x) for x in cents[0][1]]
+    v_b = [float(x) for x in cents[-1][1]]
+    dup = spark.createDataFrame(
+        [(777, v_a, 1), (777, v_b, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    res = ann.upsert_ivf_index(spark, path, dup, cents)
+    rows = (
+        ann.read_ivf_index(spark, path).filter(F.col("vec_id") == 777).collect()
+    )
+    assert len(rows) == 1
+    assert res["n_upserted"] == 1  # staleness counts survivors, not raw rows
+    survivor = (rows[0]["centroid_id"], rows[0]["label"])
+    # deterministic: a re-run of the same dup batch picks the same row
+    path2 = str(tmp_path / "ivf2")
+    ann.write_ivf_index(emb, path2, cents)
+    ann.upsert_ivf_index(spark, path2, dup, cents)
+    rows2 = (
+        ann.read_ivf_index(spark, path2).filter(F.col("vec_id") == 777).collect()
+    )
+    assert (rows2[0]["centroid_id"], rows2[0]["label"]) == survivor

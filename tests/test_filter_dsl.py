@@ -186,3 +186,18 @@ def test_randomized_dsl_agrees_with_python_evaluator(spark):
             assert actual == expected, (
                 f"filter {fd} row {row}: spark={actual} python={expected}"
             )
+
+
+def test_in_accepts_sets_rejects_strings_and_dicts(meta):
+    """$in/$nin accept any concrete non-string collection (set,
+    frozenset, dict_keys) — ADVICE r3 #5 — while still rejecting the
+    string footgun, mappings, and single-use generators."""
+    as_list = _ids(meta, {"lang": {"$in": ["en", "de"]}})
+    for coll in ({"en", "de"}, frozenset({"en", "de"}), {"en": 1, "de": 2}.keys()):
+        assert _ids(meta, {"lang": {"$in": coll}}) == as_list
+    assert _ids(meta, {"lang": {"$nin": {"en"}}}) == _ids(
+        meta, {"lang": {"$nin": ["en"]}}
+    )
+    for bad in ("en", b"en", {"en": 1}, (x for x in ["en"])):
+        with pytest.raises(ValueError, match="collection"):
+            filter_dict_to_column({"lang": {"$in": bad}})
