@@ -1,0 +1,209 @@
+"""Temporal joins: distributed as-of (point-in-time) join and bounded
+range join — the feature-attachment primitives of a training-data
+pipeline (label events joined to the most recent prior state snapshot,
+or to all context events inside a time window).
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do); the Spark-first form
+here is a UNION + single keyed WINDOW composition, not a UDF and not a
+driver loop:
+
+    tag right rows 0 and left rows 1, union by name, then over
+    ``partitionBy(key) orderBy(ts, tag)`` take ``last(payload,
+    ignorenulls=True)`` from the start of the partition — every left
+    row sees exactly the latest right row at-or-before its timestamp.
+
+Cost model: ONE shuffle on the join key (the same lower bound any
+keyed join pays), one partition-local sort shared by the window. No
+per-left-row probe, no range explosion, no state on the driver. At
+100 TB this is shuffle-bound exactly like a regular join; skewed keys
+respond to the same salting/AQE treatment.
+
+The range join's scale path buckets time into ``bucket`` -second cells
+and equi-joins on (key, cell) — each right row lands in exactly one
+cell and each left row explodes to the few cells its window overlaps,
+so candidate pairs are bounded without an O(n^2) cross product per key.
+
+Reference parity: the reference engine has no temporal joins (it is a
+RAG service); these extend the engine for the point-in-time feature
+joins a 100 TB training-data pipeline needs (SURVEY.md north-star
+extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+
+
+def _us(col: str) -> Column:
+    """Integer epoch micros from a TIMESTAMP_NTZ column (tz-independent;
+    ``unix_micros`` fails analysis on NTZ)."""
+    return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+    suffix: str = "_r",
+    tolerance_s: float | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach ``payload`` columns of the single
+    right row with the greatest ``right_ts`` <= ``left_ts`` (backward;
+    ``forward`` = smallest >=) sharing the ``on`` keys — DuckDB
+    ``ASOF LEFT JOIN`` semantics, inclusive at equality. Unmatched left
+    rows keep nulls (left-outer). ``tolerance_s`` nulls out matches
+    further than that many seconds away.
+
+    Among right rows tied on (key, ts), the survivor is deterministic
+    (md5 over the payload struct — same total-order trick as
+    ``merge_last_write_wins``), so results are stable across runs and
+    partitionings.
+
+    Output columns: all of ``left``, plus each payload column (suffixed
+    with ``suffix`` on name clashes), plus ``{right_ts}{suffix}`` (the
+    matched row's timestamp).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    for k in on:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"join key {k!r} missing from one side")
+    if payload is None:
+        payload = [c for c in right.columns if c not in on and c != right_ts]
+
+    # temp names dodge clashes with left columns during the union
+    tmp = {c: f"__p{i}" for i, c in enumerate(payload)}
+    r2 = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__t"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(tmp[c]) for c in payload],
+        F.lit(0).alias("__tag"),
+        # deterministic tiebreak among right rows tied on (key, ts)
+        F.md5(F.to_json(F.struct(*payload))).alias("__tb"),
+    )
+    l2 = left.select(
+        "*",
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast("string").alias("__tb"),
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
+    # one shuffle on the keys; right rows sort before tied left rows
+    # (tag 0 < 1) so equality is inclusive, matching ASOF semantics
+    t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(t_ord, F.col("__tag").asc(), F.col("__tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mtmp = {c: f"__m{i}" for i, c in enumerate(payload)}
+    matched = [
+        F.last(tmp[c], ignorenulls=True).over(w).alias(mtmp[c]) for c in payload
+    ]
+    mts = F.last("__rts", ignorenulls=True).over(w).alias("__mts")
+
+    out = (
+        u.select("*", mts, *matched)
+        .filter(F.col("__tag") == 1)
+        .drop("__t", "__tag", "__tb", "__rts", *[tmp[c] for c in payload])
+    )
+
+    if tolerance_s is not None:
+        gap = F.expr(
+            f"abs(timestampdiff(MICROSECOND, __mts, {left_ts}))"
+        ) / F.lit(1_000_000.0)
+        keep = F.col("__mts").isNotNull() & (gap <= F.lit(float(tolerance_s)))
+        for c in payload:
+            out = out.withColumn(mtmp[c], F.when(keep, F.col(mtmp[c])))
+        out = out.withColumn("__mts", F.when(keep, F.col("__mts")))
+
+    # final names: payload cols, suffixed on clash with left's columns
+    for c in payload:
+        name = c if c not in left.columns else f"{c}{suffix}"
+        out = out.withColumnRenamed(mtmp[c], name)
+    return out.withColumnRenamed("__mts", f"{right_ts}{suffix}")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: float = 0.0,
+    upper_s: float = 0.0,
+    bucket_s: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner join of every left row to ALL right rows sharing the
+    ``on`` keys with ``right_ts`` in ``[left_ts + lower_s, left_ts +
+    upper_s]`` (seconds, inclusive, either bound may be negative).
+
+    Default path: keyed equi-join + range predicate — Catalyst builds a
+    shuffled hash join on the keys and evaluates the band per pair;
+    right-sized when keys bound the per-key row count (user_id here).
+
+    Scale path (``bucket_s``): time is cut into ``bucket_s``-second
+    cells; each right row lands in exactly ONE cell key and each left
+    row explodes to the (few) cells overlapping its window — the join
+    becomes a pure equi-join on (keys, cell), bounding candidates even
+    for hot keys or key-free bands, then the exact band predicate
+    filters. Each matching pair appears exactly once (one cell per
+    right row). Pick ``bucket_s`` ≈ the window width.
+
+    Right's payload columns are suffixed with ``suffix`` on clashes.
+    """
+    lo_us = int(lower_s * 1_000_000)
+    hi_us = int(upper_s * 1_000_000)
+    if lo_us > hi_us:
+        raise ValueError(f"lower_s {lower_s} > upper_s {upper_s}")
+
+    rcols = [c for c in right.columns if c not in on]
+    r2 = right.select(
+        *on,
+        *[
+            F.col(c).alias(c if c not in left.columns else f"{c}{suffix}")
+            for c in rcols
+        ],
+    )
+    rts = right_ts if right_ts not in left.columns else f"{right_ts}{suffix}"
+
+    l_us = _us(left_ts)
+    r_us = _us(rts)
+
+    if bucket_s is None:
+        cond = [left[k] == r2[k] for k in on]
+        joined = left.join(r2, cond, "inner").drop(*[r2[k] for k in on])
+        return joined.filter(
+            (r_us >= l_us + F.lit(lo_us)) & (r_us <= l_us + F.lit(hi_us))
+        )
+
+    b_us = int(bucket_s * 1_000_000)
+    if b_us <= 0:
+        raise ValueError("bucket_s must be positive")
+    rb = r2.withColumn("__cell", F.floor(r_us / F.lit(b_us)))
+    lb = left.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor((l_us + F.lit(lo_us)) / F.lit(b_us)),
+                F.floor((l_us + F.lit(hi_us)) / F.lit(b_us)),
+            )
+        ),
+    )
+    cond = [lb[k] == rb[k] for k in on] + [lb["__cell"] == rb["__cell"]]
+    joined = lb.join(rb, cond, "inner").drop(rb["__cell"]).drop(
+        *[rb[k] for k in on]
+    )
+    return joined.filter(
+        (r_us >= l_us + F.lit(lo_us)) & (r_us <= l_us + F.lit(hi_us))
+    ).drop("__cell")

@@ -104,4 +104,5 @@ def _import_all() -> None:
         ann_queries,
         multimodal_queries,
         ingest_queries,
+        temporal_queries,
     )

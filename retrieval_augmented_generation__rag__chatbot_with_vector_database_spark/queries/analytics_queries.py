@@ -42,9 +42,9 @@ def _dec(col):
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
-       sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_base_price,
-       sum((l_extendedprice::DECIMAL(18,4)) * (1 - l_discount::DECIMAL(18,4)))::DOUBLE AS sum_disc_price,
+       sum(l_quantity::DECIMAL(18,4))::VARCHAR::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,4))::VARCHAR::DOUBLE AS sum_base_price,
+       sum((l_extendedprice::DECIMAL(18,4)) * (1 - l_discount::DECIMAL(18,4)))::VARCHAR::DOUBLE AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -121,7 +121,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_revenue",
     """
 SELECT n.n_name AS nation, r.r_name AS region,
-       sum((l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4)))::DOUBLE AS revenue,
+       sum((l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4)))::VARCHAR::DOUBLE AS revenue,
        count(DISTINCT o.o_orderkey) AS n_orders
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -206,8 +206,8 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS total_price,
-       (sum(o_totalprice::DECIMAL(18,4)) / count(*))::DOUBLE AS avg_price
+       sum(o_totalprice::DECIMAL(18,4))::VARCHAR::DOUBLE AS total_price,
+       (sum(o_totalprice::DECIMAL(18,4)) / count(*))::VARCHAR::DOUBLE AS avg_price
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY o_orderpriority
@@ -237,7 +237,7 @@ WITH b AS (
   FROM part GROUP BY p_brand
 )
 SELECT p_brand, n_parts, total_retail::DOUBLE AS total_retail,
-       round(total_retail / sum(total_retail) OVER (), 6)::DOUBLE AS share
+       round(total_retail / sum(total_retail) OVER (), 6)::VARCHAR::DOUBLE AS share
 FROM b
 """,
 )
@@ -266,7 +266,7 @@ def part_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       sum(value::DECIMAL(18,6))::DOUBLE AS total_value
+       sum(value::DECIMAL(18,6))::VARCHAR::DOUBLE AS total_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """,
@@ -393,8 +393,8 @@ WITH m AS (
   FROM documents
 )
 SELECT count(*) AS n_queries,
-       (sum(answer_length::DECIMAL(18,4)) / count(*))::DOUBLE AS avg_answer_length,
-       (sum(num_sources::DECIMAL(18,4)) / count(*))::DOUBLE AS avg_num_sources
+       (sum(answer_length::DECIMAL(18,4)) / count(*))::VARCHAR::DOUBLE AS avg_answer_length,
+       (sum(num_sources::DECIMAL(18,4)) / count(*))::VARCHAR::DOUBLE AS avg_num_sources
 FROM m
 """,
 )
@@ -438,7 +438,7 @@ SELECT user_id,
        make_timestamp(min(us)) AS session_start,
        make_timestamp(max(us) + 1800000000) AS session_end,
        count(*) AS n_events,
-       sum(value::DECIMAL(18,6))::DOUBLE AS total_value
+       sum(value::DECIMAL(18,6))::VARCHAR::DOUBLE AS total_value
 FROM s GROUP BY user_id, sid
 """,
 )
@@ -468,7 +468,7 @@ WITH hourly AS (
 )
 SELECT date_trunc('day', hour)::TIMESTAMP AS day, event_type,
        sum(n_events)::BIGINT AS n_events,
-       sum(total_value)::DOUBLE AS total_value
+       sum(total_value)::VARCHAR::DOUBLE AS total_value
 FROM hourly GROUP BY date_trunc('day', hour), event_type
 """,
 )

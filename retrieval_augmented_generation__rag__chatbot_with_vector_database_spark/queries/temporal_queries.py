@@ -1,0 +1,228 @@
+"""Temporal-join and sketch-rollup queries over ``events``: as-of
+(point-in-time) feature attachment, bounded range-join context
+aggregation, exact percentile profiles, and a mergeable HLL distinct
+rollup — the feature-engineering primitives of a training-data
+pipeline, oracle-checked against DuckDB (which has a NATIVE ASOF JOIN,
+making it a genuinely independent implementation to diff against).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    epoch_micros,
+    load,
+    register,
+)
+
+
+def _purchases(ev: DataFrame) -> DataFrame:
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+def _clicks(ev: DataFrame) -> DataFrame:
+    return ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+
+
+@register(
+    "events_asof_purchase_click",
+    """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       epoch_ns(p.ts) // 1000 AS purchase_us,
+       p.value AS purchase_value,
+       c.value AS click_value,
+       epoch_ns(c.ts) // 1000 AS click_us,
+       (epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000) // 1000000 AS gap_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join: every purchase picks up the user's
+    most recent at-or-before click (value + timestamp + gap). The Spark
+    side is the union+window composition (operators/temporal.py — ONE
+    shuffle on user_id); the oracle is DuckDB's native ASOF LEFT JOIN,
+    so the two implementations share no code path at all."""
+    ev = load(spark, sf_dir, "events")
+    j = asof_join(
+        _purchases(ev), _clicks(ev), on=["user_id"], payload=["value"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        epoch_micros("ts").alias("purchase_us"),
+        F.col("value").alias("purchase_value"),
+        F.col("value_r").alias("click_value"),
+        epoch_micros("ts_r").alias("click_us"),
+        F.expr(
+            f"({epoch_sql('ts')} - {epoch_sql('ts_r')}) div 1000000"
+        ).alias("gap_s"),
+    )
+
+
+def epoch_sql(col: str) -> str:
+    """SQL fragment for NTZ epoch micros (shared by select exprs)."""
+    return f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+
+
+@register(
+    "events_asof_tolerance",
+    """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+     j AS (
+  SELECT p.event_id, p.user_id, p.ts AS pts, c.ts AS cts, c.value AS cval
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT event_id, user_id,
+       CASE WHEN cts IS NULL OR pts - cts > INTERVAL 1 HOUR THEN NULL
+            ELSE cval END AS click_value,
+       CASE WHEN cts IS NULL OR pts - cts > INTERVAL 1 HOUR THEN NULL
+            ELSE epoch_ns(cts) // 1000 END AS click_us
+FROM j
+""",
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1-hour tolerance: matches further back than
+    the tolerance are nulled (stale state must not leak into
+    features). Oracle emulates tolerance on top of DuckDB's ASOF."""
+    ev = load(spark, sf_dir, "events")
+    j = asof_join(
+        _purchases(ev),
+        _clicks(ev),
+        on=["user_id"],
+        payload=["value"],
+        tolerance_s=3600,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("value_r").alias("click_value"),
+        epoch_micros("ts_r").alias("click_us"),
+    )
+
+
+@register(
+    "events_range_click_context",
+    """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       count(c.user_id) AS n_clicks,
+       sum(c.value::DECIMAL(18,6))::VARCHAR::DOUBLE AS click_value_sum
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+GROUP BY p.event_id, p.user_id
+""",
+)
+def events_range_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded context window: per purchase, how many clicks (and
+    their value sum) landed in the preceding 30 minutes. Runs the
+    BUCKETED scale path of range_join (pure equi-join on (user_id,
+    30-min cell) — candidates bounded even for hot keys), then
+    re-attaches zero-click purchases with a broadcast-eligible left
+    join. Decimal sums keep the hash float-order-independent."""
+    ev = load(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = _clicks(ev)
+    j = range_join(
+        pur, clk, on=["user_id"], lower_s=-1800, upper_s=0, bucket_s=1800
+    )
+    agg = j.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("click_value_sum"),
+    )
+    return (
+        pur.select("event_id", "user_id")
+        .join(agg, ["event_id", "user_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            "click_value_sum",
+        )
+    )
+
+
+@register(
+    "events_value_percentiles",
+    """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       min(value) AS vmin,
+       max(value) AS vmax
+FROM events GROUP BY event_type
+""",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` implement the same
+    continuous-quantile definition, so values must agree to 6 dp.
+    (At 100 TB swap in ``approx_percentile`` — same plan shape, sketch
+    merge instead of exact sort; kept exact here for a checkable
+    oracle.)"""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("p50"),
+        F.expr("percentile(value, 0.9D)").alias("p90"),
+        F.expr("percentile(value, 0.99D)").alias("p99"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@register(
+    "events_daily_users_hll",
+    """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS sketch_ok
+FROM events GROUP BY 1, 2
+""",
+)
+def events_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per (day, type) two ways: exact, and via MERGED
+    per-hour Datasketches HLL partials (``hll_sketch_agg`` →
+    ``hll_union_agg`` → estimate) — the mergeable-sketch pattern that
+    makes a continuous-aggregate rollup possible for non-additive
+    measures at 100 TB (events_daily_rollup deliberately excludes
+    distinct counts because plain counts don't re-aggregate; sketches
+    do). ``sketch_ok`` asserts the estimate lands within 5% of exact —
+    the oracle pins it TRUE, so a drifting sketch fails the hash."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily_est = hourly.groupBy(
+        F.date_trunc("day", "hour").alias("day"), "event_type"
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    daily_exact = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+    return daily_exact.join(daily_est, ["day", "event_type"]).select(
+        "day",
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("est") - F.col("n_users"))
+            <= 0.05 * F.col("n_users")
+        ).alias("sketch_ok"),
+    )

@@ -1,0 +1,196 @@
+"""operators/temporal: as-of join (backward/forward, tolerance, tie
+determinism, left-outer nulls) and range join (plain vs bucketed
+parity, bound inclusivity), plus the one-shuffle plan contract."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.plans.inspect import (
+    shuffle_count,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:00:00"), 5.0),
+            (2, 10, _ts("2024-01-01T12:00:00"), 6.0),
+            (3, 20, _ts("2024-01-01T09:00:00"), 7.0),  # before any right
+            (4, 30, _ts("2024-01-01T09:00:00"), 8.0),  # user with no right
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T09:30:00"), 1.0),
+            (10, _ts("2024-01-01T10:00:00"), 2.0),  # ties left row 1 exactly
+            (10, _ts("2024-01-01T11:00:00"), 3.0),
+            (20, _ts("2024-01-01T09:30:00"), 4.0),
+        ],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    return left, right
+
+
+def _by_id(rows):
+    return {r["event_id"]: r for r in rows}
+
+
+def test_asof_backward_inclusive_and_left_outer(spark, frames):
+    left, right = frames
+    got = _by_id(
+        asof_join(left, right, on=["user_id"], payload=["value"]).collect()
+    )
+    assert len(got) == 4  # every left row survives
+    # equality is inclusive: row 1 matches the 10:00:00 right row
+    assert got[1]["value_r"] == 2.0
+    assert got[1]["ts_r"] == _ts("2024-01-01T10:00:00")
+    # latest prior (11:00), not just any prior
+    assert got[2]["value_r"] == 3.0
+    # left rows before any right / with no right partner keep nulls
+    assert got[3]["value_r"] is None and got[3]["ts_r"] is None
+    assert got[4]["value_r"] is None
+    # left's own columns untouched
+    assert got[1]["value"] == 5.0
+
+
+def test_asof_forward(spark, frames):
+    left, right = frames
+    got = _by_id(
+        asof_join(
+            left, right, on=["user_id"], payload=["value"], direction="forward"
+        ).collect()
+    )
+    # earliest at-or-after: row 1 → 10:00 (inclusive), row 3 → 09:30
+    assert got[1]["value_r"] == 2.0
+    assert got[3]["value_r"] == 4.0
+    # row 2 (12:00) has nothing after it
+    assert got[2]["value_r"] is None
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, frames):
+    left, right = frames
+    got = _by_id(
+        asof_join(
+            left,
+            right,
+            on=["user_id"],
+            payload=["value"],
+            tolerance_s=3600,
+        ).collect()
+    )
+    assert got[1]["value_r"] == 2.0  # 0 s gap: kept
+    assert got[2]["value_r"] == 3.0  # 3600 s gap: kept (inclusive bound)
+    assert got[3]["value_r"] is None
+    got2 = _by_id(
+        asof_join(
+            left,
+            right,
+            on=["user_id"],
+            payload=["value"],
+            tolerance_s=3599,
+        ).collect()
+    )
+    assert got2[2]["value_r"] is None  # 3600 s gap > 3599 s: nulled
+    assert got2[2]["ts_r"] is None
+
+
+def test_asof_tied_right_rows_deterministic(spark):
+    """Two right rows at the SAME (key, ts): the md5-payload tiebreak
+    must pick the same survivor on every run/partitioning."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T10:00:00"))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T09:00:00"), 111.0),
+            (10, _ts("2024-01-01T09:00:00"), 222.0),
+        ],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    vals = {
+        # left has no `value` column, so the payload keeps its bare name
+        asof_join(
+            left.repartition(n), right, on=["user_id"], payload=["value"]
+        ).collect()[0]["value"]
+        for n in (1, 2, 5)
+    }
+    assert len(vals) == 1  # same survivor regardless of partitioning
+
+
+def test_asof_join_is_single_shuffle(spark, frames):
+    """The 100 TB contract: union + keyed window = ONE exchange on the
+    join key — the same lower bound a plain keyed join pays."""
+    left, right = frames
+    out = asof_join(left, right, on=["user_id"], payload=["value"])
+    assert shuffle_count(out) == 1
+
+
+def test_range_join_bounds_inclusive(spark, frames):
+    left, right = frames
+    got = range_join(
+        left, right, on=["user_id"], lower_s=-1800, upper_s=0
+    ).collect()
+    # row 1 (10:00): right 09:30 (-1800 s, inclusive) and 10:00 (0 s)
+    pairs = {
+        (r["event_id"], r["value_r"]) for r in got
+    }
+    assert (1, 1.0) in pairs and (1, 2.0) in pairs
+    assert (2, 3.0) not in pairs  # 11:00 is 3600 s before 12:00: outside
+    assert not any(e == 4 for e, _ in pairs)  # inner join drops no-match
+
+
+def test_range_join_bucketed_equals_plain(spark):
+    """The bucketed scale path must produce exactly the plain path's
+    pairs — for bucket widths smaller, equal to, and larger than the
+    window, including negative-epoch-robust cells."""
+    import random
+
+    rng = random.Random(7)
+    base = _ts("2024-01-01T00:00:00")
+    left = spark.createDataFrame(
+        [
+            (i, rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(86400)))
+            for i in range(120)
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(86400)), float(i))
+            for i in range(200)
+        ],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    plain = {
+        (r["event_id"], r["value"])
+        for r in range_join(
+            left, right, on=["user_id"], lower_s=-900, upper_s=900
+        ).collect()
+    }
+    assert plain  # non-degenerate fixture
+    for bucket in (450, 1800, 7200):
+        bucketed = {
+            (r["event_id"], r["value"])
+            for r in range_join(
+                left,
+                right,
+                on=["user_id"],
+                lower_s=-900,
+                upper_s=900,
+                bucket_s=bucket,
+            ).collect()
+        }
+        assert bucketed == plain, f"bucket_s={bucket}"
