@@ -44,6 +44,10 @@ HEADLINE = [
     "top_revenue_orders",
     "nation_revenue",
     "events_sessionized",
+    # round 4: temporal joins + sketch rollup (new keys — no history)
+    "events_asof_purchase_click",
+    "events_range_click_context",
+    "events_daily_users_hll",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Scale check: distributed as-of join and bucketed range join.
+
+Synthesizes N left (label) events and N right (state) events over K
+keys, then measures:
+
+- ``asof_join``: the union + single-keyed-window composition. Cost
+  must scale ~linearly in N (one shuffle + one partition-local sort),
+  NOT in left×right — the naive per-left-row probe is quadratic per
+  key.
+- ``range_join`` bucketed vs plain: with hot keys (few distinct keys,
+  many rows each) the plain keyed join materializes |L_k|x|R_k|
+  candidate pairs per key before the band filter; the bucketed path
+  joins on (key, time-cell) so candidates are bounded by rows per
+  cell. Both are timed; pair counts printed for context.
+
+Usage: python tools/scale_check_temporal.py [N] [K]
+Defaults: 2_000_000 rows per side, 10_000 keys (then a 16-key hot
+re-run for the range-join comparison).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.session import (
+    get_spark,
+)
+
+
+def synth(spark, n: int, k: int, seed_tag: str):
+    """n events over k keys spread across ~30 days, deterministic."""
+    return (
+        spark.range(n, numPartitions=32)
+        .withColumn("user_id", F.xxhash64("id", F.lit(seed_tag)) % k)
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(SECOND, abs(xxhash64(id, 'ts" + seed_tag + "')) % 2592000, "
+                "TIMESTAMP_NTZ'2024-01-01 00:00:00')"
+            ),
+        )
+        .withColumn("value", (F.col("id") % 1000).cast("double"))
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    spark = get_spark("scale_temporal", cpus="32")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    left = synth(spark, n, k, "L").localCheckpoint(eager=True)
+    right = synth(spark, n, k, "R").localCheckpoint(eager=True)
+
+    t0 = time.time()
+    out = asof_join(
+        left.select("id", "user_id", "ts"),
+        right.select("user_id", "ts", "value"),
+        on=["user_id"],
+    )
+    n_matched = out.filter(F.col("value").isNotNull()).count()
+    t_asof = time.time() - t0
+    print(
+        f"asof_join: {n}x{n} rows over {k} keys -> {t_asof:.2f}s "
+        f"({n / t_asof / 1e6:.2f}M left rows/s, {n_matched} matched)"
+    )
+
+    # hot-key range join: few keys so the plain path's per-key cross
+    # product is large, the bucketed path's per-cell product is not
+    hot_k = 16
+    n_hot = min(n, 400_000)
+    lh = synth(spark, n_hot, hot_k, "LH").localCheckpoint(eager=True)
+    rh = synth(spark, n_hot, hot_k, "RH").localCheckpoint(eager=True)
+    for label, kwargs in (
+        ("plain", {}),
+        ("bucketed", {"bucket_s": 900}),
+    ):
+        t0 = time.time()
+        cnt = range_join(
+            lh.select("id", "user_id", "ts"),
+            rh.select("user_id", "ts", "value"),
+            on=["user_id"],
+            lower_s=-900,
+            upper_s=0,
+            **kwargs,
+        ).count()
+        print(
+            f"range_join[{label}]: {n_hot}x{n_hot} rows over {hot_k} hot keys "
+            f"-> {time.time() - t0:.2f}s ({cnt} pairs)"
+        )
+
+
+if __name__ == "__main__":
+    main()
