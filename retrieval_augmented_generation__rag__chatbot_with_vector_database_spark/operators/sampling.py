@@ -17,7 +17,7 @@ SQL-oracle-mirrorable, so the oracle queries use the raw-key form).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,3 +50,65 @@ def stratified_mod_sample(
     if listed is None:
         return df.filter(default_keep)
     return df.filter(kept | (~listed & default_keep))
+
+
+# Knuth multiplicative constant: key -> deterministic uniform in (0,1).
+# Pure integer arithmetic so the DuckDB oracle reproduces it digit for
+# digit (xxhash64 would be better-mixed but is Spark-only). +0.5 keeps
+# u strictly inside (0,1) so pow/ln are well-defined.
+_KNUTH = 2654435761
+
+
+def key_uniform(key_col: str) -> Column:
+    """Deterministic pseudo-uniform in (0,1) from an integer key —
+    ``((key * 2654435761) % 2^32 + 0.5) / 2^32``. A pure function of
+    the key: re-runs, backfills, and the SQL oracle agree row for row
+    (same property as stratified_mod_sample, better spread)."""
+    return (
+        (F.pmod(F.col(key_col).cast("long") * F.lit(_KNUTH), F.lit(4294967296))
+         + F.lit(0.5))
+        / F.lit(4294967296.0)
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row gets priority ``u^(1/w)``
+    with ``u = key_uniform(key)`` and ``w`` its positive weight; the
+    ``k`` highest priorities form an exact weighted-without-replacement
+    sample — and because ``u`` is a pure function of the key, the same
+    rows win on every run, partial re-run, or engine.
+
+    Scale shape: per-stratum (``strata_col``) the ranking is a
+    ``row_number`` window — WindowGroupLimit keeps only k rows per
+    stratum per map task before the shuffle; global (``strata_col
+    =None``) ranking sorts only the k survivors of a distributed
+    ``orderBy(...).limit(k)`` (TakeOrderedAndProject — no global sort
+    materializes). Adds ``priority`` and ``rank`` columns.
+
+    Weights must be > 0; rows with NULL or non-positive weight are
+    excluded (they have zero inclusion probability in A-ES).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(key_uniform(key_col), F.lit(1.0) / w).alias("priority")
+    base = df.filter(w.isNotNull() & (w > 0)).select("*", pri)
+    order = [F.col("priority").desc(), F.col(key_col).asc()]
+    if strata_col is not None:
+        win = Window.partitionBy(strata_col).orderBy(*order)
+        return (
+            base.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+        )
+    top = base.orderBy(*order).limit(k)
+    # rank the k survivors only — a k-row window, not a global sort
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )

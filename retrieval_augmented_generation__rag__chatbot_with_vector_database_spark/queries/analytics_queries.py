@@ -493,3 +493,69 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.sum("total_value").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "events_value_histogram",
+    """
+SELECT event_type,
+       least(floor(value / 25.0), 19)::BIGINT AS bucket,
+       count(*) AS n,
+       min(value) AS bucket_min,
+       max(value) AS bucket_max
+FROM events
+GROUP BY event_type, least(floor(value / 25.0), 19)
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram profile (25-unit buckets, last bucket
+    open-ended): the single-pass data-profiling shape — one partial
+    aggregate per (type, bucket), one shuffle of #groups rows, fully
+    codegen'd. The profiling stage of a curation pipeline runs dozens
+    of these in one pass over 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("bigint")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("bucket_min"),
+        F.max("value").alias("bucket_max"),
+    )
+
+
+@register(
+    "documents_field_profile",
+    """
+SELECT count(*) AS n_rows,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty_text,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       (sum(n_chars::DECIMAL(18,4)) / count(*))::VARCHAR::DOUBLE AS avg_chars,
+       quantile_cont(n_chars, 0.5) AS median_chars
+FROM documents
+""",
+)
+def documents_field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table field profile (nulls/empties, cardinalities, char
+    stats, exact median) in ONE aggregate pass — the data-quality gate
+    run before a corpus enters training. At 100 TB the distincts
+    become approx_count_distinct and the median approx_percentile —
+    same single-pass plan, sketch merges instead of exact state."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length("text") == 0), 1
+            ).otherwise(0)
+        ).alias("n_empty_text"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum(F.col("n_chars").cast("decimal(18,4)")) / F.count("*"))
+        .cast("double")
+        .alias("avg_chars"),
+        F.expr("percentile(n_chars, 0.5D)").alias("median_chars"),
+    )

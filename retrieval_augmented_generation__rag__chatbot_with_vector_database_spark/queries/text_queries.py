@@ -285,3 +285,42 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_total"), 6
         ).alias("kept_share"),
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    """
+WITH pri AS (
+  SELECT lang, doc_id, n_chars,
+         pow(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0,
+             1.0 / n_chars) AS priority
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY priority DESC, doc_id ASC) AS rank
+  FROM pri
+)
+SELECT lang, rank::INT AS rank, doc_id, n_chars
+FROM ranked WHERE rank <= 5
+""",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES priorities, operators/sampling.py):
+    top-5 docs per language, inclusion probability proportional to
+    n_chars. The uniform is a pure integer function of doc_id, so the
+    DuckDB oracle reproduces the exact sample — the re-run/backfill
+    stability a 100 TB curation pipeline needs (seeded RNG sampling
+    changes rows whenever partitioning changes; this never does).
+    Priorities are ranked but not emitted (pow ULP is engine-specific;
+    rank order is not)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    top = weighted_priority_sample(
+        docs, "doc_id", "n_chars", k=5, strata_col="lang"
+    )
+    return top.select("lang", "rank", "doc_id", "n_chars")

@@ -1,0 +1,89 @@
+"""operators/sampling.weighted_priority_sample: determinism across
+partitionings, weight-proportional inclusion, per-stratum plan shape,
+and input validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+    key_uniform,
+    weighted_priority_sample,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.plans.inspect import (
+    has_window_group_limit,
+)
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    # 1000 heavy (w=50) + 1000 light (w=1) rows
+    return spark.range(2000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") < 1000, 50.0).otherwise(1.0).alias("w"),
+        F.when(F.col("id") < 1000, "heavy").otherwise("light").alias("grp"),
+    )
+
+
+def test_sample_deterministic_across_partitionings(spark, items):
+    picks = [
+        tuple(
+            r["key"]
+            for r in weighted_priority_sample(
+                items.repartition(n), "key", "w", k=100
+            )
+            .orderBy("rank")
+            .collect()
+        )
+        for n in (1, 3, 17)
+    ]
+    assert picks[0] == picks[1] == picks[2]
+    assert len(picks[0]) == 100
+
+
+def test_heavy_weights_dominate_sample(spark, items):
+    got = weighted_priority_sample(items, "key", "w", k=200).collect()
+    heavy = sum(1 for r in got if r["key"] < 1000)
+    # w=50 vs w=1: expected heavy share >> 50%; generous bound
+    assert heavy > 150, f"only {heavy}/200 heavy rows sampled"
+
+
+def test_stratified_variant_ranks_within_stratum(spark, items):
+    got = weighted_priority_sample(
+        items, "key", "w", k=7, strata_col="grp"
+    ).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], []).append(r["rank"])
+    assert set(by_grp) == {"heavy", "light"}
+    for ranks in by_grp.values():
+        assert sorted(ranks) == list(range(1, 8))
+
+
+def test_stratified_plan_uses_window_group_limit(spark, items):
+    out = weighted_priority_sample(items, "key", "w", k=7, strata_col="grp")
+    assert has_window_group_limit(out)
+
+
+def test_nonpositive_and_null_weights_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -1.0), (4, None)],
+        "key long, w double",
+    )
+    got = weighted_priority_sample(df, "key", "w", k=10).collect()
+    assert [r["key"] for r in got] == [1]
+
+
+def test_key_uniform_in_open_unit_interval(spark):
+    stats = (
+        spark.range(100_000)
+        .select(key_uniform("id").alias("u"))
+        .agg(F.min("u"), F.max("u"), F.avg("u"))
+        .first()
+    )
+    assert 0.0 < stats[0] and stats[1] < 1.0
+    assert 0.45 < stats[2] < 0.55  # roughly uniform
+
+
+def test_k_must_be_positive(spark, items):
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_priority_sample(items, "key", "w", k=0)
