@@ -194,3 +194,89 @@ def test_range_join_bucketed_equals_plain(spark):
             ).collect()
         }
         assert bucketed == plain, f"bucket_s={bucket}"
+
+
+def test_range_join_bucketed_is_pure_equi_join(spark, frames):
+    """Plan contract for the scale path: the bucketed range join must
+    be a hash join on (key, cell) — never a nested-loop/cartesian
+    product, which is what a bare band predicate degenerates to
+    without an equi-key."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    left, right = frames
+    out = range_join(
+        left, right, on=["user_id"], lower_s=-1800, upper_s=0, bucket_s=1800
+    )
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_randomized_against_python_reference(spark):
+    """200 seeded random left/right rows over few keys (dense ties,
+    unmatched keys, equal timestamps): asof_join must agree row for
+    row with a transparent per-row Python evaluator, in backward and
+    forward directions, with and without tolerance."""
+    import random
+
+    rng = random.Random(42)
+    base = _ts("2024-01-01T00:00:00")
+
+    # left may repeat timestamps (and tie right rows exactly); right
+    # timestamps are unique so the per-row reference is well-defined
+    # (tied right rows resolve by an md5 tiebreak the transparent
+    # reference can't reproduce — tie determinism has its own test)
+    lrows = [
+        (
+            i,
+            rng.randrange(6),
+            base + dt.timedelta(seconds=rng.randrange(0, 36000, 60)),
+            float(i),
+        )
+        for i in range(200)
+    ]
+    rrows = [
+        (rng.randrange(6), base + dt.timedelta(seconds=s), float(i))
+        for i, s in enumerate(rng.sample(range(0, 36000, 60), 200))
+    ]
+    left = spark.createDataFrame(
+        lrows, "event_id long, user_id long, ts timestamp_ntz, lval double"
+    )
+    right = spark.createDataFrame(
+        rrows, "user_id long, ts timestamp_ntz, value double"
+    )
+
+    def ref(direction, tol):
+        out = {}
+        for eid, u, t, _ in lrows:
+            if direction == "backward":
+                cands = [(rt, rv) for ru, rt, rv in rrows if ru == u and rt <= t]
+                best = max(cands, default=None)
+            else:
+                cands = [(rt, rv) for ru, rt, rv in rrows if ru == u and rt >= t]
+                best = min(cands, default=None)
+            if best is not None and tol is not None:
+                if abs((t - best[0]).total_seconds()) > tol:
+                    best = None
+            out[eid] = best
+        return out
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 1800):
+            got = {
+                r["event_id"]: (
+                    (r["ts_r"], r["value"]) if r["ts_r"] is not None else None
+                )
+                for r in asof_join(
+                    left,
+                    right,
+                    on=["user_id"],
+                    payload=["value"],
+                    direction=direction,
+                    tolerance_s=tol,
+                ).collect()
+            }
+            expected = ref(direction, tol)
+            assert got == expected, f"direction={direction} tol={tol}"
