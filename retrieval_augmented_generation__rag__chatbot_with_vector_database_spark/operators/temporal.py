@@ -75,8 +75,19 @@ def asof_join(
     for k in on:
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join key {k!r} missing from one side")
+    reserved = {"__t", "__tag", "__tb", "__rts", "__mts"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"reserved column names in input: {sorted(clash)}")
     if payload is None:
         payload = [c for c in right.columns if c not in on and c != right_ts]
+
+    # SQL join equality never matches NULL keys: a NULL-key right row
+    # must match nothing (window partitionBy would otherwise group
+    # NULL with NULL). NULL-key left rows stay, unmatched, via the
+    # left-outer contract.
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
 
     # temp names dodge clashes with left columns during the union
     tmp = {c: f"__p{i}" for i, c in enumerate(payload)}

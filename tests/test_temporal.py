@@ -280,3 +280,27 @@ def test_asof_randomized_against_python_reference(spark):
             }
             expected = ref(direction, tol)
             assert got == expected, f"direction={direction} tol={tol}"
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL join equality is NULL-hostile: a NULL-key right row matches
+    nothing, and a NULL-key left row survives unmatched (left-outer) —
+    matching DuckDB ASOF semantics, not window-partition NULL grouping."""
+    left = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01T10:00:00")), (2, 10, _ts("2024-01-01T10:00:00"))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts("2024-01-01T09:00:00"), 111.0), (10, _ts("2024-01-01T09:00:00"), 7.0)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    got = _by_id(asof_join(left, right, on=["user_id"], payload=["value"]).collect())
+    assert len(got) == 2
+    assert got[1]["value"] is None and got[1]["ts_r"] is None
+    assert got[2]["value"] == 7.0
+
+
+def test_asof_reserved_names_rejected(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="reserved column"):
+        asof_join(left.withColumn("__tag", F.lit(1)), right, on=["user_id"])
