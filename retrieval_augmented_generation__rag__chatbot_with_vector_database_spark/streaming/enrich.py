@@ -1,0 +1,98 @@
+"""Streaming point-in-time enrichment (SURVEY.md §2k × the temporal
+north-star): attach the most recent at-or-before state snapshot to
+every incoming event — the online twin of ``operators.temporal.
+asof_join``.
+
+Feature-store shape: a label/event stream must pick up features "as
+of" the event time, never from the future (feature leakage) and never
+silently stale (tolerance). Spark has no native streaming ASOF join;
+the Spark-first form is ``foreachBatch``: each micro-batch is a
+bounded DataFrame, so the BATCH as-of composition (union + one keyed
+window — ``operators/temporal.py``) applies verbatim, giving exact
+batch parity by construction (the same code runs).
+
+State side options at 100 TB:
+- a slowly-changing dimension on parquet/Delta: re-read per batch,
+  partition-pruned by the batch's key range — the common case;
+- a compacted snapshot maintained by a second stream (LWW upsert,
+  ``sources/index_table`` pattern) — for high-churn state.
+
+The micro-batch sees state as of BATCH START (stream-static join
+semantics: state updates land between batches, not within one) — the
+same freshness contract Spark's own stream-static joins give, stated
+here explicitly. Tolerance bounds the staleness a feature may carry.
+
+Reference parity: the reference has no streaming surface beyond
+upload-triggered ingest (SURVEY §2k); this is a north-star extension.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+    asof_join,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming import StreamingQuery
+
+EVENT_STREAM_SCHEMA = "event_id long, user_id long, ts timestamp, value double"
+
+
+def enrich_batch(
+    batch: DataFrame,
+    state: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """One micro-batch of events enriched against the state table —
+    exactly the batch as-of join (same code path, so stream == batch
+    output for identical inputs; tested)."""
+    return asof_join(
+        batch,
+        state,
+        on=on,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        payload=payload,
+        tolerance_s=tolerance_s,
+    )
+
+
+def start_enrich_stream(
+    spark: SparkSession,
+    landing_glob: str,
+    state_source: Callable[[SparkSession], DataFrame],
+    sink_dir: str,
+    checkpoint_dir: str,
+    on: list[str],
+    schema: str = EVENT_STREAM_SCHEMA,
+    tolerance_s: float | None = None,
+) -> "StreamingQuery":
+    """File-stream wrapper: events drop into ``landing_glob``; each
+    micro-batch is as-of enriched against ``state_source(spark)``
+    (re-resolved EVERY batch — a parquet re-read sees state updates
+    between batches; partition pruning keeps the re-read narrow) and
+    appended to ``sink_dir``. availableNow + checkpoint: drains
+    pending files then stops; restart-safe (a replayed batch rewrites
+    the same rows — asof output is a pure function of batch + state).
+    """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        state = state_source(batch.sparkSession)
+        out = enrich_batch(batch, state, on=on, tolerance_s=tolerance_s)
+        out.write.mode("append").parquet(sink_dir)
+
+    stream = spark.readStream.schema(schema).parquet(landing_glob)
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

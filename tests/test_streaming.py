@@ -399,3 +399,77 @@ def test_stateful_timeout_finalizes_quiet_users(spark, tmp_path):
     assert fin[102]["n_events"] == 1
     # exactly one finalized row per quiet user
     assert emitted.filter("finalized").count() == 2
+
+
+def test_enrich_stream_matches_batch_asof(spark, tmp_path):
+    """Stream-static as-of enrichment: events dropped as two separate
+    micro-batch files, enriched against a static state table, must
+    equal the one-shot batch asof_join over the same rows — and a
+    restart with the same checkpoint must not duplicate output."""
+    import datetime as dt
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+        asof_join,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.enrich import (
+        start_enrich_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    state_rows = [
+        (10, base + dt.timedelta(minutes=m), float(m)) for m in (0, 30, 60)
+    ] + [(20, base + dt.timedelta(minutes=45), 99.0)]
+    state = spark.createDataFrame(
+        state_rows, "user_id long, ts timestamp, score double"
+    )
+    state_dir = str(tmp_path / "state")
+    state.write.parquet(state_dir)
+
+    landing = tmp_path / "ev_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "enrich_ckpt")
+
+    ev1 = [(1, 10, base + dt.timedelta(minutes=40), 1.0),
+           (2, 20, base + dt.timedelta(minutes=10), 2.0)]
+    ev2 = [(3, 10, base + dt.timedelta(minutes=90), 3.0),
+           (4, 30, base + dt.timedelta(minutes=5), 4.0)]
+    ev_schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def state_source(s):
+        return s.read.parquet(state_dir)
+
+    spark.createDataFrame(ev1, ev_schema).write.parquet(str(landing / "b1"))
+    q = start_enrich_stream(
+        spark, str(landing) + "/*", state_source, sink, ckpt, on=["user_id"]
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(ev2, ev_schema).write.parquet(str(landing / "b2"))
+    q = start_enrich_stream(
+        spark, str(landing) + "/*", state_source, sink, ckpt, on=["user_id"]
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["event_id"]: (r["score"], r["ts_r"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        r["event_id"]: (r["score"], r["ts_r"])
+        for r in asof_join(
+            spark.createDataFrame(ev1 + ev2, ev_schema),
+            state,
+            on=["user_id"],
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 4  # no duplicates across the restart
+    assert streamed[1][0] == 30.0  # latest state at-or-before 00:40
+    assert streamed[4][0] is None  # unknown user: left-outer null
+
+    # replaying with the same checkpoint emits nothing new
+    q = start_enrich_stream(
+        spark, str(landing) + "/*", state_source, sink, ckpt, on=["user_id"]
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 4
