@@ -165,6 +165,46 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def banded_wide(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Attach band keys to a (id, h0..h{n-1}) signature frame:
+    ``band{b}`` = md5 over that band's signature rows. Shared by the
+    batch LSH join and the streaming bucket table so both agree on
+    what a candidate is."""
+    rows = n_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]).cast(
+                "binary"
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sig.select("id", *[F.col(f"h{i}") for i in range(n_hashes)], *band_cols)
+
+
+def band_explode(wide: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Long form of :func:`banded_wide`: one row per (doc, band) with
+    ``b`` (band index) + ``bk`` (band key), signature columns kept —
+    the join/bucket-table layout."""
+    return wide.select(
+        "id",
+        *[F.col(f"h{i}") for i in range(n_hashes)],
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "b", "bk"
+        ),
+    )
+
+
+def est_jaccard_column(n_hashes: int) -> Column:
+    """Estimated Jaccard between two signatures laid out as a{i}/b{i}
+    columns: fraction of equal components, rounded to 6 dp."""
+    eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return F.round(eq / F.lit(n_hashes), 6)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -180,29 +220,15 @@ def minhash_lsh_pairs(
     rows); docs sharing any band key become candidates; the estimate
     is the fraction of equal signature components. Only band keys are
     joined — the scalable near-dup path."""
-    rows = n_hashes // bands
     # signatures are 1 row/doc — tiny next to the shingle explosion
     # that produces them. Materialize once (eager localCheckpoint) so
     # the band join + estimate joins reuse it instead of re-running
     # the shingle → 16×md5-min job per consumer (~10× at 4 bands).
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).localCheckpoint()
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]).cast(
-                "binary"
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *[F.col(f"h{i}") for i in range(n_hashes)], *band_cols)
+    banded = banded_wide(sig, n_hashes, bands)
     # one self-join on (band index, band key) instead of a per-band
     # union of joins: single shuffle, same candidate set
-    blong = banded.select(
-        "id",
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
-            "b", "bk"
-        ),
-    )
+    blong = band_explode(banded, n_hashes, bands).select("id", "b", "bk")
     a = blong.select(F.col("id").alias("id_a"), "b", "bk")
     c = blong.select(F.col("id").alias("id_b"), "b", "bk")
     cand = (
@@ -217,13 +243,10 @@ def minhash_lsh_pairs(
     sb = banded.select(
         F.col("id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)]
     )
-    eq = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(n_hashes)
-    )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("est_jaccard", F.round(eq / F.lit(n_hashes), 6))
+        .withColumn("est_jaccard", est_jaccard_column(n_hashes))
         .filter(F.col("est_jaccard") >= min_est)
         .select("id_a", "id_b", "est_jaccard")
     )

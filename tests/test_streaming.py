@@ -473,3 +473,68 @@ def test_enrich_stream_matches_batch_asof(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 4
+
+
+def test_neardup_stream_matches_batch_lsh(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup: pairs emitted across two
+    micro-batches (intra-batch + batch-vs-bucket-table) must equal the
+    offline minhash_lsh_pairs over the union of all docs, and a
+    re-arrived doc id must be suppressed (no self-pairs, no growth)."""
+    import datetime as dt
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.neardup import (
+        start_neardup_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    alt = "completely different content about spark partitioning and shuffles "
+    docs1 = [
+        (1, base * 4, "s1"),
+        (2, base * 4 + "tail edit", "s2"),         # near-dup of 1 (same batch)
+        (3, alt * 4, "s3"),
+    ]
+    docs2 = [
+        (4, base * 4 + "another small tail", "s4"),  # near-dup of 1 and 2 (cross-batch)
+        (5, alt * 4 + "with its own suffix", "s5"),  # near-dup of 3 (cross-batch)
+        (1, base * 4, "s1-reupload"),                # exact re-arrival: suppressed
+    ]
+    ts = dt.datetime(2024, 1, 1)
+    schema = "doc_id long, ts timestamp, text string, source string"
+
+    landing = tmp_path / "nd_landing"
+    landing.mkdir()
+    buckets = str(tmp_path / "nd_buckets")
+    pairs_sink = str(tmp_path / "nd_pairs")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    def drop(docs, name):
+        spark.createDataFrame(
+            [(i, ts, t, s) for i, t, s in docs], schema
+        ).write.parquet(str(landing / name))
+
+    drop(docs1, "b1")
+    q = start_neardup_stream(spark, str(landing) + "/*", buckets, pairs_sink, ckpt)
+    q.awaitTermination(120)
+    drop(docs2, "b2")
+    q = start_neardup_stream(spark, str(landing) + "/*", buckets, pairs_sink, ckpt)
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in spark.read.parquet(pairs_sink).collect()
+    }
+    union = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs1 + docs2[:2]], "doc_id long, text string"
+    )
+    offline = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(union).collect()
+    }
+    assert streamed == offline
+    assert streamed  # non-degenerate: the fixture does contain near-dups
+    assert all(a != b for a, b, _ in streamed)  # re-arrival: no self-pairs
+    # bucket table holds one row per (doc, band) for the 5 distinct docs
+    assert spark.read.parquet(buckets).select("id").distinct().count() == 5
