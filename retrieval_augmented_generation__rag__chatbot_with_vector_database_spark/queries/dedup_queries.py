@@ -180,9 +180,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_duplicate_groups",
-    f"""
+_DUP_GROUPS_ORACLE = f"""
 WITH RECURSIVE {_SH_CTE},
 seeds AS (SELECT range AS seed FROM range(0, 16)),
 mh AS (
@@ -218,8 +216,10 @@ comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
 SELECT component, count(*) AS n_members,
        string_agg(id::VARCHAR, ',' ORDER BY id) AS members
 FROM comp GROUP BY component
-""",
-)
+"""
+
+
+@register("dedup_duplicate_groups", _DUP_GROUPS_ORACLE)
 def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate GROUPS: LSH candidate pairs (est Jaccard >= 0.25)
     clustered into connected components via min-label propagation —
@@ -230,6 +230,19 @@ def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), n_hashes=16, bands=4, min_est=0.25
     )
     return dedup.duplicate_groups(pairs)
+
+
+@register("dedup_duplicate_groups_star", _DUP_GROUPS_ORACLE)
+def dedup_duplicate_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate groups, clustered by LARGE-STAR/SMALL-STAR
+    connected components (O(log n) rounds on any graph shape — the
+    form that survives web-scale long-chain graphs where min-label
+    propagation needs diameter-many rounds). Same oracle: the
+    algorithms must agree exactly."""
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n_hashes=16, bands=4, min_est=0.25
+    )
+    return dedup.duplicate_groups(pairs, algorithm="star")
 
 
 @register(

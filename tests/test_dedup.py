@@ -2,6 +2,8 @@
 paths are oracle-checked in the registry; these cover the graph
 clustering step and its edge cases."""
 
+import pytest
+
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
     connected_components,
     duplicate_groups,
@@ -62,3 +64,58 @@ def test_stratified_mod_sample(spark):
     assert ids1 == ids2
     with _pytest.raises(ValueError, match="invalid rate"):
         stratified_mod_sample(df, "grp", "id", {"a": (3, 2)})
+
+
+def test_star_cc_equals_label_propagation_on_random_graphs(spark):
+    """large-star/small-star must produce exactly min-label
+    propagation's components on seeded random pair sets (clusters,
+    overlaps, singleton pairs)."""
+    import random
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(120), rng.randrange(120)) for _ in range(150)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        lp = {
+            (r["id"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        star = {
+            (r["id"], r["component"])
+            for r in connected_components_star(df).collect()
+        }
+        assert star == lp, f"seed={seed}"
+
+
+def test_star_cc_handles_long_chain_within_log_rounds(spark):
+    """A 300-node path: min-label propagation needs 300 rounds (its
+    default max_iter=20 warns and splits the chain); the star variant
+    converges inside its default budget (O(log n) rounds) and labels
+    every node with component 0."""
+    import warnings as w
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        got = connected_components_star(chain).collect()
+    assert not [x for x in caught if issubclass(x.category, RuntimeWarning)]
+    assert len(got) == 301
+    assert {r["component"] for r in got} == {0}
+
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        connected_components(chain).collect()
