@@ -1,0 +1,130 @@
+"""Hybrid retrieval: lexical TF-IDF top-k fused with vector top-k by
+Reciprocal Rank Fusion — the standard retrieval upgrade over
+pure-vector RAG (keyword-precise hits surface even when the embedding
+misses them, and vice versa).
+
+Spark shapes:
+- **Lexical**: docs explode to distinct terms once (one shuffle to a
+  (term)-keyed df/idf table, reusable across query batches); query
+  terms join doc terms on the term key — an inverted-index join, never
+  a scan of full texts per query. Scores sum IDF in DECIMAL (exact,
+  order-independent — float sums would hash-drift vs the oracle).
+- **Vector**: the existing brute-force/ANN top-k operators.
+- **Fusion**: full-outer join of the two rank lists on (query, doc);
+  ``RRF = Σ 1/(k0 + rank)`` needs only the integer ranks, so the
+  fused score is bit-identical in any engine. Per-query top-k via
+  row_number (WindowGroupLimit below the exchange).
+
+At 100 TB: the term join is the classic inverted-index shuffle (skew
+on stopword-like terms responds to df-capping — drop terms with
+df > cap, which BM25 would down-weight to ~0 anyway — or salting);
+the vector side rides the IVF layout; fusion joins two k-row-per-query
+lists — negligible.
+
+Reference parity: the reference retrieves by vector similarity only
+(`app/services/pinecone_service.py` query path); hybrid is a
+north-star extension every production RAG stack grows into.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+IDF_DEC = "decimal(18,6)"
+
+
+def doc_terms(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, term): DISTINCT lowercase whitespace tokens per doc
+    (boolean term presence — the tf component is deliberately binary;
+    swap in tf weighting for BM25 without changing the plan shape)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def idf_table(terms: DataFrame, n_docs_df: DataFrame) -> DataFrame:
+    """(term, idf): smoothed ``ln((N+1)/(df+1))`` rounded to 6 dp and
+    cast to DECIMAL so downstream sums are exact and order-free.
+    ``n_docs_df`` is a 1-row (n) frame — kept declarative (broadcast
+    cross join) instead of a driver-side count."""
+    df_counts = terms.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    return df_counts.crossJoin(F.broadcast(n_docs_df)).select(
+        "term",
+        F.round(F.ln((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6)
+        .cast(IDF_DEC)
+        .alias("idf"),
+    )
+
+
+def lexical_topk(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, lex_score, lex_rank): top-k docs per query by
+    summed IDF of shared distinct terms; ties broken by doc id."""
+    dterms = doc_terms(docs, id_col, text_col)
+    n_docs = docs.agg(F.count("*").alias("n"))
+    idf = idf_table(dterms, n_docs)
+    qterms = doc_terms(
+        queries.select(
+            F.col(query_id_col).alias(query_id_col), F.col(query_text_col)
+        ),
+        query_id_col,
+        query_text_col,
+    ).withColumnRenamed("id", "query_id")
+    scores = (
+        qterms.join(dterms, "term")
+        .join(idf, "term")
+        .groupBy("query_id", F.col("id").alias("doc_id"))
+        .agg(F.sum("idf").alias("lex_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("lex_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("lex_rank", F.row_number().over(w))
+        .filter(F.col("lex_rank") <= k)
+    )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    vec: DataFrame,
+    k: int = 5,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of a lexical and a vector rank list
+    (columns: query_id, doc_id, lex_rank / vec_rank): ``fused =
+    Σ 1/(k0 + rank)`` over the lists a doc appears in, per-query top-k
+    by (fused desc, doc_id asc). Integer-rank arithmetic → the fused
+    double is bit-identical across engines."""
+    l = lex.select("query_id", "doc_id", "lex_rank")
+    v = vec.select("query_id", "doc_id", "vec_rank")
+    j = l.join(v, ["query_id", "doc_id"], "full_outer")
+    fused = (
+        F.coalesce(1.0 / (F.lit(k0) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(k0) + F.col("vec_rank")), F.lit(0.0))
+    ).alias("fused")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("fused").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.select("query_id", "doc_id", "lex_rank", "vec_rank", fused)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

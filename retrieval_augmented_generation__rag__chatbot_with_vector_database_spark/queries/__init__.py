@@ -105,4 +105,5 @@ def _import_all() -> None:
         multimodal_queries,
         ingest_queries,
         temporal_queries,
+        hybrid_queries,
     )

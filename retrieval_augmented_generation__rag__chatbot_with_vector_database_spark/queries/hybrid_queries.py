@@ -1,0 +1,157 @@
+"""Hybrid retrieval queries (operators/hybrid.py): lexical TF-IDF
+top-k, and its Reciprocal Rank Fusion with vector top-k — the
+two-signal retrieval a production RAG stack grows into. The 8 query
+docs double as their own query vectors (documents.doc_id ==
+embeddings.vec_id in the fixtures), so both signals are exercised over
+the same corpus and the oracle can reproduce everything in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+    lexical_topk,
+    rrf_fuse,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+    topk_search,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    load,
+    register,
+)
+
+N_QUERIES = 8
+LEX_K = 10
+VEC_K = 10
+FUSE_K = 5
+
+_LEX_CTES = rf"""
+nd AS (SELECT count(*) AS n FROM documents),
+dterm AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t <> ''))) AS term
+  FROM documents
+),
+qdoc AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id < {N_QUERIES}),
+qterm AS (
+  SELECT query_id, unnest(list_distinct(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t <> ''))) AS term
+  FROM qdoc
+),
+idf AS (
+  SELECT term, round(ln((n + 1.0) / (count(DISTINCT id) + 1.0)), 6)::DECIMAL(18,6) AS idf
+  FROM dterm, nd GROUP BY term, n
+),
+lex AS (
+  SELECT q.query_id, d.id AS doc_id, sum(i.idf) AS lex_score
+  FROM qterm q JOIN dterm d ON q.term = d.term JOIN idf i ON q.term = i.term
+  GROUP BY q.query_id, d.id
+),
+lexr AS (
+  SELECT query_id, doc_id, lex_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY lex_score DESC, doc_id ASC) AS lex_rank
+  FROM lex
+)
+"""
+
+
+@register(
+    "hybrid_lexical_topk",
+    f"""
+WITH {_LEX_CTES}
+SELECT query_id, doc_id, lex_score::VARCHAR::DOUBLE AS lex_score,
+       lex_rank::INT AS lex_rank
+FROM lexr WHERE lex_rank <= {LEX_K}
+""",
+)
+def hybrid_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index lexical retrieval: top-{LEX_K} docs per query by
+    summed smoothed IDF over shared distinct terms (DECIMAL sums —
+    exact, order-free). The term join is the classic inverted-index
+    shuffle; df/idf build once and are reusable across query batches."""
+    docs = load(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = lexical_topk(q, docs, k=LEX_K)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("lex_score").cast("double").alias("lex_score"),
+        "lex_rank",
+    )
+
+
+@register(
+    "hybrid_rrf_topk",
+    f"""
+WITH {_LEX_CTES},
+lex10 AS (SELECT query_id, doc_id, lex_rank FROM lexr WHERE lex_rank <= {LEX_K}),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+       FROM embeddings WHERE vec_id < {N_QUERIES}),
+vec AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         list_cosine_similarity(qv.qvec, e.embedding::DOUBLE[]) AS sim
+  FROM qv, embeddings e
+),
+vecr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id ASC) AS vec_rank
+  FROM vec
+),
+vec10 AS (SELECT query_id, doc_id, vec_rank FROM vecr WHERE vec_rank <= {VEC_K}),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.lex_rank, v.vec_rank,
+         coalesce(1.0 / (60 + l.lex_rank), 0) + coalesce(1.0 / (60 + v.vec_rank), 0) AS fused
+  FROM lex10 l FULL OUTER JOIN vec10 v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, lex_rank::INT AS lex_rank, vec_rank::INT AS vec_rank,
+         round(fused, 6) AS fused,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY fused DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, lex_rank, vec_rank, fused, rank::INT AS rank
+FROM ranked WHERE rank <= {FUSE_K}
+""",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval flagship: lexical top-{LEX_K} ∪ cosine
+    top-{VEC_K} fused by Reciprocal Rank Fusion (k0=60), per-query
+    top-{FUSE_K}. Fusion arithmetic is over integer ranks only, so the
+    fused double is bit-identical in both engines; missing-list docs
+    contribute 0 (full-outer semantics)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    q = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = lexical_topk(q, docs, k=LEX_K)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    vec = topk_search(qv, emb, k=VEC_K, metric="cosine").select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    out = rrf_fuse(lex, vec, k=FUSE_K, k0=60)
+    return out.select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round("fused", 6).alias("fused"),
+        "rank",
+    )

@@ -1,0 +1,69 @@
+"""operators/hybrid: lexical TF-IDF ranking and RRF fusion semantics
+(the end-to-end numbers are oracle-checked in the registry; these pin
+the operator-level contracts)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+    doc_terms,
+    lexical_topk,
+    rrf_fuse,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, "spark shuffle partition join"),
+            (1, "spark shuffle window"),
+            (2, "completely unrelated words here"),
+            (3, "join join join spark"),  # repeated terms: binary tf
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_doc_terms_distinct_and_nonempty(spark, corpus):
+    got = doc_terms(corpus).collect()
+    d3 = sorted(r["term"] for r in got if r["id"] == 3)
+    assert d3 == ["join", "spark"]  # distinct terms, repeats collapsed
+    assert all(r["term"] for r in got)
+
+
+def test_lexical_topk_prefers_rarer_terms(spark, corpus):
+    q = spark.createDataFrame(
+        [(100, "shuffle join")], "query_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["lex_rank"]
+        for r in lexical_topk(q, corpus, k=4).collect()
+    }
+    # doc 2 shares no term: absent entirely
+    assert 2 not in got
+    # doc 0 matches both terms → outranks single-term docs 1 and 3
+    assert got[0] == 1
+    assert set(got) == {0, 1, 3}
+
+
+def test_rrf_fusion_missing_list_contributes_zero(spark):
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, lex_rank int"
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, doc_id long, vec_rank int"
+    )
+    got = {
+        r["doc_id"]: (r["lex_rank"], r["vec_rank"], r["fused"], r["rank"])
+        for r in rrf_fuse(lex, vec, k=3).collect()
+    }
+    # doc 11 is in both lists → highest fused score
+    assert got[11][3] == 1
+    assert got[11][2] == pytest.approx(1 / 62 + 1 / 61)
+    # single-list docs carry a null rank on the missing side and only
+    # that side's contribution
+    assert got[10][1] is None and got[10][2] == pytest.approx(1 / 61)
+    assert got[12][0] is None and got[12][2] == pytest.approx(1 / 62)
+    # lex rank 1 (1/61) beats vec rank 2 (1/62); tie impossible here
+    assert got[10][3] == 2 and got[12][3] == 3
