@@ -1,0 +1,311 @@
+"""Product Quantization (PQ) with Asymmetric Distance Computation —
+the high-compression tier of the vector-index ladder (float32 → int8
+→ PQ): a dim-d float vector becomes ``m`` one-byte codes (~``4·d/m``×
+smaller), scored against FULL-PRECISION queries through per-query
+lookup tables.
+
+Spark shapes:
+- **Training** (`train_pq_codebooks`): per subspace j, k-means over
+  the j-th vector slice. Codebooks are tiny (m·k·(d/m) floats) and
+  k-means needs many passes, so training runs driver-side in numpy on
+  a BOUNDED deterministic sample (id-hash take, default ≤ 65 536 rows
+  — the standard practice at any corpus size: FAISS trains PQ on a
+  sample too). Deterministic init (lowest-hash sample rows) + fixed
+  Lloyd iterations → the same codebooks on every run.
+- **Encoding** (`pq_encode`): one `mapInArrow` pass; per Arrow batch,
+  m small GEMMs (batch × k per subspace) pick argmin codes. Output is
+  (id, codes array<int>, bit-packed by parquet) — the layout that lands in parquet.
+- **Probing** (`pq_topk`): queries are collected (bounded, loud error
+  past the cap — same contract as the GEMM probe) and broadcast; per
+  Arrow batch of codes, each query's LUT[m][k] of partial squared
+  distances is gathered and summed — no decompression, no float
+  vectors read. Per-query top-k via the usual window.
+- **Recall recovery**: like the int8 tier, PQ candidates over-fetch
+  (`fetch_k`) and a full-precision rerank against the original
+  vectors restores exact ordering (`pq_topk_rerank`).
+
+Codes are data-dependent (k-means), so PQ queries use boolean
+contract oracles (recall ≥ bound pinned TRUE) rather than value
+hashes — same pattern as the HLL rollup.
+
+Reference parity: the reference's Pinecone service exposes no
+quantization knobs; this extends the engine the way a self-hosted
+100 TB vector corpus requires (memory-resident codes, disk-resident
+floats touched only by the rerank).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PQ_META = "_pq_meta.json"
+
+
+def _sample_matrix(
+    index: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_rows: int,
+):
+    """Bounded deterministic training sample as a numpy matrix: the
+    ``max_rows`` lowest ``xxhash64(id)`` rows — a uniform, run- and
+    partitioning-stable choice (no seeded RNG, no full collect)."""
+    import numpy as np
+
+    rows = (
+        index.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<float>").alias("v"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy(F.col("h").asc(), F.col("id").asc())
+        .limit(max_rows)
+        .collect()
+    )
+    return np.array([r["v"] for r in rows], dtype=np.float32)
+
+
+def train_pq_codebooks(
+    index: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    max_train_rows: int = 65_536,
+) -> list[list[list[float]]]:
+    """``codebooks[j][c]`` = centroid ``c`` (length d/m) of subspace
+    ``j``. Deterministic: sample by id-hash, init each subspace from
+    its first ``k`` sample rows, fixed Lloyd iterations, empty
+    clusters keep their previous centroid."""
+    import numpy as np
+
+    X = _sample_matrix(index, id_col, vec_col, max_train_rows)
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < k:
+        raise ValueError(f"training sample ({n} rows) smaller than k={k}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub].astype(np.float64)
+        C = S[:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_encode(
+    index: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): ``codes[j]`` = argmin-distance codebook entry of
+    subspace ``j`` (ties → lowest code, numpy argmin). One
+    ``mapInArrow`` pass, m small GEMMs per batch."""
+    import pyarrow as pa
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books_payload = json.dumps(codebooks)
+    # array<int>, not tinyint: Spark 4.1's ArrowColumnVector has no
+    # byte accessor for list elements; parquet bit-packs the 4-bit
+    # code values regardless, so the layout stays compact
+    out_schema = f"{id_col} long, codes array<int>"
+
+    def kernel(batches):
+        import numpy as np
+
+        B = [np.array(b, dtype=np.float64) for b in json.loads(books_payload)]
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids = tbl[id_col]
+            V = np.array(tbl[vec_col], dtype=np.float64)
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * sub : (j + 1) * sub]
+                # |s - c|^2 = |s|^2 - 2 s·c + |c|^2; |s|^2 constant per row
+                d2 = -2.0 * (S @ B[j].T) + (B[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1).astype(np.int32)
+            # explicit Arrow types: from_pydict would infer list<int64>
+            # and Spark's reader rejects the child-type mismatch
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: pa.array([int(x) for x in ids], type=pa.int64()),
+                    "codes": pa.array(
+                        codes.tolist(), type=pa.list_(pa.int32())
+                    ),
+                }
+            )
+
+    return index.select(id_col, vec_col).mapInArrow(kernel, out_schema)
+
+
+def write_pq_index(
+    index: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the encoded layout + codebooks sidecar (the
+    quantizer is part of the layout, exactly like the IVF centroid
+    sidecar — a probe with different codebooks would be garbage)."""
+    pq_encode(index, codebooks, id_col, vec_col).write.mode("overwrite").parquet(
+        path
+    )
+    with open(os.path.join(path, PQ_META), "w") as f:
+        json.dump({"m": len(codebooks), "k": len(codebooks[0]),
+                   "sub": len(codebooks[0][0]), "codebooks": codebooks}, f)
+
+
+def load_pq_codebooks(path: str) -> list[list[list[float]]]:
+    with open(os.path.join(path, PQ_META)) as f:
+        return json.load(f)["codebooks"]
+
+
+MAX_PQ_QUERIES = 4096
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by ADC (squared euclidean): per query a
+    LUT[m][k_codes] of partial squared distances to every codebook
+    entry; a candidate's distance is m LUT gathers summed — the float
+    vectors are never read. Returns (query_id, vec_id, adc_dist,
+    rank), ascending distance, ties by id. Queries are collected
+    (bounded like the GEMM probe: loud error past ``MAX_PQ_QUERIES``)
+    and shipped inside the kernel closure; per-query top-k is the
+    usual WindowGroupLimit window."""
+    import pyarrow as pa
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+        collect_query_matrix,
+    )
+
+    qids, Q, _ = collect_query_matrix(
+        queries, query_id_col, query_vec_col, "euclidean", MAX_PQ_QUERIES
+    )
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if Q.shape[1] != m * sub:
+        raise ValueError(
+            f"query dim {Q.shape[1]} != codebook dim {m * sub} (m={m}, sub={sub})"
+        )
+    q_payload = json.dumps([[float(x) for x in row] for row in Q])
+    qid_payload = json.dumps([int(x) for x in qids])
+    books_payload = json.dumps(codebooks)
+    out_schema = "query_id long, vec_id long, adc_dist double"
+
+    def kernel(batches):
+        import numpy as np
+
+        B = [np.array(b, dtype=np.float64) for b in json.loads(books_payload)]
+        Qm = np.array(json.loads(q_payload), dtype=np.float64)
+        qid = np.array(json.loads(qid_payload), dtype=np.int64)
+        nq = Qm.shape[0]
+        # LUT[q][j][c] = |q_j - B[j][c]|^2
+        lut = np.empty((nq, m, B[0].shape[0]), dtype=np.float64)
+        for j in range(m):
+            Sq = Qm[:, j * sub : (j + 1) * sub]
+            lut[:, j, :] = (
+                (Sq * Sq).sum(axis=1)[:, None]
+                - 2.0 * (Sq @ B[j].T)
+                + (B[j] ** 2).sum(axis=1)[None, :]
+            )
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids = np.array(tbl[id_col], dtype=np.int64)
+            n = len(ids)
+            if n == 0:
+                continue
+            codes = np.array(tbl["codes"], dtype=np.int64)  # n × m
+            # dist[q][i] = sum_j lut[q][j][codes[i][j]]
+            dist = np.zeros((nq, n), dtype=np.float64)
+            for j in range(m):
+                dist += lut[:, j, :][:, codes[:, j]]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "query_id": np.repeat(qid, n),
+                    "vec_id": np.tile(ids, nq),
+                    "adc_dist": dist.reshape(-1),
+                }
+            )
+
+    scored = encoded.select(id_col, "codes").mapInArrow(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_topk_rerank(
+    queries: DataFrame,
+    encoded: DataFrame,
+    index: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    fetch_k: int = 25,
+    metric: str = "euclidean",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage probe: PQ/ADC over-fetches ``fetch_k`` candidates per
+    query from the compressed codes, then a FULL-PRECISION rescore
+    against the original vectors restores exact ordering within the
+    candidate set — the same recall-recovery pattern as the int8
+    rerank (candidates broadcast, index joined on its id, never
+    shuffled)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        similarity_expr,
+    )
+
+    cand = pq_topk(
+        queries, encoded, codebooks, k=fetch_k,
+        query_id_col=query_id_col, query_vec_col=query_vec_col, id_col=id_col,
+    ).select("query_id", "vec_id")
+    qside = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    )
+    rescored = (
+        index.join(F.broadcast(cand), index[id_col] == cand["vec_id"])
+        .drop(cand["vec_id"])
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            similarity_expr(metric, F.col("__qvec"), F.col(vec_col)).alias("score"),
+        )
+    )
+    lead = F.col("score").asc() if metric == "euclidean" else F.col("score").desc()
+    w = Window.partitionBy("query_id").orderBy(lead, F.col("vec_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

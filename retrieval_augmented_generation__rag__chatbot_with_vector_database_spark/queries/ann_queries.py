@@ -410,3 +410,48 @@ def ann_ivf_partition_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _, cents = _queries_and_centroids(spark, sf_dir)
     assigned = ann.assign_centroids(emb, cents, metric="cosine")
     return assigned.groupBy("centroid_id").agg(F.count("*").alias("n_vectors"))
+
+
+@register(
+    "ann_pq_rerank_recall",
+    f"""
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+)
+def ann_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization tier (operators/pq.py): train m=16/k=64
+    codebooks (16 bytes/vector, 16x compression), ADC over-fetch 100
+    candidates per query from the codes alone, full-precision rerank,
+    and assert recall@{K} vs exact euclidean top-{K} >= 0.8 per query
+    (measured 1.0 at sf0.001/sf0.01; 0.8 is the contract floor). Codes
+    are k-means-derived so the oracle pins the CONTRACT (TRUE per
+    query), not the data-dependent values — same pattern as the HLL
+    rollup."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        pq,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    books = pq.train_pq_codebooks(emb, m=16, k=64)
+    enc = pq.pq_encode(emb, books)
+    exact = topk_search(q, emb, k=K, metric="euclidean").select(
+        "query_id", "vec_id"
+    )
+    rer = pq.pq_topk_rerank(
+        q, enc, emb, books, k=K, fetch_k=100, metric="euclidean"
+    ).select("query_id", F.col("vec_id").alias("r_vec_id"))
+    hits = exact.join(
+        rer,
+        (exact["query_id"] == rer["query_id"])
+        & (exact["vec_id"] == rer["r_vec_id"]),
+        "left",
+    ).groupBy(exact["query_id"].alias("query_id")).agg(
+        F.count("r_vec_id").alias("n_hits")
+    )
+    return hits.select(
+        "query_id", (F.col("n_hits") >= 0.8 * K).alias("recall_ok")
+    )

@@ -1,0 +1,126 @@
+"""operators/pq: product quantization — training determinism, encode
+semantics, ADC probe correctness, rerank recall recovery, layout size."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def test_codebooks_deterministic_across_partitionings(spark, emb):
+    b1 = pq.train_pq_codebooks(emb.repartition(2), m=8, k=16)
+    b2 = pq.train_pq_codebooks(emb.repartition(7), m=8, k=16)
+    assert b1 == b2
+
+
+def test_encode_identity_on_codebook_vectors(spark):
+    """Vectors that ARE codebook entries must encode to their own code
+    (distance 0 beats everything)."""
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [3.0, 3.0]]]
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 3.0, 3.0]), (1, [1.0, 1.0, 2.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["codes"] for r in pq.pq_encode(df, books).collect()}
+    assert got[0] == [0, 1]
+    assert got[1] == [1, 0]
+
+
+def test_adc_matches_numpy_reference(spark, emb):
+    """ADC distances must equal a transparent numpy computation of
+    sum-of-subspace |q_j - codebook[codes_j]|^2 for every (q, vec)."""
+    import numpy as np
+
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    enc = {r["vec_id"]: r["codes"] for r in pq.pq_encode(emb, books).collect()}
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"]): r["adc_dist"]
+        for r in pq.pq_topk(_queries(emb), pq.pq_encode(emb, books), books, k=5).collect()
+    }
+    B = [np.array(b) for b in books]
+    sub = B[0].shape[1]
+    for (qid, vid), dist in got.items():
+        q = np.array(vecs[qid])
+        want = sum(
+            ((q[j * sub : (j + 1) * sub] - B[j][enc[vid][j]]) ** 2).sum()
+            for j in range(len(B))
+        )
+        assert dist == pytest.approx(want, rel=1e-9), (qid, vid)
+
+
+def test_rerank_recovers_exact_topk_recall(spark, emb):
+    """PQ/ADC over-fetch + full-precision rerank: recall@5 vs exact
+    euclidean must be high; raw ADC recall is lower (that's the point
+    of the rerank stage)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        topk_search,
+    )
+
+    books = pq.train_pq_codebooks(emb, m=16, k=64)
+    enc = pq.pq_encode(emb, books).localCheckpoint()
+    q = _queries(emb)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_search(q, emb, k=5, metric="euclidean").collect()
+    }
+    rer = {
+        (r["query_id"], r["vec_id"])
+        for r in pq.pq_topk_rerank(
+            q, enc, emb, books, k=5, fetch_k=50, metric="euclidean"
+        ).collect()
+    }
+    recall = len(rer & exact) / len(exact)
+    assert recall >= 0.95, f"rerank recall {recall}"
+    raw = {
+        (r["query_id"], r["vec_id"])
+        for r in pq.pq_topk(q, enc, books, k=5).collect()
+    }
+    raw_recall = len(raw & exact) / len(exact)
+    assert raw_recall <= recall  # rerank never hurts
+
+
+def test_pq_layout_is_much_smaller(spark, emb, tmp_path):
+    import os
+
+    def parquet_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    full = str(tmp_path / "full")
+    emb.select("vec_id", "embedding").write.parquet(full)
+    coded = str(tmp_path / "pq")
+    pq.write_pq_index(emb, coded, books)
+    assert pq.load_pq_codebooks(coded) == books
+    # 64 float32 (256 B) -> 8 codes; parquet framing eats some of it
+    assert parquet_bytes(coded) < 0.35 * parquet_bytes(full)
+
+
+def test_dim_mismatch_rejected(spark, emb):
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    bad_q = spark.createDataFrame(
+        [(0, [1.0] * 32)], "query_id long, qvec array<float>"
+    )
+    with pytest.raises(ValueError, match="codebook dim"):
+        pq.pq_topk(bad_q, pq.pq_encode(emb, books), books)
