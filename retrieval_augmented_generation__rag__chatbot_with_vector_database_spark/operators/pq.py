@@ -96,13 +96,18 @@ def train_pq_codebooks(
     for j in range(m):
         S = X[:, j * sub : (j + 1) * sub].astype(np.float64)
         C = S[:k].copy()
+        s2 = (S * S).sum(axis=1)[:, None]
         for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # |s-c|^2 = |s|^2 - 2 s·c + |c|^2 — BLAS matmul, not an
+            # n×k×sub broadcast tensor (that costs ~10× at 65k rows)
+            d2 = s2 - 2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
             a = d2.argmin(axis=1)
-            for c in range(k):
-                mask = a == c
-                if mask.any():
-                    C[c] = S[mask].mean(axis=0)
+            # vectorized per-cluster means via bincount accumulation
+            counts = np.bincount(a, minlength=k).astype(np.float64)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, S)
+            nonempty = counts > 0
+            C[nonempty] = sums[nonempty] / counts[nonempty, None]
         books.append([[float(x) for x in row] for row in C])
     return books
 
