@@ -314,3 +314,210 @@ def pq_topk_rerank(
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------- IVF × PQ
+
+IVFPQ_META = "_ivfpq_meta.json"
+
+
+def write_ivfpq_index(
+    index: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """FAISS-IVFPQ-shaped layout: rows are assigned to their nearest
+    coarse centroid (euclidean — the ADC metric) and PQ-ENCODED, then
+    written partitioned by ``centroid_id`` — probes read only nprobe
+    bucket directories of 16-byte codes. Both quantizers (coarse
+    centroids + codebooks) live in the sidecar, like the IVF layout's
+    centroid persistence: probing with a different quantizer is
+    silent garbage, so it must be impossible.
+
+    Codes encode RAW vectors (IVF-Flat-PQ). The classic residual
+    refinement (encode ``v - centroid``, sharper codes near each
+    centroid) drops in here by training codebooks on residuals and
+    subtracting the centroid before :func:`pq_encode` — same layout,
+    same probe shape.
+    """
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+        assign_centroids_gemm,
+    )
+
+    assigned = assign_centroids_gemm(index, centroids, "euclidean", vec_col)
+    enc = pq_encode(assigned, codebooks, id_col, vec_col)
+    layout = assigned.select(id_col, "centroid_id").join(enc, id_col)
+    n_parts = len(centroids)
+    (
+        layout.repartition(n_parts, F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    with open(os.path.join(path, IVFPQ_META), "w") as f:
+        json.dump(
+            {
+                "m": len(codebooks),
+                "k": len(codebooks[0]),
+                "centroids": [
+                    [int(c), [float(x) for x in v]] for c, v in centroids
+                ],
+                "codebooks": codebooks,
+            },
+            f,
+        )
+
+
+def load_ivfpq_meta(path: str) -> dict:
+    with open(os.path.join(path, IVFPQ_META)) as f:
+        return json.load(f)
+
+
+def ivfpq_topk_rerank(
+    queries: DataFrame,
+    layout: DataFrame,
+    index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    fetch_k: int = 50,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full ANN-at-scale composition: coarse probe (each query's
+    ``nprobe`` nearest centroids, chosen driver-side from the already-
+    collected bounded query matrix) → static ``isin`` partition prune
+    (only probed bucket DIRECTORIES are read — PartitionFilters, like
+    the float IVF layout) → ADC over the pruned codes with a per-query
+    bucket mask (a row scores only for queries probing its bucket) →
+    per-query ``fetch_k`` candidates → full-precision rerank against
+    the original vectors. Scan bytes: nprobe buckets × 16 B/vector;
+    rerank touches ``fetch_k`` float rows per query."""
+    import numpy as np
+    import pyarrow as pa
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        similarity_expr,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+        collect_query_matrix,
+    )
+
+    qids, Q, _ = collect_query_matrix(
+        queries, query_id_col, query_vec_col, "euclidean", MAX_PQ_QUERIES
+    )
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if Q.shape[1] != m * sub:
+        raise ValueError(
+            f"query dim {Q.shape[1]} != codebook dim {m * sub} (m={m}, sub={sub})"
+        )
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    d2 = (
+        (Q * Q).sum(axis=1)[:, None]
+        - 2.0 * (Q @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    # deterministic nprobe pick: distance, then centroid id
+    order = np.lexsort((cids[None, :].repeat(len(qids), 0), d2), axis=1)
+    probed = cids[order[:, :nprobe]]  # nq × nprobe
+    all_probed = sorted({int(c) for row in probed for c in row})
+
+    pruned = layout.filter(F.col("centroid_id").isin(all_probed))
+
+    q_payload = json.dumps([[float(x) for x in row] for row in Q])
+    qid_payload = json.dumps([int(x) for x in qids])
+    probe_payload = json.dumps([[int(c) for c in row] for row in probed])
+    books_payload = json.dumps(codebooks)
+    out_schema = "query_id long, vec_id long, adc_dist double"
+
+    def kernel(batches):
+        B = [np.array(b, dtype=np.float64) for b in json.loads(books_payload)]
+        Qm = np.array(json.loads(q_payload), dtype=np.float64)
+        qid = np.array(json.loads(qid_payload), dtype=np.int64)
+        probe = json.loads(probe_payload)
+        probe_sets = [set(row) for row in probe]
+        nq = Qm.shape[0]
+        lut = np.empty((nq, m, B[0].shape[0]), dtype=np.float64)
+        for j in range(m):
+            Sq = Qm[:, j * sub : (j + 1) * sub]
+            lut[:, j, :] = (
+                (Sq * Sq).sum(axis=1)[:, None]
+                - 2.0 * (Sq @ B[j].T)
+                + (B[j] ** 2).sum(axis=1)[None, :]
+            )
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids = np.array(tbl[id_col], dtype=np.int64)
+            n = len(ids)
+            if n == 0:
+                continue
+            codes = np.array(tbl["codes"], dtype=np.int64)
+            bucket = np.array(tbl["centroid_id"], dtype=np.int64)
+            for qi in range(nq):
+                # bucket mask: this query scores only rows whose bucket
+                # it probes (bucket-partitioned batches make this an
+                # all-or-nothing mask in practice)
+                mask = np.isin(bucket, list(probe_sets[qi]))
+                if not mask.any():
+                    continue
+                sel = np.nonzero(mask)[0]
+                dist = np.zeros(len(sel), dtype=np.float64)
+                cs = codes[sel]
+                for j in range(m):
+                    dist += lut[qi, j, cs[:, j]]
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "query_id": pa.array(
+                            [int(qid[qi])] * len(sel), type=pa.int64()
+                        ),
+                        "vec_id": pa.array(
+                            [int(x) for x in ids[sel]], type=pa.int64()
+                        ),
+                        "adc_dist": pa.array(
+                            [float(x) for x in dist], type=pa.float64()
+                        ),
+                    }
+                )
+
+    scored = pruned.select(id_col, "codes", "centroid_id").mapInArrow(
+        kernel, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= fetch_k)
+        .select("query_id", "vec_id")
+    )
+    qside = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    )
+    rescored = (
+        index.join(F.broadcast(cand), index[id_col] == cand["vec_id"])
+        .drop(cand["vec_id"])
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            similarity_expr(
+                "euclidean", F.col("__qvec"), F.col(vec_col)
+            ).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -455,3 +455,54 @@ def ann_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "query_id", (F.col("n_hits") >= 0.8 * K).alias("recall_ok")
     )
+
+
+@register(
+    "ann_ivfpq_rerank_recall",
+    f"""
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+)
+def ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN-at-scale composition (operators/pq.py IVF×PQ):
+    coarse-probe nprobe=8 of 16 centroid-partitioned buckets of
+    16-byte PQ codes (PartitionFilters prune unprobed directories),
+    ADC over-fetch 100, full-precision rerank, recall@{K} vs exact
+    euclidean >= 0.8 per query pinned TRUE by the oracle (boolean
+    contract — codes are k-means-derived)."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        pq,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    books = pq.train_pq_codebooks(emb, m=16, k=64)
+    cents = ann.seed_centroids(emb, 16)
+    exact = topk_search(q, emb, k=K, metric="euclidean").select(
+        "query_id", "vec_id"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivfpq"
+        pq.write_ivfpq_index(emb, path, cents, books)
+        layout = spark.read.parquet(path)
+        rer = pq.ivfpq_topk_rerank(
+            q, layout, emb, cents, books, k=K, nprobe=8, fetch_k=100
+        ).select("query_id", F.col("vec_id").alias("r_vec_id"))
+        hits = exact.join(
+            rer,
+            (exact["query_id"] == rer["query_id"])
+            & (exact["vec_id"] == rer["r_vec_id"]),
+            "left",
+        ).groupBy(exact["query_id"].alias("query_id")).agg(
+            F.count("r_vec_id").alias("n_hits")
+        )
+        out = hits.select(
+            "query_id", (F.col("n_hits") >= 0.8 * K).alias("recall_ok")
+        )
+        # materialize before the tempdir disappears (N_QUERIES rows)
+        return spark.createDataFrame(out.collect(), out.schema)

@@ -124,3 +124,63 @@ def test_dim_mismatch_rejected(spark, emb):
     )
     with pytest.raises(ValueError, match="codebook dim"):
         pq.pq_topk(bad_q, pq.pq_encode(emb, books), books)
+
+
+def test_ivfpq_full_probe_equals_flat_pq(spark, emb, tmp_path):
+    """nprobe = all centroids: the IVFPQ probe sees every code, so the
+    rerank result must be EXACTLY the flat PQ rerank's."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+
+    books = pq.train_pq_codebooks(emb, m=16, k=64)
+    cents = ann.seed_centroids(emb, 16)
+    path = str(tmp_path / "ivfpq")
+    pq.write_ivfpq_index(emb, path, cents, books)
+    layout = spark.read.parquet(path)
+    q = _queries(emb)
+    flat = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in pq.pq_topk_rerank(
+            q, pq.pq_encode(emb, books), emb, books, k=5, fetch_k=50
+        ).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in pq.ivfpq_topk_rerank(
+            q, layout, emb, cents, books, k=5, nprobe=16, fetch_k=50
+        ).collect()
+    }
+    assert ivf == flat
+
+
+def test_ivfpq_pruned_probe_recall_and_partition_filter(spark, emb, tmp_path):
+    """nprobe < k_centroids: only probed bucket directories are read
+    (PartitionFilters on centroid_id) and rerank recall stays high."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        topk_search,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.plans.inspect import (
+        has_partition_filter,
+    )
+
+    books = pq.train_pq_codebooks(emb, m=16, k=64)
+    cents = ann.seed_centroids(emb, 16)
+    path = str(tmp_path / "ivfpq")
+    pq.write_ivfpq_index(emb, path, cents, books)
+    layout = spark.read.parquet(path)
+    q = _queries(emb)
+    out = pq.ivfpq_topk_rerank(
+        q, layout, emb, cents, books, k=5, nprobe=8, fetch_k=50
+    )
+    assert has_partition_filter(out, "centroid_id")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_search(q, emb, k=5, metric="euclidean").collect()
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in out.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"ivfpq recall {recall}"
