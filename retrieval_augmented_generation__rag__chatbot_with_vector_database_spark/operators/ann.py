@@ -273,6 +273,7 @@ def ivf_topk_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = MAX_GEMM_QUERIES,
+    pre_filter=None,
 ) -> DataFrame:
     """Production probe: GEMM scoring over an ``assigned`` index
     (``write_ivf_index`` layout), any of the reference's three metrics
@@ -311,6 +312,11 @@ def ivf_topk_gemm(
     probed_union = sorted(set().union(*probed_per_q))
 
     pruned = index.filter(F.col("centroid_id").isin(probed_union))
+    if pre_filter is not None:
+        # Pinecone-style filtered ANN: the metadata predicate lands in
+        # the SAME pruned scan (PushedFilters next to PartitionFilters)
+        # — filtered rows never reach the GEMM kernel
+        pruned = pruned.filter(pre_filter)
     names = ["query_id", "vec_id", "score"]
     smaller_better = metric == "euclidean"
     q_sq = (Q * Q).sum(axis=1)

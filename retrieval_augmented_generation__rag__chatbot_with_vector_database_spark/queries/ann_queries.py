@@ -27,10 +27,14 @@ N_PROBE = 4
 N_QUERIES = 8
 K = 5
 
-def _ivf_cte(metric_fn: str = "list_cosine_similarity", direction: str = "DESC") -> str:
+def _ivf_cte(metric_fn: str = "list_cosine_similarity", direction: str = "DESC",
+             index_and: str = "") -> str:
     """The IVF oracle pipeline (assign → probe → pruned score → rank)
     for any of the three metrics; ``direction`` is the better-is
-    ordering (DESC for cosine/dot, ASC for euclidean distance)."""
+    ordering (DESC for cosine/dot, ASC for euclidean distance);
+    ``index_and`` is an extra AND clause on the candidate side
+    (metadata-filtered ANN) — assignment and probe sets are
+    filter-independent, exactly like the Spark operator."""
     return f"""
 cent AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
@@ -62,7 +66,7 @@ ivf_scored AS (
   FROM probe p
   JOIN assign a ON a.cid = p.cid
   JOIN q ON q.query_id = p.query_id
-  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings e ON e.vec_id = a.vec_id {index_and}
 ),
 ivf_ranked AS (
   SELECT query_id, vec_id, s,
@@ -100,7 +104,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
 
 
-def _ivf_gemm_over_layout(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+def _ivf_gemm_over_layout(spark: SparkSession, sf_dir: str, metric: str,
+                          pre_filter=None) -> DataFrame:
     """Shared body for the production-path GEMM queries: materialize
     the ``write_ivf_index`` partitioned layout (expression assignment,
     bit-exact with the oracle's ``assign`` CTE), read it back, probe
@@ -113,7 +118,8 @@ def _ivf_gemm_over_layout(spark: SparkSession, sf_dir: str, metric: str) -> Data
         ann.write_ivf_index(emb, path, cents, metric=metric, fast=False)
         layout = spark.read.parquet(path)
         out = ann.ivf_topk_gemm(
-            queries, layout, cents, k=K, nprobe=N_PROBE, metric=metric
+            queries, layout, cents, k=K, nprobe=N_PROBE, metric=metric,
+            pre_filter=pre_filter,
         ).select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
         # materialize before the tempdir disappears (|Q| x k rows)
         return spark.createDataFrame(out.collect(), out.schema)
@@ -506,3 +512,28 @@ def ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the tempdir disappears (N_QUERIES rows)
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "ann_ivf_topk_filtered",
+    f"""
+WITH {_ivf_cte(index_and="AND e.label IN (0, 1, 2, 3, 4)")}
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ivf_ranked WHERE rank <= {K}
+""",
+)
+def ann_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN (Pinecone's filter dict at the scale
+    tier): the label predicate lands in the same statically-pruned
+    layout scan as the centroid prune — PushedFilters beside
+    PartitionFilters, filtered rows never reach the GEMM kernel.
+    Assignment and probe-set selection are filter-independent (the
+    quantizer doesn't move when a filter narrows candidates)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.filter_dsl import (
+        filter_dict_to_column,
+    )
+
+    return _ivf_gemm_over_layout(
+        spark, sf_dir, "cosine",
+        pre_filter=filter_dict_to_column({"label": {"$in": [0, 1, 2, 3, 4]}}),
+    )

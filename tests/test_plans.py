@@ -98,3 +98,19 @@ def test_exact_dedup_is_single_shuffle(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = dedup.exact_dedup(docs)
     assert shuffle_count(out) == 1  # one hash-aggregate exchange
+
+
+def test_filtered_ann_pushes_filter_into_pruned_scan(spark, emb, tmp_path):
+    """Metadata-filtered ANN: the label predicate and the centroid
+    prune land in the SAME layout scan — PushedFilters beside
+    PartitionFilters; filtered rows never reach the GEMM kernel."""
+    path = str(tmp_path / "ivf-filt")
+    cents = ann.seed_centroids(emb, 8)
+    ann.write_ivf_index(emb, path, cents, metric="cosine")
+    layout = spark.read.parquet(path)
+    out = ann.ivf_topk_gemm(
+        _queries(emb), layout, cents, k=5, nprobe=4,
+        pre_filter=F.col("label").isin(0, 1, 2),
+    )
+    assert has_partition_filter(out, "centroid_id")
+    assert has_pushed_filter(out, "label")
