@@ -521,3 +521,81 @@ def ivfpq_topk_rerank(
         rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def upsert_ivfpq_index(
+    spark,
+    path: str,
+    records: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental IVFPQ maintenance — the PQ tier's analogue of
+    ``ann.upsert_ivf_index``: new records are coarse-assigned and
+    PQ-ENCODED with the layout's own persisted quantizers (both read
+    back from the sidecar — a caller can't accidentally encode with a
+    different quantizer), intra-batch duplicates resolve to one
+    survivor (md5-payload total order, as everywhere else), and only
+    the touched ``centroid_id`` partition directories are re-merged
+    and crash-consistently swapped (torn swaps are detected before
+    any write). Last write wins against existing rows by id.
+
+    Returns ``{"touched": [...], "n_upserted": int}``.
+    """
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+        assign_centroids_gemm,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        check_not_torn,
+        swap_partition_dirs,
+    )
+
+    check_not_torn(path)
+    meta = load_ivfpq_meta(path)
+    centroids = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    codebooks = meta["codebooks"]
+
+    assigned = assign_centroids_gemm(records, centroids, "euclidean", vec_col)
+    payload = sorted(c for c in assigned.columns if c != id_col)
+    dw = Window.partitionBy(id_col).orderBy(
+        F.md5(F.to_json(F.struct(*payload))).asc()
+    )
+    assigned = (
+        assigned.withColumn("__rn", F.row_number().over(dw))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    n_new = assigned.count()
+    if n_new == 0:
+        return {"touched": [], "n_upserted": 0}
+    enc = pq_encode(assigned, codebooks, id_col, vec_col)
+    fresh = assigned.select(id_col, "centroid_id").join(enc, id_col)
+
+    ids = assigned.select(id_col).distinct()
+    layout = spark.read.parquet(path)
+    new_parts = {
+        r["centroid_id"]
+        for r in assigned.select("centroid_id").distinct().collect()
+    }
+    old_parts = {
+        r["centroid_id"]
+        for r in layout.join(F.broadcast(ids), id_col)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    }
+    touched = sorted(new_parts | old_parts)
+    survivors = layout.filter(F.col("centroid_id").isin(touched)).join(
+        F.broadcast(ids), id_col, "left_anti"
+    )
+    merged = survivors.unionByName(fresh.select(*survivors.columns))
+    tmp = path.rstrip("/") + "._tmp"
+    (
+        merged.repartition(len(touched), F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    swap_partition_dirs(path, tmp, [f"centroid_id={c}" for c in touched])
+    return {"touched": touched, "n_upserted": n_new}

@@ -184,3 +184,78 @@ def test_ivfpq_pruned_probe_recall_and_partition_filter(spark, emb, tmp_path):
     got = {(r["query_id"], r["vec_id"]) for r in out.collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, f"ivfpq recall {recall}"
+
+
+def test_ivfpq_upsert_equals_rebuild(spark, emb, tmp_path):
+    """Incremental IVFPQ upsert: probe of upserted layout == probe of a
+    from-scratch rebuild over the same rows; untouched centroid
+    partitions stay byte-identical; intra-batch duplicate ids resolve
+    to one survivor."""
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+
+    books = pq.train_pq_codebooks(emb, m=16, k=64)
+    cents = ann.seed_centroids(emb, 16)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    rest = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "inc")
+    pq.write_ivfpq_index(base, path, cents, books)
+
+    def files_md5(p):
+        import hashlib
+
+        out = {}
+        for dp, _, fs in os.walk(p):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(dp, f)
+                    out[os.path.relpath(fp, p)] = hashlib.md5(
+                        open(fp, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = files_md5(path)
+    res = pq.upsert_ivfpq_index(spark, path, rest)
+    assert res["n_upserted"] == rest.count()
+    after = files_md5(path)
+    untouched_dirs = {
+        f"centroid_id={c}"
+        for c, _ in cents
+        if c not in set(res["touched"])
+    }
+    for rel, h in before.items():
+        d = rel.split(os.sep)[0]
+        if d in untouched_dirs:
+            assert after.get(rel) == h, f"untouched partition {rel} changed"
+
+    full = str(tmp_path / "full")
+    pq.write_ivfpq_index(emb, full, cents, books)
+    q = _queries(emb)
+    probe_inc = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in pq.ivfpq_topk_rerank(
+            q, spark.read.parquet(path), emb, cents, books, k=5, nprobe=16
+        ).collect()
+    }
+    probe_full = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in pq.ivfpq_topk_rerank(
+            q, spark.read.parquet(full), emb, cents, books, k=5, nprobe=16
+        ).collect()
+    }
+    assert probe_inc == probe_full
+
+    # intra-batch duplicate: one survivor row
+    dup = spark.createDataFrame(
+        [(9999, [1.0] * 64, ), (9999, [-1.0] * 64, )],
+        "vec_id long, embedding array<float>",
+    )
+    res2 = pq.upsert_ivfpq_index(spark, path, dup)
+    assert res2["n_upserted"] == 1
+    rows = (
+        spark.read.parquet(path).filter(F.col("vec_id") == 9999).collect()
+    )
+    assert len(rows) == 1
