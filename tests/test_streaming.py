@@ -538,3 +538,64 @@ def test_neardup_stream_matches_batch_lsh(spark, tmp_path):
     assert all(a != b for a, b, _ in streamed)  # re-arrival: no self-pairs
     # bucket table holds one row per (doc, band) for the 5 distinct docs
     assert spark.read.parquet(buckets).select("id").distinct().count() == 5
+
+
+def test_ivfpq_ingest_stream_keeps_search_layout_fresh(spark, tmp_path):
+    """Vectors streamed in two micro-batches merge into the IVFPQ
+    layout; the final probe equals a from-scratch rebuild over all
+    rows, and a checkpoint replay adds nothing."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ann_ingest import (
+        start_ivfpq_ingest_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq.train_pq_codebooks(emb, m=16, k=64)
+    cents = ann.seed_centroids(emb, 16)
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+
+    path = str(tmp_path / "ivfpq_live")
+    pq.write_ivfpq_index(base, path, cents, books)
+    landing = tmp_path / "vec_landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "vec_ckpt")
+
+    b1.write.parquet(str(landing / "b1"))
+    start_ivfpq_ingest_stream(
+        spark, str(landing) + "/*", path, ckpt
+    ).awaitTermination(120)
+    b2.write.parquet(str(landing / "b2"))
+    start_ivfpq_ingest_stream(
+        spark, str(landing) + "/*", path, ckpt
+    ).awaitTermination(120)
+    # replay with the same checkpoint: no new batches, layout unchanged
+    start_ivfpq_ingest_stream(
+        spark, str(landing) + "/*", path, ckpt
+    ).awaitTermination(120)
+
+    assert spark.read.parquet(path).count() == emb.count()
+    full = str(tmp_path / "ivfpq_full")
+    pq.write_ivfpq_index(emb, full, cents, books)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    live = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in pq.ivfpq_topk_rerank(
+            q, spark.read.parquet(path), emb, cents, books, k=5, nprobe=16
+        ).collect()
+    }
+    rebuilt = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in pq.ivfpq_topk_rerank(
+            q, spark.read.parquet(full), emb, cents, books, k=5, nprobe=16
+        ).collect()
+    }
+    assert live == rebuilt
