@@ -357,6 +357,7 @@ def write_ivfpq_index(
         .partitionBy("centroid_id")
         .parquet(path)
     )
+    n_rows = layout.count()
     with open(os.path.join(path, IVFPQ_META), "w") as f:
         json.dump(
             {
@@ -366,6 +367,8 @@ def write_ivfpq_index(
                     [int(c), [float(x) for x in v]] for c, v in centroids
                 ],
                 "codebooks": codebooks,
+                "rows_at_build": n_rows,
+                "upserted_since_build": 0,
             },
             f,
         )
@@ -374,6 +377,16 @@ def write_ivfpq_index(
 def load_ivfpq_meta(path: str) -> dict:
     with open(os.path.join(path, IVFPQ_META)) as f:
         return json.load(f)
+
+
+def ivfpq_staleness(path: str) -> float:
+    """Fraction of the layout upserted since the last full build — the
+    retrain trigger for BOTH quantizers (coarse centroids and PQ
+    codebooks drift as the corpus moves; probe correctness is
+    unaffected meanwhile, only recall decays)."""
+    meta = load_ivfpq_meta(path)
+    base = max(1, int(meta.get("rows_at_build", 1)))
+    return float(meta.get("upserted_since_build", 0)) / base
 
 
 def ivfpq_topk_rerank(
@@ -598,4 +611,13 @@ def upsert_ivfpq_index(
         .parquet(tmp)
     )
     swap_partition_dirs(path, tmp, [f"centroid_id={c}" for c in touched])
-    return {"touched": touched, "n_upserted": n_new}
+    meta["upserted_since_build"] = (
+        int(meta.get("upserted_since_build", 0)) + n_new
+    )
+    with open(os.path.join(path, IVFPQ_META), "w") as f:
+        json.dump(meta, f)
+    return {
+        "touched": touched,
+        "n_upserted": n_new,
+        "staleness": ivfpq_staleness(path),
+    }

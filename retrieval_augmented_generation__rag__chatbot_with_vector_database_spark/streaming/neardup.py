@@ -13,7 +13,12 @@ the band key and the full signature — and per micro-batch:
    ``banded_wide``/``band_explode`` kernels the batch path uses, so
    stream and batch agree on what a candidate is);
 2. re-arrival suppression: ids already in the bucket table are
-   skipped (their pairs were emitted when first seen);
+   skipped (their pairs were emitted when first seen). This is
+   ID-keyed: it assumes ids are content-addressed upstream (the
+   chunk/document ids here are md5-of-content, ``functions/text.py``),
+   so a re-used id implies identical text. For mutable-id sources,
+   key the table on the content fingerprint instead
+   (``streaming/dedup.py::content_fingerprint``);
 3. candidates = batch×batch (intra) ∪ batch×table (cross) on exact
    (band index, band key) — the arriving doc only ever joins the
    buckets it lands in, never the whole corpus;
