@@ -102,6 +102,93 @@ def lexical_topk(
     )
 
 
+def doc_term_freqs(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, term, tf, dl): term frequency per doc plus the doc's token
+    length — the BM25 statistics, one explode + one groupBy."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("id").agg(F.count("*").alias("dl"))
+    return tf.join(dl, "id")
+
+
+def bm25_topk(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, bm25_score, bm25_rank): Okapi BM25 with the
+    standard smoothed IDF ``ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+    length normalization ``tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``.
+
+    Determinism across engines: each per-(doc, term) contribution is
+    rounded to 6 dp and cast to DECIMAL before the sum, so the total
+    is exact and order-free — the same convention as the TF-IDF path
+    (a bare float sum would hash-drift between Spark and DuckDB).
+
+    Same inverted-index shuffle shape as :func:`lexical_topk`; the tf/
+    dl/idf statistics build once per corpus and are reusable across
+    query batches."""
+    tfs = doc_term_freqs(docs, id_col, text_col)
+    stats = docs.agg(F.count("*").alias("n"))
+    avg = tfs.select("id", "dl").distinct().agg(
+        F.avg("dl").alias("avgdl")
+    )
+    df_counts = tfs.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    idf = df_counts.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.ln(
+            1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    qterms = doc_terms(
+        queries.select(F.col(query_id_col), F.col(query_text_col)),
+        query_id_col,
+        query_text_col,
+    ).withColumnRenamed("id", "query_id")
+    contrib = (
+        qterms.join(tfs, "term")
+        .join(idf, "term")
+        .crossJoin(F.broadcast(avg))
+        .select(
+            "query_id",
+            F.col("id").alias("doc_id"),
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast(IDF_DEC)
+            .alias("c"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("bm25_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("bm25_rank", F.row_number().over(w))
+        .filter(F.col("bm25_rank") <= k)
+    )
+
+
 def rrf_fuse(
     lex: DataFrame,
     vec: DataFrame,

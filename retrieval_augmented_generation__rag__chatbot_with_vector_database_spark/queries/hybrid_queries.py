@@ -155,3 +155,71 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("fused", 6).alias("fused"),
         "rank",
     )
+
+
+@register(
+    "hybrid_bm25_topk",
+    rf"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+tok AS (
+  SELECT doc_id AS id, unnest(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
+dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln(1 + (nd.n - df + 0.5) / (df + 0.5)) AS idf FROM dfc, nd),
+qterm AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t <> ''))) AS term
+  FROM documents WHERE doc_id < {N_QUERIES}
+),
+contrib AS (
+  SELECT q.query_id, tf.id AS doc_id,
+         round(idf.idf * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)),
+               6)::DECIMAL(18,6) AS c
+  FROM qterm q
+  JOIN tf ON q.term = tf.term
+  JOIN idf ON q.term = idf.term
+  JOIN dl ON dl.id = tf.id, ad
+),
+scores AS (
+  SELECT query_id, doc_id, sum(c) AS s FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS bm25_rank
+  FROM scores
+)
+SELECT query_id, doc_id, s::VARCHAR::DOUBLE AS bm25_score,
+       bm25_rank::INT AS bm25_rank
+FROM ranked WHERE bm25_rank <= {LEX_K}
+""",
+)
+def hybrid_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (k1=1.2, b=0.75): real term frequencies +
+    document-length normalization over the same inverted-index shuffle
+    as the TF-IDF path. Per-(doc, term) contributions are rounded to
+    6 dp and summed in DECIMAL, so Spark and DuckDB agree exactly
+    despite float idf/length math inside each contribution."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+        bm25_topk,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = bm25_topk(q, docs, k=LEX_K)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("bm25_score").cast("double").alias("bm25_score"),
+        "bm25_rank",
+    )

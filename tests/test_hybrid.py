@@ -67,3 +67,31 @@ def test_rrf_fusion_missing_list_contributes_zero(spark):
     assert got[12][0] is None and got[12][2] == pytest.approx(1 / 62)
     # lex rank 1 (1/61) beats vec rank 2 (1/62); tie impossible here
     assert got[10][3] == 2 and got[12][3] == 3
+
+
+def test_bm25_length_normalization_and_tf(spark):
+    """BM25 semantics the boolean-tf path can't express: (a) repeated
+    terms raise the score sub-linearly, (b) between two docs with the
+    same tf, the shorter one scores higher."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark"),                  # high tf, short
+            (1, "spark"),                              # tf 1, shortest
+            (2, "spark " + "filler " * 20),            # tf 1, long
+            (3, "unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(9, "spark")], "query_id long, text string")
+    got = {
+        r["doc_id"]: (float(r["bm25_score"]), r["bm25_rank"])
+        for r in bm25_topk(q, docs, k=4).collect()
+    }
+    assert 3 not in got  # no shared term
+    assert got[0][0] > got[1][0] > got[2][0]  # tf up, length penalized
+    # sub-linear tf saturation: tripling tf far from triples the score
+    assert got[0][0] < 3 * got[1][0]
