@@ -91,6 +91,17 @@ def train_pq_codebooks(
         raise ValueError(f"dim {d} not divisible by m={m}")
     if n < k:
         raise ValueError(f"training sample ({n} rows) smaller than k={k}")
+    return _kmeans_books(X, m, k, iters)
+
+
+def _kmeans_books(X, m: int, k: int, iters: int) -> list[list[list[float]]]:
+    """Per-subspace k-means over an in-memory sample matrix (the
+    shared core of raw and residual training): deterministic init from
+    the first k rows, fixed Lloyd iterations, empty clusters keep
+    their previous centroid."""
+    import numpy as np
+
+    d = X.shape[1]
     sub = d // m
     books = []
     for j in range(m):
@@ -110,6 +121,51 @@ def train_pq_codebooks(
             C[nonempty] = sums[nonempty] / counts[nonempty, None]
         books.append([[float(x) for x in row] for row in C])
     return books
+
+
+def train_pq_codebooks_residual(
+    index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    max_train_rows: int = 65_536,
+) -> list[list[list[float]]]:
+    """Codebooks over RESIDUALS ``v - centroid(v)`` — the classic
+    IVFPQ refinement: residuals concentrate around zero with far less
+    spread than raw vectors, so the same m×k code budget quantizes
+    them more finely. Same bounded deterministic sampling and k-means
+    core as the raw trainer."""
+    import numpy as np
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+        assign_centroids_gemm,
+    )
+
+    assigned = assign_centroids_gemm(index, centroids, "euclidean", vec_col)
+    rows = (
+        assigned.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<float>").alias("v"),
+            "centroid_id",
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy(F.col("h").asc(), F.col("id").asc())
+        .limit(max_train_rows)
+        .collect()
+    )
+    cvec = {int(c): np.array(v, dtype=np.float64) for c, v in centroids}
+    X = np.array(
+        [np.array(r["v"], dtype=np.float64) - cvec[int(r["centroid_id"])] for r in rows]
+    )
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < k:
+        raise ValueError(f"training sample ({n} rows) smaller than k={k}")
+    return _kmeans_books(X, m, k, iters)
 
 
 def pq_encode(
@@ -328,6 +384,7 @@ def write_ivfpq_index(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """FAISS-IVFPQ-shaped layout: rows are assigned to their nearest
     coarse centroid (euclidean — the ADC metric) and PQ-ENCODED, then
@@ -337,18 +394,21 @@ def write_ivfpq_index(
     centroid persistence: probing with a different quantizer is
     silent garbage, so it must be impossible.
 
-    Codes encode RAW vectors (IVF-Flat-PQ). The classic residual
-    refinement (encode ``v - centroid``, sharper codes near each
-    centroid) drops in here by training codebooks on residuals and
-    subtracting the centroid before :func:`pq_encode` — same layout,
-    same probe shape.
+    ``residual=False`` encodes RAW vectors (IVF-Flat-PQ);
+    ``residual=True`` encodes ``v - centroid(v)`` with codebooks from
+    :func:`train_pq_codebooks_residual` — residuals concentrate near
+    zero, so the same code budget quantizes finer (the classic IVFPQ).
+    The flag is persisted; probe and upsert read it back.
     """
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
         assign_centroids_gemm,
     )
 
     assigned = assign_centroids_gemm(index, centroids, "euclidean", vec_col)
-    enc = pq_encode(assigned, codebooks, id_col, vec_col)
+    enc_src, enc_col = assigned, vec_col
+    if residual:
+        enc_src, enc_col = _with_residual(assigned, centroids, vec_col)
+    enc = pq_encode(enc_src, codebooks, id_col, enc_col)
     layout = assigned.select(id_col, "centroid_id").join(enc, id_col)
     n_parts = len(centroids)
     (
@@ -369,9 +429,33 @@ def write_ivfpq_index(
                 "codebooks": codebooks,
                 "rows_at_build": n_rows,
                 "upserted_since_build": 0,
+                "residual": residual,
             },
             f,
         )
+
+
+def _with_residual(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+) -> tuple[DataFrame, str]:
+    """Attach ``__res = v - centroid(v)`` (JVM-side zip_with over a
+    broadcast centroid join); returns (frame, residual column name)."""
+    spark = assigned.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "centroid_id int, __cvec array<double>",
+    )
+    out = assigned.join(F.broadcast(cdf), "centroid_id").withColumn(
+        "__res",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__cvec"),
+            lambda x, y: x - y,
+        ).cast("array<float>"),
+    )
+    return out, "__res"
 
 
 def load_ivfpq_meta(path: str) -> dict:
@@ -402,6 +486,7 @@ def ivfpq_topk_rerank(
     query_vec_col: str = "qvec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """The full ANN-at-scale composition: coarse probe (each query's
     ``nprobe`` nearest centroids, chosen driver-side from the already-
@@ -449,6 +534,9 @@ def ivfpq_topk_rerank(
     qid_payload = json.dumps([int(x) for x in qids])
     probe_payload = json.dumps([[int(c) for c in row] for row in probed])
     books_payload = json.dumps(codebooks)
+    cent_payload = json.dumps(
+        {int(c): [float(x) for x in v] for c, v in centroids}
+    )
     out_schema = "query_id long, vec_id long, adc_dist double"
 
     def kernel(batches):
@@ -456,16 +544,35 @@ def ivfpq_topk_rerank(
         Qm = np.array(json.loads(q_payload), dtype=np.float64)
         qid = np.array(json.loads(qid_payload), dtype=np.int64)
         probe = json.loads(probe_payload)
-        probe_sets = [set(row) for row in probe]
+        cvec = {
+            int(c): np.array(v, dtype=np.float64)
+            for c, v in json.loads(cent_payload).items()
+        }
         nq = Qm.shape[0]
-        lut = np.empty((nq, m, B[0].shape[0]), dtype=np.float64)
-        for j in range(m):
-            Sq = Qm[:, j * sub : (j + 1) * sub]
-            lut[:, j, :] = (
-                (Sq * Sq).sum(axis=1)[:, None]
-                - 2.0 * (Sq @ B[j].T)
-                + (B[j] ** 2).sum(axis=1)[None, :]
-            )
+
+        def make_lut(target):
+            """LUT[m][k] of partial squared distances for one ADC
+            target vector (the query, or query - bucket centroid)."""
+            out = np.empty((m, B[0].shape[0]), dtype=np.float64)
+            for j in range(m):
+                t = target[j * sub : (j + 1) * sub]
+                out[j] = (
+                    (t * t).sum() - 2.0 * (B[j] @ t) + (B[j] ** 2).sum(axis=1)
+                )
+            return out
+
+        # LUT per (query, probed bucket): for residual layouts the ADC
+        # target is q - c_bucket (|q - (c + r)|^2 = |(q - c) - r|^2);
+        # for raw layouts every bucket shares the query's own LUT.
+        luts: dict[tuple[int, int], "np.ndarray"] = {}
+        raw_luts: dict[int, "np.ndarray"] = {}
+        for qi in range(nq):
+            if residual:
+                for cid in probe[qi]:
+                    luts[(qi, cid)] = make_lut(Qm[qi] - cvec[cid])
+            else:
+                raw_luts[qi] = make_lut(Qm[qi])
+
         for batch in batches:
             tbl = batch.to_pydict()
             ids = np.array(tbl[id_col], dtype=np.int64)
@@ -475,30 +582,28 @@ def ivfpq_topk_rerank(
             codes = np.array(tbl["codes"], dtype=np.int64)
             bucket = np.array(tbl["centroid_id"], dtype=np.int64)
             for qi in range(nq):
-                # bucket mask: this query scores only rows whose bucket
-                # it probes (bucket-partitioned batches make this an
-                # all-or-nothing mask in practice)
-                mask = np.isin(bucket, list(probe_sets[qi]))
-                if not mask.any():
-                    continue
-                sel = np.nonzero(mask)[0]
-                dist = np.zeros(len(sel), dtype=np.float64)
-                cs = codes[sel]
-                for j in range(m):
-                    dist += lut[qi, j, cs[:, j]]
-                yield pa.RecordBatch.from_pydict(
-                    {
-                        "query_id": pa.array(
-                            [int(qid[qi])] * len(sel), type=pa.int64()
-                        ),
-                        "vec_id": pa.array(
-                            [int(x) for x in ids[sel]], type=pa.int64()
-                        ),
-                        "adc_dist": pa.array(
-                            [float(x) for x in dist], type=pa.float64()
-                        ),
-                    }
-                )
+                for cid in probe[qi]:
+                    sel = np.nonzero(bucket == cid)[0]
+                    if len(sel) == 0:
+                        continue
+                    lut = luts[(qi, cid)] if residual else raw_luts[qi]
+                    dist = np.zeros(len(sel), dtype=np.float64)
+                    cs = codes[sel]
+                    for j in range(m):
+                        dist += lut[j, cs[:, j]]
+                    yield pa.RecordBatch.from_pydict(
+                        {
+                            "query_id": pa.array(
+                                [int(qid[qi])] * len(sel), type=pa.int64()
+                            ),
+                            "vec_id": pa.array(
+                                [int(x) for x in ids[sel]], type=pa.int64()
+                            ),
+                            "adc_dist": pa.array(
+                                [float(x) for x in dist], type=pa.float64()
+                            ),
+                        }
+                    )
 
     scored = pruned.select(id_col, "codes", "centroid_id").mapInArrow(
         kernel, out_schema
@@ -567,6 +672,7 @@ def upsert_ivfpq_index(
     meta = load_ivfpq_meta(path)
     centroids = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
     codebooks = meta["codebooks"]
+    residual = bool(meta.get("residual", False))
 
     assigned = assign_centroids_gemm(records, centroids, "euclidean", vec_col)
     payload = sorted(c for c in assigned.columns if c != id_col)
@@ -582,7 +688,11 @@ def upsert_ivfpq_index(
     n_new = assigned.count()
     if n_new == 0:
         return {"touched": [], "n_upserted": 0}
-    enc = pq_encode(assigned, codebooks, id_col, vec_col)
+    enc_src, enc_col = assigned, vec_col
+    if residual:
+        # encode exactly as the build did (flag persisted in sidecar)
+        enc_src, enc_col = _with_residual(assigned, centroids, vec_col)
+    enc = pq_encode(enc_src, codebooks, id_col, enc_col)
     fresh = assigned.select(id_col, "centroid_id").join(enc, id_col)
 
     ids = assigned.select(id_col).distinct()

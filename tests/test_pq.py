@@ -259,3 +259,74 @@ def test_ivfpq_upsert_equals_rebuild(spark, emb, tmp_path):
         spark.read.parquet(path).filter(F.col("vec_id") == 9999).collect()
     )
     assert len(rows) == 1
+
+
+def test_residual_encoding_beats_raw_at_tight_code_budget(spark, tmp_path):
+    """The classic IVFPQ claim: with a small code budget (m=8, k=16),
+    residual codes (v - centroid) recall more of the exact top-k than
+    raw codes at identical probe parameters — residuals concentrate
+    near zero so the same budget quantizes finer."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        topk_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = ann.seed_centroids(emb, 16)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_search(q, emb, k=5, metric="euclidean").collect()
+    }
+
+    def recall(path, books, residual):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in pq.ivfpq_topk_rerank(
+                q, spark.read.parquet(path), emb, cents, books,
+                k=5, nprobe=8, fetch_k=25, residual=residual,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    raw_books = pq.train_pq_codebooks(emb, m=8, k=16)
+    res_books = pq.train_pq_codebooks_residual(emb, cents, m=8, k=16)
+    p_raw, p_res = str(tmp_path / "raw"), str(tmp_path / "res")
+    pq.write_ivfpq_index(emb, p_raw, cents, raw_books)
+    pq.write_ivfpq_index(emb, p_res, cents, res_books, residual=True)
+    assert pq.load_ivfpq_meta(p_res)["residual"] is True
+    r_raw, r_res = recall(p_raw, raw_books, False), recall(p_res, res_books, True)
+    assert r_res > r_raw, f"residual {r_res} <= raw {r_raw}"
+    assert r_res >= 0.8
+
+
+def test_residual_upsert_equals_rebuild(spark, emb, tmp_path):
+    """Incremental upsert into a RESIDUAL layout re-encodes with the
+    persisted residual convention (flag read from the sidecar) — probe
+    of upserted layout == probe of a from-scratch rebuild."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+
+    cents = ann.seed_centroids(emb, 16)
+    books = pq.train_pq_codebooks_residual(emb, cents, m=16, k=64)
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    rest = emb.filter(F.col("vec_id") % 4 == 0)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    pq.write_ivfpq_index(base, inc, cents, books, residual=True)
+    res = pq.upsert_ivfpq_index(spark, inc, rest)
+    assert res["n_upserted"] == rest.count()
+    pq.write_ivfpq_index(emb, full, cents, books, residual=True)
+    q = _queries(emb)
+    probe = lambda p: {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in pq.ivfpq_topk_rerank(
+            q, spark.read.parquet(p), emb, cents, books,
+            k=5, nprobe=16, residual=True,
+        ).collect()
+    }
+    assert probe(inc) == probe(full)
