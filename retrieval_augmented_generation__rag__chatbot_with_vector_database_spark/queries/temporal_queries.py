@@ -8,7 +8,7 @@ making it a genuinely independent implementation to diff against).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
@@ -226,3 +226,83 @@ def events_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_users")
         ).alias("sketch_ok"),
     )
+
+
+@register(
+    "events_session_examples",
+    """
+WITH e AS (
+  SELECT user_id, event_type, value, epoch_ns(ts) // 1000 AS us FROM events
+), d AS (
+  SELECT user_id, event_type, value, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+                   OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), s AS (
+  SELECT user_id, event_type, value, us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+), r AS (
+  SELECT user_id, sid, event_type, us,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY us DESC) AS rev
+  FROM s
+)
+SELECT user_id, sid::BIGINT AS session_id,
+       string_agg(CASE WHEN rev > 1 THEN event_type END, '>' ORDER BY us)
+         AS context,
+       max(CASE WHEN rev = 1 THEN event_type END) AS label,
+       (count(*) - 1)::BIGINT AS context_len
+FROM r GROUP BY user_id, sid
+HAVING count(*) >= 2
+""",
+)
+def events_session_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-example construction — the stage that turns raw event
+    logs into next-action training rows: per (user, 30-min session),
+    the time-ordered event-type sequence becomes the CONTEXT and the
+    session's final event the LABEL (sessions of one event have no
+    context and are dropped). One shuffle on user_id serves the
+    sessionization windows; one more groups examples. At 100 TB this
+    is the same plan with sid-salted grouping if single users dominate
+    (documented skew lever)."""
+    ev = load(spark, sf_dir, "events").withColumn("us", epoch_micros("ts"))
+    by_user = Window.partitionBy("user_id").orderBy("us")
+    d = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(by_user).isNull()
+            | (F.col("us") - F.lag("us").over(by_user) > 1800 * 1000 * 1000),
+            1,
+        ).otherwise(0),
+    )
+    s = d.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    by_sess = Window.partitionBy("user_id", "sid").orderBy(F.col("us").desc())
+    r = s.withColumn("rev", F.row_number().over(by_sess))
+    g = r.groupBy("user_id", F.col("sid").alias("session_id")).agg(
+        F.concat_ws(
+            ">",
+            F.array_compact(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rev") > 1,
+                                F.struct("us", "event_type"),
+                            )
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                )
+            ),
+        ).alias("context"),
+        F.max(F.when(F.col("rev") == 1, F.col("event_type"))).alias("label"),
+        (F.count("*") - 1).alias("context_len"),
+    )
+    return g.filter(F.col("context_len") >= 1)
