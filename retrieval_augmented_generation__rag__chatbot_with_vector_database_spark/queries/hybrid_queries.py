@@ -223,3 +223,135 @@ def hybrid_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bm25_score").cast("double").alias("bm25_score"),
         "bm25_rank",
     )
+
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.rag_queries import (  # noqa: E402
+    _HIST_VALUES,
+    _REWRITE_EMBED_CTES,
+)
+
+_HYBRID_E2E_ORACLE = rf"""
+WITH {_HIST_VALUES},
+{_REWRITE_EMBED_CTES},
+vecs AS (
+  SELECT q.session_id AS query_id, e.vec_id AS doc_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS sim
+  FROM qv q CROSS JOIN embeddings e
+),
+vecr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id ASC) AS vec_rank
+  FROM vecs
+),
+vec10 AS (SELECT query_id, doc_id, vec_rank FROM vecr WHERE vec_rank <= {VEC_K}),
+nd AS (SELECT count(*) AS n FROM documents),
+dterm AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t <> ''))) AS term
+  FROM documents
+),
+qterm AS (
+  SELECT session_id AS query_id, unnest(list_distinct(
+           list_filter(regexp_split_to_array(lower(trim(rewritten)), '\s+'),
+                       t -> t <> ''))) AS term
+  FROM rw
+),
+idf AS (
+  SELECT term, round(ln((n + 1.0) / (count(DISTINCT id) + 1.0)), 6)::DECIMAL(18,6) AS idf
+  FROM dterm, nd GROUP BY term, n
+),
+lex AS (
+  SELECT q.query_id, d.id AS doc_id, sum(i.idf) AS lex_score
+  FROM qterm q JOIN dterm d ON q.term = d.term JOIN idf i ON q.term = i.term
+  GROUP BY q.query_id, d.id
+),
+lexr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY lex_score DESC, doc_id ASC) AS lex_rank
+  FROM lex
+),
+lex10 AS (SELECT query_id, doc_id, lex_rank FROM lexr WHERE lex_rank <= {LEX_K}),
+fus AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.lex_rank, v.vec_rank,
+         coalesce(1.0 / (60 + l.lex_rank), 0) + coalesce(1.0 / (60 + v.vec_rank), 0) AS fused
+  FROM lex10 l FULL OUTER JOIN vec10 v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, lex_rank::INT AS lex_rank, vec_rank::INT AS vec_rank,
+         round(fused, 6) AS fused,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY fused DESC, doc_id ASC) AS rank
+  FROM fus
+)
+SELECT r.query_id, q.question, q.rewritten, r.rank::INT AS rank, r.doc_id,
+       coalesce(d.source, 'unknown') AS source,
+       r.lex_rank, r.vec_rank, r.fused
+FROM ranked r
+JOIN rw q ON q.session_id = r.query_id
+LEFT JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rank <= 3
+"""
+
+
+@register("rag_hybrid_e2e", _HYBRID_E2E_ORACLE)
+def rag_hybrid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat entry point over HYBRID retrieval: history rewrite → the
+    REWRITTEN string drives BOTH signals (hash-embed → cosine top-10,
+    tokenized terms → TF-IDF top-10) → Reciprocal Rank Fusion → top-3
+    docs with sources. Every stage — rewrite text, embedding, lexical
+    scores, fusion arithmetic — is hash-checked end to end against the
+    SQL oracle."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        rewrite_with_history,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        hash_embed,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.rag_queries import (
+        chat_sessions,
+    )
+
+    sess = chat_sessions(spark)
+    q = sess.select(
+        F.col("session_id").alias("query_id"),
+        "question",
+        rewrite_with_history("question", "history").alias("rewritten"),
+    ).withColumn("qvec", hash_embed("rewritten", dim=64, seed=42))
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    vec = topk_search(
+        q.select("query_id", "qvec"), emb, k=VEC_K, metric="cosine"
+    ).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    lex = lexical_topk(
+        q.select("query_id", F.col("rewritten").alias("text")),
+        docs,
+        k=LEX_K,
+    )
+    fused = rrf_fuse(lex, vec, k=3, k0=60)
+    out = (
+        fused.join(
+            docs.select("doc_id", "source"), "doc_id", "left"
+        )
+        .join(q.select("query_id", "question", "rewritten"), "query_id")
+        .select(
+            "query_id",
+            "question",
+            "rewritten",
+            "rank",
+            "doc_id",
+            F.coalesce("source", F.lit("unknown")).alias("source"),
+            "lex_rank",
+            "vec_rank",
+            F.round("fused", 6).alias("fused"),
+        )
+    )
+    return out

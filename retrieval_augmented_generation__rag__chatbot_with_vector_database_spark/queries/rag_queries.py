@@ -315,11 +315,30 @@ hist(session_id, question, history) AS (VALUES
 """
 
 
-@register(
-    "rag_chat_e2e",
-    f"""
-WITH {_HIST_VALUES},
-rw AS (
+HIST_T = "array<struct<question:string,answer:string>>"
+
+
+def chat_sessions(spark: SparkSession) -> DataFrame:
+    """The four chat-session fixtures (history lengths 0/1/3/5) —
+    mirrored row for row by the oracle's ``_HIST_VALUES``."""
+    rows = [
+        (0, "What is NRR?", []),
+        (1, "And gross margin?", [("What was Q1 revenue?", "Revenue was $450M.")]),
+        (2, "How did it trend?", [("q1", "a1"), ("q2", "a2"), ("q3", "a3")]),
+        (
+            3,
+            "Summarize the year.",
+            [("q1", "a1"), ("q2", "a2"), ("q3", "a3"), ("q4", "a4"), ("q5", "a5")],
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, f"session_id int, question string, history {HIST_T}"
+    )
+
+
+
+# history rewrite -> hash-embed CTEs (shared with the hybrid e2e query)
+_REWRITE_EMBED_CTES = """rw AS (
   SELECT session_id, question,
          CASE WHEN len(history) = 0 THEN question
               ELSE 'Previous conversation:' || chr(10) ||
@@ -343,7 +362,15 @@ qv AS (
   SELECT session_id, question, rewritten,
          list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS qvec
   FROM rawv
-),
+)"""
+
+
+
+@register(
+    "rag_chat_e2e",
+    f"""
+WITH {_HIST_VALUES},
+{_REWRITE_EMBED_CTES},
 scored AS (
   SELECT q.session_id AS query_id, e.vec_id,
          list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
@@ -398,20 +425,7 @@ def rag_chat_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_embed,
     )
 
-    hist_t = "array<struct<question:string,answer:string>>"
-    rows = [
-        (0, "What is NRR?", []),
-        (1, "And gross margin?", [("What was Q1 revenue?", "Revenue was $450M.")]),
-        (2, "How did it trend?", [("q1", "a1"), ("q2", "a2"), ("q3", "a3")]),
-        (
-            3,
-            "Summarize the year.",
-            [("q1", "a1"), ("q2", "a2"), ("q3", "a3"), ("q4", "a4"), ("q5", "a5")],
-        ),
-    ]
-    sess = spark.createDataFrame(
-        rows, f"session_id int, question string, history {hist_t}"
-    )
+    sess = chat_sessions(spark)
     q = sess.select(
         F.col("session_id").alias("query_id"),
         "question",
