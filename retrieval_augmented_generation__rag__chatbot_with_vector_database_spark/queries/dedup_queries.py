@@ -335,3 +335,109 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), max_hamming=8
     ).select("id_a", "id_b")
     return dedup.duplicate_groups(pairs)
+
+
+@register(
+    "dedup_signal_agreement",
+    f"""
+WITH RECURSIVE {_SH_CTE},
+seeds AS (SELECT range AS seed FROM range(0, 16)),
+mh AS (
+  SELECT id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh, seeds GROUP BY id, seed
+),
+msig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+mbands AS (
+  SELECT id, b,
+         md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS bk
+  FROM msig, (SELECT range AS b FROM range(0, 4)) bs
+),
+mcand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM mbands a JOIN mbands c ON a.b = c.b AND a.bk = c.bk AND a.id < c.id
+),
+mpairs AS (
+  SELECT mcand.id_a, mcand.id_b
+  FROM mcand JOIN msig sa ON sa.id = mcand.id_a JOIN msig sb ON sb.id = mcand.id_b
+  WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.25
+),
+tok AS (
+  SELECT doc_id AS id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT id, tok, count(*) AS w FROM tok GROUP BY id, tok),
+hh AS (SELECT id, w, md5(tok) AS h FROM cnt),
+bits AS (SELECT id, w, h, range AS b FROM hh, range(0, 64) r),
+bv AS (
+  SELECT id, b,
+         CASE WHEN sum((((strpos('0123456789abcdef', h[(b//4)+1]) - 1) >> (3 - (b % 4))) % 2 * 2 - 1) * w) > 0
+              THEN '1' ELSE '0' END AS bitval
+  FROM bits GROUP BY id, b
+),
+ssig AS (SELECT id, string_agg(bitval, '' ORDER BY b) AS simhash FROM bv GROUP BY id),
+sbands AS (
+  SELECT id, simhash, b, substr(simhash, b*16 + 1, 16) AS bk
+  FROM ssig, (SELECT range AS b FROM range(0, 4)) bs
+),
+scand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b, a.simhash AS sh_a, c.simhash AS sh_b
+  FROM sbands a JOIN sbands c ON a.b = c.b AND a.bk = c.bk AND a.id < c.id
+),
+spairs AS (
+  SELECT id_a, id_b FROM scand
+  WHERE len(list_filter(range(1, 65), i -> sh_a[i] <> sh_b[i])) <= 8
+),
+u AS (
+  SELECT id_a, id_b,
+         max(src = 'm')::INT AS in_minhash,
+         max(src = 's')::INT AS in_simhash
+  FROM (
+    SELECT id_a, id_b, 'm' AS src FROM mpairs
+    UNION ALL
+    SELECT id_a, id_b, 's' AS src FROM spairs
+  ) GROUP BY id_a, id_b
+)
+SELECT count(*) FILTER (in_minhash = 1) AS n_minhash,
+       count(*) FILTER (in_simhash = 1) AS n_simhash,
+       count(*) FILTER (in_minhash = 1 AND in_simhash = 1) AS n_both,
+       round(count(*) FILTER (in_minhash = 1 AND in_simhash = 1) * 1.0
+             / count(*), 6) AS pair_jaccard
+FROM u
+""",
+)
+def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal dedup evaluation — the sanity check a curation
+    team runs before trusting a near-dup sweep: how much do the
+    MinHash-LSH (est Jaccard >= 0.25) and SimHash (Hamming <= 8) pair
+    sets agree? Emits each signal's pair count, the intersection, and
+    the pair-set Jaccard. Both candidate pipelines are the existing
+    oracle-verified operators; this query only composes and compares
+    them (a full-outer merge of two pair sets + one 1-row aggregate)."""
+    docs = load(spark, sf_dir, "documents")
+    mp = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4, min_est=0.25).select(
+        "id_a", "id_b", F.lit(1).alias("in_minhash")
+    )
+    sp = dedup.simhash_candidates(docs, max_hamming=8).select(
+        "id_a", "id_b", F.lit(1).alias("in_simhash")
+    )
+    u = mp.join(sp, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_minhash", F.lit(0)).alias("in_minhash"),
+        F.coalesce("in_simhash", F.lit(0)).alias("in_simhash"),
+    )
+    return u.agg(
+        F.sum("in_minhash").alias("n_minhash"),
+        F.sum("in_simhash").alias("n_simhash"),
+        F.sum(
+            F.when((F.col("in_minhash") == 1) & (F.col("in_simhash") == 1), 1)
+            .otherwise(0)
+        ).alias("n_both"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("in_minhash") == 1) & (F.col("in_simhash") == 1), 1
+                ).otherwise(0)
+            )
+            / F.count("*"),
+            6,
+        ).alias("pair_jaccard"),
+    )
