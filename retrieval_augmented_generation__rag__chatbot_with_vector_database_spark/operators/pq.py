@@ -37,7 +37,6 @@ floats touched only by the rerank).
 from __future__ import annotations
 
 import json
-import math
 import os
 
 from pyspark.sql import DataFrame, Window

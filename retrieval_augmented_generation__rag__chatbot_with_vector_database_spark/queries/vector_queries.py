@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
     cosine_similarity,
-    dot_product,
     l2_norm,
     dim_check,
 )
