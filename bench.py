@@ -48,6 +48,8 @@ HEADLINE = [
     "events_asof_purchase_click",
     "events_range_click_context",
     "events_daily_users_hll",
+    # round 4: hybrid retrieval (lexical TF-IDF + cosine, RRF-fused)
+    "hybrid_rrf_topk",
 ]
 
 
