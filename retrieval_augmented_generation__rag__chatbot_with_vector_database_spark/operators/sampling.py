@@ -63,12 +63,25 @@ def key_uniform(key_col: str) -> Column:
     """Deterministic pseudo-uniform in (0,1) from an integer key —
     ``((key * 2654435761) % 2^32 + 0.5) / 2^32``. A pure function of
     the key: re-runs, backfills, and the SQL oracle agree row for row
-    (same property as stratified_mod_sample, better spread)."""
-    return (
-        (F.pmod(F.col(key_col).cast("long") * F.lit(_KNUTH), F.lit(4294967296))
-         + F.lit(0.5))
-        / F.lit(4294967296.0)
-    )
+    (same property as stratified_mod_sample, better spread).
+
+    The product is computed in 16-bit halves so no intermediate ever
+    leaves signed-long range: a bare ``key * 2654435761`` overflows for
+    ``|key| > ~3.4e9``, which under Spark 4's default ANSI mode raises
+    ARITHMETIC_OVERFLOW at runtime instead of wrapping. Reducing the
+    key mod 2^32 first is not enough (the product can still reach
+    ~2^64); the split keeps every term below 2^48. DuckDB evaluates
+    the textbook form in hugeint, so the oracle needs no mirroring —
+    both sides compute the same ``(key * K) mod 2^32``.
+    """
+    k = F.pmod(F.col(key_col).cast("long"), F.lit(4294967296))  # < 2^32
+    hi = F.floor(k / F.lit(65536))  # < 2^16 (exact: k/65536 < 2^16 in double)
+    lo = k - hi * F.lit(65536)  # < 2^16
+    # (hi*2^16*K + lo*K) mod 2^32; (x*2^16) mod 2^32 = (x mod 2^16)*2^16
+    term_hi = F.pmod(hi * F.lit(_KNUTH), F.lit(65536)) * F.lit(65536)
+    term_lo = F.pmod(lo * F.lit(_KNUTH), F.lit(4294967296))
+    mixed = F.pmod(term_hi + term_lo, F.lit(4294967296))
+    return (mixed + F.lit(0.5)) / F.lit(4294967296.0)
 
 
 def weighted_priority_sample(

@@ -75,7 +75,7 @@ def asof_join(
     for k in on:
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join key {k!r} missing from one side")
-    reserved = {"__t", "__tag", "__tb", "__rts", "__mts"}
+    reserved = {"__t", "__tag", "__tb", "__rts", "__mts", "__pk", "__m"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"reserved column names in input: {sorted(clash)}")
@@ -89,13 +89,20 @@ def asof_join(
     for k in on:
         right = right.filter(F.col(k).isNotNull())
 
-    # temp names dodge clashes with left columns during the union
+    # temp names dodge clashes with left columns during the union.
+    # ALL payload columns (and the matched timestamp) ride in ONE
+    # struct so the single `last(ignorenulls)` below picks one whole
+    # right row — per-column lasts would back-fill a NULL payload
+    # value from an older right row, emitting a mixed row that never
+    # existed.
     tmp = {c: f"__p{i}" for i, c in enumerate(payload)}
     r2 = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__t"),
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(tmp[c]) for c in payload],
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(tmp[c]) for c in payload],
+        ).alias("__pk"),
         F.lit(0).alias("__tag"),
         # deterministic tiebreak among right rows tied on (key, ts)
         F.md5(F.to_json(F.struct(*payload))).alias("__tb"),
@@ -116,32 +123,31 @@ def asof_join(
         .orderBy(t_ord, F.col("__tag").asc(), F.col("__tb").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    mtmp = {c: f"__m{i}" for i, c in enumerate(payload)}
-    matched = [
-        F.last(tmp[c], ignorenulls=True).over(w).alias(mtmp[c]) for c in payload
-    ]
-    mts = F.last("__rts", ignorenulls=True).over(w).alias("__mts")
-
+    # ONE last() over the packed struct: the matched timestamp and
+    # every payload value come from the SAME right row by construction
     out = (
-        u.select("*", mts, *matched)
+        u.select("*", F.last("__pk", ignorenulls=True).over(w).alias("__m"))
         .filter(F.col("__tag") == 1)
-        .drop("__t", "__tag", "__tb", "__rts", *[tmp[c] for c in payload])
+        .drop("__t", "__tag", "__tb", "__pk")
     )
 
     if tolerance_s is not None:
         gap = F.expr(
-            f"abs(timestampdiff(MICROSECOND, __mts, {left_ts}))"
+            f"abs(timestampdiff(MICROSECOND, __m.__rts, {left_ts}))"
         ) / F.lit(1_000_000.0)
-        keep = F.col("__mts").isNotNull() & (gap <= F.lit(float(tolerance_s)))
-        for c in payload:
-            out = out.withColumn(mtmp[c], F.when(keep, F.col(mtmp[c])))
-        out = out.withColumn("__mts", F.when(keep, F.col("__mts")))
+        keep = F.col("__m.__rts").isNotNull() & (
+            gap <= F.lit(float(tolerance_s))
+        )
+        # nulling the whole struct nulls the match atomically
+        out = out.withColumn("__m", F.when(keep, F.col("__m")))
 
     # final names: payload cols, suffixed on clash with left's columns
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.col("__m.__rts").alias(f"{right_ts}{suffix}"))
     for c in payload:
         name = c if c not in left.columns else f"{c}{suffix}"
-        out = out.withColumnRenamed(mtmp[c], name)
-    return out.withColumnRenamed("__mts", f"{right_ts}{suffix}")
+        sel.append(F.col(f"__m.{tmp[c]}").alias(name))
+    return out.select(*sel)
 
 
 def range_join(

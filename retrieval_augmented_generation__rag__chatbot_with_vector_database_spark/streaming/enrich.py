@@ -79,15 +79,22 @@ def start_enrich_stream(
     micro-batch is as-of enriched against ``state_source(spark)``
     (re-resolved EVERY batch — a parquet re-read sees state updates
     between batches; partition pruning keeps the re-read narrow) and
-    appended to ``sink_dir``. availableNow + checkpoint: drains
-    pending files then stops; restart-safe (a replayed batch rewrites
-    the same rows — asof output is a pure function of batch + state).
+    written to ``sink_dir``. availableNow + checkpoint: drains
+    pending files then stops.
+
+    Exactly-once sink: each micro-batch lands in its own
+    ``batch_id=<n>`` partition directory with ``mode("overwrite")`` —
+    Structured Streaming replays a failed batch under the SAME
+    batch_id, so the replay overwrites the torn partition instead of
+    appending duplicate rows (the idempotent-by-batchId recipe from
+    the Structured Streaming guide). Readers see ``batch_id`` as an
+    extra partition column on ``spark.read.parquet(sink_dir)``.
     """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         state = state_source(batch.sparkSession)
         out = enrich_batch(batch, state, on=on, tolerance_s=tolerance_s)
-        out.write.mode("append").parquet(sink_dir)
+        out.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
 
     stream = spark.readStream.schema(schema).parquet(landing_glob)
     return (

@@ -22,9 +22,10 @@ the band key and the full signature — and per micro-batch:
 3. candidates = batch×batch (intra) ∪ batch×table (cross) on exact
    (band index, band key) — the arriving doc only ever joins the
    buckets it lands in, never the whole corpus;
-4. estimated-Jaccard filter, emitted to an append-only pairs sink
+4. estimated-Jaccard filter, emitted to the pairs sink (per-batch
+   ``batch_id=<n>`` partition, overwrite-on-replay = exactly-once)
    with ``id_a < id_b`` normalized;
-5. the batch's band rows are appended to the bucket table.
+5. the batch's band rows land in the bucket table the same way.
 
 Union over batches of the emitted pairs == the offline
 ``minhash_lsh_pairs`` over the union of all docs (batch-parity
@@ -64,11 +65,23 @@ if TYPE_CHECKING:  # pragma: no cover
 DOC_STREAM_SCHEMA = "doc_id long, ts timestamp, text string, source string"
 
 
-def _read_bucket_table(spark: SparkSession, bucket_dir: str) -> DataFrame | None:
+def _read_bucket_table(
+    spark: SparkSession, bucket_dir: str, exclude_batch_id: int | None = None
+) -> DataFrame | None:
+    """Bucket table = union of per-batch ``batch_id=<n>`` partitions.
+
+    ``exclude_batch_id`` drops the CURRENT batch's own partition
+    (partition-pruned, never scanned): a replayed batch must see the
+    table exactly as it stood before its first, torn attempt —
+    otherwise the replay would self-suppress (its ids already present)
+    and overwrite its pairs partition with an empty result."""
     try:
-        return spark.read.parquet(bucket_dir)
+        t = spark.read.parquet(bucket_dir)
     except AnalysisException:
         return None  # first batch: table not created yet
+    if exclude_batch_id is not None:
+        t = t.filter(F.col("batch_id") != exclude_batch_id)
+    return t.drop("batch_id")
 
 
 def neardup_batch(
@@ -161,23 +174,30 @@ def start_neardup_stream(
     min_est: float = 0.25,
 ) -> "StreamingQuery":
     """File-stream wrapper: documents drop into ``landing_glob``;
-    near-dup pairs append to ``pairs_sink``; the bucket table grows in
+    near-dup pairs land in ``pairs_sink``; the bucket table grows in
     ``bucket_dir``. availableNow + checkpoint (drain-then-stop, the
-    testable mode). Pairs must be materialized BEFORE the bucket-table
-    append inside each batch — otherwise the batch would pair with
-    itself through the table."""
+    testable mode).
+
+    Exactly-once: both sinks write per-batch ``batch_id=<n>``
+    partitions with ``mode("overwrite")`` — a replayed batch (same
+    batch_id) overwrites its own torn partitions instead of
+    duplicating rows — and the bucket-table read excludes the current
+    batch's partition, so the replay pairs against the table exactly
+    as it stood before the first attempt. The batch must still pair
+    against the PRE-batch table, never itself through the table; the
+    exclusion guarantees that on replay and the read-before-write
+    ordering guarantees it on first attempt."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        table = _read_bucket_table(s, bucket_dir)
+        table = _read_bucket_table(s, bucket_dir, exclude_batch_id=batch_id)
         pairs, new_rows = neardup_batch(
             batch, table, id_col, text_col, n_hashes, bands, shingle_n, min_est
         )
-        # write pairs first (they reference the PRE-append table);
-        # new_rows is localCheckpoint'd so the append below cannot
-        # change what was paired
-        pairs.write.mode("append").parquet(pairs_sink)
-        new_rows.write.mode("append").parquet(bucket_dir)
+        # pairs first (they reference the pre-batch table); new_rows is
+        # localCheckpoint'd so the write below cannot change the pairing
+        pairs.write.mode("overwrite").parquet(f"{pairs_sink}/batch_id={batch_id}")
+        new_rows.write.mode("overwrite").parquet(f"{bucket_dir}/batch_id={batch_id}")
 
     stream = spark.readStream.schema(schema).parquet(landing_glob)
     return (

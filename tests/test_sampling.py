@@ -87,3 +87,39 @@ def test_key_uniform_in_open_unit_interval(spark):
 def test_k_must_be_positive(spark, items):
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_priority_sample(items, "key", "w", k=0)
+
+
+def test_key_uniform_large_keys_no_ansi_overflow(spark):
+    """Regression: |key| > ~3.4e9 made the bare key*2654435761 long
+    multiply overflow — ARITHMETIC_OVERFLOW under Spark 4's default
+    ANSI mode. The 16-bit-halves form must run AND still equal the
+    textbook ((key * K) % 2^32 + 0.5) / 2^32 computed in unbounded
+    Python ints (what DuckDB's hugeint evaluates)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        key_uniform,
+    )
+
+    keys = [0, 1, 3_400_000_000, 2**40 + 17, 2**62 - 1, -5, -(2**40)]
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    got = {
+        r["key"]: r["u"]
+        for r in df.select("key", key_uniform("key").alias("u")).collect()
+    }
+    for k in keys:
+        expected = ((k * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+        assert got[k] == expected, k
+
+
+def test_weighted_priority_sample_large_keys(spark):
+    """weighted_priority_sample must not fail on large integer keys
+    (the reported ANSI-mode failure path)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(2**40 + i, float(i + 1)) for i in range(20)],
+        "doc_id long, weight double",
+    )
+    out = weighted_priority_sample(df, "doc_id", "weight", k=5).collect()
+    assert len(out) == 5

@@ -599,3 +599,76 @@ def test_ivfpq_ingest_stream_keeps_search_layout_fresh(spark, tmp_path):
         ).collect()
     }
     assert live == rebuilt
+
+
+def test_neardup_stream_torn_batch_replay_is_exactly_once(spark, tmp_path):
+    """Crash-replay contract: deleting the checkpoint's last commit
+    marker makes Structured Streaming re-execute that micro-batch
+    under the SAME batch_id. The per-batch overwrite sinks plus the
+    current-batch exclusion on the bucket-table read must leave pairs
+    and bucket rows exactly as a clean run — no duplicates (old
+    append sinks) and no empty-overwrite (self-suppression on replay).
+    """
+    import datetime as dt
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.neardup import (
+        start_neardup_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs1 = [(1, base * 4, "s1"), (2, base * 4 + "tail edit", "s2")]
+    docs2 = [(3, base * 4 + "another tail", "s3")]
+    ts = dt.datetime(2024, 1, 1)
+    schema = "doc_id long, ts timestamp, text string, source string"
+
+    landing = tmp_path / "nd2_landing"
+    landing.mkdir()
+    buckets = str(tmp_path / "nd2_buckets")
+    pairs_sink = str(tmp_path / "nd2_pairs")
+    ckpt = tmp_path / "nd2_ckpt"
+
+    def drop(docs, name):
+        spark.createDataFrame(
+            [(i, ts, t, s) for i, t, s in docs], schema
+        ).write.parquet(str(landing / name))
+
+    def run():
+        q = start_neardup_stream(
+            spark, str(landing) + "/*", buckets, pairs_sink, str(ckpt)
+        )
+        q.awaitTermination(120)
+
+    drop(docs1, "b1")
+    run()
+    drop(docs2, "b2")
+    run()
+
+    def snapshot():
+        pairs = {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in spark.read.parquet(pairs_sink).collect()
+        }
+        nrows = spark.read.parquet(pairs_sink).count()
+        bucket_ids = {
+            r["id"] for r in spark.read.parquet(buckets).select("id").collect()
+        }
+        brows = spark.read.parquet(buckets).count()
+        return pairs, nrows, bucket_ids, brows
+
+    before = snapshot()
+    assert before[0]  # fixture produced pairs (doc 3 pairs with 1 and 2)
+    assert {p[:2] for p in before[0]} >= {(1, 3), (2, 3)}
+
+    # tear the last commit: batch 1 will replay under the same id
+    # (the .crc sidecar must go too or the rename-on-commit collides)
+    commits = sorted(
+        f for f in os.listdir(ckpt / "commits") if not f.startswith(".")
+    )
+    os.remove(ckpt / "commits" / commits[-1])
+    crc = ckpt / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():
+        os.remove(crc)
+    run()
+
+    assert snapshot() == before

@@ -304,3 +304,50 @@ def test_asof_reserved_names_rejected(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="reserved column"):
         asof_join(left.withColumn("__tag", F.lit(1)), right, on=["user_id"])
+
+
+def test_asof_null_payload_comes_from_matched_row_only(spark):
+    """Regression: a NULL payload value in the MATCHED right row must
+    stay NULL — per-column last(ignorenulls) used to back-fill it from
+    an OLDER right row, emitting a mixed row that never existed.
+    Repro from the round-4 advice: right rows (10:00, x=5, y=1) and
+    (11:00, x=NULL, y=2); a 12:00 left row must see (11:00, NULL, 2),
+    never (11:00, 5.0, 2)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T12:00:00"))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T10:00:00"), 5.0, 1.0),
+            (10, _ts("2024-01-01T11:00:00"), None, 2.0),
+        ],
+        "user_id long, ts timestamp_ntz, x double, y double",
+    )
+    row = asof_join(
+        left, right, on=["user_id"], payload=["x", "y"]
+    ).collect()[0]
+    assert row["ts_r"] == _ts("2024-01-01T11:00:00")
+    assert row["x"] is None  # NOT back-filled to 5.0
+    assert row["y"] == 2.0
+
+
+def test_asof_all_null_payload_row_still_matches(spark):
+    """A right row whose payload is entirely NULL is still a real
+    match (ts_r set, payload NULL) — not skipped in favor of an older
+    row. The packed-struct form guarantees this; bare per-column
+    lasts would skip it."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T12:00:00"))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T10:00:00"), 5.0),
+            (10, _ts("2024-01-01T11:00:00"), None),
+        ],
+        "user_id long, ts timestamp_ntz, x double",
+    )
+    row = asof_join(left, right, on=["user_id"], payload=["x"]).collect()[0]
+    assert row["ts_r"] == _ts("2024-01-01T11:00:00")
+    assert row["x"] is None
