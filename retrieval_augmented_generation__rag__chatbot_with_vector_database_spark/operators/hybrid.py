@@ -15,11 +15,15 @@ Spark shapes:
   fused score is bit-identical in any engine. Per-query top-k via
   row_number (WindowGroupLimit below the exchange).
 
-At 100 TB: the term join is the classic inverted-index shuffle (skew
-on stopword-like terms responds to df-capping — drop terms with
-df > cap, which BM25 would down-weight to ~0 anyway — or salting);
-the vector side rides the IVF layout; fusion joins two k-row-per-query
-lists — negligible.
+At 100 TB: the term join is the classic inverted-index shuffle. Skew
+on stopword-like terms is bounded by **df-capping, on by default**
+(``df_cap=0.5``): terms with ``df > cap`` are dropped from the idf
+table, and the query-terms×idf join runs BEFORE the postings join, so
+a stopword key never reaches the big join at all — without the cap a
+term present in every document joins the full corpus (the classic
+hot-key explosion). BM25 would down-weight such terms to ~0 anyway,
+so the ranking loss is negligible. The vector side rides the IVF
+layout; fusion joins two k-row-per-query lists — negligible.
 
 Reference parity: the reference retrieves by vector similarity only
 (`app/services/pinecone_service.py` query path); hybrid is a
@@ -32,6 +36,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 IDF_DEC = "decimal(18,6)"
+
+# default document-frequency cap: drop terms present in > 50% of the
+# corpus. 0 < df_cap <= 1 → ratio of N; > 1 → absolute count; None →
+# uncapped (unit tests of scoring math on tiny corpora use None).
+DF_CAP_DEFAULT = 0.5
+
+
+def _df_cap_filter(with_n: DataFrame, df_cap: float | int | None) -> DataFrame:
+    """Apply the df cap to a frame carrying ``df`` and ``n`` columns."""
+    if df_cap is None:
+        return with_n
+    if df_cap <= 0:
+        raise ValueError(f"df_cap must be positive or None, got {df_cap}")
+    cap = F.col("n") * float(df_cap) if df_cap <= 1 else F.lit(float(df_cap))
+    return with_n.filter(F.col("df") <= cap)
 
 
 def doc_terms(docs: DataFrame, id_col: str = "doc_id",
@@ -52,13 +71,21 @@ def doc_terms(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def idf_table(terms: DataFrame, n_docs_df: DataFrame) -> DataFrame:
+def idf_table(
+    terms: DataFrame,
+    n_docs_df: DataFrame,
+    df_cap: float | int | None = None,
+) -> DataFrame:
     """(term, idf): smoothed ``ln((N+1)/(df+1))`` rounded to 6 dp and
     cast to DECIMAL so downstream sums are exact and order-free.
     ``n_docs_df`` is a 1-row (n) frame — kept declarative (broadcast
-    cross join) instead of a driver-side count."""
+    cross join) instead of a driver-side count. ``df_cap`` drops
+    stopword-like terms with ``df > cap`` (ratio of N if <= 1)."""
     df_counts = terms.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    return df_counts.crossJoin(F.broadcast(n_docs_df)).select(
+    capped = _df_cap_filter(
+        df_counts.crossJoin(F.broadcast(n_docs_df)), df_cap
+    )
+    return capped.select(
         "term",
         F.round(F.ln((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6)
         .cast(IDF_DEC)
@@ -74,12 +101,18 @@ def lexical_topk(
     query_text_col: str = "text",
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: float | int | None = DF_CAP_DEFAULT,
 ) -> DataFrame:
     """(query_id, doc_id, lex_score, lex_rank): top-k docs per query by
-    summed IDF of shared distinct terms; ties broken by doc id."""
+    summed IDF of shared distinct terms; ties broken by doc id.
+
+    ``df_cap`` (ON by default, 0.5 = half the corpus) drops
+    stopword-like terms from the idf table; the query×idf join runs
+    before the postings join so a capped hot term never joins the
+    corpus at all. ``None`` disables (tiny-corpus unit tests)."""
     dterms = doc_terms(docs, id_col, text_col)
     n_docs = docs.agg(F.count("*").alias("n"))
-    idf = idf_table(dterms, n_docs)
+    idf = idf_table(dterms, n_docs, df_cap=df_cap)
     qterms = doc_terms(
         queries.select(
             F.col(query_id_col).alias(query_id_col), F.col(query_text_col)
@@ -88,8 +121,8 @@ def lexical_topk(
         query_text_col,
     ).withColumnRenamed("id", "query_id")
     scores = (
-        qterms.join(dterms, "term")
-        .join(idf, "term")
+        qterms.join(idf, "term")
+        .join(dterms, "term")
         .groupBy("query_id", F.col("id").alias("doc_id"))
         .agg(F.sum("idf").alias("lex_score"))
     )
@@ -127,10 +160,15 @@ def bm25_topk(
     query_text_col: str = "text",
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: float | int | None = DF_CAP_DEFAULT,
 ) -> DataFrame:
     """(query_id, doc_id, bm25_score, bm25_rank): Okapi BM25 with the
     standard smoothed IDF ``ln(1 + (N - df + 0.5)/(df + 0.5))`` and
     length normalization ``tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``.
+
+    ``df_cap`` (ON by default) drops stopword-like terms — their BM25
+    idf is ~0 at df ≈ N/2 anyway — before the postings join, bounding
+    the hot-key explosion; ``None`` disables.
 
     Determinism across engines: each per-(doc, term) contribution is
     rounded to 6 dp and cast to DECIMAL before the sum, so the total
@@ -146,7 +184,9 @@ def bm25_topk(
         F.avg("dl").alias("avgdl")
     )
     df_counts = tfs.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    idf = df_counts.crossJoin(F.broadcast(stats)).select(
+    idf = _df_cap_filter(
+        df_counts.crossJoin(F.broadcast(stats)), df_cap
+    ).select(
         "term",
         F.ln(
             1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -158,8 +198,8 @@ def bm25_topk(
         query_text_col,
     ).withColumnRenamed("id", "query_id")
     contrib = (
-        qterms.join(tfs, "term")
-        .join(idf, "term")
+        qterms.join(idf, "term")
+        .join(tfs, "term")
         .crossJoin(F.broadcast(avg))
         .select(
             "query_id",

@@ -25,6 +25,15 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.que
 
 N_QUERIES = 8
 LEX_K = 10
+
+# df cap used by the REGISTERED fixture queries (mirrored in every
+# oracle CTE). The operator default (0.5) is the right call on a
+# Zipfian real-world corpus, but the synthetic fixture text draws from
+# a ~31-term vocabulary whose median df is ~78% of the corpus — a 0.5
+# cap erases the entire lexical signal there. 0.8 keeps the cap ACTIVE
+# (the densest terms are dropped, and both engines must agree on the
+# resulting scores) while the queries stay non-degenerate.
+FIX_CAP = 0.8
 VEC_K = 10
 FUSE_K = 5
 
@@ -46,6 +55,7 @@ qterm AS (
 idf AS (
   SELECT term, round(ln((n + 1.0) / (count(DISTINCT id) + 1.0)), 6)::DECIMAL(18,6) AS idf
   FROM dterm, nd GROUP BY term, n
+  HAVING count(DISTINCT id) <= {FIX_CAP} * n
 ),
 lex AS (
   SELECT q.query_id, d.id AS doc_id, sum(i.idf) AS lex_score
@@ -79,7 +89,7 @@ def hybrid_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = docs.filter(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    out = lexical_topk(q, docs, k=LEX_K)
+    out = lexical_topk(q, docs, k=LEX_K, df_cap=FIX_CAP)
     return out.select(
         "query_id",
         "doc_id",
@@ -137,7 +147,7 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = docs.filter(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    lex = lexical_topk(q, docs, k=LEX_K)
+    lex = lexical_topk(q, docs, k=LEX_K, df_cap=FIX_CAP)
     qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -171,7 +181,8 @@ tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
 dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
 ad AS (SELECT avg(dl) AS avgdl FROM dl),
 dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-idf AS (SELECT term, ln(1 + (nd.n - df + 0.5) / (df + 0.5)) AS idf FROM dfc, nd),
+idf AS (SELECT term, ln(1 + (nd.n - df + 0.5) / (df + 0.5)) AS idf
+        FROM dfc, nd WHERE df <= {FIX_CAP} * nd.n),
 qterm AS (
   SELECT doc_id AS query_id, unnest(list_distinct(
            list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
@@ -216,7 +227,7 @@ def hybrid_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = docs.filter(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    out = bm25_topk(q, docs, k=LEX_K)
+    out = bm25_topk(q, docs, k=LEX_K, df_cap=FIX_CAP)
     return out.select(
         "query_id",
         "doc_id",
@@ -261,6 +272,7 @@ qterm AS (
 idf AS (
   SELECT term, round(ln((n + 1.0) / (count(DISTINCT id) + 1.0)), 6)::DECIMAL(18,6) AS idf
   FROM dterm, nd GROUP BY term, n
+  HAVING count(DISTINCT id) <= {FIX_CAP} * n
 ),
 lex AS (
   SELECT q.query_id, d.id AS doc_id, sum(i.idf) AS lex_score
@@ -335,6 +347,7 @@ def rag_hybrid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.select("query_id", F.col("rewritten").alias("text")),
         docs,
         k=LEX_K,
+        df_cap=FIX_CAP,
     )
     fused = rrf_fuse(lex, vec, k=3, k0=60)
     out = (

@@ -38,7 +38,7 @@ def test_lexical_topk_prefers_rarer_terms(spark, corpus):
     )
     got = {
         r["doc_id"]: r["lex_rank"]
-        for r in lexical_topk(q, corpus, k=4).collect()
+        for r in lexical_topk(q, corpus, k=4, df_cap=None).collect()
     }
     # doc 2 shares no term: absent entirely
     assert 2 not in got
@@ -89,9 +89,54 @@ def test_bm25_length_normalization_and_tf(spark):
     q = spark.createDataFrame([(9, "spark")], "query_id long, text string")
     got = {
         r["doc_id"]: (float(r["bm25_score"]), r["bm25_rank"])
-        for r in bm25_topk(q, docs, k=4).collect()
+        for r in bm25_topk(q, docs, k=4, df_cap=None).collect()
     }
     assert 3 not in got  # no shared term
     assert got[0][0] > got[1][0] > got[2][0]  # tf up, length penalized
     # sub-linear tf saturation: tripling tf far from triples the score
     assert got[0][0] < 3 * got[1][0]
+
+
+def test_df_cap_drops_stopword_and_bounds_join(spark):
+    """Skewed corpus: one term in EVERY doc. With the default cap the
+    stopword contributes nothing (and, because the query×idf join runs
+    before the postings join, its hot key never reaches the corpus);
+    uncapped it would pair the query with all 60 docs."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+        bm25_topk,
+        lexical_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the unique{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "the")], "query_id long, text string")
+
+    for fn, score_col in ((lexical_topk, "lex_score"), (bm25_topk, "bm25_score")):
+        capped = fn(q, docs, k=100).collect()
+        assert capped == [], f"{fn.__name__}: stopword must be dropped"
+        uncapped = fn(q, docs, k=100, df_cap=None).collect()
+        assert len(uncapped) == 60, f"{fn.__name__}: uncapped joins all docs"
+
+    # a query mixing stopword + rare term still ranks by the rare term
+    q2 = spark.createDataFrame(
+        [(1, "the unique7")], "query_id long, text string"
+    )
+    got = lexical_topk(q2, docs, k=5).collect()
+    assert [r["doc_id"] for r in got] == [7]
+
+
+def test_df_cap_absolute_count(spark):
+    """df_cap > 1 is an absolute document count, not a ratio."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+        lexical_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "shared a"), (1, "shared b"), (2, "shared c"), (3, "solo d")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "shared")], "query_id long, text string")
+    assert lexical_topk(q, docs, k=10, df_cap=2).collect() == []  # df=3 > 2
+    assert len(lexical_topk(q, docs, k=10, df_cap=3).collect()) == 3
