@@ -19,6 +19,7 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.ope
     topk_search,
 )
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    REGISTRY,
     load,
     register,
 )
@@ -233,6 +234,90 @@ def hybrid_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("bm25_score").cast("double").alias("bm25_score"),
         "bm25_rank",
+    )
+
+
+def _with_lexical_index(spark: SparkSession, sf_dir: str, probe):
+    """Build the persistent inverted-index layout in a tempdir from the
+    documents table, run ``probe(index)``, and materialize the (small,
+    top-k-bounded) result before the tempdir disappears. At serving
+    time the layout is prebuilt and incrementally maintained
+    (streaming/lexical_ingest.py); building it here keeps the query
+    self-contained and the accounting honest (same convention as
+    ann_ivf_topk_gemm)."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.lexical_index import (
+        LexicalIndex,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = LexicalIndex(spark, f"{tmp}/lex").create(docs)
+        out = probe(idx)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "hybrid_bm25_topk_indexed",
+    REGISTRY["hybrid_bm25_topk"].oracle,
+)
+def hybrid_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from the PERSISTED inverted-index layout
+    (sources/lexical_index.py): postings carry (tf, dl), the scan is
+    pruned to the query terms' buckets, df is computed inside the
+    pruned scan. Hash-equal to ``hybrid_bm25_topk`` (same oracle SQL):
+    probe-from-layout ≡ rebuild-from-raw, the persistent-index contract
+    of the reference (`app/services/pinecone_service.py:33-68`)."""
+    docs = load(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = _with_lexical_index(
+        spark, sf_dir, lambda idx: idx.bm25_topk(q, k=LEX_K, df_cap=FIX_CAP)
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("bm25_score").cast("double").alias("bm25_score"),
+        "bm25_rank",
+    )
+
+
+@register(
+    "hybrid_rrf_topk_indexed",
+    REGISTRY["hybrid_rrf_topk"].oracle,
+)
+def hybrid_rrf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship hybrid query served from the PERSISTED lexical
+    layout instead of a per-call corpus re-tokenization — hash-equal to
+    ``hybrid_rrf_topk`` (same oracle SQL). The lexical side prunes its
+    postings scan to the query terms' buckets; the vector side and RRF
+    fusion are unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = _with_lexical_index(
+        spark, sf_dir, lambda idx: idx.lexical_topk(q, k=LEX_K, df_cap=FIX_CAP)
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    vec = topk_search(qv, emb, k=VEC_K, metric="cosine").select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    out = rrf_fuse(lex, vec, k=FUSE_K, k0=60)
+    return out.select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round("fused", 6).alias("fused"),
+        "rank",
     )
 
 

@@ -1,0 +1,482 @@
+"""Persistent inverted-index lexical layout — the lexical twin of the
+vector index (``sources.index_table``) and the IVF/IVFPQ layouts.
+
+Why it exists: ``operators.hybrid`` builds ``doc_terms`` / ``idf`` /
+``doc_term_freqs`` from raw text on every call, which is the right
+shape for a one-off batch but re-tokenizes the corpus per query batch.
+The reference's retrieval layer is a *persistent* index
+(``app/services/pinecone_service.py:33-68,108-146`` — create once,
+upsert incrementally, probe many times); this module gives the lexical
+signal the same lifecycle the vector side already has.
+
+Layout (catalog-free parquet + JSON sidecar, same discipline as
+``VectorIndex``)::
+
+    <path>/
+      _lexical_properties.json      # {term_buckets, doc_buckets}
+      postings/ tbucket=N/          # (term, id, tf, dl)
+      docs/     dbucket=N/          # (id, dl, terms)   — the doc store
+
+- **postings** are partitioned by ``tbucket = pmod(xxhash64(term),
+  term_buckets)``: ALL postings of a term live in exactly one
+  partition directory, so a probe prunes the scan to the (few) buckets
+  its query terms hash to, and ``df(term)`` is computable exactly from
+  the pruned scan alone — no separately-maintained df table to drift.
+  ``dl`` (doc token length) is denormalized into each posting, Lucene
+  norms-style, so BM25 needs no join against the doc store at probe
+  time.
+- **docs** is the stored-fields side: (id, dl, terms) partitioned by
+  id hash. Its job is incremental maintenance — replacing a document
+  must delete the OLD version's postings, whose term buckets can only
+  be known from the old term list. It also supplies the corpus stats
+  (N via parquet footer counts, avgdl via a single slim column scan).
+
+Upsert = Lucene's delete-then-insert, expressed relationally: probe
+the doc store (id-bucket-pruned) for old term lists of incoming ids,
+touched term-buckets = buckets(old terms ∪ new terms), rewrite ONLY
+those postings partitions (drop rows of incoming ids, union the new
+postings) and only the touched doc-store partitions (last-write-wins
+merge), each under the crash-consistent marker-fenced swap of
+``sources.layout``. Work per batch is O(|batch| + |touched buckets|),
+not O(|index|). Re-running the same batch is a no-op by construction
+(delete-then-insert is idempotent; the LWW merge is deterministic), so
+an at-least-once ingest stream gets exactly-once end state —
+``streaming.lexical_ingest`` rides exactly this.
+
+At 100 TB: probes shuffle only postings of the query's terms (bounded
+by Σ df, further bounded by ``df_cap`` which drops stopword-grade
+terms BEFORE the candidate aggregation); the full corpus text is never
+re-read. ``term_buckets`` should scale with corpus size (4096+) so one
+bucket ≈ an executor working set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+    DF_CAP_DEFAULT,
+    IDF_DEC,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+    check_not_torn,
+    swap_partition_dirs,
+)
+
+PROPS_FILE = "_lexical_properties.json"
+TERM_BUCKETS = 64  # defaults for NEWLY CREATED indexes (persisted)
+DOC_BUCKETS = 32
+TBUCKET = "tbucket"
+DBUCKET = "dbucket"
+# driver-collect bound for the probe's touched-bucket discovery: one
+# int per DISTINCT QUERY TERM (not per posting), so a runaway means a
+# malformed query batch, and it fails loudly before collecting.
+MAX_PROBE_TERMS = 65536
+
+POSTINGS_SCHEMA = "term string, id long, tf long, dl long"
+DOCS_SCHEMA = "id long, dl long, terms array<string>, _batch long"
+
+
+def _tbucket_of(term_col: str, n: int) -> Column:
+    return F.pmod(F.xxhash64(F.col(term_col)), F.lit(n)).cast("int")
+
+
+def _dbucket_of(id_col: str, n: int) -> Column:
+    return F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n)).cast("int")
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) one row per TOKEN — same analyzer as
+    ``operators.hybrid`` (lowercase whitespace split, empties
+    dropped), so index probes reproduce the raw-path scores exactly."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def _doc_side(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc postings from raw text: (id, term, tf, dl)."""
+    tok = _tokens(docs, id_col, text_col)
+    tf = tok.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, "id")
+
+
+def _doc_rows(docs: DataFrame, side: DataFrame, id_col: str) -> DataFrame:
+    """Doc-store rows (id, dl, terms) for EVERY input doc — token-free
+    docs get dl=0 / terms=[] so they still count toward N (the raw
+    operators' ``docs.agg(count(*))``) while staying out of avgdl."""
+    per_doc = side.groupBy("id").agg(
+        F.first("dl").alias("dl"),
+        F.sort_array(F.collect_set("term")).alias("terms"),
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias("id")).distinct()
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+            F.coalesce("terms", F.array().cast("array<string>")).alias("terms"),
+        )
+    )
+
+
+class LexicalIndex:
+    """A persistent inverted index over (doc id, text) rows."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- lifecycle ----------------------------------------------------
+    @property
+    def _props_path(self) -> str:
+        return os.path.join(self.path, PROPS_FILE)
+
+    @property
+    def _postings_path(self) -> str:
+        return os.path.join(self.path, "postings")
+
+    @property
+    def _docs_path(self) -> str:
+        return os.path.join(self.path, "docs")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._props_path)
+
+    def properties(self) -> dict:
+        with open(self._props_path) as f:
+            return json.load(f)
+
+    def term_buckets(self) -> int:
+        return int(self.properties()["term_buckets"])
+
+    def doc_buckets(self) -> int:
+        return int(self.properties()["doc_buckets"])
+
+    def _check_not_torn(self) -> None:
+        for p in (self._postings_path, self._docs_path):
+            if os.path.exists(p):
+                check_not_torn(p)
+
+    # -- create -------------------------------------------------------
+    def create(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        term_buckets: int = TERM_BUCKETS,
+        doc_buckets: int = DOC_BUCKETS,
+    ) -> "LexicalIndex":
+        """Build the layout from scratch (idempotent: existing index is
+        left untouched — use :meth:`upsert` to change it)."""
+        if self.exists():
+            return self
+        if term_buckets < 1 or doc_buckets < 1:
+            raise ValueError("bucket counts must be >= 1")
+        os.makedirs(self.path, exist_ok=True)
+        side = _doc_side(docs, id_col, text_col)
+        postings = side.select(
+            "term", "id", "tf", "dl",
+            _tbucket_of("term", term_buckets).alias(TBUCKET),
+        )
+        dstore = (
+            _doc_rows(docs, side, id_col)
+            .withColumn("_batch", F.lit(0).cast("long"))
+            .withColumn(DBUCKET, _dbucket_of("id", doc_buckets))
+        )
+        (
+            postings.repartition(term_buckets, F.col(TBUCKET))
+            .write.mode("overwrite").partitionBy(TBUCKET)
+            .parquet(self._postings_path)
+        )
+        (
+            dstore.repartition(doc_buckets, F.col(DBUCKET))
+            .write.mode("overwrite").partitionBy(DBUCKET)
+            .parquet(self._docs_path)
+        )
+        with open(self._props_path, "w") as f:
+            json.dump(
+                {"term_buckets": term_buckets, "doc_buckets": doc_buckets}, f
+            )
+        return self
+
+    # -- reads --------------------------------------------------------
+    def postings(self) -> DataFrame:
+        self._check_not_torn()
+        return self.spark.read.parquet(self._postings_path)
+
+    def doc_store(self) -> DataFrame:
+        self._check_not_torn()
+        return self.spark.read.parquet(self._docs_path)
+
+    def corpus_stats(self) -> DataFrame:
+        """1-row (n, avgdl). N resolves from parquet footer row counts;
+        avgdl scans one slim column of the doc store (~0.01% of corpus
+        bytes) — cheap relative to any probe, and always consistent
+        with the data (no separately-maintained counter to drift).
+        Token-free docs count toward N but not avgdl, matching the raw
+        operators (``doc_term_freqs`` never emits a dl=0 row)."""
+        return self.doc_store().agg(
+            F.count("*").alias("n"),
+            F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
+        )
+
+    # -- incremental upsert ------------------------------------------
+    def upsert(
+        self,
+        docs: DataFrame,
+        batch: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Delete-then-insert by doc id: incoming docs replace any
+        existing version (their OLD postings vanish, even for terms the
+        new text no longer contains). ``batch`` is a caller-supplied
+        monotonic version for the doc-store LWW merge; replaying a
+        batch with the same value converges to the same layout."""
+        self._check_not_torn()
+        tb, db = self.term_buckets(), self.doc_buckets()
+
+        side = _doc_side(docs, id_col, text_col).localCheckpoint(eager=True)
+        new_docs = _doc_rows(docs, side, id_col).localCheckpoint(eager=True)
+
+        # old term lists of replaced ids — pruned to the id buckets the
+        # batch touches (PartitionFilters; untouched doc partitions are
+        # never listed)
+        dbuckets = sorted(
+            r["b"]
+            for r in new_docs.select(_dbucket_of("id", db).alias("b"))
+            .distinct().collect()
+        )
+        if not dbuckets:  # empty batch
+            return
+        old_in_buckets = self.doc_store().filter(F.col(DBUCKET).isin(dbuckets))
+        replaced = old_in_buckets.join(
+            new_docs.select("id"), "id", "left_semi"
+        )
+
+        # touched term buckets: old terms ∪ new terms
+        touched_terms = (
+            replaced.select(F.explode("terms").alias("term"))
+            .unionByName(side.select("term"))
+            .select(_tbucket_of("term", tb).alias("b"))
+            .distinct()
+        )
+        tbuckets = sorted(r["b"] for r in touched_terms.collect())
+
+        # postings: rewrite touched term-buckets = (existing minus
+        # incoming ids) ∪ new postings
+        kept = (
+            self.postings()
+            .filter(F.col(TBUCKET).isin(tbuckets))
+            .join(new_docs.select("id"), "id", "left_anti")
+        )
+        new_postings = side.select(
+            "term", "id", "tf", "dl", _tbucket_of("term", tb).alias(TBUCKET)
+        )
+        merged_postings = kept.select(new_postings.columns).unionByName(
+            new_postings
+        )
+        tmp_p = self._postings_path + "._tmp"
+        (
+            merged_postings.repartition(max(len(tbuckets), 1), F.col(TBUCKET))
+            .write.mode("overwrite").partitionBy(TBUCKET).parquet(tmp_p)
+        )
+        swap_partition_dirs(
+            self._postings_path, tmp_p, [f"{TBUCKET}={b}" for b in tbuckets]
+        )
+
+        # doc store: LWW merge within the touched id buckets
+        incoming = new_docs.withColumn(
+            "_batch", F.lit(batch).cast("long")
+        ).withColumn(DBUCKET, _dbucket_of("id", db))
+        merged_docs = _lww_docs(
+            old_in_buckets, incoming
+        )
+        tmp_d = self._docs_path + "._tmp"
+        (
+            merged_docs.repartition(max(len(dbuckets), 1), F.col(DBUCKET))
+            .write.mode("overwrite").partitionBy(DBUCKET).parquet(tmp_d)
+        )
+        swap_partition_dirs(
+            self._docs_path, tmp_d, [f"{DBUCKET}={b}" for b in dbuckets]
+        )
+
+    # -- probes -------------------------------------------------------
+    def _pruned_candidates(
+        self, qterms: DataFrame, df_cap: float | int | None
+    ) -> DataFrame:
+        """Postings of the query's UNCAPPED terms, scanning ONLY the
+        term buckets the query terms hash to. Returns (query_id, term,
+        id, tf, dl, df, n, avgdl).
+
+        df is exact — a term's postings are colocated in its bucket, so
+        counting ids inside the pruned scan IS the global document
+        frequency. The df-cap is applied to the per-term aggregate
+        BEFORE any row-level postings join (a partial-agg scan, never a
+        fan-out), so a stopword-grade hot term costs one map-side count
+        and is then dropped — the postings join only ever sees the
+        broadcast list of surviving (query term × stats) rows."""
+        tb = self.term_buckets()
+        terms = qterms.select("term").distinct().limit(MAX_PROBE_TERMS + 1)
+        rows = terms.select(
+            "term", _tbucket_of("term", tb).alias("b")
+        ).collect()
+        if len(rows) > MAX_PROBE_TERMS:
+            raise ValueError(
+                f"probe has > {MAX_PROBE_TERMS} distinct query terms; the "
+                "touched-bucket list is collected to the driver by design "
+                "(bounded user queries). Split the query batch."
+            )
+        buckets = sorted({r["b"] for r in rows})
+        empty = self.spark.createDataFrame(
+            [],
+            "query_id long, term string, id long, tf long, dl long, "
+            "df long, n long, avgdl double",
+        )
+        if not buckets:
+            return empty
+        qset = [r["term"] for r in rows]
+        pruned = self.postings().filter(
+            F.col(TBUCKET).isin(buckets) & F.col("term").isin(qset)
+        )
+        dfc = pruned.groupBy("term").agg(F.countDistinct("id").alias("df"))
+        allowed = (
+            dfc.crossJoin(F.broadcast(self.corpus_stats()))
+            .filter(_cap_pred(df_cap))
+        )
+        q_allowed = qterms.join(allowed, "term")
+        return pruned.join(F.broadcast(q_allowed), "term").select(
+            "query_id", "term", "id", "tf", "dl", "df", "n", "avgdl"
+        )
+
+    def lexical_topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id_col: str = "query_id",
+        query_text_col: str = "text",
+        df_cap: float | int | None = DF_CAP_DEFAULT,
+    ) -> DataFrame:
+        """(query_id, doc_id, lex_score, lex_rank) — identical scores
+        to ``operators.hybrid.lexical_topk`` (same analyzer, same
+        smoothed idf rounded to 6 dp in DECIMAL), but from the
+        persisted layout: no corpus re-tokenization, scan pruned to the
+        query terms' buckets."""
+        qterms = (
+            _tokens(
+                queries.select(
+                    F.col(query_id_col).alias("qid"), F.col(query_text_col)
+                ),
+                "qid",
+                query_text_col,
+            )
+            .distinct()
+            .withColumnRenamed("id", "query_id")
+        )
+        cand = self._pruned_candidates(qterms, df_cap)
+        scored = (
+            cand.select(
+                "query_id",
+                F.col("id").alias("doc_id"),
+                F.round(
+                    F.ln((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+                ).cast(IDF_DEC).alias("idf"),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("idf").alias("lex_score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("lex_score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            scored.withColumn("lex_rank", F.row_number().over(w))
+            .filter(F.col("lex_rank") <= k)
+        )
+
+    def bm25_topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        query_id_col: str = "query_id",
+        query_text_col: str = "text",
+        df_cap: float | int | None = DF_CAP_DEFAULT,
+    ) -> DataFrame:
+        """(query_id, doc_id, bm25_score, bm25_rank) — identical to
+        ``operators.hybrid.bm25_topk`` from the persisted layout:
+        tf and dl ride the postings, avgdl/N come from the doc store,
+        per-contribution 6-dp DECIMAL rounding keeps engines exact."""
+        qterms = (
+            _tokens(
+                queries.select(
+                    F.col(query_id_col).alias("qid"), F.col(query_text_col)
+                ),
+                "qid",
+                query_text_col,
+            )
+            .distinct()
+            .withColumnRenamed("id", "query_id")
+        )
+        cand = self._pruned_candidates(qterms, df_cap)
+        contrib = (
+            cand.select(
+                "query_id",
+                F.col("id").alias("doc_id"),
+                F.round(
+                    F.ln(
+                        1.0
+                        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    )
+                    * (F.col("tf") * (k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                    ),
+                    6,
+                ).cast(IDF_DEC).alias("c"),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("c").alias("bm25_score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("bm25_score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            contrib.withColumn("bm25_rank", F.row_number().over(w))
+            .filter(F.col("bm25_rank") <= k)
+        )
+
+
+def _cap_pred(df_cap: float | int | None) -> Column:
+    """df-cap predicate over (df, n) columns — same semantics as
+    ``operators.hybrid._df_cap_filter`` (<=1 ratio, >1 absolute,
+    None = uncapped)."""
+    if df_cap is None:
+        return F.lit(True)
+    if df_cap <= 0:
+        raise ValueError(f"df_cap must be positive or None, got {df_cap}")
+    cap = F.col("n") * float(df_cap) if df_cap <= 1 else F.lit(float(df_cap))
+    return F.col("df") <= cap
+
+
+def _lww_docs(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Keep the newest doc-store row per id (ties: deterministic md5
+    over the payload — the ``merge_last_write_wins`` convention)."""
+    allr = existing.unionByName(incoming)
+    tb = F.md5(F.to_json(F.struct("dl", "terms")))
+    w = Window.partitionBy("id").orderBy(F.col("_batch").desc(), tb.asc())
+    return (
+        allr.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

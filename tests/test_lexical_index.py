@@ -1,0 +1,204 @@
+"""Persistent lexical index (sources/lexical_index.py): probe parity
+with the raw operators, incremental upsert ≡ rebuild, stale-postings
+deletion, df-cap, bounded probe, and the streaming maintenance path.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+    bm25_topk,
+    lexical_topk,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.lexical_index import (
+    LexicalIndex,
+)
+
+DOCS = [
+    (0, "spark engine for large scale data"),
+    (1, "vector search with embeddings and spark"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "embeddings power vector search engines"),
+    (4, "data pipelines at large scale need spark"),
+    (5, "completely unrelated text about cooking pasta"),
+    (6, "spark spark spark repeated token document"),
+    (7, ""),  # token-free doc: counts toward N, not avgdl
+]
+
+
+def _docs_df(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries_df(spark):
+    return spark.createDataFrame(
+        [(100, "vector search spark"), (101, "large scale data pipelines")],
+        "query_id long, text string",
+    )
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    idx = LexicalIndex(spark, str(tmp_path / "lex"))
+    idx.create(_docs_df(spark), term_buckets=8, doc_buckets=4)
+    return idx
+
+
+def test_lexical_probe_matches_raw_operator(spark, index):
+    q = _queries_df(spark)
+    raw = lexical_topk(q, _docs_df(spark), k=5, df_cap=None)
+    idxed = index.lexical_topk(q, k=5, df_cap=None)
+    assert _rows(idxed, "query_id", "lex_rank") == _rows(
+        raw, "query_id", "lex_rank"
+    )
+
+
+def test_bm25_probe_matches_raw_operator(spark, index):
+    q = _queries_df(spark)
+    raw = bm25_topk(q, _docs_df(spark), k=5, df_cap=None)
+    idxed = index.bm25_topk(q, k=5, df_cap=None)
+    assert _rows(idxed, "query_id", "bm25_rank") == _rows(
+        raw, "query_id", "bm25_rank"
+    )
+
+
+def test_df_cap_active_in_probe(spark, index):
+    # 'spark' appears in 4/8 docs = 0.5 of N; a 0.4-ratio cap drops it
+    q = spark.createDataFrame([(1, "spark")], "query_id long, text string")
+    capped = index.lexical_topk(q, k=10, df_cap=0.4)
+    assert capped.count() == 0
+    uncapped = index.lexical_topk(q, k=10, df_cap=None)
+    assert uncapped.count() == 4
+
+
+def test_corpus_stats_count_tokenfree_docs(spark, index):
+    row = index.corpus_stats().first()
+    assert row["n"] == len(DOCS)
+    # avgdl over tokenized docs only — the raw operators' convention
+    dls = [len(t.split()) for _, t in DOCS if t.strip()]
+    assert row["avgdl"] == pytest.approx(sum(dls) / len(dls))
+
+
+def test_upsert_equals_rebuild(spark, tmp_path):
+    base = DOCS[:6]
+    batch = [
+        (1, "reworded vector article no longer about search"),  # replace
+        (6, "fresh spark document arriving later"),  # new id
+        (7, "another new doc about embeddings"),  # new id
+    ]
+    merged = {d[0]: d for d in base}
+    merged.update({d[0]: d for d in batch})
+    merged_rows = sorted(merged.values())
+
+    up = LexicalIndex(spark, str(tmp_path / "up"))
+    up.create(_docs_df(spark, base), term_buckets=8, doc_buckets=4)
+    up.upsert(_docs_df(spark, batch), batch=1)
+
+    rb = LexicalIndex(spark, str(tmp_path / "rb"))
+    rb.create(_docs_df(spark, merged_rows), term_buckets=8, doc_buckets=4)
+
+    # identical postings, doc store (modulo _batch), and probe results
+    cols = ["term", "id", "tf", "dl"]
+    assert _rows(up.postings().select(cols), "term", "id") == _rows(
+        rb.postings().select(cols), "term", "id"
+    )
+    dcols = ["id", "dl", "terms"]
+    assert _rows(up.doc_store().select(dcols), "id") == _rows(
+        rb.doc_store().select(dcols), "id"
+    )
+    q = _queries_df(spark)
+    assert _rows(up.bm25_topk(q, k=5), "query_id", "bm25_rank") == _rows(
+        rb.bm25_topk(q, k=5), "query_id", "bm25_rank"
+    )
+
+
+def test_upsert_deletes_stale_postings(spark, tmp_path):
+    idx = LexicalIndex(spark, str(tmp_path / "lex"))
+    idx.create(_docs_df(spark), term_buckets=8, doc_buckets=4)
+    # doc 5 is the only 'pasta' doc; its replacement drops the term
+    idx.upsert(
+        spark.createDataFrame(
+            [(5, "now a document about gardening")], "doc_id long, text string"
+        ),
+        batch=1,
+    )
+    q = spark.createDataFrame([(1, "pasta cooking")], "query_id long, text string")
+    assert idx.lexical_topk(q, k=10, df_cap=None).count() == 0
+    q2 = spark.createDataFrame([(1, "gardening")], "query_id long, text string")
+    hits = idx.lexical_topk(q2, k=10, df_cap=None).collect()
+    assert [r["doc_id"] for r in hits] == [5]
+
+
+def test_upsert_replay_is_idempotent(spark, tmp_path):
+    idx = LexicalIndex(spark, str(tmp_path / "lex"))
+    idx.create(_docs_df(spark, DOCS[:4]), term_buckets=8, doc_buckets=4)
+    batch = _docs_df(spark, [(2, "replacement text"), (9, "brand new doc")])
+    idx.upsert(batch, batch=1)
+    before_p = _rows(idx.postings(), "term", "id")
+    before_d = _rows(idx.doc_store(), "id")
+    idx.upsert(batch, batch=1)  # replay: same version, same rows
+    assert _rows(idx.postings(), "term", "id") == before_p
+    assert _rows(idx.doc_store(), "id") == before_d
+
+
+def test_probe_prunes_term_buckets(spark, index):
+    """The probe's postings scan must carry a PartitionFilters entry on
+    tbucket — the layout's point: query terms prune the scan."""
+    q = spark.createDataFrame([(1, "spark")], "query_id long, text string")
+    plan = index.lexical_topk(q, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "tbucket" in plan
+
+
+def test_empty_batch_upsert_is_noop(spark, index):
+    before = _rows(index.postings(), "term", "id")
+    index.upsert(
+        spark.createDataFrame([], "doc_id long, text string"), batch=2
+    )
+    assert _rows(index.postings(), "term", "id") == before
+
+
+def test_streaming_lexical_ingest(spark, tmp_path):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.lexical_ingest import (
+        start_lexical_ingest_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    ckpt = str(tmp_path / "ckpt")
+    idx = LexicalIndex(spark, str(tmp_path / "lex"))
+    idx.create(_docs_df(spark, DOCS[:4]), term_buckets=8, doc_buckets=4)
+
+    batch = [(2, "streamed replacement text"), (50, "streamed new doc")]
+    _docs_df(spark, batch).write.mode("append").parquet(landing)
+    start_lexical_ingest_stream(
+        spark, landing, idx.path, ckpt
+    ).awaitTermination(120)
+
+    merged = {d[0]: d for d in DOCS[:4]}
+    merged.update({d[0]: d for d in batch})
+    rb = LexicalIndex(spark, str(tmp_path / "rb"))
+    rb.create(
+        _docs_df(spark, sorted(merged.values())), term_buckets=8, doc_buckets=4
+    )
+    cols = ["term", "id", "tf", "dl"]
+    assert _rows(idx.postings().select(cols), "term", "id") == _rows(
+        rb.postings().select(cols), "term", "id"
+    )
+
+    # second drop drains incrementally from the same checkpoint
+    _docs_df(spark, [(51, "late arriving doc")]).write.mode("append").parquet(
+        landing
+    )
+    start_lexical_ingest_stream(
+        spark, landing, idx.path, ckpt
+    ).awaitTermination(120)
+    assert (
+        idx.doc_store().filter(F.col("id") == 51).count() == 1
+    )
