@@ -15,8 +15,18 @@ driver loop:
 Cost model: ONE shuffle on the join key (the same lower bound any
 keyed join pays), one partition-local sort shared by the window. No
 per-left-row probe, no range explosion, no state on the driver. At
-100 TB this is shuffle-bound exactly like a regular join; skewed keys
-respond to the same salting/AQE treatment.
+100 TB this is shuffle-bound exactly like a regular join.
+
+Hot keys: a window CANNOT be salted (as-of needs the key's total time
+order, which salting severs), so a low-cardinality key puts its entire
+combined history in one partition. The scale path is ``bucket_s``:
+time is cut into buckets and the match is assembled in two
+(key, bucket)-grained phases — an in-bucket as-of window (partitions
+bounded by bucket population, not key population) plus a carry-forward
+of per-bucket "last right row" summaries across buckets (a window over
+AT MOST one row per (key, bucket), so the per-key partition is
+#buckets-sized regardless of data volume). Same results, bit for bit —
+the hot-key randomized cross-check pins it.
 
 The range join's scale path buckets time into ``bucket`` -second cells
 and equi-joins on (key, cell) — each right row lands in exactly one
@@ -53,6 +63,7 @@ def asof_join(
     suffix: str = "_r",
     tolerance_s: float | None = None,
     direction: str = "backward",
+    bucket_s: float | None = None,
 ) -> DataFrame:
     """For every left row, attach ``payload`` columns of the single
     right row with the greatest ``right_ts`` <= ``left_ts`` (backward;
@@ -66,6 +77,12 @@ def asof_join(
     ``merge_last_write_wins``), so results are stable across runs and
     partitionings.
 
+    Scale path (``bucket_s``, seconds): identical results via
+    (key, time-bucket)-grained windows — use it when a key's combined
+    history is too large for one window partition (hot keys; see the
+    module doc). The default single-window path is right for
+    user-grained keys.
+
     Output columns: all of ``left``, plus each payload column (suffixed
     with ``suffix`` on name clashes), plus ``{right_ts}{suffix}`` (the
     matched row's timestamp).
@@ -75,7 +92,10 @@ def asof_join(
     for k in on:
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join key {k!r} missing from one side")
-    reserved = {"__t", "__tag", "__tb", "__rts", "__mts", "__pk", "__m"}
+    reserved = {
+        "__t", "__tag", "__tb", "__rts", "__mts", "__pk", "__m",
+        "__ku", "__b", "__s", "__fl", "__m_in", "__m_prev", "__prev",
+    }
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"reserved column names in input: {sorted(clash)}")
@@ -113,23 +133,28 @@ def asof_join(
         F.lit(1).alias("__tag"),
         F.lit(None).cast("string").alias("__tb"),
     )
-    u = l2.unionByName(r2, allowMissingColumns=True)
+    if bucket_s is None:
+        u = l2.unionByName(r2, allowMissingColumns=True)
 
-    # one shuffle on the keys; right rows sort before tied left rows
-    # (tag 0 < 1) so equality is inclusive, matching ASOF semantics
-    t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(t_ord, F.col("__tag").asc(), F.col("__tb").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # ONE last() over the packed struct: the matched timestamp and
-    # every payload value come from the SAME right row by construction
-    out = (
-        u.select("*", F.last("__pk", ignorenulls=True).over(w).alias("__m"))
-        .filter(F.col("__tag") == 1)
-        .drop("__t", "__tag", "__tb", "__pk")
-    )
+        # one shuffle on the keys; right rows sort before tied left
+        # rows (tag 0 < 1) so equality is inclusive (ASOF semantics)
+        t_ord = (
+            F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+        )
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(t_ord, F.col("__tag").asc(), F.col("__tb").asc_nulls_last())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # ONE last() over the packed struct: the matched timestamp and
+        # every payload value come from the SAME right row
+        out = (
+            u.select("*", F.last("__pk", ignorenulls=True).over(w).alias("__m"))
+            .filter(F.col("__tag") == 1)
+            .drop("__t", "__tag", "__tb", "__pk")
+        )
+    else:
+        out = _asof_bucketed(l2, r2, on, direction, bucket_s)
 
     if tolerance_s is not None:
         gap = F.expr(
@@ -148,6 +173,117 @@ def asof_join(
         name = c if c not in left.columns else f"{c}{suffix}"
         sel.append(F.col(f"__m.{tmp[c]}").alias(name))
     return out.select(*sel)
+
+
+def _asof_bucketed(
+    l2: DataFrame,
+    r2: DataFrame,
+    on: list[str],
+    direction: str,
+    bucket_s: float,
+) -> DataFrame:
+    """Skew-safe as-of core: same ``__m`` result as the single-window
+    path, assembled from (key, time-bucket)-grained pieces.
+
+    Direction is normalized away by negating the microsecond order key
+    for ``forward``: a forward as-of on t is a backward as-of on -t,
+    including tie semantics (forward's survivor among ties is the
+    max-md5 row, exactly what backward-on-negated produces). With the
+    normalized key ``__ku``, the true match for a left row is the
+    right row with the greatest (``__ku``, md5) <= the left row's key,
+    which is either
+
+    - **in the left row's own bucket** — found by the same union +
+      ``last(ignorenulls)`` window as the default path, but partitioned
+      by (key, bucket): the partition holds one bucket's population,
+      never a key's full history; or
+    - **in an earlier bucket** — in which case it is the overall-latest
+      right row of the latest non-empty earlier bucket. Those
+      "per-bucket latest" summaries are one row per (key, bucket);
+      running ``max`` over them with a range frame up to the PREVIOUS
+      bucket is a window over a #buckets-sized partition regardless of
+      row volume. The in-bucket candidate, when present, always wins
+      (same bucket ⇒ later than anything in earlier buckets), so the
+      final match is ``coalesce(in_bucket, carried)``.
+
+    Cost: one (key, bucket) shuffle for the in-bucket window, one
+    (key, bucket) aggregation for the summaries, one small window and
+    one (key, bucket) equi-join — no partition ever holds more than a
+    bucket's rows or a key's bucket count.
+    """
+    b_us = int(bucket_s * 1_000_000)
+    if b_us <= 0:
+        raise ValueError("bucket_s must be positive")
+    sign = 1 if direction == "backward" else -1
+    dtype = dict(r2.dtypes)["__t"]
+    if "timestamp" in dtype:
+        ku = F.expr(
+            f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, "
+            "cast(__t as timestamp_ntz))"
+        )
+    else:  # numeric ts column: values are seconds
+        ku = (F.col("__t") * F.lit(1_000_000)).cast("long")
+    ku = ku * F.lit(sign)
+
+    l3 = l2.withColumn("__ku", ku).withColumn(
+        "__b", F.floor(F.col("__ku") / F.lit(b_us))
+    )
+    r3 = r2.withColumn("__ku", ku).withColumn(
+        "__b", F.floor(F.col("__ku") / F.lit(b_us))
+    )
+
+    # phase 1: in-bucket as-of — partitions bounded by bucket population
+    u = l3.unionByName(r3, allowMissingColumns=True)
+    w_in = (
+        Window.partitionBy(*on, "__b")
+        .orderBy(
+            F.col("__ku").asc(), F.col("__tag").asc(),
+            F.col("__tb").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inb = (
+        u.select("*", F.last("__pk", ignorenulls=True).over(w_in).alias("__m_in"))
+        .filter(F.col("__tag") == 1)
+    )
+
+    # phase 2: carry-forward of per-bucket "latest right row" summaries
+    bl = r3.groupBy(*on, "__b").agg(
+        F.max(
+            F.struct(
+                F.col("__ku").alias("k"),
+                F.col("__tb").alias("tb"),
+                F.col("__pk").alias("pk"),
+            )
+        ).alias("__s")
+    )
+    s_type = bl.schema["__s"].dataType
+    lb = l3.select(*on, "__b").distinct()
+    allb = bl.select(
+        *on, "__b", "__s", F.lit(0).alias("__fl")
+    ).unionByName(
+        lb.select(
+            *on, "__b",
+            F.lit(None).cast(s_type).alias("__s"),
+            F.lit(1).alias("__fl"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__b"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        allb.withColumn("__prev", F.max("__s").over(w_cum))
+        .filter(F.col("__fl") == 1)
+        .select(*on, "__b", F.col("__prev.pk").alias("__m_prev"))
+    )
+
+    return (
+        inb.join(cum, [*on, "__b"], "left")
+        .withColumn("__m", F.coalesce(F.col("__m_in"), F.col("__m_prev")))
+        .drop("__t", "__tag", "__tb", "__pk", "__ku", "__b", "__m_in", "__m_prev")
+    )
 
 
 def range_join(

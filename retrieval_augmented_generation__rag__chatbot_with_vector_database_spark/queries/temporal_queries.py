@@ -16,6 +16,7 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.ope
     range_join,
 )
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    REGISTRY,
     epoch_micros,
     load,
     register,
@@ -74,6 +75,36 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 def epoch_sql(col: str) -> str:
     """SQL fragment for NTZ epoch micros (shared by select exprs)."""
     return f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+
+
+@register(
+    "events_asof_bucketed",
+    REGISTRY["events_asof_purchase_click"].oracle,
+)
+def events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE as-of path (``bucket_s``: in-bucket windows +
+    carry-forward over per-bucket summaries — partitions bounded by
+    bucket population, the hot-key shape a plain window can't salt)
+    against the SAME DuckDB native-ASOF oracle as
+    ``events_asof_purchase_click``: hash-equality proves the bucketed
+    assembly changes the plan, not the semantics. SCALE.md: 11x on a
+    one-key 8M-row corpus."""
+    ev = load(spark, sf_dir, "events")
+    j = asof_join(
+        _purchases(ev), _clicks(ev), on=["user_id"], payload=["value"],
+        bucket_s=3600,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        epoch_micros("ts").alias("purchase_us"),
+        F.col("value").alias("purchase_value"),
+        F.col("value_r").alias("click_value"),
+        epoch_micros("ts_r").alias("click_us"),
+        F.expr(
+            f"({epoch_sql('ts')} - {epoch_sql('ts_r')}) div 1000000"
+        ).alias("gap_s"),
+    )
 
 
 @register(

@@ -351,3 +351,110 @@ def test_asof_all_null_payload_row_still_matches(spark):
     row = asof_join(left, right, on=["user_id"], payload=["x"]).collect()[0]
     assert row["ts_r"] == _ts("2024-01-01T11:00:00")
     assert row["x"] is None
+
+
+def test_asof_bucketed_randomized_hot_key(spark):
+    """The skew-safe path on a HOT-KEY corpus (two keys, one carrying
+    ~90% of rows): bucketed as-of must agree row for row with the
+    per-row Python reference, in both directions, with and without
+    tolerance, at bucket widths that do and don't divide the data's
+    time step (uneven boundaries exercise the carry-forward across
+    empty buckets)."""
+    import random
+
+    rng = random.Random(7)
+    base = _ts("2024-01-01T00:00:00")
+    lrows = [
+        (
+            i,
+            0 if rng.random() < 0.9 else 1,
+            base + dt.timedelta(seconds=rng.randrange(0, 36000, 60)),
+            float(i),
+        )
+        for i in range(300)
+    ]
+    rrows = [
+        (0 if i < 180 else 1, base + dt.timedelta(seconds=s), float(i))
+        for i, s in enumerate(rng.sample(range(0, 36000, 60), 200))
+    ]
+    left = spark.createDataFrame(
+        lrows, "event_id long, user_id long, ts timestamp_ntz, lval double"
+    )
+    right = spark.createDataFrame(
+        rrows, "user_id long, ts timestamp_ntz, value double"
+    )
+
+    def ref(direction, tol):
+        out = {}
+        for eid, u, t, _ in lrows:
+            if direction == "backward":
+                cands = [(rt, rv) for ru, rt, rv in rrows if ru == u and rt <= t]
+                best = max(cands, default=None)
+            else:
+                cands = [(rt, rv) for ru, rt, rv in rrows if ru == u and rt >= t]
+                best = min(cands, default=None)
+            if best is not None and tol is not None:
+                if abs((t - best[0]).total_seconds()) > tol:
+                    best = None
+            out[eid] = best
+        return out
+
+    for direction in ("backward", "forward"):
+        for tol, bucket in ((None, 613.0), (1800, 3600.0)):
+            got = {
+                r["event_id"]: (
+                    (r["ts_r"], r["value"]) if r["ts_r"] is not None else None
+                )
+                for r in asof_join(
+                    left,
+                    right,
+                    on=["user_id"],
+                    payload=["value"],
+                    direction=direction,
+                    tolerance_s=tol,
+                    bucket_s=bucket,
+                ).collect()
+            }
+            assert got == ref(direction, tol), (
+                f"direction={direction} tol={tol} bucket={bucket}"
+            )
+
+
+def test_asof_bucketed_equals_single_window(spark, frames):
+    """Full-row equality of the bucketed and default paths on the
+    fixture corpus (ties, unmatched keys, left-outer rows) — the
+    bucketed assembly is an implementation change, not a semantics
+    change."""
+    left, right = frames
+    base = asof_join(left, right, on=["user_id"], payload=["value"])
+    for bucket in (900.0, 3600.0, 360000.0):
+        b = asof_join(
+            left, right, on=["user_id"], payload=["value"], bucket_s=bucket
+        )
+        assert sorted(map(tuple, b.collect())) == sorted(
+            map(tuple, base.collect())
+        )
+
+
+def test_asof_bucketed_mixed_null_payload(spark):
+    """The packed-struct single-right-row contract holds on the
+    bucketed path too (regression twin of
+    test_asof_null_payload_comes_from_matched_row_only), including
+    when match and left row land in different buckets."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T12:00:00"))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T10:00:00"), 5.0, 1.0),
+            (10, _ts("2024-01-01T11:00:00"), None, 2.0),
+        ],
+        "user_id long, ts timestamp_ntz, x double, y double",
+    )
+    for bucket in (600.0, 86400.0):  # cross-bucket and same-bucket
+        row = asof_join(
+            left, right, on=["user_id"], payload=["x", "y"], bucket_s=bucket
+        ).collect()[0]
+        assert row["ts_r"] == _ts("2024-01-01T11:00:00")
+        assert row["x"] is None and row["y"] == 2.0

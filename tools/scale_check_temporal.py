@@ -75,6 +75,37 @@ def main() -> None:
         f"({n / t_asof / 1e6:.2f}M left rows/s, {n_matched} matched)"
     )
 
+    # hot-key as-of: ONE key means the single-window path sorts the
+    # entire combined history in one task (the skew a window can't
+    # salt away); the bucketed path's partitions are (key, bucket)-
+    # sized and spread over every core. Measured crossover: at mild
+    # skew (4 keys x 500k rows) the single window still wins on
+    # local[32] — the bucketed path's 2 extra exchanges only pay off
+    # once a single key's history saturates a task (~8M rows here,
+    # 11x), and at cluster scale, once it exceeds an executor.
+    asof_hot_k = 1
+    lh_a = synth(spark, n, asof_hot_k, "LA").localCheckpoint(eager=True)
+    rh_a = synth(spark, n, asof_hot_k, "RA").localCheckpoint(eager=True)
+    for label, kwargs in (
+        ("single-window", {}),
+        ("bucketed", {"bucket_s": 3600}),
+    ):
+        t0 = time.time()
+        cnt = (
+            asof_join(
+                lh_a.select("id", "user_id", "ts"),
+                rh_a.select("user_id", "ts", "value"),
+                on=["user_id"],
+                **kwargs,
+            )
+            .filter(F.col("value").isNotNull())
+            .count()
+        )
+        print(
+            f"asof_join[{label}]: {n}x{n} rows over {asof_hot_k} hot keys "
+            f"-> {time.time() - t0:.2f}s ({cnt} matched)"
+        )
+
     # hot-key range join: few keys so the plain path's per-key cross
     # product is large, the bucketed path's per-cell product is not
     hot_k = 16
