@@ -640,6 +640,62 @@ def ivfpq_topk_rerank(
     )
 
 
+def retrain_ivfpq_index(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+) -> dict:
+    """Full quantizer retrain + rebuild of an existing IVFPQ layout
+    from the FULL-PRECISION source of truth (the layout itself stores
+    only lossy codes, so retraining must read the primary vector
+    table).
+
+    Shape parameters (m, k, centroid count, residual flag) are read
+    from the live sidecar — a retrain refreshes the quantizers for the
+    drifted corpus, it does not change the index design. Coarse
+    centroids are re-seeded deterministically and Lloyd-refined;
+    codebooks re-train on the standard bounded sample;
+    ``write_ivfpq_index`` then rewrites the layout, resetting
+    ``upserted_since_build`` (staleness → 0).
+
+    Returns ``{"rows": int, "staleness_before": float}``.
+    """
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+        lloyd_refine,
+        seed_centroids,
+    )
+
+    meta = load_ivfpq_meta(path)
+    before = ivfpq_staleness(path)
+    n_cent = len(meta["centroids"])
+    m, k = int(meta["m"]), int(meta["k"])
+    residual = bool(meta.get("residual", False))
+
+    cents = seed_centroids(vectors, n_cent, id_col, vec_col)
+    if lloyd_iters > 0:
+        cents = lloyd_refine(
+            vectors, cents, iters=lloyd_iters, vec_col=vec_col
+        )
+    if residual:
+        books = train_pq_codebooks_residual(
+            vectors, cents, m=m, k=k, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        books = train_pq_codebooks(
+            vectors, m=m, k=k, id_col=id_col, vec_col=vec_col
+        )
+    write_ivfpq_index(
+        vectors, path, cents, books, id_col, vec_col, residual=residual
+    )
+    return {
+        "rows": int(load_ivfpq_meta(path)["rows_at_build"]),
+        "staleness_before": before,
+    }
+
+
 def upsert_ivfpq_index(
     spark,
     path: str,

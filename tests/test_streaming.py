@@ -672,3 +672,105 @@ def test_neardup_stream_torn_batch_replay_is_exactly_once(spark, tmp_path):
     run()
 
     assert snapshot() == before
+
+
+def test_ivfpq_ingest_auto_retrain_past_threshold(spark, tmp_path):
+    """Sustained drift must not silently erode recall: with
+    retrain_threshold + a full-precision retrain_source, the ingest
+    stream rebuilds the layout (fresh quantizers, staleness reset)
+    once upserts exceed the threshold, and the result is byte-
+    equivalent to a manual retrain_ivfpq_index over the same corpus
+    (deterministic seeding/sampling)."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ann_ingest import (
+        start_ivfpq_ingest_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+
+    books = pq.train_pq_codebooks(base, m=16, k=64)
+    cents = ann.seed_centroids(base, 8)
+    path = str(tmp_path / "ivfpq_auto")
+    pq.write_ivfpq_index(base, path, cents, books)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batch.write.parquet(str(landing / "b1"))
+
+    # the primary full-precision table the layout serves
+    def source(s):
+        return s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    # batch ~doubles the layout -> staleness ~1.0 >= 0.5 -> retrain
+    start_ivfpq_ingest_stream(
+        spark, str(landing) + "/*", path, str(tmp_path / "ckpt"),
+        retrain_threshold=0.5, retrain_source=source,
+    ).awaitTermination(180)
+
+    meta = pq.load_ivfpq_meta(path)
+    assert pq.ivfpq_staleness(path) == 0.0  # reset by the rebuild
+    assert int(meta["rows_at_build"]) == emb.count()
+
+    # layout + sidecar equal a manual retrain over the same corpus
+    manual = str(tmp_path / "ivfpq_manual")
+    pq.write_ivfpq_index(base, manual, cents, books)
+    pq.retrain_ivfpq_index(spark, manual, emb)
+    mmeta = pq.load_ivfpq_meta(manual)
+    assert meta["centroids"] == mmeta["centroids"]
+    assert meta["codebooks"] == mmeta["codebooks"]
+
+    # recall contract stays green after the retrain: rerank probe on
+    # the fresh quantizers finds each in-corpus query itself at rank 1
+    new_cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = pq.ivfpq_topk_rerank(
+        q, spark.read.parquet(path), emb, new_cents, meta["codebooks"],
+        k=5, nprobe=8,
+    )
+    self_hits = got.filter(
+        (F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id"))
+    ).count()
+    assert self_hits == 8
+
+
+def test_ivfpq_ingest_threshold_without_source_warns(spark, tmp_path):
+    """A staleness breach with no retrain_source must be LOUD (warning
+    + log), while the upsert itself still lands."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ann_ingest import (
+        start_ivfpq_ingest_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    books = pq.train_pq_codebooks(base, m=16, k=64)
+    cents = ann.seed_centroids(base, 8)
+    path = str(tmp_path / "ivfpq_warn")
+    pq.write_ivfpq_index(base, path, cents, books)
+    landing = tmp_path / "landing_w"
+    landing.mkdir()
+    batch.write.parquet(str(landing / "b1"))
+
+    with _pytest.warns(UserWarning, match="staleness .* exceeds"):
+        start_ivfpq_ingest_stream(
+            spark, str(landing) + "/*", path, str(tmp_path / "ckpt_w"),
+            retrain_threshold=0.5,
+        ).awaitTermination(180)
+    assert spark.read.parquet(path).count() == emb.count()
+    assert pq.ivfpq_staleness(path) >= 0.5  # NOT reset: no rebuild ran
