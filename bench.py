@@ -50,7 +50,16 @@ HEADLINE = [
     "events_daily_users_hll",
     # round 4: hybrid retrieval (lexical TF-IDF + cosine, RRF-fused)
     "hybrid_rrf_topk",
+    # round 5: persisted lexical layout + skew-safe as-of
+    "hybrid_rrf_topk_indexed",
+    "events_asof_bucketed",
 ]
+
+# Queries whose code is untouched since round 3 — the cross-round
+# runtime anchors: if these shift together while plans stay fixed,
+# the cause is environmental (cf. SCALE.md round-4 note), not a
+# regression in the changed queries.
+R3_PINNED = {"topk_cosine", "pricing_summary", "nation_revenue", "dedup_exact"}
 
 
 def main() -> None:
@@ -86,16 +95,20 @@ def main() -> None:
         _noop, "n long"
     ).count()
 
-    # best-of-3 per query, attempts INTERLEAVED as 3 passes over the
-    # whole list: the host shows sustained multi-second noisy-neighbor
+    # n=5 attempts per query, INTERLEAVED as 5 passes over the whole
+    # list: the host shows sustained multi-second noisy-neighbor
     # stalls (5-30x), and back-to-back attempts would all land inside
     # one stall window — passes minutes apart decorrelate them. Pass 1
-    # also absorbs one-time codegen compilation.
+    # also absorbs one-time codegen compilation. Headline = per-query
+    # MIN (least-noise estimate); per-query MEAN is reported alongside
+    # so a runtime/container shift (cf. SCALE.md round-4 note) is
+    # attributable in one glance via the R3_PINNED anchors.
     from pyspark.sql import functions as F
 
-    times: dict[str, float] = {}
+    N_PASSES = 5
+    attempts: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
-    for _ in range(3):
+    for _ in range(N_PASSES):
         for name in HEADLINE:
             qd = REGISTRY[name]
             t0 = time.time()
@@ -110,12 +123,16 @@ def main() -> None:
                 F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
             ).first()
             rows[name] = r["n"]
-            dt = time.time() - t0
-            if name not in times or dt < times[name]:
-                times[name] = dt
+            attempts[name].append(time.time() - t0)
+    times = {n: round(min(a), 3) for n, a in attempts.items()}
+    means = {n: round(sum(a) / len(a), 3) for n, a in attempts.items()}
     for name in HEADLINE:
-        times[name] = round(times[name], 3)
-        print(f"# {name}: {times[name]}s ({rows[name]} rows)", file=sys.stderr)
+        pin = " [r3-pinned]" if name in R3_PINNED else ""
+        print(
+            f"# {name}: min {times[name]}s / mean {means[name]}s "
+            f"({rows[name]} rows){pin}",
+            file=sys.stderr,
+        )
 
     # ingest throughput (BASELINE.md: reference ~100 chunks/s CPU):
     # full chunk -> content-addressed id -> embed -> parquet-write
@@ -166,6 +183,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_mean": means,
+                "bench_passes": N_PASSES,
                 "sf": sf,
                 "ingest_chunks_per_sec": chunks_per_s,
                 "ingest_chunks": n_chunks,

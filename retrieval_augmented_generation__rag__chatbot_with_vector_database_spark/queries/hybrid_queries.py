@@ -321,6 +321,71 @@ def hybrid_rrf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hybrid_rrf_topk_ivf",
+    f"""
+SELECT doc_id AS query_id, TRUE AS fusion_ok
+FROM documents WHERE doc_id < {N_QUERIES}
+""",
+)
+def hybrid_rrf_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion with the vector side on the PRODUCTION ANN path:
+    lexical top-{LEX_K} ∪ IVF-GEMM top-{VEC_K} (centroid-partitioned
+    layout, statically pruned scan — `operators/ann.py`), RRF-fused.
+    IVF is approximate, so the oracle pins the CONTRACT, not the
+    data-dependent values (the ann_pq_rerank_recall pattern): per
+    query, the IVF-fused top-{FUSE_K} must overlap the exact-fused
+    top-{FUSE_K} (`hybrid_rrf_topk`, fully hash-checked) in >= 3 of
+    {FUSE_K} docs. Measured overlap at sf0.001/sf0.01: 5/5 — the floor
+    is the contract, not the observation."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.ann_queries import (
+        N_PROBE,
+        _queries_and_centroids,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = lexical_topk(q, docs, k=LEX_K, df_cap=FIX_CAP)
+
+    emb, qv, cents = _queries_and_centroids(spark, sf_dir)
+    exact_vec = topk_search(qv, emb, k=VEC_K, metric="cosine").select(
+        "query_id", F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ann.write_ivf_index(emb, f"{tmp}/ivf", cents, metric="cosine", fast=False)
+        layout = spark.read.parquet(f"{tmp}/ivf")
+        ivf = ann.ivf_topk_gemm(
+            qv, layout, cents, k=VEC_K, nprobe=N_PROBE, metric="cosine"
+        ).select(
+            "query_id", F.col("vec_id").alias("doc_id"),
+            F.col("rank").alias("vec_rank"),
+        )
+        ivf_vec = spark.createDataFrame(ivf.collect(), ivf.schema)
+    exact_fused = rrf_fuse(lex, exact_vec, k=FUSE_K, k0=60).select(
+        "query_id", "doc_id"
+    )
+    ivf_fused = rrf_fuse(lex, ivf_vec, k=FUSE_K, k0=60).select(
+        "query_id", F.col("doc_id").alias("i_doc_id")
+    )
+    hits = exact_fused.join(
+        ivf_fused,
+        (exact_fused["query_id"] == ivf_fused["query_id"])
+        & (exact_fused["doc_id"] == ivf_fused["i_doc_id"]),
+        "left",
+    ).groupBy(exact_fused["query_id"].alias("query_id")).agg(
+        F.count("i_doc_id").alias("n_hits")
+    )
+    return hits.select("query_id", (F.col("n_hits") >= 3).alias("fusion_ok"))
+
+
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.rag_queries import (  # noqa: E402
     _HIST_VALUES,
     _REWRITE_EMBED_CTES,
