@@ -209,13 +209,28 @@ class LexicalIndex:
         return self
 
     # -- reads --------------------------------------------------------
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        """Read a partitioned table dir, tolerating the empty layout a
+        create-then-stream lifecycle starts from (no partition dirs
+        yet — Spark can't infer a schema from only _SUCCESS)."""
+        has_parts = os.path.exists(path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(path)
+        )
+        if not has_parts:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
     def postings(self) -> DataFrame:
         self._check_not_torn()
-        return self.spark.read.parquet(self._postings_path)
+        return self._read_or_empty(
+            self._postings_path, f"{POSTINGS_SCHEMA}, {TBUCKET} int"
+        )
 
     def doc_store(self) -> DataFrame:
         self._check_not_torn()
-        return self.spark.read.parquet(self._docs_path)
+        return self._read_or_empty(
+            self._docs_path, f"{DOCS_SCHEMA}, {DBUCKET} int"
+        )
 
     def corpus_stats(self) -> DataFrame:
         """1-row (n, avgdl). N resolves from parquet footer row counts;

@@ -100,6 +100,7 @@ def start_ingest_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    lexical_index=None,
 ) -> "StreamingQuery":
     """Start the incremental-ingestion stream on ``landing_dir``.
 
@@ -107,6 +108,16 @@ def start_ingest_stream(
     directory then stops (the testable/batch-catch-up mode); pass
     ``False`` for a continuously running ingest with default
     micro-batch triggers.
+
+    ``lexical_index`` (a ``sources.lexical_index.LexicalIndex``, must
+    already exist): when given, each micro-batch ALSO upserts its
+    chunks into the persistent inverted-index layout, so one stream
+    keeps BOTH hybrid-retrieval signals fresh — the Spark analogue of
+    the reference's single ingest flow feeding its one persistent
+    index. Lexical doc ids are ``xxhash64(chunk_id)`` (the layout
+    keys on longs); map back to chunks by hashing the vector index's
+    id column the same way. Both upserts are id-idempotent, so a
+    replayed micro-batch converges on both layouts.
     """
     reader = (
         spark.readStream.format("text")
@@ -124,7 +135,18 @@ def start_ingest_stream(
     def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        index.upsert(docs_to_records(batch_df, provider), batch=batch_id)
+        records = docs_to_records(batch_df, provider)
+        if lexical_index is not None:
+            # one execution of the chunk->embed DAG shared by both sinks
+            records = records.localCheckpoint(eager=True)
+        index.upsert(records, batch=batch_id)
+        if lexical_index is not None:
+            lexical_index.upsert(
+                records.select(
+                    F.xxhash64("id").alias("doc_id"), "text"
+                ),
+                batch=batch_id,
+            )
 
     writer = stream.writeStream.foreachBatch(_upsert_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -202,3 +202,73 @@ def test_streaming_lexical_ingest(spark, tmp_path):
     assert (
         idx.doc_store().filter(F.col("id") == 51).count() == 1
     )
+
+
+def test_ingest_stream_maintains_both_signals(spark, tmp_path):
+    """One document ingest stream keeps BOTH hybrid-retrieval signals
+    fresh: chunks land in the vector index AND (as xxhash64(chunk_id)
+    lexical docs) in the inverted-index layout, which stays equal to a
+    rebuild over the vector index's own rows after every drain."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+        HashEmbedder,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        VectorIndex,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
+        start_ingest_stream,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    (landing / "a.txt").write_text("spark engines process large data")
+    (landing / "b.txt").write_text("vector search with embeddings")
+
+    vidx = VectorIndex(spark, str(tmp_path), "vi").create(dimension=32)
+    lidx = LexicalIndex(spark, str(tmp_path / "lex")).create(
+        spark.createDataFrame([], "doc_id long, text string"),
+        term_buckets=8,
+        doc_buckets=4,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    prov = HashEmbedder(dimension=32)
+
+    start_ingest_stream(
+        spark, str(landing), vidx, prov, ckpt, lexical_index=lidx
+    ).awaitTermination(180)
+
+    def rebuild():
+        rb = LexicalIndex(spark, str(tmp_path / "rb"))
+        import shutil
+
+        shutil.rmtree(rb.path, ignore_errors=True)
+        rb.create(
+            vidx.read().select(
+                F.xxhash64("id").alias("doc_id"), "text"
+            ),
+            term_buckets=8,
+            doc_buckets=4,
+        )
+        return rb
+
+    cols = ["term", "id", "tf", "dl"]
+
+    def rows(idx):
+        return [
+            tuple(r)
+            for r in idx.postings().select(cols).orderBy("term", "id").collect()
+        ]
+
+    assert rows(lidx) == rows(rebuild())
+    assert lidx.doc_store().count() == vidx.read().count()
+
+    # a later file drains incrementally and both layouts pick it up
+    (landing / "c.txt").write_text("late arriving pasta recipe document")
+    start_ingest_stream(
+        spark, str(landing), vidx, prov, ckpt, lexical_index=lidx
+    ).awaitTermination(180)
+    assert rows(lidx) == rows(rebuild())
+    q = spark.createDataFrame([(1, "pasta")], "query_id long, text string")
+    assert lidx.lexical_topk(q, k=5, df_cap=None).count() == 1

@@ -2,6 +2,8 @@
 CORRECTNESS check: row-count + schema + order-insensitive value hash).
 
 Usage: python tools/check_oracle.py [name ...]   (default: all)
+Env: ORACLE_SF_DIR (default /root/testdata/sf0.01);
+     ORACLE_RECORD=<path> writes the CORRECTNESS_local_*.json record.
 """
 
 from __future__ import annotations
@@ -49,6 +51,7 @@ def main(names):
         )
     spark = get_spark("oracle_check")
     failures = []
+    record: dict[str, dict] = {}
     for name in names or REGISTRY:
         qd = REGISTRY[name]
         sdf = qd.fn(spark, SF_DIR)
@@ -56,6 +59,7 @@ def main(names):
         scols = sdf.columns
         if qd.oracle is None:
             print(f"{name}: rows-only ({len(srows)} rows) OK" if srows or True else "")
+            record[name] = {"ok": True, "rows": len(srows), "mode": "rows-only"}
             continue
         ddf = con.execute(qd.oracle).fetch_arrow_table().to_pylist()
         dcols = (
@@ -76,8 +80,28 @@ def main(names):
                 print(f"{name}: VALUES mismatch, first diffs: {diff}")
                 ok = False
         print(f"{name}: {'OK' if ok else 'FAIL'} ({len(srows)} rows)")
+        record[name] = {"ok": ok, "rows": len(srows), "mode": "oracle"}
         if not ok:
             failures.append(name)
+    out_path = os.environ.get("ORACLE_RECORD")
+    if out_path:
+        import json
+
+        import pyspark
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "pyspark": pyspark.__version__,
+                    "all_green": not failures,
+                    "n_queries": len(record),
+                    "queries": record,
+                },
+                f,
+                indent=1,
+            )
+        print(f"recorded {len(record)} queries -> {out_path}")
     if failures:
         print("FAILED:", failures)
         sys.exit(1)
