@@ -118,6 +118,52 @@ def pandas_llm_generator(
     return _gen
 
 
+def pack_context_budget(
+    matches: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    always_first: bool = True,
+) -> DataFrame:
+    """Token-budget context packing: keep the longest prefix of each
+    query's rank-ordered matches whose cumulative whitespace-token
+    count fits ``budget_tokens`` — the LLM-context-window constraint
+    the reference handles by blind per-doc truncation
+    (app/rag/chain.py:113-120); packing by budget keeps whole
+    documents and adapts the depth per query instead.
+
+    ``always_first`` keeps the rank-1 match even when it alone
+    overflows the budget (a retrieval that returns nothing is worse
+    than one over-long context — the LangChain "stuff" convention).
+    Because token counts are non-negative the cumulative sum is
+    monotone, so the kept set is always a rank-prefix.
+
+    Scale shape: one window over per-query partitions that are k-sized
+    by construction (the top-k candidate set), so the partition bound
+    is the retrieval depth, never the corpus. Adds ``n_tokens`` (this
+    match) and ``cum_tokens`` (prefix total including this match).
+    """
+    from pyspark.sql import Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        token_count,
+    )
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = matches.withColumn("n_tokens", token_count(text_col)).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+    )
+    keep = F.col("cum_tokens") <= F.lit(budget_tokens)
+    if always_first:
+        keep = keep | (F.col("rank") == 1)
+    return out.filter(keep)
+
+
 def truncate_docs(matches: DataFrame, n: int = 200) -> DataFrame:
     """P3: response-doc truncation (app/rag/chain.py:113-120)."""
     return matches.withColumn("text", truncate_ellipsis("text", n))

@@ -491,3 +491,54 @@ def rag_e2e_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rag.assemble_answers(queries, ctx).select(
         "query_id", "question", "sources", "n_matches", "answer"
     )
+
+
+@register(
+    "rag_context_budget",
+    r"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+),
+matches AS (
+  SELECT r.query_id, r.vec_id, r.rank,
+         substr(coalesce(d.text, ''), 1, 200) AS text
+  FROM ranked r LEFT JOIN documents d ON r.vec_id = d.doc_id
+  WHERE r.rank <= 8
+),
+toks AS (
+  SELECT query_id, rank, vec_id AS id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM matches
+),
+cum AS (
+  SELECT query_id, rank, id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY query_id ORDER BY rank)::BIGINT AS cum_tokens
+  FROM toks
+)
+SELECT query_id, rank::INT AS rank, id, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= 100 OR rank = 1
+""",
+)
+def rag_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget context packing (operators.rag.pack_context_budget):
+    retrieve top-8, truncate docs to 200 chars, then keep the longest
+    rank-prefix fitting a 100-token budget (rank 1 always kept). The
+    packing depth adapts per query — the context-window constraint the
+    reference meets by blind truncation (app/rag/chain.py:113-120)."""
+    m = _matches(spark, sf_dir, k=8).withColumn(
+        "text", F.substring("text", 1, 200)
+    )
+    packed = rag.pack_context_budget(m, budget_tokens=100)
+    return packed.select("query_id", "rank", "id", "n_tokens", "cum_tokens")

@@ -337,3 +337,63 @@ def events_session_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - 1).alias("context_len"),
     )
     return g.filter(F.col("context_len") >= 1)
+
+
+@register(
+    "events_histogram_rollup",
+    """
+WITH binned AS (
+  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+         greatest(0, least(floor(value / 10.0), 49))::INT AS bin
+  FROM events
+),
+hourly AS (
+  SELECT hour, bin, count(*) AS cnt FROM binned GROUP BY hour, bin
+),
+daily AS (
+  SELECT date_trunc('day', hour)::TIMESTAMP AS day, bin, sum(cnt) AS cnt
+  FROM hourly GROUP BY 1, bin
+),
+cum AS (
+  SELECT day, bin, cnt,
+         sum(cnt) OVER (PARTITION BY day ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY day) AS total
+  FROM daily
+)
+SELECT day,
+       max(total)::BIGINT AS n_events,
+       min(CASE WHEN cum >= ceil(0.5 * total) THEN (bin + 1) * 10.0 END)::DOUBLE AS p50_est,
+       min(CASE WHEN cum >= ceil(0.9 * total) THEN (bin + 1) * 10.0 END)::DOUBLE AS p90_est,
+       min(CASE WHEN cum >= ceil(0.99 * total) THEN (bin + 1) * 10.0 END)::DOUBLE AS p99_est
+FROM cum GROUP BY day
+""",
+)
+def events_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile rollup (operators.histogram): the
+    quantile counterpart of ``events_daily_users_hll``. Exact
+    percentiles don't re-aggregate (a daily p99 is not a function of
+    hourly p99s); fixed-bin counts DO — hourly (hour, bin) partials
+    add into daily histograms and p50/p90/p99 are read off the merged
+    cumulative counts. Post-merge data volume is #hours x #bins rows
+    regardless of event count — the continuous-aggregate shape for
+    quantiles at 100 TB. Estimates are bin upper edges (width 10 over
+    [0, 500)), deterministic on both engines."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        histogram,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    hourly = histogram.histogram_by(
+        ev,
+        "value",
+        [F.date_trunc("hour", "ts").alias("hour")],
+        lo=0.0,
+        width=10.0,
+        n_bins=50,
+    )
+    daily = histogram.merge_histograms(
+        hourly, [F.date_trunc("day", "hour").alias("day")]
+    )
+    return histogram.histogram_percentiles(
+        daily, ["day"], [0.5, 0.9, 0.99], lo=0.0, width=10.0
+    )
