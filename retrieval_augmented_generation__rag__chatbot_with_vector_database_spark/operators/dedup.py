@@ -700,3 +700,72 @@ def embedding_neardup_pairs(
                 )
 
     return pairs.mapInPandas(kernel, "id_a long, id_b long, cosine double")
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 40,
+    stride: int = 10,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Span-level exact-substring duplication (the ExactSubstr dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" — suffix arrays there, a distributed shingle inverted
+    index here): slide a ``span_len``-char window every ``stride``
+    chars, hash each window, and report every document pair sharing
+    >= 1 window hash with the shared-window count as evidence mass.
+    Catches copied passages inside otherwise-distinct documents — the
+    case whole-doc fingerprints and document-grained MinHash both
+    dilute away.
+
+    ``stride=1`` is exact for any shared span >= ``span_len``;
+    larger strides are the sampled variant (a shared passage is
+    caught when its two copies' offsets agree mod ``stride``) — the
+    standard recall/cost dial, cutting shingle volume by ``stride``×.
+
+    Scale shape: inverted-index join on the span hash — never
+    all-pairs. ``df_cap`` drops hashes present in more than that many
+    documents BEFORE the pair join: boilerplate spans are precisely
+    the quadratic hot keys here (df docs -> df^2/2 pairs), and past
+    the cap they are a boilerplate report (the hash's doc list), not
+    a pair problem. Same guard as the lexical index's df-capping
+    (operators/hybrid.py).
+    """
+    if span_len <= 0 or stride <= 0:
+        raise ValueError(f"span_len/stride must be positive, got {span_len}/{stride}")
+    t = F.col(text_col)
+    spans = (
+        df.filter(F.length(t) >= span_len)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length(t) - F.lit(span_len - 1), F.lit(stride)
+                )
+            ).alias("pos"),
+            t.alias("__t"),
+        )
+        .select(
+            "id",
+            F.md5(
+                F.col("__t").substr(F.col("pos"), F.lit(span_len)).cast("binary")
+            ).alias("h"),
+        )
+        .distinct()  # a span repeated inside ONE doc counts once
+        .localCheckpoint()  # consumed by df-count and both join sides
+    )
+    keep = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("span_df"))
+        .filter(F.col("span_df") <= df_cap)
+        .select("h")
+    )
+    sp = spans.join(keep, "h")
+    a, b = sp.alias("a"), sp.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_spans"))
+    )

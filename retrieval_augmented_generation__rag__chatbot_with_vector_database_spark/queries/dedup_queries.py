@@ -441,3 +441,34 @@ def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pair_jaccard"),
     )
+
+
+@register(
+    "dedup_substring_spans",
+    """
+WITH s AS (
+  SELECT doc_id AS id, md5(substr(text, p, 40)) AS h
+  FROM documents, unnest(generate_series(1, length(text) - 39, 10)) t(p)
+  WHERE length(text) >= 40
+),
+d AS (SELECT DISTINCT id, h FROM s),
+keep AS (
+  SELECT h FROM (SELECT h, count(*) AS span_df FROM d GROUP BY h)
+  WHERE span_df <= 1000
+),
+k AS (SELECT d.id, d.h FROM d JOIN keep USING (h))
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_spans
+FROM k a JOIN k b ON a.h = b.h AND a.id < b.id
+GROUP BY 1, 2
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication (Lee et al. ExactSubstr,
+    distributed shingle form — operators.dedup.substring_span_pairs):
+    40-char windows every 10 chars, inverted-index join on the window
+    hash, df-capped against boilerplate hot keys. Finds copied
+    passages document-grained signals dilute away."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.substring_span_pairs(
+        docs, span_len=40, stride=10, df_cap=1000
+    )

@@ -119,3 +119,43 @@ def test_star_cc_handles_long_chain_within_log_rounds(spark):
 
     with pytest.warns(RuntimeWarning, match="max_iter"):
         connected_components(chain).collect()
+
+
+def test_substring_span_pairs_detects_shared_passage(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        substring_span_pairs,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog again and again " * 2
+    docs = spark.createDataFrame(
+        [
+            (1, passage + "unique tail for doc one xxxxxxxxxxxxxxx"),
+            (2, passage + "completely different ending here yyyyy"),
+            (3, "no overlap with anything else at all " * 4),
+            (4, "tiny"),  # shorter than span_len: produces no windows
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_span_pairs(docs, span_len=40, stride=10)
+    rows = {(r["id_a"], r["id_b"]): r["n_shared_spans"] for r in out.collect()}
+    assert set(rows) == {(1, 2)}
+    # shared 120-char prefix -> 9 aligned windows (pos 1..81 step 10),
+    # but the passage repeats with period 60 so windows at 61/71/81
+    # hash equal to 1/11/21 and the per-doc distinct collapses them: 6
+    assert rows[(1, 2)] == 6
+
+
+def test_substring_span_pairs_df_cap_drops_boilerplate(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        substring_span_pairs,
+    )
+
+    boiler = "standard legal disclaimer text appears in every document here"
+    docs = spark.createDataFrame(
+        [(i, boiler + f" body variant {i} " + "z" * 30) for i in range(6)],
+        "doc_id long, text string",
+    )
+    uncapped = substring_span_pairs(docs, span_len=40, stride=10, df_cap=1000)
+    assert uncapped.count() == 15  # 6 choose 2: the quadratic blowup
+    capped = substring_span_pairs(docs, span_len=40, stride=10, df_cap=3)
+    assert capped.count() == 0  # boilerplate hash df=6 > 3 -> no pairs
