@@ -286,3 +286,90 @@ def topk_single(
     return ordered.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "score", "rank", *payload_cols
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "score",
+    max_candidates: int = 4096,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    1998): greedily pick k results maximizing ``lam * relevance -
+    (1 - lam) * max cosine to the already-picked set`` — the standard
+    diversity rerank vector stores expose (e.g. LangChain's
+    ``search_type="mmr"`` over the reference's Pinecone retriever,
+    which the reference leaves at plain similarity). ``lam=1``
+    degenerates to the input relevance order.
+
+    Greedy selection is inherently sequential, so this is the
+    legitimate ``applyInPandas`` case (SURVEY.md §2j): the reranker
+    runs per query over the BOUNDED candidate set a first-stage
+    retrieval already produced (top-N, N <= ``max_candidates`` —
+    enforced with a loud error, never silently truncated). The
+    expensive corpus scan stays in the first stage; this stage is
+    O(N * k) per query, distributed across queries.
+
+    Ties break by ascending id at equal MMR score (FIXTURES.md
+    determinism convention). Emits (query_col, id_col, mmr_rank,
+    mmr) — ``mmr`` is the score at selection time; the first pick's
+    is ``lam * relevance`` (empty-set diversity term = 0).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_candidates:
+            raise ValueError(
+                f"mmr_rerank: candidate set of {n} exceeds max_candidates="
+                f"{max_candidates} for query {pdf[query_col].iloc[0]!r}; "
+                "tighten the first-stage top-N instead"
+            )
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine treated as 0
+        U = V / norms[:, None]
+        picked: list[int] = []
+        scores: list[float] = []
+        # max cosine to the picked set; None before the first pick
+        # (the empty-set diversity term is ABSENT, not 0 — a floor at
+        # 0 would mute the penalty when all similarities are negative)
+        max_sim = None
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if max_sim is None:
+                mmr = lam * rel
+            else:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            best = np.max(mmr[avail])
+            cand = ids[avail & (mmr == best)]
+            i = int(np.nonzero(avail & (mmr == best) & (ids == cand.min()))[0][0])
+            picked.append(i)
+            scores.append(float(mmr[i]))
+            avail[i] = False
+            s = U @ U[i]
+            max_sim = s if max_sim is None else np.maximum(max_sim, s)
+        out = pdf.iloc[picked][[query_col, id_col]].copy()
+        out["mmr_rank"] = np.arange(1, len(picked) + 1, dtype=np.int32)
+        out["mmr"] = scores
+        return out
+
+    schema = (
+        candidates.select(query_col, id_col)
+        .withColumn("mmr_rank", F.lit(1).cast("int"))
+        .withColumn("mmr", F.lit(0.0).cast("double"))
+        .schema
+    )
+    return candidates.groupBy(query_col).applyInPandas(kernel, schema=schema)

@@ -380,3 +380,68 @@ def vector_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cs"), 6).alias("avg_cosine"),
         F.round(F.max("maxerr"), 6).alias("max_abs_err"),
     )
+
+
+_MMR_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT q.query_id, e.vec_id, e.embedding::DOUBLE[] AS emb,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+), cand AS (
+  SELECT * FROM sc
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) <= 10
+), s1 AS (
+  SELECT query_id, vec_id, emb, 0.7 * s AS mmr FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) = 1
+), m2 AS (
+  SELECT c.query_id, c.vec_id, c.emb,
+         0.7 * c.s - (1 - 0.7) * list_cosine_similarity(c.emb, s1.emb) AS mmr
+  FROM cand c JOIN s1 USING (query_id) WHERE c.vec_id <> s1.vec_id
+), s2 AS (
+  SELECT query_id, vec_id, emb, mmr FROM m2
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id ASC) = 1
+), m3 AS (
+  SELECT c.query_id, c.vec_id,
+         0.7 * c.s - (1 - 0.7) * greatest(
+           list_cosine_similarity(c.emb, s1.emb),
+           list_cosine_similarity(c.emb, s2.emb)) AS mmr
+  FROM cand c JOIN s1 USING (query_id) JOIN s2 USING (query_id)
+  WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id
+), s3 AS (
+  SELECT query_id, vec_id, mmr FROM m3
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id ASC) = 1
+)
+SELECT query_id, vec_id, 1 AS mmr_rank, round(mmr, 6) AS mmr FROM s1
+UNION ALL SELECT query_id, vec_id, 2, round(mmr, 6) FROM s2
+UNION ALL SELECT query_id, vec_id, 3, round(mmr, 6) FROM s3
+"""
+
+
+@register("topk_mmr", _MMR_ORACLE)
+def topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity rerank (operators.topk.mmr_rerank): top-10 cosine
+    candidates per query, then 3 greedy MMR picks at lam=0.7 — the
+    ``search_type="mmr"`` mode vector stores layer over the
+    reference's plain-similarity retriever. The oracle UNROLLS the
+    three greedy iterations in SQL (pick = argmax of lam*rel -
+    (1-lam)*max-cosine-to-picked, ties by id), so selection AND
+    scores are value-checked, not just contract-checked."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        mmr_rerank,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cands = topk_search(
+        _query_side(spark, sf_dir),
+        emb,
+        k=10,
+        metric="cosine",
+        payload_cols=("embedding",),
+    )
+    out = mmr_rerank(cands, k=3, lam=0.7)
+    return out.select(
+        "query_id", "vec_id", "mmr_rank", F.round("mmr", 6).alias("mmr")
+    )

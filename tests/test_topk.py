@@ -145,3 +145,89 @@ def test_gemm_query_bound_raises(spark, emb):
     q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     with pytest.raises(ValueError, match="exceeds 50"):
         topk_search_gemm(q, emb, k=5, max_queries=50)
+
+
+def _mmr_reference(ids, rel, vecs, k, lam):
+    """Per-row Python greedy MMR (independent of the numpy kernel)."""
+    import math
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    avail = dict(zip(ids, zip(rel, vecs)))
+    picked, out = [], []
+    for rank in range(1, min(k, len(ids)) + 1):
+        best = None
+        for i, (r, v) in sorted(avail.items()):
+            pen = max((cos(v, pv) for pv in picked), default=0.0)
+            m = lam * r - (1 - lam) * pen
+            if best is None or m > best[1]:
+                best = (i, m)
+        i, m = best
+        out.append((i, rank, m))
+        picked.append(avail.pop(i)[1])
+    return out
+
+
+def test_mmr_matches_python_reference(spark):
+    import random
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        mmr_rerank,
+    )
+
+    rng = random.Random(7)
+    rows, expect = [], {}
+    for q in range(5):
+        n = rng.randint(4, 12)
+        ids = list(range(100, 100 + n))
+        vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in ids]
+        rel = sorted((rng.uniform(0, 1) for _ in ids), reverse=True)
+        rows += [(q, i, float(r), [float(x) for x in v]) for i, r, v in zip(ids, rel, vecs)]
+        expect[q] = _mmr_reference(ids, rel, vecs, k=4, lam=0.6)
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, score double, embedding array<double>"
+    )
+    got = mmr_rerank(df, k=4, lam=0.6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["mmr_rank"], r["mmr"])
+        )
+    for q, exp in expect.items():
+        gq = sorted(by_q[q], key=lambda t: t[1])
+        assert [(i, rk) for i, rk, _ in gq] == [(i, rk) for i, rk, _ in exp]
+        for (_, _, a), (_, _, b) in zip(gq, exp):
+            assert abs(a - b) < 1e-9
+
+
+def test_mmr_lam1_is_relevance_order(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        mmr_rerank,
+    )
+
+    df = spark.createDataFrame(
+        [(0, i, 1.0 - i * 0.1, [1.0, 0.0]) for i in range(6)],
+        "query_id long, vec_id long, score double, embedding array<double>",
+    )
+    got = sorted(
+        mmr_rerank(df, k=3, lam=1.0).collect(), key=lambda r: r["mmr_rank"]
+    )
+    assert [r["vec_id"] for r in got] == [0, 1, 2]
+
+
+def test_mmr_overflow_guard(spark):
+    import pytest as pt
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        mmr_rerank,
+    )
+
+    df = spark.createDataFrame(
+        [(0, i, 0.5, [1.0, 0.0]) for i in range(10)],
+        "query_id long, vec_id long, score double, embedding array<double>",
+    )
+    with pt.raises(Exception, match="max_candidates"):
+        mmr_rerank(df, k=2, lam=0.5, max_candidates=5).collect()
