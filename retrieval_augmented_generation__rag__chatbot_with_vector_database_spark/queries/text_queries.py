@@ -324,3 +324,143 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "n_chars", k=5, strata_col="lang"
     )
     return top.select("lang", "rank", "doc_id", "n_chars")
+
+
+_CURATION_ORACLE = rf"""
+WITH f AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         {_duck_hits('en')} AS en_h,
+         {_duck_hits('de')} AS de_h,
+         {_duck_hits('es')} AS es_h,
+         {_duck_hits('fr')} AS fr_h,
+         CASE WHEN length(lower(text)) > 0
+              THEN (length(lower(text)) - length(regexp_replace(lower(text), '[一-鿿]', '', 'g'))) * 100.0 / length(lower(text))
+              ELSE 0.0 END AS zh_pct
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN zh_pct > 5 THEN 'zh'
+              WHEN en_h >= de_h AND en_h >= es_h AND en_h >= fr_h AND en_h > 0 THEN 'en'
+              WHEN de_h >= es_h AND de_h >= fr_h AND de_h > 0 THEN 'de'
+              WHEN es_h >= fr_h AND es_h > 0 THEN 'es'
+              WHEN fr_h > 0 THEN 'fr'
+              ELSE 'unknown' END AS dl,
+         0.25 * (CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 ELSE 0.5 END)
+       + 0.25 * (CASE WHEN toks > 0 AND nonspace * 1.0 / toks >= 3 AND nonspace * 1.0 / toks <= 12 THEN 1.0 ELSE 0.5 END)
+       + 0.25 * (CASE WHEN nonspace > 0 AND n_punct * 1.0 / nonspace <= 0.2 THEN 1.0
+                      WHEN nonspace = 0 THEN 1.0 ELSE 0.4 END)
+       + 0.25 * (CASE WHEN nonspace > 0 AND n_digit * 1.0 / nonspace <= 0.2 THEN 1.0
+                      WHEN nonspace = 0 THEN 1.0 ELSE 0.4 END) AS quality,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM f
+), rtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents
+), bi AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
+  FROM rtoks, unnest(range(1, greatest(len(arr), 1))) t(i) WHERE len(arr) >= 2
+), bcnt AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram),
+rep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS share FROM bcnt GROUP BY doc_id),
+flags AS (
+  SELECT s.doc_id, s.dl, s.fp,
+         s.quality >= 0.9 AS q_ok,
+         coalesce(r.share, 0.0) <= 0.1 AS rep_ok
+  FROM s LEFT JOIN rep r USING (doc_id)
+), clean AS (
+  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS survivor
+  FROM flags WHERE q_ok AND rep_ok
+), kept AS (
+  SELECT doc_id, dl FROM clean
+  WHERE survivor AND (
+        (dl = 'en' AND doc_id % 1 < 1)
+     OR (dl = 'de' AND doc_id % 2 < 1)
+     OR (dl = 'es' AND doc_id % 5 < 1)
+     OR (dl NOT IN ('en', 'de', 'es') AND doc_id % 10 < 1))
+)
+SELECT flags.dl AS lang,
+       count(*) AS n_input,
+       sum(q_ok::int)::BIGINT AS n_quality,
+       sum((q_ok AND rep_ok)::int)::BIGINT AS n_clean,
+       (SELECT count(*) FROM clean c WHERE c.survivor AND c.dl = flags.dl) AS n_unique,
+       (SELECT count(*) FROM kept k WHERE k.dl = flags.dl) AS n_kept
+FROM flags GROUP BY flags.dl
+"""
+
+
+@register("corpus_curation_pipeline", _CURATION_ORACLE)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation funnel a training-data pipeline runs as
+    ONE job (each stage individually oracle-verified elsewhere):
+    language-ID -> quality gate (score >= 0.9) -> Gopher repetition
+    gate (top-bigram share <= 0.1) -> exact-dedup survivors ->
+    deterministic mixture sampling, reported as per-detected-language
+    stage counts. One DAG, no intermediate materialization — Catalyst
+    shares the scan and pipelines the filters; the only shuffles are
+    the repetition aggregation, the fingerprint window, and the final
+    count. Mirrors what C4/Gopher-style corpus builds actually run."""
+    from pyspark.sql import Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        stratified_mod_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        textstats.detect_language("text").alias("dl"),
+        textstats.quality_score("text").alias("quality"),
+        textstats.fingerprint("text").alias("fp"),
+    )
+    rep = textstats.repetition_stats(docs).select(
+        F.col("id").alias("doc_id"), "top_bigram_share"
+    )
+    flags = feats.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "dl",
+        "fp",
+        (F.col("quality") >= 0.9).alias("q_ok"),
+        (F.coalesce("top_bigram_share", F.lit(0.0)) <= 0.1).alias("rep_ok"),
+    )
+    clean = flags.filter("q_ok AND rep_ok").withColumn(
+        "survivor",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")),
+    )
+    survivors = clean.filter("survivor")
+    kept = stratified_mod_sample(
+        survivors,
+        "dl",
+        "doc_id",
+        {"en": (1, 1), "de": (1, 2), "es": (1, 5)},
+        default=(1, 10),
+    )
+    base = flags.groupBy(F.col("dl").alias("lang")).agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("q_ok").cast("int")).cast("bigint").alias("n_quality"),
+        F.sum((F.col("q_ok") & F.col("rep_ok")).cast("int"))
+        .cast("bigint")
+        .alias("n_clean"),
+    )
+    n_uniq = survivors.groupBy(F.col("dl").alias("lang")).agg(
+        F.count("*").alias("n_unique")
+    )
+    n_kept = kept.groupBy(F.col("dl").alias("lang")).agg(
+        F.count("*").alias("n_kept")
+    )
+    return (
+        base.join(n_uniq, "lang", "left")
+        .join(n_kept, "lang", "left")
+        .select(
+            "lang",
+            "n_input",
+            "n_quality",
+            "n_clean",
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
