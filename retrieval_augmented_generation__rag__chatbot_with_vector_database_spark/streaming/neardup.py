@@ -74,7 +74,17 @@ def _read_bucket_table(
     (partition-pruned, never scanned): a replayed batch must see the
     table exactly as it stood before its first, torn attempt —
     otherwise the replay would self-suppress (its ids already present)
-    and overwrite its pairs partition with an empty result."""
+    and overwrite its pairs partition with an empty result.
+
+    The table may contain a ``batch_id=-1`` partition: the settled
+    prefix folded by ``sources.compaction.compact_batch_partitions``
+    (never excluded — no real batch id is -1). A torn compaction is
+    detected here before any read."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        check_not_torn,
+    )
+
+    check_not_torn(bucket_dir)
     try:
         t = spark.read.parquet(bucket_dir)
     except AnalysisException:

@@ -774,3 +774,127 @@ def test_ivfpq_ingest_threshold_without_source_warns(spark, tmp_path):
         ).awaitTermination(180)
     assert spark.read.parquet(path).count() == emb.count()
     assert pq.ivfpq_staleness(path) >= 0.5  # NOT reset: no rebuild ran
+
+
+def test_bucket_table_compaction_preserves_stream_results(spark, tmp_path):
+    """Compact the near-dup bucket table mid-stream: subsequent
+    batches must pair identically to an uncompacted run (same offline
+    parity), rows/ids preserved, directory count collapsed."""
+    import datetime as dt
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.compaction import (
+        compact_batch_partitions,
+        list_batch_ids,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.neardup import (
+        start_neardup_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    alt = "completely different content about spark partitioning and shuffles "
+    batches = [
+        [(1, base * 4, "s1"), (2, base * 4 + "tail", "s2")],
+        [(3, alt * 4, "s3")],
+        [(4, base * 4 + "other tail", "s4"), (5, alt * 4 + "suffix", "s5")],
+    ]
+    ts = dt.datetime(2024, 1, 1)
+    schema = "doc_id long, ts timestamp, text string, source string"
+    landing = tmp_path / "cp_landing"
+    landing.mkdir()
+    buckets = str(tmp_path / "cp_buckets")
+    pairs_sink = str(tmp_path / "cp_pairs")
+    ckpt = str(tmp_path / "cp_ckpt")
+
+    def run_drop(docs, name):
+        spark.createDataFrame(
+            [(i, ts, t, s) for i, t, s in docs], schema
+        ).write.parquet(str(landing / name))
+        q = start_neardup_stream(
+            spark, str(landing) + "/*", buckets, pairs_sink, ckpt
+        )
+        q.awaitTermination(120)
+
+    run_drop(batches[0], "b1")
+    run_drop(batches[1], "b2")
+    n_rows_before = spark.read.parquet(buckets).count()
+    stats = compact_batch_partitions(spark, buckets, keep_latest=0)
+    assert stats["folded"] == 2 and stats["rows"] == n_rows_before
+    assert list_batch_ids(buckets) == [-1]
+    assert spark.read.parquet(buckets).count() == n_rows_before
+
+    run_drop(batches[2], "b3")  # pairs against the compacted table
+    streamed = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in spark.read.parquet(pairs_sink).collect()
+    }
+    union = spark.createDataFrame(
+        [(i, t) for b in batches for i, t, _ in b], "doc_id long, text string"
+    )
+    offline = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(union).collect()
+    }
+    assert streamed == offline and streamed
+    # second compaction folds the compacted mass + the new batch
+    stats2 = compact_batch_partitions(spark, buckets, keep_latest=0)
+    assert stats2["folded"] == 2
+    assert spark.read.parquet(buckets).select("id").distinct().count() == 5
+    # batch_id dirs collapsed to the sentinel only
+    assert [
+        d for d in os.listdir(buckets) if d.startswith("batch_id=")
+    ] == ["batch_id=-1"]
+
+
+def test_compaction_noop_and_keep_latest(spark, tmp_path):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.compaction import (
+        compact_batch_partitions,
+        list_batch_ids,
+    )
+
+    path = str(tmp_path / "acc")
+    for b in range(3):
+        spark.range(5).withColumn("v", F.col("id") * b).write.parquet(
+            f"{path}/batch_id={b}"
+        )
+    # keep_latest=2 leaves only one foldable partition -> no-op
+    assert compact_batch_partitions(spark, path, keep_latest=2)["folded"] == 0
+    assert list_batch_ids(path) == [0, 1, 2]
+    # keep_latest=1 folds 0,1; batch 2 (the replayable tail) untouched
+    stats = compact_batch_partitions(spark, path, keep_latest=1)
+    assert stats == {"folded": 2, "kept": [2], "rows": 10}
+    assert list_batch_ids(path) == [-1, 2]
+    assert spark.read.parquet(path).count() == 15
+    # empty/missing dir -> clean no-op
+    assert (
+        compact_batch_partitions(spark, str(tmp_path / "nope"))["folded"] == 0
+    )
+
+
+def test_compaction_torn_marker_fails_reads_loudly(spark, tmp_path):
+    import json
+
+    import pytest as pt
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.compaction import (
+        compact_batch_partitions,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        marker_path_for,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.neardup import (
+        _read_bucket_table,
+    )
+
+    path = str(tmp_path / "torn")
+    for b in range(2):
+        spark.range(3).write.parquet(f"{path}/batch_id={b}")
+    with open(marker_path_for(path), "w") as f:
+        json.dump({"partitions": ["batch_id=0"]}, f)
+    with pt.raises(RuntimeError, match="torn"):
+        compact_batch_partitions(spark, path)
+    with pt.raises(RuntimeError, match="torn"):
+        _read_bucket_table(spark, path)
