@@ -125,3 +125,49 @@ def weighted_priority_sample(
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy(*order))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    bounds: tuple[float, float] = (0.8, 0.9),
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: the split is a deterministic pure function of the
+    document's DUPLICATE GROUP, not of the document — so a test
+    example can never have a near-copy in train (the classic
+    contamination bug a per-doc random split commits whenever dedup
+    is imperfect; splitting by group is the standard fix).
+
+    ``pairs`` is any near-dup pair set (id_a, id_b) — MinHash-LSH,
+    SimHash, embedding — or a union of them; groups are its connected
+    components (min-label, ``operators.dedup``), singleton docs form
+    their own group. The group key feeds the same Knuth multiplicative
+    uniform as ``weighted_priority_sample`` (pure integer function →
+    re-run/backfill stable and SQL-oracle-mirrorable), cut at
+    ``bounds`` into train/val/test.
+
+    Scale shape: components are iterative joins over the PAIRS (tiny
+    next to the corpus); the assignment itself is one broadcast-sized
+    left join + a pure-function filter — no shuffle of the corpus.
+    Adds ``group_id`` and ``split``.
+    """
+    lo, hi = bounds
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"bounds must satisfy 0 < lo < hi < 1, got {bounds}")
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comps = connected_components(pairs).select(
+        F.col("id").alias(id_col), F.col("component")
+    )
+    withg = df.join(comps, id_col, "left").withColumn(
+        "group_id", F.coalesce("component", F.col(id_col).cast("long"))
+    ).drop("component")
+    u = key_uniform("group_id")
+    return withg.withColumn(
+        "split",
+        F.when(u < lo, "train").when(u < hi, "val").otherwise("test"),
+    )

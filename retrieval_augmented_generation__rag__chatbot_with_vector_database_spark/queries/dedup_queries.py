@@ -472,3 +472,92 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_span_pairs(
         docs, span_len=40, stride=10, df_cap=1000
     )
+
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_SH_CTE},
+seeds AS (SELECT range AS seed FROM range(0, 16)),
+mh AS (
+  SELECT id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh, seeds GROUP BY id, seed
+),
+sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+bands AS (
+  SELECT id, b,
+         md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS bk
+  FROM sig, (SELECT range AS b FROM range(0, 4)) bs
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.id < c.id
+),
+lshp AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b
+  WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.25
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM lshp
+  UNION
+  SELECT id_b AS a, id_a AS b FROM lshp
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON e.b = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+asg AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+spl AS (
+  SELECT doc_id, group_id,
+         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, group_id,
+               ((group_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 AS u
+        FROM asg)
+),
+leak AS (
+  SELECT count(*) AS n
+  FROM lshp p JOIN spl a ON p.id_a = a.doc_id JOIN spl b ON p.id_b = b.doc_id
+  WHERE a.split <> b.split
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT group_id) AS n_groups,
+       (SELECT n FROM leak) = 0 AS no_leakage
+FROM spl GROUP BY split
+"""
+
+
+@register("corpus_leakage_safe_split", _LEAKAGE_SPLIT_ORACLE)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-proof train/val/test split
+    (operators.sampling.leakage_safe_split): MinHash-LSH near-dup
+    pairs -> connected components -> split as a pure integer function
+    of the GROUP id (80/10/10), so near-copies always land in the
+    same split. ``no_leakage`` re-verifies the property end to end
+    against the pair set itself — the oracle pins it TRUE alongside
+    the exact per-split doc/group counts."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n_hashes=16, bands=4, min_est=0.25
+    ).localCheckpoint()
+    split = leakage_safe_split(docs, pairs.select("id_a", "id_b"))
+    s = split.select("doc_id", "group_id", "split").localCheckpoint()
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    n_leak = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("group_id").alias("n_groups"),
+        F.lit(n_leak == 0).alias("no_leakage"),
+    )

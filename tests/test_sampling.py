@@ -123,3 +123,47 @@ def test_weighted_priority_sample_large_keys(spark):
     )
     out = weighted_priority_sample(df, "doc_id", "weight", k=5).collect()
     assert len(out) == 5
+
+
+def test_leakage_safe_split_never_splits_a_group(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # chains of 3: {0,1,2}, {10,11,12}, ... — components must share a split
+    pairs = spark.createDataFrame(
+        [(b, b + 1) for b in range(0, 200, 10)]
+        + [(b + 1, b + 2) for b in range(0, 200, 10)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    group_of = {r["doc_id"]: r["group_id"] for r in out}
+    assert len(split_of) == 200
+    for b in range(0, 200, 10):
+        assert split_of[b] == split_of[b + 1] == split_of[b + 2]
+        assert group_of[b] == group_of[b + 1] == group_of[b + 2] == b
+    # singletons got their own id as group
+    assert group_of[5] == 5
+    # all three splits are populated and ratios are roughly 80/10/10
+    from collections import Counter
+
+    c = Counter(split_of.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_leakage_safe_split_rejects_bad_bounds(spark):
+    import pytest as pt
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pt.raises(ValueError, match="bounds"):
+        leakage_safe_split(docs, pairs, bounds=(0.9, 0.8))
