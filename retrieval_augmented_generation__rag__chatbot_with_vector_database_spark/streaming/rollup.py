@@ -96,3 +96,64 @@ def start_hourly_rollup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hourly_histogram(
+    events: DataFrame,
+    lo: float = 0.0,
+    width: float = 10.0,
+    n_bins: int = 50,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming-maintained quantile sketch: hourly fixed-bin
+    (hour, bin, cnt) partials — the mergeable unit of
+    ``operators.histogram`` (the batch twin is
+    ``events_histogram_rollup``). Readers merge partials to any
+    coarser grain and read percentiles off the merged cumulative
+    counts at query time; the stream never recomputes history, it
+    only appends closed hours. State per open window is ``n_bins``
+    counters — constant, independent of event volume."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.histogram import (
+        bin_index,
+    )
+
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            bin_index("value", lo, width, n_bins).alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w").getField("start").alias("hour"), "bin", "cnt")
+    )
+
+
+def start_histogram_rollup_stream(
+    spark,
+    landing_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    lo: float = 0.0,
+    width: float = 10.0,
+    n_bins: int = 50,
+    watermark: str = DEFAULT_WATERMARK,
+    available_now: bool = True,
+) -> "StreamingQuery":
+    """File-source stream → watermarked hourly histogram partials →
+    append-mode parquet sink (each closed (hour, bin) emitted exactly
+    once; late rows inside the watermark merge into open state)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = spark.readStream.schema(schema).format("parquet").load(landing_dir)
+    hist = hourly_histogram(src, lo, width, n_bins, watermark)
+    writer = (
+        hist.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

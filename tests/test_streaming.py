@@ -898,3 +898,74 @@ def test_compaction_torn_marker_fails_reads_loudly(spark, tmp_path):
         compact_batch_partitions(spark, path)
     with pt.raises(RuntimeError, match="torn"):
         _read_bucket_table(spark, path)
+
+
+def test_histogram_rollup_stream_partials_match_batch_and_merge(spark, tmp_path):
+    """Streaming hourly histogram partials: emitted (hour, bin)
+    counts equal the batch histogram exactly (late rows merged),
+    append-once holds, and merging the emitted partials to daily
+    equals the batch daily histogram over the same hours — the
+    continuous-aggregate read path for quantiles."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        histogram,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+        load,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.rollup import (
+        start_histogram_rollup_stream,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ts = sorted(r["ts"] for r in ev.select("ts").collect())
+    split = ts[len(ts) // 2]
+    band_lo = split - datetime.timedelta(hours=24)
+    in_band = (F.col("ts") >= band_lo) & (F.col("ts") < split)
+    rn = F.row_number().over(
+        Window.partitionBy(F.date_trunc("hour", "ts")).orderBy("ts", "event_id")
+    )
+    tagged = ev.withColumn("__late", in_band & (rn > 1))
+    late = tagged.filter("__late").drop("__late")
+    drop1 = tagged.filter((F.col("ts") < split) & ~F.col("__late")).drop("__late")
+    drop2 = tagged.filter(F.col("ts") >= split).drop("__late").unionByName(late)
+    assert late.count() > 0
+
+    landing = tmp_path / "hist_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "hist_sink")
+    ckpt = str(tmp_path / "hist_ckpt")
+    wm = "48 hours"
+    drop1.coalesce(1).write.parquet(str(landing / "drop1"))
+    _drain(start_histogram_rollup_stream(spark, str(landing) + "/*", sink, ckpt, watermark=wm))
+    drop2.coalesce(1).write.parquet(str(landing / "drop2"))
+    _drain(start_histogram_rollup_stream(spark, str(landing) + "/*", sink, ckpt, watermark=wm))
+
+    emitted = spark.read.parquet(sink)
+    assert emitted.count() > 0
+    assert emitted.groupBy("hour", "bin").count().filter("count > 1").count() == 0
+
+    batch = histogram.histogram_by(
+        ev, "value", [F.date_trunc("hour", "ts").alias("hour")], 0.0, 10.0, 50
+    ).withColumnRenamed("cnt", "b_cnt")
+    j = emitted.join(batch, ["hour", "bin"], "left")
+    assert j.filter(F.col("b_cnt") == F.col("cnt")).count() == emitted.count()
+
+    # continuous-aggregate read: merge emitted partials to daily and
+    # compare against the batch daily histogram over the same hours
+    hours = emitted.select("hour").distinct()
+    daily_stream = histogram.merge_histograms(
+        emitted, [F.date_trunc("day", "hour").alias("day")]
+    )
+    daily_batch = histogram.merge_histograms(
+        batch.join(hours, "hour").withColumnRenamed("b_cnt", "cnt"),
+        [F.date_trunc("day", "hour").alias("day")],
+    )
+    a = {(r["day"], r["bin"]): r["cnt"] for r in daily_stream.collect()}
+    b = {(r["day"], r["bin"]): r["cnt"] for r in daily_batch.collect()}
+    assert a == b and a
