@@ -111,6 +111,27 @@ def token_count(text: Column | str) -> Column:
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the lookahead-free
+# subset shared by Java regex (Spark) and RE2 (DuckDB): contraction
+# suffixes, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, residual whitespace. The real GPT-2
+# pattern's `\s+(?!\S)` needs negative lookahead (absent from RE2);
+# dropping it only re-buckets multi-space runs, which a token COUNT
+# barely sees. Counting matches of this pattern tracks BPE token
+# counts far better than whitespace splitting (punctuation and
+# contractions become their own tokens), with zero tokenizer model.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Pre-tokenizer match count under :data:`BPE_ISH_PATTERN` — the
+    cheap SQL-only estimator for "how many BPE tokens is this doc"
+    (sequence-budget planning, token-level corpus accounting). A real
+    subword vocab refines each pre-token into >= 1 tokens, so this is
+    a lower bound with the right shape; it stays JVM-side codegen."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def quality_features(text: Column | str) -> dict[str, Column]:
     """Cheap quality-scoring features for corpus filtering:
     length, token count, mean token length, punctuation ratio,

@@ -769,3 +769,51 @@ def substring_span_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_shared_spans"))
     )
+
+
+def eval_overlap(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count the
+    distinct word ``n``-grams it shares with ANY eval-set document —
+    the standard train/test contamination check (GPT-3 used 13-gram
+    overlap; PaLM/Llama use 8–10). Docs with a count > 0 are the
+    contamination candidates a pipeline drops or span-scrubs before
+    training; span-level removal composes via ``substring_span_pairs``
+    on the flagged docs.
+
+    Scale shape: the corpus side is an exploded shingle inverted index
+    (shuffle ∝ distinct (doc, shingle), the same cost as one LSH pass);
+    the eval side collapses to DISTINCT shingles — eval sets are tiny
+    next to a 100 TB corpus, so ``broadcast_eval=True`` (default) makes
+    the probe a broadcast-hash semi-join with NO shuffle of the corpus
+    shingles. Set it False when the eval shingle set outgrows the
+    broadcast budget; the join degrades to a plain shuffle equi-join on
+    the shingle key (still never all-pairs).
+
+    Returns (``id_col``, n_overlapping_ngrams) for flagged docs only —
+    at 100 TB the clean >99% of the corpus never leaves the filter.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    ev = (
+        exploded_shingles(evalset, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    cs = exploded_shingles(corpus, id_col, text_col, n)
+    return (
+        cs.join(ev, "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        # (id, shingle) rows are already distinct (exploded_shingles
+        # array_distincts per doc), so a plain count has full map-side
+        # partial aggregation — no second dedup shuffle needed
+        .agg(F.count("*").alias("n_overlapping_ngrams"))
+    )

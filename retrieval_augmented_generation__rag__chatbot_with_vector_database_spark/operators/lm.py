@@ -1,0 +1,160 @@
+"""Statistical language-model scoring — the CCNet-style perplexity
+filter of a training-data pipeline: score every document by how
+surprising it is under an n-gram model, then gate or bucket the
+corpus by that score (CCNet buckets head/middle/tail by KenLM
+perplexity; this is the distributed bigram form of the same gate).
+
+The reference engine has no LM scoring (it is a RAG service); this
+extends the engine for corpus curation at 100 TB (SURVEY.md
+north-star extensions), like ``operators/textstats.py``.
+
+Everything is SQL: tokenize once, explode positional bigrams, build
+the count tables with two hash aggregations, then score each document
+through two dimension-table joins. No Python on any hot path.
+
+Scale shape:
+- the MODEL (unigram + bigram count tables) aggregates with full
+  map-side partial combine — shuffle ∝ distinct n-grams, which
+  plateaus with vocabulary, not corpus size;
+- SCORING joins each (doc, bigram) occurrence to the model tables on
+  the n-gram key. The model tables are corpus-level dimensions
+  (one row per distinct n-gram); broadcast them when they fit, else
+  the join shuffles on the n-gram key — hot bigrams ("of the") are
+  single model-side rows, so there is no hot-key pair explosion;
+- per-token contributions are rounded to 6 dp and summed as DECIMAL,
+  the repo-wide cross-engine determinism convention
+  (``operators/hybrid.py`` BM25 does the same).
+
+Smoothing is add-alpha (Lidstone): ``P(w2|w1) = (c(w1,w2) + alpha) /
+(c(w1) + alpha * V)`` with V = |vocabulary|. Unseen *history* words
+fall back to the uniform ``alpha / (alpha * V) = 1/V`` via the left
+join's NULL handling, so scoring is total (defined for every doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NLL_DEC = "decimal(18,6)"
+
+
+def _tokens(text_col: str) -> Column:
+    """Lowercased alphanumeric tokens — identical to the dedup/textstats
+    tokenizer so LM scores compose with the other curation signals."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+
+
+def positional_bigrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2) — one row per bigram OCCURRENCE (not distinct:
+    the LM needs real counts). Tokenization is projected to a column
+    first (HOFs don't common-subexpression-eliminate)."""
+    toks = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("__arr"))
+    arr = F.col("__arr")
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.struct(arr[i].alias("w1"), arr[i + 1].alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return toks.select("id", F.explode(pairs).alias("bg")).select(
+        "id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def bigram_model(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(bigram_counts, history_counts, vocab_size) over the corpus.
+
+    ``history_counts`` counts w1 occurrences AS A HISTORY (= bigram
+    occurrences starting at w1), so probabilities per history sum to 1
+    exactly; ``vocab_size`` is a 1-row frame (broadcast at the join).
+    """
+    bg = positional_bigrams(df, id_col, text_col)
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    history_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    return bigram_counts, history_counts, vocab
+
+
+def bigram_nll_scores(
+    scored: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document bigram cross-entropy: (id_col, n_bigrams, sum_nll,
+    avg_nll) where each bigram contributes ``-ln P(w2|w1)`` (add-alpha
+    smoothed), rounded to 6 dp before the DECIMAL sum.
+
+    ``model`` is the corpus the counts are estimated FROM (defaults to
+    ``scored`` itself — the self-scoring profile run); passing a
+    held-out reference corpus gives the CCNet setup where a clean
+    reference LM scores the raw crawl. Docs with < 2 tokens score
+    NULL (no bigrams), kept with n_bigrams = 0 — the gate decides.
+
+    ``broadcast_model=True`` broadcasts both count tables (right for
+    vocabulary-bounded corpora); False shuffles the score join on the
+    n-gram keys instead — the model side is one row per n-gram, so hot
+    bigrams never explode.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    bigram_counts, history_counts, vocab = bigram_model(
+        scored if model is None else model, id_col, text_col
+    )
+    if broadcast_model:
+        bigram_counts = F.broadcast(bigram_counts)
+        history_counts = F.broadcast(history_counts)
+    bg = positional_bigrams(scored, id_col, text_col)
+    nll = (
+        bg.join(bigram_counts, ["w1", "w2"], "left")
+        .join(history_counts, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.round(
+                -F.ln(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+                ),
+                6,
+            )
+            .cast(NLL_DEC)
+            .alias("nll"),
+        )
+    )
+    per_doc = nll.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("nll").alias("sum_nll"),
+    )
+    ids = scored.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.col("sum_nll").cast("double").alias("sum_nll"),
+            F.round(
+                F.col("sum_nll").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
+__all__ = [
+    "bigram_model",
+    "bigram_nll_scores",
+    "positional_bigrams",
+]

@@ -1,0 +1,116 @@
+"""Training-sequence packing — the last batch-construction stage of an
+LLM data pipeline: concatenate variable-length documents into
+fixed-token-budget training sequences with minimal padding waste.
+
+The packer is greedy NEXT-FIT in deterministic key order within a
+shard: walk the shard's docs by ascending id, append to the current
+sequence while it fits, else start a new one. Next-fit (vs first-fit-
+decreasing) is the standard streaming choice at corpus scale: one
+pass, O(1) state, and — because the decision depends only on the
+PREFIX of the shard's doc list — fully deterministic and incrementally
+extendable (appending new docs never reshuffles old assignments,
+the same append-stability the ingest paths rely on).
+
+Scale shape: ONE shuffle to co-locate each shard, then a linear
+Arrow-batched pass per shard (``applyInPandas``). Sequential state
+makes this inherently per-partition imperative — exactly the seam the
+engine reserves Pandas kernels for. Shards are independent streams;
+``shards`` ≈ cluster parallelism bounds every group to ~1/shards of
+the corpus. Padding waste is measured, not guessed:
+``packing_stats`` rolls up fill-rate per shard.
+
+The reference engine has no batch-construction stage (RAG service);
+this is a SURVEY.md north-star extension like ``operators/sampling``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PACK_SCHEMA = "id long, shard int, seq long, offset long, size long"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    budget: int = 2048,
+    shards: int = 32,
+) -> DataFrame:
+    """Assign every document a (shard, seq, offset) packing slot:
+    ``shard = id mod shards``; within a shard, docs are packed in
+    ascending-id order into sequences of at most ``budget`` tokens
+    (greedy next-fit). A document larger than the budget gets a
+    sequence of its own (never split — span-splitting is the
+    chunker's job upstream).
+
+    Rows with NULL size are excluded (no defined length to pack);
+    sizes must be >= 0. Output: (id_col, shard, seq, offset, size),
+    where ``offset`` is the token position of the doc inside its
+    sequence and (shard, seq) is the globally-unique sequence key.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(size_col).cast("long").alias("size"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(shards)).cast("int").alias("shard"),
+    ).filter(F.col("size").isNotNull())
+
+    def kernel(pdf):
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        if (pdf["size"] < 0).any():
+            bad = pdf.loc[pdf["size"] < 0, "id"].iloc[0]
+            raise ValueError(f"negative size for id {bad}")
+        seqs, offs = [], []
+        seq, fill = 0, 0
+        for i, s in enumerate(pdf["size"]):
+            s = int(s)
+            if i > 0 and fill + s > budget:
+                seq += 1
+                fill = 0
+            offs.append(fill)
+            seqs.append(seq)
+            fill += s
+        pdf["seq"] = seqs
+        pdf["offset"] = offs
+        return pdf[["id", "shard", "seq", "offset", "size"]]
+
+    out = base.groupBy("shard").applyInPandas(kernel, PACK_SCHEMA)
+    return out.withColumnRenamed("id", id_col)
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Fill-rate rollup per shard: (shard, n_docs, n_seqs, total_tokens,
+    fill_rate) where fill_rate = tokens / (sequences × budget) — the
+    padding-waste metric that tells you whether the budget/shard
+    choice is right BEFORE a 100 TB run burns the difference.
+    Sequences holding one oversized doc can push a shard above 1.0."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("seq").alias("n_seqs"),
+            F.sum("size").alias("total_tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_seqs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens")
+                / (F.col("n_seqs") * F.lit(float(budget))),
+                6,
+            ).alias("fill_rate"),
+        )
+    )
+
+
+__all__ = ["pack_sequences", "packing_stats", "PACK_SCHEMA"]

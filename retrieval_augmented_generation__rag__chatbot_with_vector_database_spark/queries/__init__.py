@@ -106,4 +106,5 @@ def _import_all() -> None:
         ingest_queries,
         temporal_queries,
         hybrid_queries,
+        curation_queries,
     )

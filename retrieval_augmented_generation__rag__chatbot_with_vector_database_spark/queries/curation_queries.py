@@ -1,0 +1,222 @@
+"""Curation-stage queries: benchmark decontamination, bigram-LM
+perplexity scoring, BPE-ish token accounting, and training-sequence
+packing — the batch-construction tail of an LLM data pipeline
+(SURVEY.md north-star extensions; the reference RAG service has no
+counterpart, so these compose with the dedup/textstats/sampling
+stages verified elsewhere).
+
+Oracle conventions per FIXTURES.md: identical tokenizers on both
+engines, per-contribution 6-dp DECIMAL rounding for float sums, and
+a recursive CTE as the independent re-implementation of the greedy
+packer (sequential semantics — the one family SQL needs recursion
+for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    bpe_token_count,
+    token_count,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    load,
+    register,
+)
+
+_BPE_SQL_PAT = BPE_ISH_PATTERN.replace("'", "''")
+
+_EVAL_MOD = 25  # every 25th doc plays the held-out eval set
+_DECON_N = 4  # word n-gram size (GPT-3 used 13; 4 fits fixture docs)
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
+@register(
+    "text_bpe_token_counts",
+    f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish pre-tokenizer token counts per document
+    (functions.text.bpe_token_count) — the SQL-only estimator for
+    token-level corpus accounting and sequence-budget planning. The
+    regex is the lookahead-free GPT-2 pre-tokenizer subset, evaluated
+    by Java regex and RE2 identically (verified)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS shingle
+  FROM toks, unnest(range(1, len(arr) - {_DECON_N - 2})) t(i)
+  WHERE len(arr) >= {_DECON_N}
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0)
+SELECT sh.doc_id, count(*) AS n_overlapping_ngrams
+FROM sh JOIN ev USING (shingle)
+WHERE sh.doc_id % {_EVAL_MOD} <> 0
+GROUP BY sh.doc_id
+"""
+
+
+@register("decontaminate_eval_overlap", _DECON_ORACLE)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.eval_overlap): flag
+    every corpus doc sharing a word 4-gram with the held-out "eval"
+    slice (doc_id % 25 == 0 stands in for the benchmark file). The
+    eval shingle set is broadcast — the corpus never shuffles for the
+    probe; flagged docs would be dropped or span-scrubbed
+    (dedup.substring_span_pairs) before training."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        eval_overlap,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return eval_overlap(corpus, evalset, n=_DECON_N)
+
+
+_NLL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+  FROM toks, unnest(range(1, greatest(len(arr), 1))) t(i)
+  WHERE len(arr) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(arr) AS w FROM toks)
+),
+nll AS (
+  SELECT bg.doc_id,
+         round(-ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)), 6)::DECIMAL(18,6) AS nll
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS sum_nll
+  FROM nll GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       p.sum_nll::DOUBLE AS sum_nll,
+       round(p.sum_nll::DOUBLE / p.n_bigrams, 6) AS avg_nll
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("text_bigram_nll", _NLL_ORACLE)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (operators.lm): per-doc bigram
+    cross-entropy under an add-0.5-smoothed bigram model estimated
+    from the corpus itself. High avg_nll = surprising/garbled text,
+    low = boilerplate — the bucketing signal CCNet derives from KenLM
+    perplexity, here as two hash aggregations + two dimension joins,
+    fully SQL, full-value oracle."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.lm import (
+        bigram_nll_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_nll_scores(docs)
+
+
+_PACK_DOCS_CTE = f"""
+docs AS (
+  SELECT doc_id,
+         (doc_id % {_PACK_SHARDS})::INT AS shard,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS sz,
+         row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT shard, rn, doc_id, sz, 0::BIGINT AS seq, 0::BIGINT AS off, sz AS fill
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.sz,
+         CASE WHEN p.fill + d.sz > {_PACK_BUDGET} THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.fill + d.sz > {_PACK_BUDGET} THEN 0::BIGINT ELSE p.fill END,
+         CASE WHEN p.fill + d.sz > {_PACK_BUDGET} THEN d.sz ELSE p.fill + d.sz END
+  FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+"""
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE {_PACK_DOCS_CTE}
+SELECT doc_id, shard, seq, off AS "offset", sz AS n_tokens FROM pack
+"""
+
+_PACK_STATS_ORACLE = f"""
+WITH RECURSIVE {_PACK_DOCS_CTE}
+SELECT shard,
+       count(*) AS n_docs,
+       count(DISTINCT seq) AS n_seqs,
+       sum(sz)::BIGINT AS total_tokens,
+       round(sum(sz) / (count(DISTINCT seq) * {float(_PACK_BUDGET)}), 6) AS fill_rate
+FROM pack GROUP BY shard
+"""
+
+
+def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, size_col="n_tokens", budget=_PACK_BUDGET, shards=_PACK_SHARDS
+    )
+
+
+@register("corpus_pack_sequences", _PACK_ORACLE)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators.packing.pack_sequences):
+    greedy next-fit of whitespace token counts into 512-token
+    sequences across 8 id-mod shards. The oracle re-derives every
+    (shard, seq, offset) slot with a recursive CTE — a fully
+    independent sequential implementation of the same packer."""
+    return _packed(spark, sf_dir).withColumnRenamed("size", "n_tokens")
+
+
+@register("corpus_packing_stats", _PACK_STATS_ORACLE)
+def corpus_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste rollup over the packed layout
+    (operators.packing.packing_stats): per-shard sequence counts and
+    fill rate — the metric that sizes budget/shards before a 100 TB
+    packing run."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.packing import (
+        packing_stats,
+    )
+
+    return packing_stats(_packed(spark, sf_dir), budget=_PACK_BUDGET)
