@@ -198,6 +198,34 @@ def test_packing_stats_fill_rate(spark):
     assert stats.fill_rate == pytest.approx(12 / 20.0, abs=1e-9)
 
 
+# ---------- plan contracts ----------
+
+
+def test_eval_overlap_broadcasts_eval_side(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.plans.inspect import (
+        broadcast_join_count,
+    )
+
+    corpus = _docs(spark, [(1, "a b c d e")])
+    evalset = _docs(spark, [(2, "c d e f g")])
+    out = eval_overlap(corpus, evalset, n=3, broadcast_eval=True)
+    # the probe is a broadcast join: the corpus shingles never
+    # shuffle on the shingle key
+    assert broadcast_join_count(out) >= 1
+
+
+def test_bigram_nll_model_tables_broadcast(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.plans.inspect import (
+        broadcast_join_count,
+    )
+
+    docs = _docs(spark, [(1, "a b c"), (2, "b c d")])
+    out = bigram_nll_scores(docs)
+    # c12, c1, and the 1-row vocab all ride broadcast joins — the
+    # scored corpus streams through without a model-join shuffle
+    assert broadcast_join_count(out) >= 3
+
+
 # ---------- BPE-ish token count ----------
 
 
