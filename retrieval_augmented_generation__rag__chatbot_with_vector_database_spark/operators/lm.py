@@ -93,6 +93,7 @@ def bigram_nll_scores(
     text_col: str = "text",
     alpha: float = 0.5,
     broadcast_model: bool = True,
+    model_tables: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document bigram cross-entropy: (id_col, n_bigrams, sum_nll,
     avg_nll) where each bigram contributes ``-ln P(w2|w1)`` (add-alpha
@@ -108,12 +109,23 @@ def bigram_nll_scores(
     vocabulary-bounded corpora); False shuffles the score join on the
     n-gram keys instead — the model side is one row per n-gram, so hot
     bigrams never explode.
+
+    ``model_tables`` = (bigram_counts, history_counts, vocab) from
+    :func:`load_bigram_model` scores from the PERSISTED layout —
+    estimate once, score per batch, no reference-corpus re-aggregation
+    (hash-equal to the rebuild path; tested). Mutually exclusive with
+    ``model``.
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
-    bigram_counts, history_counts, vocab = bigram_model(
-        scored if model is None else model, id_col, text_col
-    )
+    if model_tables is not None:
+        if model is not None:
+            raise ValueError("pass model or model_tables, not both")
+        bigram_counts, history_counts, vocab = model_tables
+    else:
+        bigram_counts, history_counts, vocab = bigram_model(
+            scored if model is None else model, id_col, text_col
+        )
     if broadcast_model:
         bigram_counts = F.broadcast(bigram_counts)
         history_counts = F.broadcast(history_counts)
@@ -153,8 +165,127 @@ def bigram_nll_scores(
     )
 
 
+def save_bigram_model(
+    model_corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the LM as a managed layout — ``{path}/c12`` (bigram
+    counts) and ``{path}/vocab`` (distinct tokens) — so a 100 TB
+    pipeline estimates once and scores per batch from the stored
+    tables instead of re-aggregating the reference corpus on every
+    call (the same estimate-once/probe-many contract as the lexical
+    and vector index layouts).
+
+    The write is crash-consistent: both tables build in a tmp subtree
+    and swap in under the ``sources.layout`` marker fence; readers
+    (:func:`load_bigram_model`) fail loudly on a torn swap.
+    """
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        check_not_torn,
+        swap_partition_dirs,
+    )
+
+    os.makedirs(path, exist_ok=True)
+    check_not_torn(path)
+    tmp = os.path.join(path, "_tmp_model")
+    bg = positional_bigrams(model_corpus, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    vocab = model_corpus.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    ).distinct()
+    c12.write.mode("overwrite").parquet(os.path.join(tmp, "c12"))
+    vocab.write.mode("overwrite").parquet(os.path.join(tmp, "vocab"))
+    swap_partition_dirs(path, tmp, ["c12", "vocab"])
+
+
+def update_bigram_model(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally fold NEW documents into the stored model.
+    Bigram counts are exactly additive across disjoint doc sets (no
+    bigram crosses a document boundary), so update ≡ rebuild-from-
+    union, bit for bit (tested) — the incremental-upsert contract the
+    other index layouts carry, at aggregate (not per-doc) cost:
+    the merge shuffles ∝ distinct n-grams, which is vocabulary-
+    bounded, not corpus-bounded. Same marker-fenced swap as
+    :func:`save_bigram_model`.
+    """
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        check_not_torn,
+        swap_partition_dirs,
+    )
+
+    check_not_torn(path)
+    spark = new_docs.sparkSession
+    old_c12 = spark.read.parquet(os.path.join(path, "c12"))
+    old_vocab = spark.read.parquet(os.path.join(path, "vocab"))
+    bg = positional_bigrams(new_docs, id_col, text_col)
+    new_c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    merged_c12 = (
+        old_c12.unionByName(new_c12)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").alias("c12"))
+    )
+    new_vocab = new_docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    merged_vocab = old_vocab.unionByName(new_vocab).distinct()
+    tmp = os.path.join(path, "_tmp_model")
+    # pin the merges before the swap touches their input files
+    merged_c12.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        os.path.join(tmp, "c12")
+    )
+    merged_vocab.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        os.path.join(tmp, "vocab")
+    )
+    swap_partition_dirs(path, tmp, ["c12", "vocab"])
+
+
+def load_bigram_model(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(bigram_counts, history_counts, vocab_size) from the stored
+    layout — the same triple :func:`bigram_model` derives from raw
+    text. History counts re-derive from the (vocabulary-bounded)
+    stored bigram table; no corpus scan happens here."""
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        check_not_torn,
+    )
+
+    check_not_torn(path)
+    c12 = spark.read.parquet(os.path.join(path, "c12"))
+    vocab = spark.read.parquet(os.path.join(path, "vocab"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = vocab.agg(F.count("*").alias("v"))
+    return c12, c1, v
+
+
 __all__ = [
     "bigram_model",
     "bigram_nll_scores",
+    "load_bigram_model",
     "positional_bigrams",
+    "save_bigram_model",
+    "update_bigram_model",
 ]

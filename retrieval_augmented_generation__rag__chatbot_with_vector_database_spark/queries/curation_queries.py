@@ -149,6 +149,33 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_nll_scores(docs)
 
 
+@register("text_bigram_nll_indexed", _NLL_ORACLE)
+def text_bigram_nll_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scores served from the PERSISTED model layout
+    (operators.lm.save_bigram_model → load_bigram_model →
+    model_tables=): estimate once, score per batch — hash-equal to
+    ``text_bigram_nll`` against the same oracle SQL, the
+    probe-from-layout ≡ rebuild contract the lexical and vector
+    indexes carry. The end-to-end number includes building the layout
+    (at serving time it is prebuilt)."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.lm import (
+        bigram_nll_scores,
+        load_bigram_model,
+        save_bigram_model,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/lm"
+        save_bigram_model(docs, path)
+        tables = load_bigram_model(spark, path)
+        out = bigram_nll_scores(docs, model_tables=tables)
+        out = out.localCheckpoint(eager=True)  # consume before tmp cleanup
+    return out
+
+
 _PACK_DOCS_CTE = f"""
 docs AS (
   SELECT doc_id,

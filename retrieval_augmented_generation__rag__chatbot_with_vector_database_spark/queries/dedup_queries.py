@@ -561,3 +561,57 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("group_id").alias("n_groups"),
         F.lit(n_leak == 0).alias("no_leakage"),
     )
+
+
+_SEMANTIC_KEEP_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  ) WHERE cosine >= 0.45
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON e.b = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT e.vec_id,
+       coalesce(c.component, e.vec_id) AS component,
+       (c.component IS NULL OR e.vec_id = c.component) AS keep
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+"""
+
+
+@register("dedup_semantic_keep", _SEMANTIC_KEEP_ORACLE)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, end to end: embedding-cosine
+    near-dup pairs -> connected components -> per-doc keep/drop
+    (survivor = the component's min id; singletons keep themselves).
+    This query runs the brute-force pair source so the recursive-CTE
+    oracle verifies every slot full-value; the 100 TB form swaps in
+    ``embedding_neardup_pairs_ivf`` (cluster-bucketed, sub-quadratic
+    — the SemDeDup recipe: k-means buckets, intra-bucket cosine,
+    keep one per semantic group), which is pairwise-identical on the
+    fixtures per ``dedup_embedding_pairs_ivf``'s own oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.45)
+    comps = dedup.connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(comps.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("component"),
+            (
+                F.col("component").isNull()
+                | (F.col("vec_id") == F.col("component"))
+            ).alias("keep"),
+        )
+    )

@@ -198,6 +198,81 @@ def test_packing_stats_fill_rate(spark):
     assert stats.fill_rate == pytest.approx(12 / 20.0, abs=1e-9)
 
 
+# ---------- persisted LM model layout ----------
+
+
+def test_lm_layout_probe_equals_rebuild(spark, tmp_path):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.lm import (
+        load_bigram_model,
+        save_bigram_model,
+    )
+
+    docs = _docs(spark, [(i, f"w{i % 3} x{i % 5} common tail words") for i in range(20)])
+    path = str(tmp_path / "lm")
+    save_bigram_model(docs, path)
+    stored = sorted(
+        bigram_nll_scores(
+            docs, model_tables=load_bigram_model(spark, path)
+        ).collect()
+    )
+    rebuilt = sorted(bigram_nll_scores(docs).collect())
+    assert stored == rebuilt
+
+
+def test_lm_layout_update_equals_rebuild_from_union(spark, tmp_path):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.lm import (
+        load_bigram_model,
+        save_bigram_model,
+        update_bigram_model,
+    )
+
+    first = _docs(spark, [(i, f"alpha beta w{i % 4} gamma") for i in range(10)])
+    second = _docs(spark, [(i, f"beta delta w{i % 3} zeta") for i in range(10, 18)])
+    inc = str(tmp_path / "inc")
+    save_bigram_model(first, inc)
+    update_bigram_model(second, inc)
+    full = str(tmp_path / "full")
+    save_bigram_model(first.unionByName(second), full)
+
+    c12_i, c1_i, v_i = load_bigram_model(spark, inc)
+    c12_f, c1_f, v_f = load_bigram_model(spark, full)
+    assert sorted(c12_i.collect()) == sorted(c12_f.collect())
+    assert sorted(c1_i.collect()) == sorted(c1_f.collect())
+    assert v_i.collect() == v_f.collect()
+
+
+def test_lm_layout_torn_swap_detected(spark, tmp_path):
+    import json
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.lm import (
+        load_bigram_model,
+        save_bigram_model,
+    )
+
+    path = str(tmp_path / "torn")
+    save_bigram_model(_docs(spark, [(1, "a b c")]), path)
+    with open(os.path.join(path, "_swap_inprogress.json"), "w") as f:
+        json.dump({"partitions": ["c12", "vocab"]}, f)
+    with pytest.raises(RuntimeError, match="torn"):
+        load_bigram_model(spark, path)
+
+
+def test_lm_rejects_model_and_tables_together(spark, tmp_path):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.lm import (
+        load_bigram_model,
+        save_bigram_model,
+    )
+
+    docs = _docs(spark, [(1, "a b c")])
+    path = str(tmp_path / "both")
+    save_bigram_model(docs, path)
+    with pytest.raises(ValueError, match="not both"):
+        bigram_nll_scores(
+            docs, model=docs, model_tables=load_bigram_model(spark, path)
+        )
+
+
 # ---------- plan contracts ----------
 
 
