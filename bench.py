@@ -53,6 +53,10 @@ HEADLINE = [
     # round 5: persisted lexical layout + skew-safe as-of
     "hybrid_rrf_topk_indexed",
     "events_asof_bucketed",
+    # round 5: curation stage (decontamination, LM scoring, packing)
+    "decontaminate_eval_overlap",
+    "text_bigram_nll",
+    "corpus_pack_sequences",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round
