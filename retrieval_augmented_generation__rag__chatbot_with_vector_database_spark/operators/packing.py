@@ -113,4 +113,93 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
     )
 
 
-__all__ = ["pack_sequences", "packing_stats", "PACK_SCHEMA"]
+def write_training_shards(
+    packed_docs: DataFrame,
+    path: str,
+    budget: int,
+) -> None:
+    """Materialize the packed corpus as physically-ordered training
+    shards — the artifact a sequential data loader streams: parquet
+    partitioned by ``shard``, ONE file per shard, rows sorted by
+    (seq, offset) so a plain file read yields documents in exact
+    training-sequence order (no loader-side sort, no random IO).
+
+    ``packed_docs`` is the :func:`pack_sequences` output joined back
+    to whatever payload the loader needs (text/token columns). The
+    shard is the repartition key, so each shard's rows land in exactly
+    one task → one file; sorting is per-partition (no global sort —
+    shards are independent streams, the same reason packing shards in
+    the first place).
+
+    A ``_manifest.json`` (per-shard docs/sequences/tokens/fill-rate +
+    the budget) is written LAST as the commit marker:
+    :func:`read_training_shard` refuses a manifest-less layout, so a
+    crashed export is never silently served.
+    """
+    import json
+    import os
+
+    for c in ("shard", "seq", "offset", "size"):
+        if c not in packed_docs.columns:
+            raise ValueError(f"packed_docs missing column {c!r}")
+    n_shards = packed_docs.select("shard").distinct().count()
+    (
+        packed_docs.repartition(max(n_shards, 1), F.col("shard"))
+        .sortWithinPartitions("shard", "seq", "offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    stats = packing_stats(
+        packed_docs.select("shard", "seq", "size"), budget
+    ).collect()
+    manifest = {
+        "budget": budget,
+        "n_shards": n_shards,
+        "shards": {
+            str(r["shard"]): {
+                "n_docs": r["n_docs"],
+                "n_seqs": r["n_seqs"],
+                "total_tokens": r["total_tokens"],
+                "fill_rate": r["fill_rate"],
+            }
+            for r in stats
+        },
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def read_training_shard(spark, path: str, shard: int) -> DataFrame:
+    """One shard's documents in training order. The read prunes to the
+    shard's partition directory; ordering inside the (single) file is
+    the write-time (seq, offset) sort, re-asserted here cheaply —
+    Spark sorts an already-sorted single file in one pass, and the
+    explicit sort keeps the contract independent of reader splits."""
+    import json
+    import os
+
+    mp = os.path.join(path, "_manifest.json")
+    if not os.path.exists(mp):
+        raise RuntimeError(
+            f"training-shard layout at {path} has no _manifest.json — "
+            "the export did not commit (crashed mid-write?); re-export"
+        )
+    with open(mp) as f:
+        manifest = json.load(f)
+    if str(shard) not in manifest["shards"]:
+        raise ValueError(f"shard {shard} not in manifest")
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("shard") == shard)
+        .sortWithinPartitions("seq", "offset")
+    )
+
+
+__all__ = [
+    "pack_sequences",
+    "packing_stats",
+    "read_training_shard",
+    "write_training_shards",
+    "PACK_SCHEMA",
+]

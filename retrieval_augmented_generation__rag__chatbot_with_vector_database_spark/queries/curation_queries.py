@@ -247,3 +247,67 @@ def corpus_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return packing_stats(_packed(spark, sf_dir), budget=_PACK_BUDGET)
+
+
+_VOCAB_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+),
+cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+ranked AS (
+  SELECT lang, token, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, token ASC) AS rn
+  FROM cnt
+),
+agg AS (
+  SELECT lang,
+         sum(c)::BIGINT AS n_tokens_total,
+         count(*) AS n_vocab,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+  FROM cnt GROUP BY lang
+)
+SELECT agg.lang, agg.n_tokens_total, agg.n_vocab, agg.n_hapax,
+       r.token AS top_token, r.c AS top_token_count
+FROM agg JOIN ranked r ON r.lang = agg.lang AND r.rn = 1
+"""
+
+
+@register("corpus_vocab_stats", _VOCAB_ORACLE)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile per language slice: total token mass,
+    vocabulary size, hapax-legomenon count (the Zipf-tail health
+    signal — a scraped corpus whose hapax share collapses is
+    template spam), and the deterministic top token. Two hash
+    aggregations; shuffle ∝ distinct (lang, token), vocabulary-
+    bounded like the LM tables."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    cnt = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens_total"),
+        F.count("*").alias("n_vocab"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("n_hapax"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("token").asc())
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("token").alias("top_token"),
+            F.col("c").alias("top_token_count"),
+        )
+    )
+    return agg.join(top, "lang")

@@ -445,3 +445,52 @@ def topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", "mmr_rank", F.round("mmr", 6).alias("mmr")
     )
+
+
+_RERANK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+), stage1 AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+), cand AS (
+  SELECT query_id, vec_id, round(s, 6) AS score, rank FROM stage1 WHERE rank <= 20
+), ce AS (
+  SELECT *,
+         round((('0x' || substr(md5(query_id::VARCHAR || ':' || vec_id::VARCHAR), 1, 8))::UBIGINT)
+               / 4294967296.0, 6) AS ce_score
+  FROM cand
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ce_score DESC, vec_id ASC) AS ce_rank
+  FROM ce
+)
+SELECT query_id, vec_id, score, rank::INT AS rank, ce_score, ce_rank::INT AS ce_rank
+FROM r WHERE ce_rank <= {K}
+"""
+
+
+@register("topk_rerank_crossencoder", _RERANK_ORACLE)
+def topk_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with a cross-encoder SEAM
+    (operators/rerank.py): cosine top-20 nominates, a pluggable
+    pairwise scorer re-orders, top-5 survive. The registered query
+    runs the deterministic md5 fake scorer so the oracle verifies the
+    full plumbing (batching, re-rank, ties, slice) digit for digit;
+    deployment swaps in a real cross-encoder model with no plan
+    change — the same seam discipline as the embed/LLM boundaries."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.rerank import (
+        crossencoder_rerank,
+        hash_crossencoder,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cand = topk_search(_query_side(spark, sf_dir), emb, k=20, metric="cosine")
+    cand = cand.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+    return crossencoder_rerank(cand, hash_crossencoder(), k=K)

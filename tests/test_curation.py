@@ -198,6 +198,62 @@ def test_packing_stats_fill_rate(spark):
     assert stats.fill_rate == pytest.approx(12 / 20.0, abs=1e-9)
 
 
+# ---------- training-shard export ----------
+
+
+def test_training_shards_one_file_ordered_with_manifest(spark, tmp_path):
+    import glob
+    import json
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.packing import (
+        read_training_shard,
+        write_training_shards,
+    )
+
+    rows = [(i, (i * 7) % 30 + 1, f"text-{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, text string")
+    packed = pack_sequences(df, budget=64, shards=4).join(
+        df.select("doc_id", "text"), "doc_id"
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(packed, path, budget=64)
+
+    # one parquet file per shard dir
+    for s in range(4):
+        files = glob.glob(os.path.join(path, f"shard={s}", "*.parquet"))
+        assert len(files) == 1, f"shard {s}: {files}"
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    assert manifest["budget"] == 64 and manifest["n_shards"] == 4
+    assert sum(m["n_docs"] for m in manifest["shards"].values()) == 50
+
+    # readback of a shard is in exact (seq, offset) training order and
+    # matches the packer's assignment for that shard
+    got = read_training_shard(spark, path, 2).collect()
+    keys = [(r.seq, r.offset) for r in got]
+    assert keys == sorted(keys)
+    assert {r.doc_id for r in got} == {i for i, _, _ in rows if i % 4 == 2}
+
+
+def test_read_training_shard_refuses_uncommitted_layout(spark, tmp_path):
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.packing import (
+        read_training_shard,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame([(1, 5, "t")], "doc_id long, n_tokens long, text string")
+    packed = pack_sequences(df, budget=10, shards=1).join(
+        df.select("doc_id", "text"), "doc_id"
+    )
+    path = str(tmp_path / "torn_shards")
+    write_training_shards(packed, path, budget=10)
+    os.remove(os.path.join(path, "_manifest.json"))
+    with pytest.raises(RuntimeError, match="did not commit"):
+        read_training_shard(spark, path, 0)
+
+
 # ---------- persisted LM model layout ----------
 
 
