@@ -255,3 +255,107 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def prf_expansion_terms(
+    queries: DataFrame,
+    docs: DataFrame,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: float | int | None = DF_CAP_DEFAULT,
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (the RM3 idea in its
+    deterministic TF-IDF form): run the lexical stage once, treat each
+    query's top ``fb_docs`` as pseudo-relevant, and nominate the
+    ``fb_terms`` highest-weight NEW terms from those docs — weight =
+    Σ idf over the feedback docs containing the term (so a term
+    earns weight by being both rare and recurrent in the feedback
+    set). Terms already in the query are excluded (they expand
+    nothing). Ties break (weight desc, term asc).
+
+    Output: (query_id, term, weight, rn), rn <= fb_terms. Scale
+    shape: stage 1 is the ordinary inverted-index pass; the expansion
+    aggregation touches only fb_docs × |doc terms| rows per query —
+    feedback-set-sized, not corpus-sized.
+    """
+    if fb_docs <= 0 or fb_terms <= 0:
+        raise ValueError(
+            f"fb_docs/fb_terms must be positive, got {fb_docs}/{fb_terms}"
+        )
+    dterms = doc_terms(docs, id_col, text_col)
+    n_docs = docs.agg(F.count("*").alias("n"))
+    idf = idf_table(dterms, n_docs, df_cap=df_cap)
+    qterms = doc_terms(
+        queries.select(F.col(query_id_col), F.col(query_text_col)),
+        query_id_col,
+        query_text_col,
+    ).withColumnRenamed("id", "query_id")
+    fb = lexical_topk(
+        queries, docs, k=fb_docs,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        id_col=id_col, text_col=text_col, df_cap=df_cap,
+    ).select("query_id", "doc_id")
+    cand = (
+        fb.join(dterms, fb["doc_id"] == dterms["id"])
+        .join(idf, "term")
+        .join(qterms, ["query_id", "term"], "left_anti")
+        .groupBy("query_id", "term")
+        .agg(F.sum("idf").alias("weight"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= fb_terms)
+    )
+
+
+def lexical_topk_prf(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: float | int | None = DF_CAP_DEFAULT,
+) -> DataFrame:
+    """Lexical retrieval with PRF expansion: score each doc by summed
+    idf over its overlap with the EXPANDED term set (original query
+    terms ∪ :func:`prf_expansion_terms`) — the classic two-pass
+    recall lift for vocabulary-mismatch queries, fully deterministic
+    and SQL-mirrorable. Same inverted-index shuffle shape as
+    :func:`lexical_topk`, run twice (feedback pass + final pass)."""
+    dterms = doc_terms(docs, id_col, text_col)
+    n_docs = docs.agg(F.count("*").alias("n"))
+    idf = idf_table(dterms, n_docs, df_cap=df_cap)
+    qterms = doc_terms(
+        queries.select(F.col(query_id_col), F.col(query_text_col)),
+        query_id_col,
+        query_text_col,
+    ).withColumnRenamed("id", "query_id")
+    exp = prf_expansion_terms(
+        queries, docs, fb_docs, fb_terms,
+        query_id_col, query_text_col, id_col, text_col, df_cap,
+    ).select("query_id", "term")
+    q2 = qterms.select("query_id", "term").unionByName(exp).distinct()
+    scores = (
+        q2.join(idf, "term")
+        .join(dterms, "term")
+        .groupBy("query_id", F.col("id").alias("doc_id"))
+        .agg(F.sum("idf").alias("lex_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("lex_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("lex_rank", F.row_number().over(w))
+        .filter(F.col("lex_rank") <= k)
+    )

@@ -518,3 +518,109 @@ def rag_hybrid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+FB_DOCS = 5
+FB_TERMS = 3
+
+_PRF_CTES = f"""
+{_LEX_CTES},
+fb AS (SELECT query_id, doc_id FROM lexr WHERE lex_rank <= {FB_DOCS}),
+cand AS (
+  SELECT f.query_id, d.term, sum(i.idf) AS weight
+  FROM fb f JOIN dterm d ON d.id = f.doc_id JOIN idf i ON i.term = d.term
+  WHERE NOT EXISTS (SELECT 1 FROM qterm q
+                    WHERE q.query_id = f.query_id AND q.term = d.term)
+  GROUP BY f.query_id, d.term
+),
+expt AS (
+  SELECT query_id, term, weight,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY weight DESC, term ASC) AS rn
+  FROM cand
+)
+"""
+
+
+@register(
+    "hybrid_prf_terms",
+    f"""
+WITH {_PRF_CTES}
+SELECT query_id, term, weight::VARCHAR::DOUBLE AS weight, rn::INT AS rn
+FROM expt WHERE rn <= {FB_TERMS}
+""",
+)
+def hybrid_prf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (operators/hybrid.py
+    ::prf_expansion_terms, the RM3 idea in deterministic TF-IDF form):
+    each query's top-{FB_DOCS} lexical hits nominate the {FB_TERMS}
+    highest-Σidf NEW terms. Full-value oracle over the same CTEs as
+    the lexical queries."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+        prf_expansion_terms,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = prf_expansion_terms(
+        q, docs, fb_docs=FB_DOCS, fb_terms=FB_TERMS, df_cap=FIX_CAP
+    )
+    return out.select(
+        "query_id", "term",
+        F.col("weight").cast("double").alias("weight"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+
+
+@register(
+    "hybrid_prf_topk",
+    f"""
+WITH {_PRF_CTES},
+exp3 AS (SELECT query_id, term FROM expt WHERE rn <= {FB_TERMS}),
+q2 AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM qterm
+    UNION ALL
+    SELECT query_id, term FROM exp3
+  )
+),
+lex2 AS (
+  SELECT q.query_id, d.id AS doc_id, sum(i.idf) AS lex_score
+  FROM q2 q JOIN dterm d ON q.term = d.term JOIN idf i ON q.term = i.term
+  GROUP BY q.query_id, d.id
+),
+lex2r AS (
+  SELECT query_id, doc_id, lex_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY lex_score DESC, doc_id ASC) AS lex_rank
+  FROM lex2
+)
+SELECT query_id, doc_id, lex_score::VARCHAR::DOUBLE AS lex_score,
+       lex_rank::INT AS lex_rank
+FROM lex2r WHERE lex_rank <= {LEX_K}
+""",
+)
+def hybrid_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval over the PRF-EXPANDED query (original terms ∪
+    top-{FB_TERMS} feedback terms) — the classic two-pass recall lift
+    for vocabulary-mismatch queries (operators/hybrid.py::
+    lexical_topk_prf). Same inverted-index plan run twice; the oracle
+    re-derives the whole two-pass pipeline in SQL."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+        lexical_topk_prf,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = lexical_topk_prf(
+        q, docs, k=LEX_K, fb_docs=FB_DOCS, fb_terms=FB_TERMS, df_cap=FIX_CAP
+    )
+    return out.select(
+        "query_id", "doc_id",
+        F.col("lex_score").cast("double").alias("lex_score"),
+        "lex_rank",
+    )

@@ -59,7 +59,17 @@ def read_pack_state(
     every shard it touched; the newest ``batch_id`` wins). Excluding
     the current batch's partition makes replays resume from the
     pre-batch state — same recovery discipline as
-    ``streaming/neardup.py::_read_bucket_table``."""
+    ``streaming/neardup.py::_read_bucket_table``.
+
+    Do NOT fold this dir with ``compact_batch_partitions``: compaction
+    merges many batches' rows into one ``batch_id=-1`` partition,
+    which destroys the per-shard latest-batch-wins ordering this read
+    depends on. Unlike the assignments SINK (compact freely — its rows
+    are disjoint by doc), the state dir stays O(shards × batches)
+    single-row files; at one micro-batch a minute that is ~0.5M tiny
+    rows per year per shard — prune old batches by deleting
+    ``batch_id=<n>`` dirs older than the checkpoint's replay horizon
+    instead."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
         check_not_torn,
     )

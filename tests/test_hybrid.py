@@ -140,3 +140,75 @@ def test_df_cap_absolute_count(spark):
     q = spark.createDataFrame([(0, "shared")], "query_id long, text string")
     assert lexical_topk(q, docs, k=10, df_cap=2).collect() == []  # df=3 > 2
     assert len(lexical_topk(q, docs, k=10, df_cap=3).collect()) == 3
+
+
+def test_prf_expansion_terms_hand_computed(spark):
+    """Feedback docs nominate NEW terms only, weighted by summed idf
+    across the feedback docs containing them."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+        prf_expansion_terms,
+    )
+
+    # query hits docs 0,1 (share "query"); "extra" appears in BOTH
+    # feedback docs, "rare" in one; "query" is excluded (in the query)
+    docs = spark.createDataFrame(
+        [
+            (0, "query extra rare"),
+            (1, "query extra"),
+            (2, "unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "query")], "query_id long, text string")
+    out = prf_expansion_terms(q, docs, fb_docs=2, fb_terms=2, df_cap=None)
+    rows = {r.term: (float(r.weight), r.rn) for r in out.collect()}
+    assert set(rows) == {"extra", "rare"}
+    # weights: extra = 2 * idf(df=2) = 2*ln(4/3); rare = idf(df=1) = ln(2)
+    import math
+
+    assert rows["extra"][0] == pytest.approx(2 * round(math.log(4 / 3), 6), abs=1e-9)
+    assert rows["rare"][0] == pytest.approx(round(math.log(2), 6), abs=1e-9)
+    # ln(2) > 2*ln(4/3): the rarer term outranks the more recurrent one
+    assert rows["rare"][1] == 1 and rows["extra"][1] == 2
+
+
+def test_prf_expanded_retrieval_lifts_vocabulary_mismatch(spark):
+    """A doc sharing NO term with the query becomes reachable through
+    expansion terms mined from the feedback docs."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+        lexical_topk,
+        lexical_topk_prf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "query bridge"),
+            (1, "bridge target"),
+            (2, "noise one"),
+            (3, "noise two"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "query")], "query_id long, text string")
+    plain = {r.doc_id for r in lexical_topk(q, docs, k=10, df_cap=None).collect()}
+    assert 1 not in plain  # vocabulary mismatch: doc 1 unreachable
+    exp = {
+        r.doc_id
+        for r in lexical_topk_prf(
+            q, docs, k=10, fb_docs=1, fb_terms=1, df_cap=None
+        ).collect()
+    }
+    assert 1 in exp  # "bridge" mined from feedback doc 0 reaches it
+
+
+def test_prf_rejects_bad_params(spark):
+    import pytest
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.hybrid import (
+        prf_expansion_terms,
+    )
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    q = spark.createDataFrame([(0, "a")], "query_id long, text string")
+    with pytest.raises(ValueError, match="fb_docs/fb_terms"):
+        prf_expansion_terms(q, docs, fb_docs=0)
