@@ -31,6 +31,40 @@ from pyspark.sql import functions as F
 PACK_SCHEMA = "id long, shard int, seq long, offset long, size long"
 
 
+def next_fit(
+    sizes,
+    budget: int,
+    start_seq: int = 0,
+    start_fill: int = 0,
+    continue_open_bin: bool = False,
+) -> tuple[list[int], list[int], int, int]:
+    """The pure next-fit kernel shared by the batch packer and the
+    streaming continuation (``streaming/packing.py``): walk ``sizes``
+    in order, append to the current bin while it fits, else open a new
+    one. Returns (seqs, offsets, final_seq, final_fill) — the final
+    pair is the open-bin state a later call resumes from with
+    ``continue_open_bin=True`` (the first size then overflow-checks
+    against ``start_fill`` instead of unconditionally joining bin 0).
+
+    Deterministic and PREFIX-STABLE: the assignment of element i
+    depends only on sizes[0..i], so packing a stream incrementally
+    equals packing it in one shot (property-tested)."""
+    seqs: list[int] = []
+    offs: list[int] = []
+    seq, fill = start_seq, start_fill
+    for i, s in enumerate(sizes):
+        s = int(s)
+        if s < 0:
+            raise ValueError(f"negative size at position {i}: {s}")
+        if (i > 0 or continue_open_bin) and fill + s > budget:
+            seq += 1
+            fill = 0
+        offs.append(fill)
+        seqs.append(seq)
+        fill += s
+    return seqs, offs, seq, fill
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -66,16 +100,7 @@ def pack_sequences(
         if (pdf["size"] < 0).any():
             bad = pdf.loc[pdf["size"] < 0, "id"].iloc[0]
             raise ValueError(f"negative size for id {bad}")
-        seqs, offs = [], []
-        seq, fill = 0, 0
-        for i, s in enumerate(pdf["size"]):
-            s = int(s)
-            if i > 0 and fill + s > budget:
-                seq += 1
-                fill = 0
-            offs.append(fill)
-            seqs.append(seq)
-            fill += s
+        seqs, offs, _, _ = next_fit(pdf["size"], budget)
         pdf["seq"] = seqs
         pdf["offset"] = offs
         return pdf[["id", "shard", "seq", "offset", "size"]]
@@ -197,6 +222,7 @@ def read_training_shard(spark, path: str, shard: int) -> DataFrame:
 
 
 __all__ = [
+    "next_fit",
     "pack_sequences",
     "packing_stats",
     "read_training_shard",

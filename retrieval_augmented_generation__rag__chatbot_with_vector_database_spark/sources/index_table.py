@@ -286,6 +286,51 @@ class VectorIndex:
             )
         return self.read().count()
 
+    # -- takedown: per-id delete -------------------------------------
+    def delete_ids(self, ids: DataFrame | list[str]) -> int:
+        """Right-to-be-forgotten / takedown propagation: remove the
+        given ids from the index, rewriting ONLY the buckets that
+        contain them (same touched-partition discipline as
+        :meth:`upsert` — untouched buckets stay byte-identical, a
+        bucket emptied by the delete disappears from the layout).
+        Deleting absent ids is a no-op; returns the remaining row
+        count. Composes with ``LexicalIndex.delete_docs`` for
+        cross-layout takedown of a document."""
+        self._check_not_torn()
+        if isinstance(ids, (list, tuple)):
+            ids = self.spark.createDataFrame(
+                [(str(i),) for i in ids], "id string"
+            )
+        idf = (
+            ids.select(F.col("id").cast("string"))
+            .distinct()
+            .withColumn(BUCKET_COL, bucket_of("id", self.bucket_count()))
+            .localCheckpoint(eager=True)
+        )
+        touched = sorted(
+            r["b"]
+            for r in idf.select(F.col(BUCKET_COL).alias("b")).distinct().collect()
+        )
+        if not touched or not os.path.exists(self._data_path):
+            return self.read().count()
+        kept = self._pruned_existing(touched).join(
+            idf.select("id"), "id", "left_anti"
+        )
+        tmp = self._data_path + "._tmp"
+        (
+            kept.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(tmp)
+        )
+        swap_partition_dirs(
+            self._data_path,
+            tmp,
+            [f"{BUCKET_COL}={b}" for b in touched],
+            self._swap_marker_path,
+        )
+        return self.read().count()
+
     # -- A2: stats ----------------------------------------------------
     def stats(self) -> DataFrame:
         return self.read().agg(

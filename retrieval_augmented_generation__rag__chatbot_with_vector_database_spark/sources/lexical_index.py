@@ -325,6 +325,76 @@ class LexicalIndex:
             self._docs_path, tmp_d, [f"{DBUCKET}={b}" for b in dbuckets]
         )
 
+    # -- takedown: per-doc delete ------------------------------------
+    def delete_docs(self, ids: DataFrame | list[int]) -> None:
+        """Right-to-be-forgotten / takedown propagation: remove the
+        given doc ids from BOTH halves of the layout — their postings
+        (rewriting only the term buckets their stored term lists
+        touch) and their doc-store rows (rewriting only their id
+        buckets). Mirrors :meth:`upsert`'s delete-then-insert with an
+        empty insert; deleting absent ids is a no-op. N and avgdl
+        shrink accordingly (the doc no longer counts toward corpus
+        statistics). Composes with ``VectorIndex.delete_ids``.
+
+        Like :meth:`upsert`, the two halves swap under separate
+        fences; a crash between them leaves postings deleted but doc
+        rows present — re-running the same delete converges (the
+        whole operation is idempotent)."""
+        self._check_not_torn()
+        tb, db = self.term_buckets(), self.doc_buckets()
+        if isinstance(ids, (list, tuple)):
+            ids = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "id long"
+            )
+        idf = (
+            ids.select(F.col("id").cast("long"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        dbuckets = sorted(
+            r["b"]
+            for r in idf.select(_dbucket_of("id", db).alias("b"))
+            .distinct().collect()
+        )
+        if not dbuckets:
+            return
+        old_in_buckets = self.doc_store().filter(F.col(DBUCKET).isin(dbuckets))
+        doomed = old_in_buckets.join(idf, "id", "left_semi")
+        tbuckets = sorted(
+            r["b"]
+            for r in doomed.select(F.explode("terms").alias("term"))
+            .select(_tbucket_of("term", tb).alias("b"))
+            .distinct().collect()
+        )
+
+        if tbuckets:
+            kept_postings = (
+                self.postings()
+                .filter(F.col(TBUCKET).isin(tbuckets))
+                .join(idf, "id", "left_anti")
+            )
+            tmp_p = self._postings_path + "._tmp"
+            (
+                kept_postings.repartition(
+                    max(len(tbuckets), 1), F.col(TBUCKET)
+                )
+                .write.mode("overwrite").partitionBy(TBUCKET).parquet(tmp_p)
+            )
+            swap_partition_dirs(
+                self._postings_path, tmp_p,
+                [f"{TBUCKET}={b}" for b in tbuckets],
+            )
+
+        kept_docs = old_in_buckets.join(idf, "id", "left_anti")
+        tmp_d = self._docs_path + "._tmp"
+        (
+            kept_docs.repartition(max(len(dbuckets), 1), F.col(DBUCKET))
+            .write.mode("overwrite").partitionBy(DBUCKET).parquet(tmp_d)
+        )
+        swap_partition_dirs(
+            self._docs_path, tmp_d, [f"{DBUCKET}={b}" for b in dbuckets]
+        )
+
     # -- probes -------------------------------------------------------
     def _pruned_candidates(
         self, qterms: DataFrame, df_cap: float | int | None

@@ -150,18 +150,17 @@ def pack_batch(
                 f"(shard {int(pdf['shard'].iloc[0])}) — late arrivals must "
                 "open a new epoch, not rewrite packed history"
             )
-        seq = int(pdf["st_seq"].iloc[0]) if has_state else 0
-        fill = int(pdf["st_fill"].iloc[0]) if has_state else 0
-        check_first = has_state  # the open bin may already hold docs
-        seqs, offs = [], []
-        for i, s in enumerate(pdf["size"]):
-            s = int(s)
-            if (i > 0 or check_first) and fill + s > budget:
-                seq += 1
-                fill = 0
-            offs.append(fill)
-            seqs.append(seq)
-            fill += s
+        from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.packing import (
+            next_fit,
+        )
+
+        seqs, offs, seq, fill = next_fit(
+            pdf["size"],
+            budget,
+            start_seq=int(pdf["st_seq"].iloc[0]) if has_state else 0,
+            start_fill=int(pdf["st_fill"].iloc[0]) if has_state else 0,
+            continue_open_bin=has_state,  # open bin may already hold docs
+        )
         pdf["seq"] = seqs
         pdf["offset"] = offs
         pdf["state_seq"] = seq
