@@ -171,3 +171,48 @@ def chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     chunks = chunk_documents(docs, chunk_size=500, chunk_overlap=50)
     return chunks.select("doc_id", "local_index", "n_chunks", "chunk_id", "text")
+
+
+@register(
+    "index_delete_ids",
+    """
+WITH survivors AS (
+  SELECT 'v' || vec_id::VARCHAR AS id, 't' || vec_id::VARCHAR AS text
+  FROM embeddings
+  WHERE vec_id < 400 AND vec_id % 7 <> 0
+)
+SELECT id, text FROM survivors
+""",
+)
+def index_delete_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown end-to-end through the on-disk bucket-partitioned
+    ``VectorIndex``: 400 records upserted, every 7th id deleted via
+    ``delete_ids`` (only the buckets holding those ids rewritten),
+    index read back — survivors must be exactly the non-deleted set
+    with payloads intact (right-to-be-forgotten propagation,
+    `tests/test_takedown.py` pins the untouched-bucket byte
+    identity)."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        VectorIndex,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    recs = emb.filter(F.col("vec_id") < 400).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+        F.col("embedding"),
+        F.concat(F.lit("t"), F.col("vec_id")).alias("text"),
+        F.lit("s").alias("source"),
+        F.lit(0).alias("chunk_index"),
+    )
+    doomed = emb.filter(
+        (F.col("vec_id") < 400) & (F.col("vec_id") % 7 == 0)
+    ).select(F.concat(F.lit("v"), F.col("vec_id")).alias("id"))
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VectorIndex(spark, tmp, "oracle-delete").create(dimension=64)
+        idx.upsert(recs, batch=1)
+        idx.delete_ids(doomed)
+        out = idx.read().select("id", "text")
+        # materialize before the tempdir disappears (≤400 rows)
+        return spark.createDataFrame(out.collect(), out.schema)
