@@ -559,3 +559,121 @@ def documents_field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_chars"),
         F.expr("percentile(n_chars, 0.5D)").alias("median_chars"),
     )
+
+
+@register(
+    "events_conversion_funnel",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS vt FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS ct
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.vt AND e.ts <= v.vt + INTERVAL 48 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS pt
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL 96 HOUR
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'first_view' AS gate, (SELECT count(*) FROM v)::BIGINT AS n_users
+UNION ALL
+SELECT 2, 'click_within_48h', (SELECT count(*) FROM c)::BIGINT
+UNION ALL
+SELECT 3, 'purchase_within_96h_of_click', (SELECT count(*) FROM p)::BIGINT
+""",
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view → first click within 48 h
+    of it → first purchase within 96 h of that click, per user;
+    reported as per-step user counts. Three keyed aggregations + two
+    time-banded joins — the same banded-join shape
+    ``operators.temporal.range_join`` generalizes; no window over a
+    user's full history, so hot users cost nothing extra."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("vt"))
+            & (F.col("ts") <= F.expr("vt + INTERVAL 48 HOUR"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ct"))
+            & (F.col("ts") <= F.expr("ct + INTERVAL 96 HOUR"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("pt"))
+    )
+    rows = [
+        (1, "first_view", v),
+        (2, "click_within_48h", c),
+        (3, "purchase_within_96h_of_click", p),
+    ]
+    out = None
+    for step, gate, df in rows:
+        one = df.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(gate).alias("gate"), "n_users"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH f AS (
+  SELECT user_id, min(ts::DATE) AS cohort FROM events GROUP BY user_id
+),
+sz AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort),
+act AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+ret AS (
+  SELECT f.cohort, date_diff('day', f.cohort, a.d) AS day_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM f JOIN act a ON a.user_id = f.user_id
+  WHERE date_diff('day', f.cohort, a.d) BETWEEN 0 AND 7
+  GROUP BY f.cohort, date_diff('day', f.cohort, a.d)
+)
+SELECT r.cohort, r.day_offset::INT AS day_offset, r.n_active, s.n_cohort,
+       round(r.n_active * 1.0 / s.n_cohort, 6) AS retention
+FROM ret r JOIN sz s ON s.cohort = r.cohort
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, the
+    share still active on each of the next 7 days — the standard
+    product-analytics rollup. Two aggregations + one broadcast-sized
+    cohort join; the distinct-(user, day) projection keeps the shuffle
+    ∝ active user-days, not raw events."""
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    sz = f.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    ret = (
+        f.join(act, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort"))
+        .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return ret.join(sz, "cohort").select(
+        "cohort",
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )

@@ -293,9 +293,11 @@ class VectorIndex:
         contain them (same touched-partition discipline as
         :meth:`upsert` — untouched buckets stay byte-identical, a
         bucket emptied by the delete disappears from the layout).
-        Deleting absent ids is a no-op; returns the remaining row
-        count. Composes with ``LexicalIndex.delete_docs`` for
-        cross-layout takedown of a document."""
+        Deleting absent ids is a no-op. Returns the number of rows
+        actually deleted (the takedown-audit number) — computed inside
+        the pruned scan, so the whole operation never reads an
+        untouched bucket. Composes with ``LexicalIndex.delete_docs``
+        for cross-layout takedown of a document."""
         self._check_not_torn()
         if isinstance(ids, (list, tuple)):
             ids = self.spark.createDataFrame(
@@ -312,10 +314,12 @@ class VectorIndex:
             for r in idf.select(F.col(BUCKET_COL).alias("b")).distinct().collect()
         )
         if not touched or not os.path.exists(self._data_path):
-            return self.read().count()
-        kept = self._pruned_existing(touched).join(
-            idf.select("id"), "id", "left_anti"
-        )
+            return 0
+        existing = self._pruned_existing(touched).localCheckpoint(eager=True)
+        n_doomed = existing.join(idf.select("id"), "id", "left_semi").count()
+        if n_doomed == 0:
+            return 0
+        kept = existing.join(idf.select("id"), "id", "left_anti")
         tmp = self._data_path + "._tmp"
         (
             kept.repartition(max(len(touched), 1), F.col(BUCKET_COL))
@@ -329,7 +333,7 @@ class VectorIndex:
             [f"{BUCKET_COL}={b}" for b in touched],
             self._swap_marker_path,
         )
-        return self.read().count()
+        return n_doomed
 
     # -- A2: stats ----------------------------------------------------
     def stats(self) -> DataFrame:

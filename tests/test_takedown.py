@@ -29,7 +29,7 @@ def _vec_index(spark, tmp_path, n=12):
 
 def test_vector_delete_ids_removes_only_targets(spark, tmp_path):
     idx = _vec_index(spark, tmp_path)
-    assert idx.delete_ids(["id3", "id7"]) == 10
+    assert idx.delete_ids(["id3", "id7"]) == 2  # deleted-row audit count
     left = {r["id"] for r in idx.read().collect()}
     assert left == {f"id{i}" for i in range(12)} - {"id3", "id7"}
 
@@ -61,9 +61,9 @@ def test_vector_delete_rewrites_only_touched_buckets(spark, tmp_path):
 
 def test_vector_delete_absent_ids_noop_and_empty_index(spark, tmp_path):
     idx = _vec_index(spark, tmp_path, n=3)
-    assert idx.delete_ids(["nope"]) == 3
+    assert idx.delete_ids(["nope"]) == 0
     fresh = VectorIndex(spark, str(tmp_path), "idx-fresh").create(dimension=2)
-    assert fresh.delete_ids(["anything"]) == 0
+    assert fresh.delete_ids(["anything"]) == 0 and fresh.read().count() == 0
 
 
 DOCS = [
