@@ -196,3 +196,60 @@ def chunk_documents(
     else:
         out = out.withColumn("chunk_id", chunk_id(F.col("local_index"), F.col("text")))
     return out
+
+
+def token_chunks(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> "DataFrame":
+    """Token-budget chunker — the LLM-era splitter the char-based
+    recursive chunker (above, LangChain parity) predates: fixed
+    ``chunk_tokens``-sized windows over the whitespace token stream
+    with ``overlap`` tokens carried between neighbors, so every chunk
+    fits a known sequence budget BY CONSTRUCTION (composes with
+    ``operators.packing`` which bins by the same whitespace count).
+
+    Pure SQL — tokenize once, explode the window starts, slice the
+    token array per window — no Python kernel (unlike the recursive
+    chunker, whose separator ladder is inherently sequential). Chunk
+    text is the single-space join of its tokens: whitespace runs are
+    NOT preserved (documented semantic difference from the char
+    chunker, which preserves raw text).
+
+    Output: (id_col, chunk_index, n_tokens, chunk_text). Token-free
+    docs yield no chunks. Deterministic; both engines reproduce it
+    exactly.
+    """
+    from pyspark.sql import functions as F
+
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__arr"),
+    )
+    arr = F.col("__arr")
+    starts = F.when(
+        F.size(arr) > 0,
+        F.sequence(F.lit(0), F.size(arr) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = toks.select(
+        id_col, "__arr", F.posexplode(starts).alias("chunk_index", "__start")
+    )
+    piece = F.slice(arr, F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_index",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

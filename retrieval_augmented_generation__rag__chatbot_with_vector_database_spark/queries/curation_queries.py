@@ -311,3 +311,36 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.join(top, "lang")
+
+
+_TOKCHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+st AS (
+  SELECT doc_id, arr, (i - 1) / 24 AS chunk_index, i AS s
+  FROM toks, unnest(range(1, len(arr) + 1, 24)) t(i)
+  WHERE len(arr) > 0
+)
+SELECT doc_id, chunk_index::INT AS chunk_index,
+       len(arr[s:s+31]) AS n_tokens,
+       array_to_string(arr[s:s+31], ' ') AS chunk_text
+FROM st
+"""
+
+
+@register("text_token_chunks", _TOKCHUNK_ORACLE)
+def text_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking (operators.chunker.token_chunks): 32-token
+    windows, 8-token overlap (stride 24) over the whitespace token
+    stream — every chunk fits the sequence budget by construction.
+    Pure SQL on both engines, full-value oracle down to the joined
+    chunk text."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.chunker import (
+        token_chunks,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return token_chunks(docs, chunk_tokens=32, overlap=8)

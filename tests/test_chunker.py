@@ -126,3 +126,43 @@ def test_reference_sample_docs_chunk_cleanly():
         for w in p.read_text().split()[:50]:
             assert w in joined
     assert 30 <= total <= 200
+
+
+def test_token_chunks_windows_and_overlap(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.chunker import (
+        token_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    out = sorted(
+        token_chunks(docs, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    # stride 3: starts 0,3,6,9 -> windows of 4,4,4,1 tokens
+    assert [r.n_tokens for r in out] == [4, 4, 4, 1]
+    assert out[0].chunk_text == "w0 w1 w2 w3"
+    assert out[1].chunk_text == "w3 w4 w5 w6"  # 1-token overlap carried
+    assert out[3].chunk_text == "w9"
+    # every chunk within budget by construction
+    assert all(r.n_tokens <= 4 for r in out)
+
+
+def test_token_chunks_edge_cases(spark):
+    import pytest
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.chunker import (
+        token_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "solo")], "doc_id long, text string"
+    )
+    out = token_chunks(docs, chunk_tokens=4, overlap=0).collect()
+    # token-free docs yield nothing; short doc yields one short chunk
+    assert [(r.doc_id, r.chunk_text) for r in out] == [(3, "solo")]
+    with pytest.raises(ValueError, match="overlap"):
+        token_chunks(docs, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        token_chunks(docs, chunk_tokens=0)
