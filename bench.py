@@ -57,6 +57,9 @@ HEADLINE = [
     "decontaminate_eval_overlap",
     "text_bigram_nll",
     "corpus_pack_sequences",
+    # round 5: second-stage rerank + PRF expansion retrieval paths
+    "topk_rerank_crossencoder",
+    "hybrid_prf_topk",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round

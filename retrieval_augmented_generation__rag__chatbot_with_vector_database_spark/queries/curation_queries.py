@@ -344,3 +344,53 @@ def text_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return token_chunks(docs, chunk_tokens=32, overlap=8)
+
+
+_TRAINSEQ_ORACLE = f"""
+WITH RECURSIVE {_PACK_DOCS_CTE},
+joined AS (
+  SELECT p.shard, p.seq, p.doc_id, p.off, p.sz, d.text
+  FROM pack p JOIN documents d USING (doc_id)
+)
+SELECT shard, seq,
+       count(*) AS n_docs,
+       sum(sz)::BIGINT AS n_tokens,
+       string_agg(trim(text), ' ' ORDER BY off, doc_id) AS sequence_text
+FROM joined GROUP BY shard, seq
+"""
+
+
+@register("corpus_training_sequences", _TRAINSEQ_ORACLE)
+def corpus_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled training artifact itself: packed documents joined
+    back to their text and concatenated IN OFFSET ORDER into one row
+    per (shard, seq) — what a sequential loader feeds the trainer.
+    One groupBy over the packed assignment; ordering inside a
+    sequence is reconstructed with a sorted collect per group (bounded
+    by the token budget, never corpus-sized). The recursive-CTE
+    oracle re-derives every sequence's exact byte content."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.trim("text").alias("text"), token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        sized, size_col="n_tokens", budget=_PACK_BUDGET, shards=_PACK_SHARDS
+    )
+    joined = packed.join(sized.select("doc_id", "text"), "doc_id")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("offset", "doc_id", "text"))
+    )
+    return (
+        joined.groupBy("shard", "seq")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("size").cast("bigint").alias("n_tokens"),
+            F.concat_ws(
+                " ", F.transform(ordered, lambda s: s["text"])
+            ).alias("sequence_text"),
+        )
+    )
