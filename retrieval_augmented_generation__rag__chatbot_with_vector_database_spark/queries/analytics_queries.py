@@ -677,3 +677,182 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cohort",
         F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
     )
+
+
+@register(
+    "events_props_profile",
+    """
+WITH x AS (
+  SELECT event_type,
+         json_extract_string(props, '$.k')::INT AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       count(DISTINCT k) AS n_distinct_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       round(avg(k::DECIMAL(18,6))::DOUBLE, 6) AS avg_k
+FROM x GROUP BY event_type
+""",
+)
+def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON flattening: extract ``props.$.k`` and
+    profile it per event type — the semi-structured-column stage every
+    event pipeline runs before typed processing.
+
+    Scale shape: ``get_json_object`` evaluates JVM-side inside
+    whole-stage codegen (no Python), parsing only the requested path;
+    the aggregate is one partial-agg shuffle of #event_types rows. At
+    100 TB with many keys, the move is ``from_json`` with an explicit
+    schema (parse once, extract many) — same plan shape, one parser
+    pass; the decimal avg keeps the value order-independent for the
+    cross-engine hash."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg(F.col("k").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "avg_k"
+            ),
+        )
+    )
+
+
+@register(
+    "events_rollup_day_type",
+    """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+       GROUPING(date_trunc('day', ts), event_type)::INT AS gid,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,6))::VARCHAR::DOUBLE AS sum_value
+FROM events
+GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+""",
+)
+def events_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (day, event_type) → day subtotals → grand
+    total in ONE pass, with ``grouping_id`` disambiguating real NULLs
+    from subtotal rows — the OLAP cube surface of the engine.
+
+    Scale shape: Catalyst plans rollup as an Expand (3 grouping sets
+    per row) feeding ONE partial-aggregated shuffle — output rows ∝
+    days × types, never raw events; the decimal sum keeps the measure
+    order-independent across engines."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    return ev.rollup(day.alias("day"), F.col("event_type")).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_value"),
+    ).select("day", "event_type", "gid", "n_events", "sum_value")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_type_pivot",
+    f"""
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       {', '.join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS {t}"
+        for t in _EVENT_TYPES)}
+FROM events GROUP BY date_trunc('day', ts)
+""",
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted wide by event type — the
+    dashboard-feed projection.
+
+    Scale shape: the pivot values are EXPLICIT, which matters twice at
+    100 TB: Spark skips the distinct-values collect pass it would
+    otherwise run over the fact table, and the output schema is stable
+    under late-arriving garbage types (they simply don't pivot).
+    Compiles to a single partial-agg shuffle keyed on day (pivot
+    measures fold map-side), nulls backfilled to 0 to match the
+    conditional-aggregation oracle."""
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.na.fill(0, _EVENT_TYPES)
+
+
+@register(
+    "events_top_values_per_type_salted",
+    """
+SELECT event_type, rank::INT AS rank, event_id, round(value, 6) AS value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 5
+""",
+)
+def events_top_values_per_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k on a HOT grouping key (5 event types × all
+    rows — the exact shape where a single ranking window serializes a
+    group into one reduce task), computed with the two-phase salted
+    rewrite (operators/skew.py): (type, salt)-local top-5, then top-5
+    of the ≤ 5·n_salts survivors. The oracle is the PLAIN single-window
+    SQL — hash-equality IS the proof the salted plan is exact."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.skew import (
+        salted_topk_per_group,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    top = salted_topk_per_group(
+        ev,
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=5,
+        salt_from="event_id",
+        n_salts=8,
+    )
+    return top.select(
+        "event_type",
+        F.col("rank").cast("int").alias("rank"),
+        "event_id",
+        F.round("value", 6).alias("value"),
+    )
+
+
+@register(
+    "events_distinct_users_exact",
+    """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def events_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via the two-phase
+    distinct-then-count rewrite (operators/skew.py): the first shuffle
+    keys on the high-cardinality (type, user) pair — evenly
+    partitioned even when one type dominates — the second carries one
+    row per distinct user. The mergeable-sketch alternative for
+    continuous rollups is ``events_daily_users_hll``; this is the
+    exact batch form."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.skew import (
+        two_phase_distinct,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    users = two_phase_distinct(ev, ["event_type"], "user_id", out_name="n_users")
+    return totals.join(users, "event_type")
