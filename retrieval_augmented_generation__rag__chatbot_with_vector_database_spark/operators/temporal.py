@@ -360,3 +360,93 @@ def range_join(
     return joined.filter(
         (r_us >= l_us + F.lit(lo_us)) & (r_us <= l_us + F.lit(hi_us))
     ).drop("__cell")
+
+
+def interval_join(
+    left: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    payload: list[str] | None = None,
+    suffix: str = "_r",
+    bucket_s: float | None = None,
+) -> DataFrame:
+    """SCD2 / validity-interval enrichment: attach to every left row
+    the dimension row whose ``[valid_from, valid_to)`` interval
+    contains ``left_ts`` (half-open, the SCD2 convention; a NULL
+    ``valid_to`` means the open current version). Left-outer — rows in
+    an interval gap (or before the first version) keep nulls.
+
+    Requires the standard SCD2 shape: per key, intervals do NOT
+    overlap (``interval_overlaps`` audits that; a warehouse's dimension
+    maintenance guarantees it). Under that contract the containing
+    interval is exactly the one with the greatest ``valid_from`` <=
+    ``left_ts`` whose ``valid_to`` has not passed, so the operator IS
+    the as-of join on ``valid_from`` plus an atomic expiry check on the
+    matched row — one shuffle, window-based, inheriting the skew-safe
+    ``bucket_s`` two-phase path untouched. The naive BETWEEN join the
+    oracle runs would fan out per (key, interval) candidate at scale;
+    this form never builds candidate pairs at all.
+
+    Output: all of ``left``, plus ``{valid_from}{suffix}`` /
+    ``{valid_to}{suffix}`` of the matched version and its payload
+    columns (suffixed on clash). Payload defaults to every dim column
+    except keys and the two bound columns.
+    """
+    if payload is None:
+        payload = [
+            c for c in dim.columns if c not in on and c not in (valid_from, valid_to)
+        ]
+    j = asof_join(
+        left,
+        dim,
+        on=on,
+        left_ts=left_ts,
+        right_ts=valid_from,
+        payload=payload + [valid_to],
+        suffix=suffix,
+        bucket_s=bucket_s,
+    )
+    vf = f"{valid_from}{suffix}" if valid_from in left.columns else valid_from
+    vt = f"{valid_to}{suffix}" if valid_to in left.columns else valid_to
+    # asof_join emits the matched valid_from as {right_ts}{suffix}
+    matched_from = f"{valid_from}{suffix}"
+    alive = F.col(vt).isNull() | (F.col(left_ts) < F.col(vt))
+    out_payload = [c if c not in left.columns else f"{c}{suffix}" for c in payload]
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.when(alive, F.col(matched_from)).alias(vf))
+    sel.append(F.when(alive, F.col(vt)).alias(vt))
+    for c in out_payload:
+        # all payload columns come from the single asof-matched row,
+        # so per-column nulling under ONE shared predicate is atomic
+        sel.append(F.when(alive, F.col(c)).alias(c))
+    return j.select(*sel)
+
+
+def interval_overlaps(
+    dim: DataFrame,
+    on: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Audit the SCD2 non-overlap contract ``interval_join`` relies
+    on: per key, sorted by ``valid_from``, flag every version whose
+    predecessor is still open when it starts (``prev_to > from`` or
+    prev ``valid_to`` NULL). Returns the violating rows with the
+    offending predecessor bounds — empty means the dimension is
+    well-formed. One window over the DIMENSION (small next to facts)."""
+    w = Window.partitionBy(*on).orderBy(F.col(valid_from).asc())
+    prev_to = F.lag(F.col(valid_to)).over(w)
+    prev_from = F.lag(F.col(valid_from)).over(w)
+    return (
+        dim.withColumn("__prev_to", prev_to)
+        .withColumn("__prev_from", prev_from)
+        .filter(
+            F.col("__prev_from").isNotNull()
+            & (F.col("__prev_to").isNull() | (F.col("__prev_to") > F.col(valid_from)))
+        )
+        .withColumnRenamed("__prev_to", "prev_valid_to")
+        .withColumnRenamed("__prev_from", "prev_valid_from")
+    )

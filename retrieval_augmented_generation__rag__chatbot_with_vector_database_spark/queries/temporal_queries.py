@@ -397,3 +397,72 @@ def events_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram.histogram_percentiles(
         daily, ["day"], [0.5, 0.9, 0.99], lo=0.0, width=10.0
     )
+
+
+@register(
+    "events_scd2_tier_attribution",
+    """
+WITH p AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'),
+dim AS (
+  SELECT user_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS tier
+  FROM p
+),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT c.user_id, c.value, d.tier
+  FROM c LEFT JOIN dim d
+    ON d.user_id = c.user_id
+   AND d.valid_from <= c.ts AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+)
+SELECT coalesce(tier, 0)::INT AS tier, count(*) AS n_clicks,
+       count(DISTINCT user_id) AS n_users,
+       sum(value::DECIMAL(18,6))::VARCHAR::DOUBLE AS sum_click_value
+FROM j GROUP BY coalesce(tier, 0)
+""",
+)
+def events_scd2_tier_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension) enrichment: a per-user "tier"
+    dimension is DERIVED from the event stream (tier n = the validity
+    interval between a user's n-th and n+1-th purchase, half-open,
+    current version open-ended), then every click is attributed to the
+    tier valid AT ITS TIMESTAMP via ``operators.temporal.interval_join``
+    — the warehouse-standard point-in-time dimension join.
+
+    The oracle is the naive BETWEEN join; the Spark side never builds
+    interval candidates at all — it is the as-of window on
+    ``valid_from`` plus an atomic expiry check (one shuffle, hot-key
+    bucketable). Hash-equality proves the rewrite. Clicks before a
+    user's first purchase fall in no interval → tier 0."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+        interval_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    dim = (
+        p.withColumn("tier", F.row_number().over(w))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .withColumnRenamed("ts", "valid_from")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = interval_join(clicks, dim, on=["user_id"], left_ts="ts", payload=["tier"])
+    return (
+        j.groupBy(F.coalesce("tier", F.lit(0)).cast("int").alias("tier"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("sum_click_value"),
+        )
+    )

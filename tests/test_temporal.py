@@ -458,3 +458,140 @@ def test_asof_bucketed_mixed_null_payload(spark):
         ).collect()[0]
         assert row["ts_r"] == _ts("2024-01-01T11:00:00")
         assert row["x"] is None and row["y"] == 2.0
+
+
+# ---------------- interval_join (SCD2 enrichment) ----------------
+
+
+def _scd_frames(spark):
+    dim = spark.createDataFrame(
+        [
+            # user 10: v1 [09:00,10:00), v2 [10:00,11:00), gap, v3 [12:00, open)
+            (10, _ts("2024-01-01T09:00:00"), _ts("2024-01-01T10:00:00"), "v1"),
+            (10, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"), "v2"),
+            (10, _ts("2024-01-01T12:00:00"), None, "v3"),
+            # user 20: single closed version
+            (20, _ts("2024-01-01T09:00:00"), _ts("2024-01-01T09:30:00"), "w1"),
+        ],
+        "user_id long, valid_from timestamp_ntz, valid_to timestamp_ntz, ver string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T08:59:00")),  # before first version
+            (2, 10, _ts("2024-01-01T09:00:00")),  # inclusive at valid_from
+            (3, 10, _ts("2024-01-01T10:00:00")),  # boundary: v2, not v1
+            (4, 10, _ts("2024-01-01T11:30:00")),  # in the gap
+            (5, 10, _ts("2024-01-01T23:00:00")),  # open current version
+            (6, 20, _ts("2024-01-01T09:30:00")),  # exactly at expiry: no match
+            (7, 30, _ts("2024-01-01T09:00:00")),  # key with no dim rows
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    return facts, dim
+
+
+def test_interval_join_scd2_semantics(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+        interval_join,
+    )
+
+    facts, dim = _scd_frames(spark)
+    out = {
+        r["event_id"]: r["ver"]
+        for r in interval_join(facts, dim, on=["user_id"]).collect()
+    }
+    assert out == {1: None, 2: "v1", 3: "v2", 4: None, 5: "v3", 6: None, 7: None}
+
+
+def test_interval_join_equals_between_join_randomized(spark):
+    """Property: on a random non-overlapping SCD2 dimension, the
+    window-based interval_join equals the naive BETWEEN join."""
+    import random
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+        interval_join,
+    )
+
+    rng = random.Random(42)
+    dim_rows, fact_rows = [], []
+    for u in range(8):
+        t = 0
+        versions = []
+        for v in range(rng.randint(0, 5)):
+            start = t + rng.randint(0, 3) * 60  # gaps allowed
+            end = start + rng.randint(1, 4) * 60
+            versions.append((start, end, f"u{u}v{v}"))
+            t = end
+        if versions and rng.random() < 0.5:  # open current version
+            s, _, name = versions[-1]
+            versions[-1] = (s, None, name)
+        for s, e, name in versions:
+            dim_rows.append(
+                (u, _ts("2024-01-01T00:00:00") + dt.timedelta(seconds=s),
+                 None if e is None else _ts("2024-01-01T00:00:00") + dt.timedelta(seconds=e),
+                 name)
+            )
+        for i in range(30):
+            fact_rows.append(
+                (u * 100 + i, u,
+                 _ts("2024-01-01T00:00:00")
+                 + dt.timedelta(seconds=rng.randint(-60, t + 240)))
+            )
+    dim = spark.createDataFrame(
+        dim_rows,
+        "user_id long, valid_from timestamp_ntz, valid_to timestamp_ntz, ver string",
+    )
+    facts = spark.createDataFrame(
+        fact_rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    got = {
+        (r["event_id"], r["ver"], r["valid_from"], r["valid_to"])
+        for r in interval_join(facts, dim, on=["user_id"]).collect()
+    }
+    naive = (
+        facts.join(
+            dim,
+            (facts.user_id == dim.user_id)
+            & (dim.valid_from <= facts.ts)
+            & (dim.valid_to.isNull() | (facts.ts < dim.valid_to)),
+            "left",
+        )
+        .select("event_id", "ver", "valid_from", "valid_to")
+    )
+    want = {
+        (r["event_id"], r["ver"], r["valid_from"], r["valid_to"])
+        for r in naive.collect()
+    }
+    assert got == want
+
+
+def test_interval_join_bucketed_parity(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+        interval_join,
+    )
+
+    facts, dim = _scd_frames(spark)
+    plain = sorted(
+        map(tuple, interval_join(facts, dim, on=["user_id"]).collect())
+    )
+    bucketed = sorted(
+        map(tuple, interval_join(facts, dim, on=["user_id"], bucket_s=1800).collect())
+    )
+    assert plain == bucketed
+
+
+def test_interval_overlaps_audit(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+        interval_overlaps,
+    )
+
+    facts, dim = _scd_frames(spark)
+    assert interval_overlaps(dim, on=["user_id"]).count() == 0
+    bad = dim.unionByName(
+        spark.createDataFrame(
+            [(10, _ts("2024-01-01T10:30:00"), _ts("2024-01-01T10:45:00"), "vX")],
+            "user_id long, valid_from timestamp_ntz, valid_to timestamp_ntz, ver string",
+        )
+    )
+    flagged = interval_overlaps(bad, on=["user_id"]).collect()
+    assert [r["ver"] for r in flagged] == ["vX"]
