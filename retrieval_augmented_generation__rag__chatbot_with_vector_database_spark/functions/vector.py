@@ -146,3 +146,42 @@ def dim_check(a: Column | str, dim: int) -> Column:
     """Dimension invariant (reference enforces via index dimension,
     mismatch handling ``scripts/ingest_documents.py:176-195``)."""
     return F.size(_d(a)) == F.lit(dim)
+
+
+def random_projection(a: Column | str, out_dim: int, seed: int = 7919) -> Column:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims with
+    a DETERMINISTIC Rademacher (±1) matrix: ``proj[j] = Σ_i v[i] ·
+    s(i,j) / √out_dim`` where ``s(i,j) = ±1`` from the parity class of
+    ``((i·seed + j) · 2654435761) mod 2³²`` — a pure integer function
+    of (i, j), so re-runs, backfills, and the SQL oracle reproduce the
+    matrix exactly (no RNG state, nothing to persist or broadcast).
+
+    This is the distance-preserving cheap pre-filter of the embedding
+    stack: at 100 TB, scoring candidate pairs on an 8-d projection
+    before the full-d kernel cuts the dominant cost ~d/out_dim×, and
+    ±1 entries make each output dim one fused add/sub pass (Achlioptas
+    2001 — database-friendly random projections). Stays entirely in
+    whole-stage codegen: sequence + zip_with + aggregate, no UDF.
+    The fold over i is sequential (left fold), matching DuckDB's
+    list_aggregate sum order for cross-engine bit agreement at 6 dp.
+    """
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive, got {out_dim}")
+    v = _d(a)
+    inv = 1.0 / float(out_dim) ** 0.5
+
+    def sign(i: Column, j: Column) -> Column:
+        h = F.pmod((i * F.lit(seed) + j) * F.lit(2654435761), F.lit(4294967296))
+        return F.when(h < F.lit(2147483648), F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def one_dim(j: Column) -> Column:
+        pairs = F.zip_with(
+            v,
+            F.sequence(F.lit(0), F.size(v) - 1).cast("array<long>"),
+            lambda x, i: x * sign(i, j),
+        )
+        return F.aggregate(pairs, F.lit(0.0), lambda s, x: s + x) * F.lit(inv)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)).cast("array<long>"), one_dim
+    )

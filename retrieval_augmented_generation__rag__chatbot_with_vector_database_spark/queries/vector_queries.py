@@ -494,3 +494,122 @@ def topk_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )
     return crossencoder_rerank(cand, hash_crossencoder(), k=K)
+
+
+JL_DIM = 8
+_JL_SEED = 7919
+
+
+@register(
+    "embeddings_jl_projection",
+    f"""
+WITH p AS (
+  SELECT vec_id, j,
+         list_aggregate(
+           list_transform(range(1, len(embedding) + 1),
+             i -> embedding[i]::DOUBLE *
+                  (CASE WHEN (((i - 1) * {_JL_SEED} + j) * 2654435761)
+                             % 4294967296 < 2147483648
+                        THEN 1.0 ELSE -1.0 END)),
+           'sum') * (1.0 / sqrt({JL_DIM}.0)) AS proj
+  FROM embeddings, unnest(range(0, {JL_DIM})) AS t(j)
+)
+SELECT vec_id, j::INT AS j, round(proj, 6) AS proj FROM p
+""",
+)
+def embeddings_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection of every embedding to
+    {JL_DIM} dims with a deterministic Rademacher matrix
+    (functions.vector.random_projection) — the cheap distance-
+    preserving pre-filter of the embedding stack (score candidates in
+    8-d before the 64-d kernel). The matrix is a pure integer function
+    of (i, j): nothing trained, nothing persisted, and the DuckDB
+    oracle regenerates it digit for digit — full-VALUE verification of
+    a dimensionality reduction, not just a distortion bound."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        random_projection,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    proj = random_projection("embedding", JL_DIM, seed=_JL_SEED)
+    return (
+        emb.select("vec_id", F.posexplode(proj))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("j"),
+            F.round("col", 6).alias("proj"),
+        )
+    )
+
+
+CLUSTER_CAP = 20
+N_MIX_CENTROIDS = 16
+
+
+@register(
+    "corpus_cluster_mixture",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < {N_MIX_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                                       c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+),
+k AS (
+  SELECT cid, vec_id,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY ((vec_id * 2654435761) % 4294967296 + 0.5)
+                                     / 4294967296.0 ASC,
+                                     vec_id ASC) AS rank
+  FROM assign
+)
+SELECT cid AS centroid_id, count(*) AS n_total,
+       sum(CASE WHEN rank <= {CLUSTER_CAP} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rank <= {CLUSTER_CAP} THEN vec_id ELSE 0 END)::BIGINT AS kept_id_sum
+FROM k GROUP BY cid
+""",
+)
+def corpus_cluster_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus mixing: assign every embedding to its
+    nearest coarse centroid (the same deterministic quantizer the IVF
+    stack uses), then cap each semantic cluster at {CLUSTER_CAP} docs
+    via the deterministic key-uniform downsample — the
+    topic-rebalancing stage of a training-data pipeline (over-
+    represented clusters shrink, the tail survives intact). The
+    kept_id_sum column pins the EXACT membership of the sample, not
+    just its size.
+
+    Scale shape: assignment is a narrow map stage (centroids are a
+    driver literal, no shuffle); the cap is one (cluster)-keyed
+    window with WindowGroupLimit pre-filtering map-side; totals ride
+    the same shuffle. Re-run/backfill stable because the keep decision
+    is a pure function of vec_id."""
+    from pyspark.sql import Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        key_uniform,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = ann.seed_centroids(emb, N_MIX_CENTROIDS)
+    assigned = ann.assign_centroids(emb, cents, metric="cosine")
+    w = Window.partitionBy("centroid_id").orderBy(
+        key_uniform("vec_id").asc(), F.col("vec_id").asc()
+    )
+    ranked = assigned.withColumn("rank", F.row_number().over(w))
+    return ranked.groupBy("centroid_id").agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("rank") <= CLUSTER_CAP).cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("rank") <= CLUSTER_CAP, F.col("vec_id")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    )

@@ -144,3 +144,79 @@ def test_hash_embed_expr_matches_python_provider(spark):
     assert len(small) == 16
     e2 = HashEmbedder(dimension=16, seed=7)
     assert small == e2.embed_one(texts[0])
+
+
+def test_random_projection_matches_numpy(spark):
+    """The Spark expression reproduces the same deterministic
+    Rademacher projection computed independently in numpy."""
+    import numpy as np
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        random_projection,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(20, 16)).astype(np.float64)
+    seed, out_dim = 7919, 6
+    signs = np.array(
+        [
+            [
+                1.0 if ((i * seed + j) * 2654435761) % 2**32 < 2**31 else -1.0
+                for j in range(out_dim)
+            ]
+            for i in range(16)
+        ]
+    )
+    want = (vecs @ signs) * (1.0 / np.sqrt(out_dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, embedding array<double>",
+    )
+    got = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", random_projection("embedding", out_dim, seed=seed).alias("p")
+        ).collect()
+    }
+    for i in range(20):
+        assert np.allclose(got[i], want[i], atol=1e-9)
+
+
+def test_random_projection_preserves_distances_on_average(spark):
+    """JL sanity: over random pairs, squared-distance ratio in the
+    projected space concentrates around 1 (unbiased estimator)."""
+    import numpy as np
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        random_projection,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, embedding array<double>",
+    )
+    proj = {
+        r["id"]: np.array(r["p"])
+        for r in df.select(
+            "id", random_projection("embedding", 16).alias("p")
+        ).collect()
+    }
+    ratios = []
+    for a in range(0, 40, 2):
+        b = a + 1
+        d_full = float(np.sum((vecs[a] - vecs[b]) ** 2))
+        d_proj = float(np.sum((proj[a] - proj[b]) ** 2))
+        ratios.append(d_proj / d_full)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3  # E[ratio] = 1; 16-d is a coarse sketch
+
+
+def test_random_projection_rejects_bad_dim(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        random_projection,
+    )
+
+    with pytest.raises(ValueError):
+        random_projection("embedding", 0)
