@@ -615,3 +615,57 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@register(
+    "dedup_embedding_pairs_jl",
+    """
+WITH nn AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) AS nrm
+  FROM embeddings
+),
+nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM nn WHERE nrm > 0),
+proj AS (
+  SELECT vec_id, u,
+         list_transform(range(0, 16), j ->
+           list_aggregate(
+             list_transform(range(1, len(u) + 1),
+               i -> u[i] * (CASE WHEN (((i - 1) * 7919 + j) * 2654435761)
+                                 % 4294967296 < 2147483648
+                            THEN 1.0 ELSE -1.0 END)),
+             'sum') / sqrt(16.0)) AS p
+  FROM nv
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.u AS ua, b.u AS ub
+  FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+  WHERE list_aggregate(
+          list_transform(range(1, 17),
+            i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])), 'sum') <= 2.75
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b,
+         round(list_aggregate(
+           list_transform(range(1, len(ua) + 1), i -> ua[i] * ub[i]),
+           'sum'), 6) AS cosine
+  FROM cand
+) WHERE cosine >= 0.45
+""",
+)
+def dedup_embedding_pairs_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the Johnson–Lindenstrauss
+    pre-filter (operators/dedup.embedding_neardup_pairs_jl): the
+    block-pair score matrices run at 16-d instead of 64-d (4× the
+    FLOPs saved on the quadratic stage), survivors exact-verified at
+    full dimension. Because the Rademacher matrix is a pure integer
+    function, the ORACLE replays the whole pipeline — projection,
+    distance filter (slack 2.5 → bound 2.75 on squared distance),
+    exact verification — so this is a FULL-VALUE check of an
+    approximate algorithm's exact output, not a recall bound."""
+    return dedup.embedding_neardup_pairs_jl(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        out_dim=16,
+        slack=2.5,
+    )

@@ -159,3 +159,39 @@ def test_substring_span_pairs_df_cap_drops_boilerplate(spark):
     assert uncapped.count() == 15  # 6 choose 2: the quadratic blowup
     capped = substring_span_pairs(docs, span_len=40, stride=10, df_cap=3)
     assert capped.count() == 0  # boilerplate hash df=6 > 3 -> no pairs
+
+
+def test_jl_pairs_subset_of_exact_with_identical_scores(spark):
+    """JL-prefiltered pairs ⊆ exact pairs, with byte-identical scores
+    on every emitted pair (precision exact by construction); at a
+    generous slack every exact pair survives."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_jl,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+        load,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    jl = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs_jl(
+            emb, threshold=0.45, out_dim=16, slack=2.5
+        ).collect()
+    }
+    assert set(jl) <= set(exact)
+    for k, v in jl.items():
+        assert v == exact[k]
+    # wide-open slack disables the filter: JL output == exact output
+    jl_all = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs_jl(
+            emb, threshold=0.45, out_dim=16, slack=1e9
+        ).collect()
+    }
+    assert jl_all == exact
