@@ -466,3 +466,102 @@ def events_scd2_tier_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_click_value"),
         )
     )
+
+
+@register(
+    "events_audience_overlap_theta",
+    """
+WITH t AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM t a JOIN t b ON a.event_type < b.event_type
+),
+u AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT p.type_a, p.type_b,
+       (SELECT count(*) FROM u WHERE u.event_type = p.type_a) AS n_users_a,
+       (SELECT count(*) FROM u WHERE u.event_type = p.type_b) AS n_users_b,
+       (SELECT count(*) FROM u x JOIN u y
+         ON x.user_id = y.user_id
+        AND x.event_type = p.type_a AND y.event_type = p.type_b) AS n_overlap
+FROM pairs p
+""",
+)
+def events_audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix via Datasketches THETA sketches — the
+    set-operation sketch family (HLL unions but cannot intersect;
+    theta does both). One pass builds a per-event-type sketch of its
+    user set; every pairwise overlap is then a SKETCH-local
+    ``theta_intersection`` — no re-scan, no join of the fact table per
+    pair. At 100 TB the sketches are the only thing that moves
+    (kilobytes per slice, mergeable across partitions/days like the
+    HLL rollup); the pairwise stage touches P² sketch pairs, not P²
+    data scans.
+
+    lgNomEntries=20 keeps the sketch in EXACT mode for up to ~1M
+    distinct users per slice — far above the fixtures — so estimates
+    round to the exact integers and the oracle is a full-value check
+    against plain SQL distinct-intersections (the fallback at larger
+    cardinalities is the same query with an error-contract oracle)."""
+    ev = load(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id, 20)").alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.round(F.expr("theta_sketch_estimate(sk_a)")).cast("bigint").alias("n_users_a"),
+        F.round(F.expr("theta_sketch_estimate(sk_b)")).cast("bigint").alias("n_users_b"),
+        F.round(
+            F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+        ).cast("bigint").alias("n_overlap"),
+    )
+
+
+@register(
+    "events_value_quantiles_kll",
+    """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+FROM events GROUP BY date_trunc('day', ts)
+""",
+)
+def events_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup with Datasketches KLL: HOURLY
+    ``kll_sketch_agg_double`` partials merge to daily via
+    ``kll_merge_agg_double`` (the same partial→rollup shape as the HLL
+    distinct and fixed-bin histogram rollups, but with a guaranteed
+    rank-error bound and no bin configuration), then p50/p90/p99 are
+    read off the merged sketch. The contract oracle pins each daily
+    approx quantile inside the EXACT ±5%-rank band (k=800 ⇒ ~0.5%
+    rank error — a 10× safety margin); a continuous aggregate keeps
+    only the hourly sketch bytes, never the raw history."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.expr("kll_sketch_agg_double(value, 800)").alias("sk"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "hour").alias("day")
+    ).agg(F.expr("kll_merge_agg_double(sk)").alias("sk"))
+    approx = daily.select(
+        "day",
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("a50"),
+        F.expr("kll_sketch_get_quantile_double(sk, 0.9)").alias("a90"),
+        F.expr("kll_sketch_get_quantile_double(sk, 0.99)").alias("a99"),
+    )
+    exact = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.percentile("value", [0.45, 0.55, 0.85, 0.95, 0.94, 1.0]).alias("ex")
+    )
+    j = approx.join(exact, "day")
+    return j.select(
+        "day",
+        ((F.col("a50") >= F.col("ex")[0]) & (F.col("a50") <= F.col("ex")[1])).alias("ok_p50"),
+        ((F.col("a90") >= F.col("ex")[2]) & (F.col("a90") <= F.col("ex")[3])).alias("ok_p90"),
+        ((F.col("a99") >= F.col("ex")[4]) & (F.col("a99") <= F.col("ex")[5])).alias("ok_p99"),
+    )
