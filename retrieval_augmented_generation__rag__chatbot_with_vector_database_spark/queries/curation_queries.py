@@ -394,3 +394,88 @@ def corpus_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sequence_text"),
         )
     )
+
+
+_PERPLEXITY_BUCKET_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+  FROM toks, unnest(range(1, greatest(len(arr), 1))) t(i)
+  WHERE len(arr) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(arr) AS w FROM toks)
+),
+nll AS (
+  SELECT bg.doc_id,
+         round(-ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)), 6)::DECIMAL(18,6) AS nll
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, round(sum(nll)::DOUBLE / count(*), 6) AS avg_nll
+  FROM nll GROUP BY doc_id
+),
+buck AS (
+  SELECT d.lang, p.doc_id, p.avg_nll,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY p.avg_nll ASC, p.doc_id ASC) AS b
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       sum(avg_nll::DECIMAL(18,6))::VARCHAR::DOUBLE AS sum_avg_nll,
+       round(min(avg_nll), 6) AS min_avg_nll,
+       round(max(avg_nll), 6) AS max_avg_nll
+FROM buck GROUP BY lang, bucket
+"""
+
+
+@register("corpus_perplexity_buckets", _PERPLEXITY_BUCKET_ORACLE)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: per-language perplexity
+    tertiles over the bigram-LM score (``text_bigram_nll``) — head =
+    most fluent third (usually kept), tail = most surprising third
+    (dropped or down-weighted). The bucketing is an ``ntile`` window
+    per language over (score, doc_id) — deterministic under ties, so
+    both engines cut identical tertiles.
+
+    Scale shape: the model tables are vocabulary-sized (shuffle
+    plateaus with vocab, not corpus); the tertile window shuffles one
+    SCORE row per doc, not documents; at 100 TB the cut points would
+    come from a KLL sketch instead of a full sort — the exact window
+    here doubles as the oracle-checkable reference for that."""
+    from pyspark.sql import Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.lm import (
+        bigram_nll_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scores = bigram_nll_scores(docs).filter(F.col("n_bigrams") > 0)
+    withlang = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_nll").asc(), F.col("doc_id").asc()
+    )
+    buck = withlang.withColumn("b", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail"),
+    )
+    return buck.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("avg_nll").cast("decimal(18,6)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_avg_nll"),
+        F.round(F.min("avg_nll"), 6).alias("min_avg_nll"),
+        F.round(F.max("avg_nll"), 6).alias("max_avg_nll"),
+    )
