@@ -60,6 +60,12 @@ HEADLINE = [
     # round 5: second-stage rerank + PRF expansion retrieval paths
     "topk_rerank_crossencoder",
     "hybrid_prf_topk",
+    # round 5b: OLAP surface, SCD2 enrichment, JL near-dup, sketches
+    "events_rollup_day_type",
+    "events_scd2_tier_attribution",
+    "dedup_embedding_pairs_jl",
+    "events_audience_overlap_theta",
+    "corpus_perplexity_buckets",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round

@@ -109,3 +109,52 @@ def load_documents(
             return txt
     pdf = load_pdf_documents(spark, data_dir, parse_fn)
     return txt.unionByName(pdf)
+
+
+JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+def load_jsonl_documents(
+    spark: SparkSession, data_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL corpus ingest — the interchange format LLM training
+    corpora actually ship in (one JSON object per line: ``id``,
+    ``text``, optional ``meta`` map).
+
+    Schema is EXPLICIT, never inferred: at 100 TB, inference is a
+    full extra pass over the data, and a single malformed shard would
+    silently widen column types for everything. Malformed lines go
+    through PERMISSIVE mode into ``_corrupt_record`` and are returned
+    as a separate quarantine frame (same discipline as the streaming
+    decontamination sink) — a bad line never kills the job and never
+    silently disappears. Returns ``(clean, quarantined)``; ``clean``
+    carries (id, text, meta, source) with the file path as provenance.
+    """
+    raw = (
+        spark.read.schema(JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("recursiveFileLookup", True)
+        .option("pathGlobFilter", "*.jsonl")
+        .json(data_dir)
+        .withColumn("source", F.input_file_name())
+    )
+    # Spark cannot filter on the corrupt column of an unmaterialized
+    # json scan (SPARK-26108); route both frames through a cached
+    # projection instead of re-reading the files per consumer.
+    raw = raw.cache()
+    clean = (
+        raw.filter(F.col("_corrupt_record").isNull() & F.col("text").isNotNull())
+        .select("id", "text", "meta", "source")
+    )
+    quarantined = raw.filter(
+        F.col("_corrupt_record").isNotNull() | F.col("text").isNull()
+    ).select("source", "_corrupt_record")
+    return clean, quarantined

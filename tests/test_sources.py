@@ -319,3 +319,47 @@ def test_torn_swap_detected(spark, tmp_path):
 
     _os.remove(idx._swap_marker_path)
     assert idx.read().count() == 1
+
+
+# ---------------- JSONL corpus ingest ----------------
+
+
+def test_jsonl_ingest_clean_and_quarantine(spark, tmp_path):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.documents import (
+        load_jsonl_documents,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"id": "d1", "text": "hello world", "meta": {"lang": "en"}}\n'
+        '{"id": "d2", "text": "zweite zeile"}\n'
+        "this is not json at all\n"
+        '{"id": "d4", "meta": {"lang": "fr"}}\n'  # no text: quarantined
+    )
+    (d / "b.jsonl").write_text('{"id": "d5", "text": "third file line"}\n')
+    (d / "ignored.txt").write_text("not a jsonl file\n")
+
+    clean, quarantined = load_jsonl_documents(spark, str(d))
+    rows = {r["id"]: r for r in clean.collect()}
+    assert set(rows) == {"d1", "d2", "d5"}
+    assert rows["d1"]["meta"] == {"lang": "en"}
+    assert rows["d1"]["source"].endswith("a.jsonl")
+    assert rows["d5"]["source"].endswith("b.jsonl")
+
+    q = quarantined.collect()
+    assert len(q) == 2  # the garbage line and the text-less record
+    bad = [r for r in q if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_jsonl_ingest_empty_dir_is_empty_not_error(spark, tmp_path):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.documents import (
+        load_jsonl_documents,
+    )
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    (d / "a.jsonl").write_text("")  # zero-line file: schema is explicit
+    clean, quarantined = load_jsonl_documents(spark, str(d))
+    assert clean.count() == 0 and quarantined.count() == 0
