@@ -158,3 +158,50 @@ __all__ = [
     "text_profile",
     "token_count",
 ]
+
+
+# PII scrubbing: the redaction pass every released training corpus
+# runs (emails, phone-like digit runs, IPv4, simple card-like runs).
+# Patterns are deliberately the RE2-safe subset (no lookaround, no
+# backreferences) so they compile identically under Java regex
+# (Spark, whole-stage codegen) and RE2 (DuckDB/Go tooling a corpus
+# team cross-checks with). Order matters: EMAIL before PHONE keeps
+# digit-bearing local parts from being half-eaten; IP before PHONE
+# keeps dotted quads out of the phone pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    ("phone", r"\+?\d[\d \-()]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace PII-shaped spans with typed placeholder tokens —
+    JVM-side ``regexp_replace`` chain, no Python in the path. The
+    replacement is applied in ``PII_PATTERNS`` order on the running
+    result, so earlier classes shield their spans from later, greedier
+    patterns (an email's digits never re-match as a phone).
+
+    This is a pattern scrubber, not an NER system: it removes the
+    mechanically-identifiable classes (the pass corpus releases run at
+    minimum); names/addresses need a model-based pass through the
+    same column-transform seam.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    for _, pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, F.lit(pat), F.lit(token))
+    return col
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-class match counts (for audit reports / drop thresholds).
+    Counted on the SAME shielded sequence as ``redact_pii`` — class k
+    is counted after classes < k have been replaced — so the counts
+    sum to exactly the number of placeholders the scrubber emits."""
+    col = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for name, pat, token in PII_PATTERNS:
+        out[name] = F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        col = F.regexp_replace(col, F.lit(pat), F.lit(token))
+    return out

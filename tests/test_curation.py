@@ -373,3 +373,51 @@ def test_bpe_token_count_vs_whitespace(spark):
     assert out[1] == 9
     assert out[2] == 3
     assert out[3] == 0
+
+
+# ---------------- PII redaction ----------------
+
+
+def test_redact_pii_classes_and_shielding(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.textstats import (
+        pii_counts,
+        redact_pii,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "write to jane.doe+x@example.co.uk or call +1 555-123 4567 now"),
+        (2, "server at 10.0.0.1 and card 4111 1111-1111 1111 leaked"),
+        (3, "no pii here, just text with numbers 42 and 3.14"),
+        (4, "a@b.io b@c.io 192.168.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    counts = pii_counts("text")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            *[c.alias(k) for k, c in counts.items()],
+        ).collect()
+    }
+    assert out[1]["red"] == "write to <EMAIL> or call <PHONE> now"
+    assert (out[1]["email"], out[1]["phone"]) == (1, 1)
+    assert out[2]["red"] == "server at <IP> and card <CARD> leaked"
+    assert (out[2]["ip"], out[2]["card"], out[2]["phone"]) == (1, 1, 0)
+    # untouched text passes through byte-identical, all counts zero
+    assert out[3]["red"] == rows[2][1]
+    assert all(out[3][k] == 0 for k in ("email", "ip", "card", "phone"))
+    assert out[4]["red"] == "<EMAIL> <EMAIL> <IP>"
+    assert (out[4]["email"], out[4]["ip"]) == (2, 1)
+
+
+def test_redact_pii_email_digits_never_rematch_as_phone(spark):
+    """Shielding order: an email whose local part is 10 digits must
+    become <EMAIL>, not a half-eaten <PHONE> inside an address."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.textstats import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([("5551234567@txt.example.com x",)], "text string")
+    assert df.select(redact_pii("text").alias("r")).first()["r"] == "<EMAIL> x"
