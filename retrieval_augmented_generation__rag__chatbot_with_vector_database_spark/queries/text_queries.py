@@ -464,3 +464,60 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+@register(
+    "corpus_top_terms",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+cnt AS (
+  SELECT term, count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs
+  FROM toks GROUP BY term
+),
+ranked AS (
+  SELECT term, n_occurrences, n_docs,
+         row_number() OVER (ORDER BY n_occurrences DESC, term ASC) AS rank
+  FROM cnt
+)
+SELECT rank::INT AS rank, term, n_occurrences, n_docs
+FROM ranked WHERE rank <= 20
+""",
+)
+def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact heavy hitters: global top-20 terms by
+    occurrence count (plus document frequency) — the vocabulary-audit
+    query behind stopword lists, df-caps, and tokenizer sanity checks.
+
+    Scale shape: the explode never materializes a global term list —
+    partial aggregation collapses each partition to its distinct
+    terms before the one shuffle (∝ vocabulary, not tokens), and the
+    global top-20 is TakeOrderedAndProject over per-partition top-20s,
+    not a global sort. The sketch alternative for streaming is
+    count-min + heap; this exact form is its oracle-checkable
+    reference."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("term"),
+    )
+    cnt = toks.groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = cnt.orderBy(F.col("n_occurrences").desc(), F.col("term").asc()).limit(20)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "term", "n_occurrences", "n_docs"
+    )
