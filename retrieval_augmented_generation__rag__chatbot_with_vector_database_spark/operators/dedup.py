@@ -842,11 +842,11 @@ def embedding_neardup_pairs_jl(
     ``functions.vector.random_projection`` (pure function of (i, j,
     seed)), so recall is a FIXED, re-measurable property of the data,
     not a per-run coin flip. For m=16 the squared-distance estimate is
-    chi-square-like with ~m dof (P[ratio > 2.5] ≈ 5e-4 under Gaussian
-    geometry) — but structured embeddings fatten that tail: the
-    fixture drops 1 of its 14 true pairs at slack 2.5 (ratio 3.2).
-    Size ``slack`` to the corpus and audit recall against the exact
-    twin on a sample before trusting a setting at scale.
+    chi-square-like with ~m dof: P[ratio > 2.5] ≈ 5e-4 per true pair
+    (the fixture keeps 14/14 at slack 2.5). That bound only holds
+    with an INDEPENDENT sign matrix — see random_projection's
+    docstring for why the signs are md5-derived; audit recall against
+    the exact twin on a sample before trusting a slack at scale.
 
     Identity with the exact operator's output: emitted (id_a, id_b,
     cosine) rows carry the full-precision score, so on any pair the
@@ -899,27 +899,50 @@ def embedding_neardup_pairs_jl(
                     np.float64, copy=False
                 )
                 if signs is None:
+                    import hashlib
+
                     dim = A.shape[1]
-                    # same deterministic Rademacher matrix as
-                    # functions.vector.random_projection(seed)
-                    ij = (
-                        np.arange(dim)[:, None] * seed + np.arange(out_dim)[None, :]
-                    ).astype(np.int64)
-                    signs = np.where(
-                        (ij * 2654435761) % 2**32 < 2**31, 1.0, -1.0
+                    # same deterministic md5 Rademacher matrix as
+                    # functions.vector.random_projection(seed) — see
+                    # its docstring for why md5 (column independence)
+                    signs = np.array(
+                        [
+                            [
+                                1.0
+                                if hashlib.md5(
+                                    f"{seed}:{i}:{j}".encode()
+                                ).hexdigest()[0] in "01234567"
+                                else -1.0
+                                for j in range(out_dim)
+                            ]
+                            for i in range(dim)
+                        ]
                     ) / np.sqrt(out_dim)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     An = A / np.linalg.norm(A, axis=1, keepdims=True)
                     Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
                 Pa, Pb = An @ signs, Bn @ signs
-                d2 = (
-                    (Pa * Pa).sum(axis=1)[:, None]
-                    + (Pb * Pb).sum(axis=1)[None, :]
-                    - 2.0 * (Pa @ Pb.T)
-                )
-                ii, jj = np.where(d2 <= d2_bound)
-                if len(ii) == 0:
+                nb2 = (Pb * Pb).sum(axis=1)[None, :]
+                na2 = (Pa * Pa).sum(axis=1)
+                # row-chunked distance filter: the naive full d2
+                # matrix plus its matmul temporary doubles the exact
+                # kernel's peak (2 x (N/B)^2 doubles per task) and
+                # with 32 concurrent workers that OOM-kills the
+                # executors; chunking caps temporaries at
+                # chunk x (N/B) regardless of block size
+                chunk = 2048
+                ii_parts, jj_parts = [], []
+                for s0 in range(0, Pa.shape[0], chunk):
+                    pa = Pa[s0 : s0 + chunk]
+                    d2 = na2[s0 : s0 + chunk, None] + nb2 - 2.0 * (pa @ Pb.T)
+                    ci, cj = np.where(d2 <= d2_bound)
+                    if len(ci):
+                        ii_parts.append(ci + s0)
+                        jj_parts.append(cj)
+                if not ii_parts:
                     continue
+                ii = np.concatenate(ii_parts)
+                jj = np.concatenate(jj_parts)
                 # sparse exact verification at full dimension
                 sel = np.round(
                     np.einsum("ij,ij->i", An[ii], Bn[jj]), 6

@@ -631,9 +631,10 @@ proj AS (
          list_transform(range(0, 16), j ->
            list_aggregate(
              list_transform(range(1, len(u) + 1),
-               i -> u[i] * (CASE WHEN (((i - 1) * 7919 + j) * 2654435761)
-                                 % 4294967296 < 2147483648
-                            THEN 1.0 ELSE -1.0 END)),
+               i -> u[i] * (CASE WHEN substr(md5('7919:' || CAST(i - 1 AS VARCHAR)
+                                             || ':' || CAST(j AS VARCHAR)), 1, 1)
+                               IN ('0','1','2','3','4','5','6','7')
+                          THEN 1.0 ELSE -1.0 END)),
              'sum') / sqrt(16.0)) AS p
   FROM nv
 ),
@@ -662,7 +663,8 @@ def dedup_embedding_pairs_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     function, the ORACLE replays the whole pipeline — projection,
     distance filter (slack 2.5 → bound 2.75 on squared distance),
     exact verification — so this is a FULL-VALUE check of an
-    approximate algorithm's exact output, not a recall bound."""
+    approximate algorithm's exact output, not a recall bound. (At
+    slack 2.5 the filter keeps all 14 exact pairs on the fixture.)"""
     return dedup.embedding_neardup_pairs_jl(
         load(spark, sf_dir, "embeddings"),
         threshold=0.45,

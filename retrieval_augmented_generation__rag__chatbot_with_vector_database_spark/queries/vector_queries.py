@@ -508,8 +508,9 @@ WITH p AS (
          list_aggregate(
            list_transform(range(1, len(embedding) + 1),
              i -> embedding[i]::DOUBLE *
-                  (CASE WHEN (((i - 1) * {_JL_SEED} + j) * 2654435761)
-                             % 4294967296 < 2147483648
+                  (CASE WHEN substr(md5('{_JL_SEED}:' || CAST(i - 1 AS VARCHAR)
+                                        || ':' || CAST(j AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
                         THEN 1.0 ELSE -1.0 END)),
            'sum') * (1.0 / sqrt({JL_DIM}.0)) AS proj
   FROM embeddings, unnest(range(0, {JL_DIM})) AS t(j)
@@ -531,7 +532,7 @@ def embeddings_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    proj = random_projection("embedding", JL_DIM, seed=_JL_SEED)
+    proj = random_projection("embedding", JL_DIM, seed=_JL_SEED, in_dim=64)
     return (
         emb.select("vec_id", F.posexplode(proj))
         .select(

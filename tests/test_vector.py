@@ -155,13 +155,18 @@ def test_random_projection_matches_numpy(spark):
         random_projection,
     )
 
+    import hashlib
+
     rng = np.random.default_rng(3)
     vecs = rng.normal(size=(20, 16)).astype(np.float64)
     seed, out_dim = 7919, 6
     signs = np.array(
         [
             [
-                1.0 if ((i * seed + j) * 2654435761) % 2**32 < 2**31 else -1.0
+                1.0
+                if hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0]
+                in "01234567"
+                else -1.0
                 for j in range(out_dim)
             ]
             for i in range(16)
@@ -220,3 +225,32 @@ def test_random_projection_rejects_bad_dim(spark):
 
     with pytest.raises(ValueError):
         random_projection("embedding", 0)
+
+
+def test_random_projection_literal_matrix_path_matches_expression_path(spark):
+    """in_dim= (driver-side literal sign matrix) must equal the
+    per-row md5 expression path digit for digit."""
+    import numpy as np
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        random_projection,
+    )
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=12)]) for i in range(10)],
+        "id long, embedding array<double>",
+    )
+    slow = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", random_projection("embedding", 5).alias("p")
+        ).collect()
+    }
+    fast = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", random_projection("embedding", 5, in_dim=12).alias("p")
+        ).collect()
+    }
+    assert slow == fast
