@@ -620,7 +620,11 @@ def embedding_neardup_pairs(
     fresh buffer (large first-touch allocations are the observed
     hot spot — page-fault cost, not FLOPs). At 100 TB bound the
     pair space with ``operators.ann`` IVF first and run this within
-    buckets (pass ``n_blocks`` explicitly)."""
+    buckets (pass ``n_blocks`` explicitly). Heap note: the packed
+    block table is broadcast (~n·dim·8 bytes after the double cast) —
+    at 512-d, 50k vectors already need more than an 8g single-JVM
+    heap (SCALE.md); budget executor memory to the broadcast, or
+    pre-bucket so each call sees a slice."""
     import pandas as pd
 
     if n_blocks is None:
