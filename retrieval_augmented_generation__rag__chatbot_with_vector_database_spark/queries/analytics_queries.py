@@ -780,9 +780,9 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: Spark skips the distinct-values collect pass it would
     otherwise run over the fact table, and the output schema is stable
     under late-arriving garbage types (they simply don't pivot).
-    Compiles to a single partial-agg shuffle keyed on day (pivot
-    measures fold map-side), nulls backfilled to 0 to match the
-    conditional-aggregation oracle."""
+    Compiles to two partial-aggregated exchanges — (day, type) counts,
+    then pivotfirst re-keyed to day — both map-side combined; nulls
+    backfilled to 0 to match the conditional-aggregation oracle."""
     ev = load(spark, sf_dir, "events")
     piv = (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))

@@ -114,3 +114,40 @@ def test_filtered_ann_pushes_filter_into_pruned_scan(spark, emb, tmp_path):
     )
     assert has_partition_filter(out, "centroid_id")
     assert has_pushed_filter(out, "label")
+
+
+def test_rollup_is_one_expand_one_exchange(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.analytics_queries import (
+        events_rollup_day_type,
+    )
+
+    out = events_rollup_day_type(spark, SF_DIR)
+    plan = physical_plan(out)
+    assert "Expand" in plan  # 3 grouping sets in ONE pass
+    assert shuffle_count(out) == 1  # single partial-agg exchange
+
+
+def test_pivot_explicit_values_two_agg_exchanges_no_collect(spark):
+    """Explicit pivot values: no distinct-collect pre-pass (which
+    would show as an extra JOB, not a plan node — asserted by the
+    plan building eagerly with exactly the two aggregate exchanges:
+    (day, type) counts, then pivotfirst re-keyed to day)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.analytics_queries import (
+        events_type_pivot,
+    )
+
+    out = events_type_pivot(spark, SF_DIR)
+    assert shuffle_count(out) == 2
+
+
+def test_top_terms_is_take_ordered(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.plans.inspect import (
+        physical_plan as pp,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.text_queries import (
+        corpus_top_terms,
+    )
+
+    out = corpus_top_terms(spark, SF_DIR)
+    # global top-20 via per-partition limits, not a global sort
+    assert "TakeOrderedAndProject" in pp(out)
