@@ -103,3 +103,66 @@ def start_enrich_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_batch_scd2(
+    batch: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """SCD2 variant of :func:`enrich_batch`: each micro-batch joins
+    the dimension version whose ``[valid_from, valid_to)`` interval
+    contains the event time (``operators.temporal.interval_join`` —
+    the as-of window + atomic expiry check, so a batch never fans out
+    per (key, version)). Same stream == batch guarantee: identical
+    code path."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+        interval_join,
+    )
+
+    return interval_join(
+        batch,
+        dim,
+        on=on,
+        left_ts=left_ts,
+        valid_from=valid_from,
+        valid_to=valid_to,
+        payload=payload,
+    )
+
+
+def start_scd2_enrich_stream(
+    spark: SparkSession,
+    landing_glob: str,
+    dim_source: Callable[[SparkSession], DataFrame],
+    sink_dir: str,
+    checkpoint_dir: str,
+    on: list[str],
+    schema: str = EVENT_STREAM_SCHEMA,
+) -> "StreamingQuery":
+    """Streaming SCD2 enrichment: the warehouse-standard
+    point-in-time dimension join, online. ``dim_source`` is
+    re-resolved per micro-batch (dimension maintenance lands between
+    batches — stream-static semantics, same freshness contract as
+    ``start_enrich_stream``); the sink is the same
+    idempotent-by-batch_id overwrite layout. An event always joins
+    the version valid AT ITS EVENT TIME — late events pick up the
+    historically-correct version, not today's (the leakage bug
+    joining on "current version" commits)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        dim = dim_source(batch.sparkSession)
+        out = enrich_batch_scd2(batch, dim, on=on)
+        out.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
+
+    stream = spark.readStream.schema(schema).parquet(landing_glob)
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -969,3 +969,66 @@ def test_histogram_rollup_stream_partials_match_batch_and_merge(spark, tmp_path)
     a = {(r["day"], r["bin"]): r["cnt"] for r in daily_stream.collect()}
     b = {(r["day"], r["bin"]): r["cnt"] for r in daily_batch.collect()}
     assert a == b and a
+
+
+def test_scd2_enrich_stream_matches_batch_interval_join(spark, tmp_path):
+    """Streaming SCD2 enrichment: two micro-batch drops joined to a
+    versioned dimension must equal the one-shot interval_join, with
+    late events picking the HISTORICALLY valid version (not the
+    current one) and no duplicates across a checkpointed restart."""
+    import datetime as dt
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.temporal import (
+        interval_join,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.enrich import (
+        start_scd2_enrich_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [
+            (10, base, base + dt.timedelta(hours=1), "v1"),
+            (10, base + dt.timedelta(hours=1), None, "v2"),
+            (20, base + dt.timedelta(minutes=30), base + dt.timedelta(minutes=40), "w1"),
+        ],
+        "user_id long, valid_from timestamp, valid_to timestamp, ver string",
+    )
+    dim_dir = str(tmp_path / "dim")
+    dim.write.parquet(dim_dir)
+
+    landing = tmp_path / "scd_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "scd_enriched")
+    ckpt = str(tmp_path / "scd_ckpt")
+    ev_schema = "event_id long, user_id long, ts timestamp, value double"
+    ev1 = [(1, 10, base + dt.timedelta(minutes=30), 1.0),   # v1
+           (2, 20, base + dt.timedelta(minutes=45), 2.0)]   # gap: null
+    # second drop arrives later but contains an EARLIER event: it must
+    # still join v1, the version valid at its event time
+    ev2 = [(3, 10, base + dt.timedelta(hours=2), 3.0),      # v2 (open)
+           (4, 10, base + dt.timedelta(minutes=59), 4.0)]   # late → v1
+
+    def dim_source(s):
+        return s.read.parquet(dim_dir)
+
+    spark.createDataFrame(ev1, ev_schema).write.parquet(str(landing / "b1"))
+    start_scd2_enrich_stream(
+        spark, str(landing) + "/*", dim_source, sink, ckpt, on=["user_id"]
+    ).awaitTermination(120)
+    spark.createDataFrame(ev2, ev_schema).write.parquet(str(landing / "b2"))
+    start_scd2_enrich_stream(
+        spark, str(landing) + "/*", dim_source, sink, ckpt, on=["user_id"]
+    ).awaitTermination(120)
+
+    streamed = {
+        r["event_id"]: r["ver"] for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        r["event_id"]: r["ver"]
+        for r in interval_join(
+            spark.createDataFrame(ev1 + ev2, ev_schema), dim, on=["user_id"]
+        ).collect()
+    }
+    assert streamed == batch
+    assert streamed == {1: "v1", 2: None, 3: "v2", 4: "v1"}
