@@ -671,3 +671,97 @@ def dedup_embedding_pairs_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dim=16,
         slack=2.5,
     )
+
+
+_CASCADE_ORACLE = r"""
+WITH RECURSIVE fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+ex AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+toks AS (
+  SELECT d.doc_id,
+         list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents d JOIN ex USING (doc_id)
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+  FROM toks, unnest(range(1, greatest(len(arr)-1, 1))) AS t(i)
+  WHERE len(arr) >= 3
+),
+seeds AS (SELECT range AS seed FROM range(0, 16)),
+mh AS (
+  SELECT id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh, seeds GROUP BY id, seed
+),
+sig AS (SELECT id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY id),
+bands AS (
+  SELECT id, b,
+         md5(sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4]) AS bk
+  FROM sig, (SELECT range AS b FROM range(0, 4)) bs
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.id < c.id
+),
+lshp AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b
+  WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.25
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM lshp
+  UNION
+  SELECT id_b AS a, id_a AS b FROM lshp
+),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON e.b = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+dropped AS (SELECT id FROM comp WHERE id <> component)
+SELECT (SELECT count(*) FROM documents) AS n_input,
+       (SELECT count(*) FROM ex) AS n_after_exact,
+       (SELECT count(*) FROM lshp) AS n_neardup_pairs,
+       (SELECT count(*) FROM ex) - (SELECT count(*) FROM dropped) AS n_after_neardup
+"""
+
+
+@register("corpus_dedup_cascade", _CASCADE_ORACLE)
+def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE as one DAG: exact dedup (cheap,
+    kills byte-copies) → MinHash-LSH near-dup over the exact
+    survivors only (the expensive signal never sees rows the cheap
+    one already killed) → connected components → min-id survivor per
+    duplicate group; reported as stage-by-stage corpus counts.
+
+    This ordering is the cost model every corpus build uses: each
+    stage shrinks the input of the next, and the banded LSH join is
+    the only quadratic-risk step — already restricted to survivors
+    and keyed on band buckets. Every stage is individually
+    oracle-verified elsewhere (`dedup_exact`,
+    `dedup_minhash_lsh_pairs`, `dedup_duplicate_groups`); this query
+    pins the COMPOSITION, counts flowing end to end."""
+    docs = load(spark, sf_dir, "documents")
+    ex = dedup.exact_dedup(docs)
+    docs2 = docs.join(ex.select("doc_id"), "doc_id")
+    pairs = dedup.minhash_lsh_pairs(docs2, n_hashes=16, bands=4, min_est=0.25)
+    comps = dedup.connected_components(pairs)
+    dropped = comps.filter(F.col("id") != F.col("component"))
+    a = docs.agg(F.count("*").alias("n_input"))
+    b = ex.agg(F.count("*").alias("n_after_exact"))
+    c = pairs.agg(F.count("*").alias("n_neardup_pairs"))
+    d = dropped.agg(F.count("*").alias("__n_dropped"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .crossJoin(d)
+        .select(
+            "n_input",
+            "n_after_exact",
+            "n_neardup_pairs",
+            (F.col("n_after_exact") - F.col("__n_dropped")).alias("n_after_neardup"),
+        )
+    )
