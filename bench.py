@@ -189,21 +189,39 @@ def main() -> None:
     except ValueError:
         sf = None
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_mean": means,
-                "bench_passes": N_PASSES,
-                "sf": sf,
-                "ingest_chunks_per_sec": chunks_per_s,
-                "ingest_chunks": n_chunks,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_mean": means,
+        "bench_passes": N_PASSES,
+        "sf": sf,
+        "ingest_chunks_per_sec": chunks_per_s,
+        "ingest_chunks": n_chunks,
+    }
+    print(json.dumps(record))
+
+    # Self-write the complete record: the driver captures stdout with a
+    # bounded tail window, which truncated BENCH_r05.json mid-record.
+    # Writing BENCH_local_r{N}.json directly means the committed history
+    # never depends on the driver's capture. N = 1 + the highest driver
+    # round already on disk (so the local record lands beside the
+    # driver's BENCH_r{N}.json for the round in progress).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    n_round = (max(rounds) + 1) if rounds else 1
+    out = os.path.join(repo, f"BENCH_local_r{n_round:02d}.json")
+    with open(out, "w") as fh:
+        json.dump(record, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"# wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,296 @@
+"""Full merge-table byte-pair encoding (BPE) as DataFrame jobs — the
+real-token accounting stage of a training-data pipeline. The reference
+budgets chunks by ``len`` (characters) and delegates true tokenization
+to its embedding provider (`scripts/ingest_documents.py:67-90` sets the
+chunk budget; `app/core/embeddings.py:33-39` maps model -> dimension);
+this module carries that budget contract to actual BPE tokens so
+packing/chunking can be sized in the units the trainer consumes
+(extends ``functions.text.bpe_token_count``, which is only the
+pre-tokenizer match-count ESTIMATOR).
+
+Algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units" — the published BPE):
+
+- TRAIN: pre-tokenize the corpus (GPT-2-style regex), count pretoken
+  frequencies, then repeatedly merge the most-frequent adjacent symbol
+  pair (ties: count desc, then (left, right) lexicographic asc) until
+  ``num_merges`` rules exist or no pair reaches ``min_pair_freq``.
+- ENCODE: split a pretoken to characters, then apply the merge rules
+  in rank order, each left-to-right non-overlapping.
+
+Scale shape (the 100 TB design):
+
+- Training's distributed part is ONE vocabulary-bounded hash aggregate
+  (pretoken -> freq; Heaps' law keeps distinct pretokens ~1e6-1e7 even
+  at 100 TB). The table is capped deterministically at ``vocab_cap``
+  by (freq desc, token asc) and collected; the merge loop then runs on
+  the driver over that bounded table — the same architecture as
+  production BPE trainers (corpus-scale counting, word-type-scale
+  merging). Nothing corpus-sized ever reaches the driver.
+- Encoding is pure Catalyst: merge rules become literal expressions, a
+  single ``aggregate`` (fold) HOF applies all of them JVM-side, and
+  the fold runs once per DISTINCT pretoken (a dimension frame), which
+  is then broadcast-joined back to the pretoken stream. No Python on
+  the hot path, no shuffle of document text beyond the distinct-token
+  aggregate.
+
+Symbol-list representation: a word is the delimited string
+``"|sym||sym||sym|"`` (symbols never contain ``|``; guarded). Merging
+pair (l, r) is then ``replace(word, '|l||r|', '|lr|')`` — string
+``replace`` is left-to-right non-overlapping in Python, Java/Spark and
+DuckDB alike, which is exactly BPE's leftmost-first merge order, and it
+gives all three engines an identical one-expression merge step. The
+doubled separator makes each occurrence self-delimiting, so replace's
+resume-after-replacement scanning still sees the next occurrence's
+full pattern (single separators would break on runs like ``a a a``).
+
+Token ids: base alphabet = the corpus' distinct characters in sorted
+order (ids 0..B-1); merge #r mints id B+r for its concatenated symbol.
+If two merge paths produce the same symbol string, the smallest id
+wins (deterministic on both engines); unknown symbols encode as -1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+    BPE_ISH_PATTERN,
+)
+
+#: separates left\x01right inside a serialized merge rule
+MERGE_SEP = "\x01"
+#: symbol-list delimiter — must never occur inside a symbol
+SYM_DELIM = "|"
+
+
+class Merge(NamedTuple):
+    rank: int
+    left: str
+    right: str
+    merged: str
+    pair_freq: int
+
+
+def _word_str(tok: str) -> str:
+    return "|" + "||".join(tok) + "|"
+
+
+def _word_syms(w: str) -> list[str]:
+    return [s.strip("|") for s in w.split("||")]
+
+
+def train_bpe_local(
+    vocab: list[tuple[str, int]],
+    num_merges: int = 64,
+    min_pair_freq: int = 2,
+) -> list[Merge]:
+    """The driver-side merge loop over a bounded (pretoken, freq)
+    table — separated from :func:`train_bpe` so tests can oracle it on
+    hand-counted corpora. Pure function of its inputs."""
+    for tok, _ in vocab:
+        if SYM_DELIM in tok or MERGE_SEP in tok:
+            raise ValueError(f"pretoken contains a reserved delimiter: {tok!r}")
+    words: list[list] = [[_word_str(tok), int(f)] for tok, f in vocab]
+    merges: list[Merge] = []
+    for rank in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in words:
+            syms = _word_syms(w)
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        (left, right), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < min_pair_freq:
+            break
+        pat, rep = f"|{left}||{right}|", f"|{left}{right}|"
+        for w in words:
+            w[0] = w[0].replace(pat, rep)
+        merges.append(Merge(rank, left, right, left + right, freq))
+    return merges
+
+
+def pretoken_counts(
+    df: DataFrame, text_col: str = "text", pattern: str = BPE_ISH_PATTERN
+) -> DataFrame:
+    """(tok, f): pretoken frequencies — the single corpus-scale
+    aggregate of training. Map-side partial combine applies; shuffle
+    volume is distinct-pretoken-bounded."""
+    return (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 64,
+    min_pair_freq: int = 2,
+    vocab_cap: int = 65536,
+    pattern: str = BPE_ISH_PATTERN,
+) -> list[Merge]:
+    """Distributed count -> deterministic ``vocab_cap`` head (freq
+    desc, token asc) -> driver merge loop. The collect is bounded by
+    ``vocab_cap`` rows regardless of corpus size."""
+    rows = (
+        pretoken_counts(df, text_col, pattern)
+        .orderBy(F.col("f").desc(), F.col("tok").asc())
+        .limit(vocab_cap)
+        .collect()
+    )
+    return train_bpe_local(
+        [(r["tok"], r["f"]) for r in rows], num_merges, min_pair_freq
+    )
+
+
+def corpus_alphabet(df: DataFrame, text_col: str = "text") -> list[str]:
+    """Sorted distinct characters of the corpus — the base vocabulary.
+    Bounded by the character set (codegen distinct, tiny collect)."""
+    rows = (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["c"] for r in rows)
+
+
+def vocab_ids(alphabet: list[str], merges: list[Merge]) -> dict[str, int]:
+    """symbol -> id. Base chars take 0..B-1 in sorted order; merge #r
+    takes B+r. First (smallest) id wins on string collisions."""
+    ids: dict[str, int] = {}
+    for i, c in enumerate(alphabet):
+        ids.setdefault(c, i)
+    for m in merges:
+        ids.setdefault(m.merged, len(alphabet) + m.rank)
+    return ids
+
+
+def encode_fold(tok: Column, merges: list[Merge]) -> Column:
+    """The whole BPE encode of one pretoken as a single Catalyst fold:
+    chars -> delimited word string -> ``aggregate`` over merge-rule
+    literals, each step one ``replace``. Returns array<string> of
+    final symbols. JVM-side end to end."""
+    chars = F.filter(F.split(tok, ""), lambda x: x != "")
+    word0 = F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(f"|{m.left}||{m.right}|").alias("s"),
+                F.lit(f"|{m.left}{m.right}|").alias("p"),
+            )
+            for m in merges
+        ]
+    )
+    if not merges:
+        encoded = word0
+    else:
+        encoded = F.aggregate(
+            rules, word0, lambda acc, m: F.replace(acc, m["s"], m["p"])
+        )
+    return F.transform(
+        F.split(encoded, r"\|\|"), lambda s: F.btrim(s, F.lit("|"))
+    )
+
+
+def _encoded_dim(pre: DataFrame, merges: list[Merge], ids: dict[str, int]) -> DataFrame:
+    """(tok, syms, ids): the distinct-pretoken dimension frame with
+    its encoding — the only place the fold runs."""
+    id_map = F.create_map(
+        *[F.lit(x) for kv in ids.items() for x in kv]
+    )
+    dim = pre.select("tok").distinct().select(
+        "tok", encode_fold(F.col("tok"), merges).alias("syms")
+    )
+    return dim.select(
+        "tok",
+        "syms",
+        F.transform(
+            F.col("syms"),
+            lambda s: F.coalesce(id_map[s], F.lit(-1)).cast("bigint"),
+        ).alias("ids"),
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[Merge],
+    alphabet: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = BPE_ISH_PATTERN,
+) -> DataFrame:
+    """Token stream: (id_col, tok_pos, sym_pos, token, token_id) — one
+    row per emitted BPE token, positions 0-based. Distinct pretokens
+    are encoded once and broadcast back; the document side never
+    shuffles."""
+    pre = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        ).alias("tok_pos", "tok"),
+    )
+    dim = _encoded_dim(pre, merges, vocab_ids(alphabet, merges))
+    return (
+        pre.join(F.broadcast(dim), "tok")
+        .select(
+            id_col,
+            "tok_pos",
+            F.posexplode(F.arrays_zip(F.col("syms"), F.col("ids"))).alias(
+                "sym_pos", "z"
+            ),
+        )
+        .select(
+            id_col,
+            "tok_pos",
+            "sym_pos",
+            F.col("z.syms").alias("token"),
+            F.col("z.ids").alias("token_id"),
+        )
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[Merge],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = BPE_ISH_PATTERN,
+) -> DataFrame:
+    """(id_col, n_bpe_tokens): the REAL token count per document under
+    the trained merge table (vs the pre-tokenizer estimator
+    ``functions.text.bpe_token_count``). Docs with no pretokens count
+    0. One broadcast join + one groupBy(id) sum."""
+    pre = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        ).alias("tok"),
+    )
+    dim = pre.select("tok").distinct().where(F.col("tok").isNotNull()).select(
+        "tok", F.size(encode_fold(F.col("tok"), merges)).alias("n_syms")
+    )
+    return (
+        pre.join(F.broadcast(dim), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("n_syms"), F.lit(0)).cast("bigint").alias(
+                "n_bpe_tokens"
+            )
+        )
+    )

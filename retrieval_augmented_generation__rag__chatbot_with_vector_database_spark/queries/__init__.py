@@ -107,4 +107,5 @@ def _import_all() -> None:
         temporal_queries,
         hybrid_queries,
         curation_queries,
+        bpe_queries,
     )
