@@ -138,6 +138,94 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def epoch_shuffle(
+    packed: DataFrame,
+    seed: int,
+    epoch: int,
+    out_shards: int = 32,
+) -> DataFrame:
+    """Deterministic per-epoch global permutation of packed SEQUENCES
+    — the shuffle a training run applies between epochs so batch
+    composition varies while staying reproducible from (seed, epoch).
+
+    Every (shard, seq) sequence key gets a pseudorandom sort key
+    ``md5(seed:epoch:shard:seq)`` (md5 because Spark and DuckDB
+    compute it identically, the repo's cross-engine hash convention —
+    cf. the JL sign matrix); the first 8 hex chars mod ``out_shards``
+    pick the sequence's epoch shard, and ``epoch_pos`` is its rank
+    within that shard by (key, shard, seq). The permutation is a pure
+    function of the key, so it is fully value-checkable and needs NO
+    global ordering: the only window is per-epoch-shard — the same
+    bounded-sort shape ``write_training_shards`` uses. Different
+    epochs draw independent keys → different permutations; the same
+    (seed, epoch) always reproduces the same one.
+
+    Output: (shard, seq, epoch_shard, epoch_pos).
+    """
+    if out_shards <= 0:
+        raise ValueError(f"out_shards must be positive, got {out_shards}")
+    from pyspark.sql import Window
+
+    seqs = packed.select("shard", "seq").distinct()
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(int(seed)),
+            F.lit(int(epoch)),
+            F.col("shard"),
+            F.col("seq"),
+        )
+    )
+    keyed = seqs.select(
+        "shard",
+        "seq",
+        key.alias("__k"),
+    ).withColumn(
+        "epoch_shard",
+        F.pmod(
+            F.conv(F.substring("__k", 1, 8), 16, 10).cast("bigint"),
+            F.lit(out_shards),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("epoch_shard").orderBy(
+        F.col("__k").asc(), F.col("shard").asc(), F.col("seq").asc()
+    )
+    return keyed.select(
+        "shard",
+        "seq",
+        "epoch_shard",
+        (F.row_number().over(w) - 1).cast("long").alias("epoch_pos"),
+    )
+
+
+def epoch_pack_assignment(
+    packed: DataFrame,
+    seed: int,
+    epoch: int,
+    out_shards: int = 32,
+) -> DataFrame:
+    """The epoch's loader-ready assignment: re-key every packed doc to
+    (shard=epoch_shard, seq=epoch_pos) so the frame feeds
+    :func:`write_training_shards` unchanged — each epoch materializes
+    as its own physically-ordered shard layout. Join is on the
+    sequence key (sequence-count-sized, broadcastable at typical
+    budgets)."""
+    perm = epoch_shuffle(packed, seed, epoch, out_shards)
+    return (
+        packed.withColumnRenamed("shard", "__os")
+        .withColumnRenamed("seq", "__oq")
+        .join(
+            perm.withColumnRenamed("shard", "__os").withColumnRenamed(
+                "seq", "__oq"
+            ),
+            ["__os", "__oq"],
+        )
+        .drop("__os", "__oq")
+        .withColumnRenamed("epoch_shard", "shard")
+        .withColumnRenamed("epoch_pos", "seq")
+    )
+
+
 def write_training_shards(
     packed_docs: DataFrame,
     path: str,

@@ -249,6 +249,51 @@ def corpus_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(_packed(spark, sf_dir), budget=_PACK_BUDGET)
 
 
+_EPOCH_SEED = 42
+_EPOCH_N = 1
+_EPOCH_SHARDS = 8
+
+_EPOCH_ORACLE = f"""
+WITH RECURSIVE {_PACK_DOCS_CTE},
+sq AS (SELECT DISTINCT shard, seq FROM pack),
+keyed AS (
+  SELECT shard, seq,
+         md5({_EPOCH_SEED} || ':' || {_EPOCH_N} || ':' || shard || ':' || seq) AS k
+  FROM sq
+),
+sharded AS (
+  SELECT shard, seq, k,
+         (('0x' || substr(k, 1, 8))::BIGINT % {_EPOCH_SHARDS})::INT AS epoch_shard
+  FROM keyed
+)
+SELECT shard, seq, epoch_shard,
+       (row_number() OVER (PARTITION BY epoch_shard
+                           ORDER BY k ASC, shard ASC, seq ASC) - 1)::BIGINT AS epoch_pos
+FROM sharded
+"""
+
+
+@register("corpus_epoch_shuffle", _EPOCH_ORACLE)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded epoch-level shuffle of packed training sequences
+    (operators.packing.epoch_shuffle): every (shard, seq) key gets an
+    md5(seed:epoch:shard:seq) sort key; first-8-hex-chars mod
+    {n} picks its epoch shard and the per-shard rank is its position.
+    Pure function of key — the oracle re-derives the whole permutation
+    value-for-value. Feeding the result through
+    ``epoch_pack_assignment`` re-keys docs for
+    ``write_training_shards``, so each epoch materializes as its own
+    physically-ordered layout. No global sort anywhere: the only
+    window is per-epoch-shard.""".format(n=_EPOCH_SHARDS)
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    return epoch_shuffle(
+        _packed(spark, sf_dir), _EPOCH_SEED, _EPOCH_N, _EPOCH_SHARDS
+    )
+
+
 _VOCAB_ORACLE = """
 WITH tok AS (
   SELECT lang, unnest(list_filter(
