@@ -294,6 +294,84 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NB_MOD = 5  # doc_id % 5 == 0 is the held-out scoring slice
+
+_NB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+  FROM documents
+),
+train AS (SELECT * FROM tok WHERE doc_id % {_NB_MOD} <> 0),
+test AS (SELECT * FROM tok WHERE doc_id % {_NB_MOD} = 0),
+classes AS (SELECT lang AS k, count(DISTINCT doc_id) AS nk FROM train GROUP BY lang),
+ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM train),
+cwk AS (SELECT w, lang AS k, count(*) AS c FROM train GROUP BY w, lang),
+ck AS (SELECT k, sum(c) AS ck FROM cwk GROUP BY k),
+v AS (SELECT count(DISTINCT w) AS v FROM train),
+dense AS (
+  SELECT vw.w, cl.k,
+         round(ln((coalesce(cwk.c, 0) + 0.5) / (ck.ck + 0.5 * v.v)), 6)::DECIMAL(18,6) AS logp
+  FROM (SELECT DISTINCT w FROM train) vw
+  CROSS JOIN classes cl
+  LEFT JOIN cwk ON cwk.w = vw.w AND cwk.k = cl.k
+  JOIN ck ON ck.k = cl.k CROSS JOIN v
+),
+fb AS (
+  SELECT ck.k, round(ln(0.5 / (ck.ck + 0.5 * v.v)), 6)::DECIMAL(18,6) AS fallback
+  FROM ck CROSS JOIN v
+),
+pri AS (
+  SELECT c.k, round(ln(c.nk / n.n), 6)::DECIMAL(18,6) AS prior
+  FROM classes c CROSS JOIN ndocs n
+),
+scored AS (
+  SELECT t.doc_id, any_value(t.lang) AS lang, cl.k,
+         sum(CASE WHEN d.logp IS NOT NULL THEN d.logp ELSE f.fallback END) AS ll
+  FROM test t CROSS JOIN classes cl
+  LEFT JOIN dense d ON d.w = t.w AND d.k = cl.k
+  JOIN fb f ON f.k = cl.k
+  GROUP BY t.doc_id, cl.k
+),
+final AS (
+  SELECT s.doc_id, s.lang, s.k,
+         (p.prior + s.ll)::VARCHAR::DOUBLE AS score
+  FROM scored s JOIN pri p ON p.k = s.k
+),
+pred AS (
+  SELECT doc_id, lang, k AS pred_lang, round(score, 6) AS score,
+         lang = k AS is_correct,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, k ASC) AS rn
+  FROM final
+)
+SELECT doc_id, lang, pred_lang, score, is_correct FROM pred WHERE rn = 1
+"""
+
+
+@register("corpus_nb_quality_scores", _NB_ORACLE)
+def corpus_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality/domain classifier (operators.classifier
+    .nb_classify): multinomial naive Bayes trained on the labeled
+    slice (doc_id % 5 != 0; the fixture's ``lang`` metadata stands in
+    for quality/domain labels), scoring the held-out slice — the
+    fastText-style learned gate beside the unsupervised bigram-LM
+    signal. Pure aggregation: token-class counts -> smoothed log-odds
+    -> broadcast model -> one DECIMAL sum per (doc, class) -> argmax.
+    Full-value oracle re-derives model and predictions. (On this
+    synthetic fixture the labels carry only weak signal, so accuracy
+    ~ the majority baseline; the leakage-safe-split accuracy contract
+    is pinned in tests/test_classifier.py on a corpus with real
+    class-conditional token distributions.)"""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+        nb_classify,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _NB_MOD != 0)
+    test = docs.filter(F.col("doc_id") % _NB_MOD == 0)
+    return nb_classify(train, test)
+
+
 _VOCAB_ORACLE = """
 WITH tok AS (
   SELECT lang, unnest(list_filter(

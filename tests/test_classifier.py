@@ -1,0 +1,132 @@
+"""Naive-Bayes classifier (operators.classifier): learns real
+class-conditional token distributions above a pinned accuracy floor
+under a leakage-safe split, matches an independent pure-Python NB on
+predictions, and handles smoothing/OOV/tie determinism."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+    nb_classify,
+    nb_model,
+)
+
+# two genuinely different token distributions
+_SPAM = ["buy", "free", "click", "offer", "winner", "cash", "now", "deal"]
+_HAM = ["meeting", "report", "quarter", "review", "schedule", "team", "notes", "plan"]
+_COMMON = ["the", "a", "and", "to", "of"]
+
+
+def _corpus():
+    rng = random.Random(13)
+    rows = []
+    for i in range(300):
+        label = "spam" if i % 2 == 0 else "ham"
+        themed = _SPAM if label == "spam" else _HAM
+        # 70% themed, 30% common words -> strong but not trivial signal
+        words = [
+            rng.choice(themed if rng.random() < 0.7 else _COMMON)
+            for _ in range(rng.randint(15, 40))
+        ]
+        rows.append((i, label, " ".join(words)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(_corpus(), "doc_id long, lang string, text string")
+
+
+@pytest.fixture(scope="module")
+def split(corpus):
+    # leakage-safe: disjoint by doc id, deterministic
+    train = corpus.filter(F.col("doc_id") % 5 != 0)
+    test = corpus.filter(F.col("doc_id") % 5 == 0)
+    return train, test
+
+
+def test_accuracy_above_floor(split):
+    train, test = split
+    out = nb_classify(train, test).collect()
+    assert len(out) == test.count()
+    acc = sum(r["is_correct"] for r in out) / len(out)
+    assert acc >= 0.95, f"accuracy {acc} below pinned floor"
+
+
+def test_split_is_leakage_safe(split):
+    train, test = split
+    train_ids = {r["doc_id"] for r in train.select("doc_id").collect()}
+    test_ids = {r["doc_id"] for r in test.select("doc_id").collect()}
+    assert not (train_ids & test_ids)
+
+
+def py_nb(train_rows, test_rows, alpha=0.5):
+    """Independent reference NB (floats, no rounding) — predictions
+    must agree with the DECIMAL DataFrame pipeline on a corpus with
+    clear margins."""
+    tok = lambda t: [w for w in t.lower().split() if w]
+    cwk, ck, nk, vocab = {}, {}, {}, set()
+    for _, k, t in train_rows:
+        nk[k] = nk.get(k, 0) + 1
+        for w in tok(t):
+            cwk[(w, k)] = cwk.get((w, k), 0) + 1
+            ck[k] = ck.get(k, 0) + 1
+            vocab.add(w)
+    n, v = sum(nk.values()), len(vocab)
+    preds = {}
+    for i, k_true, t in test_rows:
+        best = None
+        for k in sorted(nk):
+            s = math.log(nk[k] / n)
+            for w in tok(t):
+                if w in vocab:
+                    s += math.log((cwk.get((w, k), 0) + alpha) / (ck[k] + alpha * v))
+                else:
+                    s += math.log(alpha / (ck[k] + alpha * v))
+            if best is None or s > best[0] + 1e-9:
+                best = (s, k)
+        preds[i] = best[1]
+    return preds
+
+
+def test_matches_reference_implementation(split):
+    train, test = split
+    got = {r["doc_id"]: r["pred_lang"] for r in nb_classify(train, test).collect()}
+    rows = _corpus()
+    train_rows = [r for r in rows if r[0] % 5 != 0]
+    test_rows = [r for r in rows if r[0] % 5 == 0]
+    want = py_nb(train_rows, test_rows)
+    assert got == want
+
+
+def test_oov_and_smoothing_defined(spark):
+    train = spark.createDataFrame(
+        [(0, "a", "cat cat dog"), (1, "b", "fish fish bird")],
+        "doc_id long, lang string, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "a", "cat unicorn unicorn")],  # OOV-heavy doc still scores
+        "doc_id long, lang string, text string",
+    )
+    out = nb_classify(train, test).collect()
+    assert len(out) == 1 and out[0]["pred_lang"] == "a"
+    dense, per_class = nb_model(train)
+    # dense covers full vocab x classes incl. zero-count combos
+    assert dense.count() == 4 * 2
+    assert per_class.count() == 2
+
+
+def test_tie_breaks_by_class_name(spark):
+    # perfectly symmetric classes -> identical scores -> 'a' wins
+    train = spark.createDataFrame(
+        [(0, "b", "x y"), (1, "a", "x y")],
+        "doc_id long, lang string, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "a", "x y")], "doc_id long, lang string, text string"
+    )
+    out = nb_classify(train, test).collect()
+    assert out[0]["pred_lang"] == "a"
