@@ -1,0 +1,194 @@
+"""Search-path dispatcher — the single front door over the engine's
+four batch-retrieval strategies, so callers say WHAT (queries, k,
+metric) and the router picks HOW from what exists on disk and how big
+the index is. The reference's analog is the argmax index-selection
+probe before querying (`app/api/routes.py:78-116` picks the index,
+then `pinecone_service.py:148-182` runs one fixed search path); here
+the decision space is the engine's real strategy ladder:
+
+| path        | when                                            |
+|-------------|-------------------------------------------------|
+| ``ivfpq``   | layout dir carries ``_ivfpq_meta.json``         |
+| ``ivf``     | layout dir carries ``_ivf_meta.json``           |
+| ``exact_gemm`` | no layout, index rows > ``hof_max_rows``     |
+| ``exact_hof``  | no layout, small index (or ``parity=True``)  |
+
+Rationale: a persisted inverted-file layout always beats rescanning
+(partition-pruned probe reads nprobe bucket dirs); with both quantized
+and float layouts available the quantized one wins (16 B/row scan,
+full-precision rerank restores quality); without any layout the exact
+paths differ only in throughput — the Arrow GEMM kernel is ~100x less
+per-score CPU than the interpreted HOF fold, so the fold is reserved
+for small indexes and ``parity=True`` (bit-exact accumulation order
+vs SQL oracles, cf. ``operators/topk.py``).
+
+``route()`` is a pure function of (layout sidecars, row count, flags)
+and is what tests pin; ``search()`` dispatches on its answer. Routing
+reads NO data — sidecar JSON and an optional cached row count only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+#: above this, the interpreted HOF fold costs more CPU than the Arrow
+#: GEMM kernel's fixed overhead — measured crossover is far lower, the
+#: default just keeps tiny/test indexes on the dependency-free path
+DEFAULT_HOF_MAX_ROWS = 50_000
+
+
+def route(
+    layout_path: str | None = None,
+    n_rows: int | None = None,
+    metric: str = "cosine",
+    parity: bool = False,
+    hof_max_rows: int = DEFAULT_HOF_MAX_ROWS,
+) -> dict:
+    """Pick the search path. Returns {"path": ..., "reason": ...};
+    raises on contradictions (an IVFPQ layout only serves euclidean —
+    its ADC distances and rerank are squared-L2)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+        IVF_META,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.pq import (
+        IVFPQ_META,
+    )
+
+    if layout_path is not None:
+        if os.path.exists(os.path.join(layout_path, IVFPQ_META)):
+            if metric != "euclidean":
+                raise ValueError(
+                    "IVFPQ layout serves euclidean only (ADC is squared-L2); "
+                    f"got metric={metric!r} — use an IVF/float layout for "
+                    "cosine/dotproduct"
+                )
+            return {
+                "path": "ivfpq",
+                "reason": f"{IVFPQ_META} present: 16 B/row pruned probe + rerank",
+            }
+        if os.path.exists(os.path.join(layout_path, IVF_META)):
+            return {
+                "path": "ivf",
+                "reason": f"{IVF_META} present: partition-pruned nprobe probe",
+            }
+        raise ValueError(
+            f"layout_path {layout_path!r} has neither {IVFPQ_META} nor "
+            f"{IVF_META} — not a persisted vector layout"
+        )
+    if parity:
+        return {"path": "exact_hof", "reason": "parity=True: bit-exact fold order"}
+    if n_rows is not None and n_rows <= hof_max_rows:
+        return {
+            "path": "exact_hof",
+            "reason": f"small index ({n_rows} rows <= {hof_max_rows})",
+        }
+    return {
+        "path": "exact_gemm",
+        "reason": "no layout, large/unknown index: Arrow GEMM exact scan",
+    }
+
+
+def search(
+    queries: DataFrame,
+    index: DataFrame | None = None,
+    k: int = 5,
+    metric: str = "cosine",
+    layout_path: str | None = None,
+    nprobe: int = 4,
+    fetch_k: int = 50,
+    n_rows: int | None = None,
+    parity: bool = False,
+    hof_max_rows: int = DEFAULT_HOF_MAX_ROWS,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dispatching batch top-k: (query_id, vec_id, score, rank) from
+    whichever strategy :func:`route` picks. ``index`` is the
+    full-precision frame — required for the exact paths and for the
+    IVFPQ rerank stage; the IVF path reads its own persisted layout.
+    ``n_rows`` lets callers who know the index size skip a count; when
+    absent and no layout exists the router treats the index as large
+    (GEMM) rather than pay a count job."""
+    decision = route(layout_path, n_rows, metric, parity, hof_max_rows)
+    path = decision["path"]
+
+    if path == "ivfpq":
+        from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.pq import (
+            ivfpq_topk_rerank,
+            load_ivfpq_meta,
+        )
+
+        if index is None:
+            raise ValueError("IVFPQ rerank needs the full-precision index frame")
+        meta = load_ivfpq_meta(layout_path)
+        layout = queries.sparkSession.read.parquet(layout_path)
+        return ivfpq_topk_rerank(
+            queries,
+            layout,
+            index,
+            [(int(c), v) for c, v in meta["centroids"]],
+            meta["codebooks"],
+            k=k,
+            nprobe=nprobe,
+            fetch_k=fetch_k,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            id_col=id_col,
+            vec_col=vec_col,
+            residual=meta.get("residual", False),
+        )
+    if path == "ivf":
+        from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+            ivf_topk_gemm,
+            load_centroids,
+            read_ivf_index,
+        )
+
+        spark = queries.sparkSession
+        return ivf_topk_gemm(
+            queries,
+            read_ivf_index(spark, layout_path),
+            load_centroids(layout_path),
+            k=k,
+            nprobe=nprobe,
+            metric=metric,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    if index is None:
+        raise ValueError("exact search needs an index frame")
+    if path == "exact_gemm":
+        from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+            topk_search_gemm,
+        )
+
+        return topk_search_gemm(
+            queries,
+            index,
+            k=k,
+            metric=metric,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        topk_search,
+    )
+
+    return topk_search(
+        queries,
+        index,
+        k=k,
+        metric=metric,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

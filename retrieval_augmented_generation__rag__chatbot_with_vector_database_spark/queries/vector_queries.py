@@ -87,6 +87,34 @@ def topk_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_cosine_dispatched",
+    _TOPK_ORACLE.format(nq=N_QUERIES, k=K, metric_fn="list_cosine_similarity", dir="DESC"),
+)
+def topk_cosine_dispatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same search routed through the front-door dispatcher
+    (operators.search.search — the reference's route-then-query shape,
+    `app/api/routes.py:78-116`): no persisted layout and a known row
+    count, so route() picks an exact path; either exact path matches
+    this oracle, and the hash must equal ``topk_cosine``'s. The
+    routing contract itself is pinned in tests/test_search_dispatch.py."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = search(
+        _query_side(spark, sf_dir),
+        emb,
+        k=K,
+        metric="cosine",
+        n_rows=emb.count(),
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+@register(
     "topk_dotproduct",
     _TOPK_ORACLE.format(nq=N_QUERIES, k=K, metric_fn="list_inner_product", dir="DESC"),
 )

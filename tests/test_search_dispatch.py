@@ -1,0 +1,140 @@
+"""Search-path dispatcher (operators.search): route() picks the right
+strategy per scenario, search() results match the direct-path calls,
+and contradictions fail loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+    ann,
+    pq,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+    route,
+    search,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+    topk_search,
+    topk_search_gemm,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["vec_id"], round(r["score"], 6), r["rank"])
+        for r in df.collect()
+    )
+
+
+# -- route() decisions --------------------------------------------------
+
+
+def test_route_small_index_is_hof():
+    assert route(n_rows=1000)["path"] == "exact_hof"
+
+
+def test_route_large_index_is_gemm():
+    assert route(n_rows=10_000_000)["path"] == "exact_gemm"
+
+
+def test_route_unknown_size_defaults_gemm():
+    assert route()["path"] == "exact_gemm"
+
+
+def test_route_parity_forces_hof():
+    assert route(n_rows=10_000_000, parity=True)["path"] == "exact_hof"
+
+
+def test_route_ivf_layout(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    cents = ann.seed_centroids(emb, 8)
+    ann.write_ivf_index(emb, path, cents)
+    assert route(layout_path=path)["path"] == "ivf"
+    # layout presence beats any row-count argument
+    assert route(layout_path=path, n_rows=10)["path"] == "ivf"
+
+
+def test_route_ivfpq_layout_and_metric_guard(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfpq")
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    cents = ann.seed_centroids(emb, 8)
+    pq.write_ivfpq_index(emb, path, cents, books)
+    assert route(layout_path=path, metric="euclidean")["path"] == "ivfpq"
+    with pytest.raises(ValueError, match="euclidean only"):
+        route(layout_path=path, metric="cosine")
+
+
+def test_route_rejects_non_layout_dir(tmp_path):
+    with pytest.raises(ValueError, match="not a persisted vector layout"):
+        route(layout_path=str(tmp_path))
+
+
+# -- search() dispatch equals the direct path ----------------------------
+
+
+def test_search_small_equals_hof(spark, emb):
+    got = search(_queries(emb), emb, k=5, n_rows=emb.count())
+    want = topk_search(_queries(emb), emb, k=5)
+    assert _rows(got) == _rows(want)
+
+
+def test_search_forced_gemm_equals_gemm(spark, emb):
+    got = search(_queries(emb), emb, k=5)  # unknown size -> gemm
+    want = topk_search_gemm(_queries(emb), emb, k=5)
+    assert _rows(got) == _rows(want)
+
+
+def test_search_ivf_layout_equals_direct_probe(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf2")
+    cents = ann.seed_centroids(emb, 8)
+    ann.write_ivf_index(emb, path, cents)
+    got = search(_queries(emb), k=5, metric="cosine", layout_path=path, nprobe=3)
+    want = ann.ivf_topk_gemm(
+        _queries(emb), ann.read_ivf_index(spark, path), cents, k=5, nprobe=3
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_search_ivfpq_layout_equals_direct_rerank(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfpq2")
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    cents = ann.seed_centroids(emb, 8)
+    pq.write_ivfpq_index(emb, path, cents, books)
+    got = search(
+        _queries(emb),
+        emb,
+        k=5,
+        metric="euclidean",
+        layout_path=path,
+        nprobe=4,
+        fetch_k=25,
+    )
+    want = pq.ivfpq_topk_rerank(
+        _queries(emb),
+        spark.read.parquet(path),
+        emb,
+        cents,
+        books,
+        k=5,
+        nprobe=4,
+        fetch_k=25,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_search_exact_needs_index(spark, emb):
+    with pytest.raises(ValueError, match="needs an index frame"):
+        search(_queries(emb), None, k=5)
