@@ -213,9 +213,21 @@ def random_projection(
             )
             return F.aggregate(pairs, F.lit(0.0), lambda s, x: s + x) * F.lit(inv)
 
-        return F.transform(
+        proj = F.transform(
             F.sequence(F.lit(0), F.lit(out_dim - 1)).cast("array<long>"),
             one_dim_lit,
+        )
+        # a vector LONGER than in_dim would index past the literal sign
+        # matrix — fail with a message instead of an opaque ANSI
+        # element_at error (or a silent NULL with ANSI off)
+        return F.when(F.size(v) <= F.lit(in_dim), proj).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("random_projection: vector length "),
+                    F.size(v).cast("string"),
+                    F.lit(f" exceeds in_dim={in_dim}"),
+                )
+            )
         )
 
     def sign(i: Column, j: Column) -> Column:

@@ -67,6 +67,14 @@ def salted_topk_per_group(
         raise ValueError(f"k must be positive, got {k}")
     if n_salts <= 0:
         raise ValueError(f"n_salts must be positive, got {n_salts}")
+    reserved = {"__salt", "__lr", rank_name}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} clash with reserved/output "
+            "names (__salt, __lr, rank_name) — rename them or pass a "
+            "different rank_name"
+        )
     salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
     w_local = Window.partitionBy(*group_cols, "__salt").orderBy(*order_by)
     w_final = Window.partitionBy(*group_cols).orderBy(*order_by)
@@ -92,6 +100,13 @@ def two_phase_distinct(
     dominates, with map-side combine deduplicating locally — and the
     second counts one row per surviving distinct value. NULL values
     are excluded, matching SQL ``count(DISTINCT ...)``.
+
+    DIVERGENCE from ``GROUP BY g + count(DISTINCT x)``: a group whose
+    ``distinct_col`` is entirely NULL is OMITTED here (the null filter
+    removes its rows before grouping), whereas GROUP BY emits it with
+    count 0. Callers needing those groups should left-join from the
+    group dimension and ``coalesce(n_distinct, 0)`` (the fixture's
+    user_id is non-null, so the registry query is unaffected).
     """
     return (
         df.filter(F.col(distinct_col).isNotNull())

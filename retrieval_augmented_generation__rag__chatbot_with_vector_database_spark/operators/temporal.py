@@ -390,15 +390,22 @@ def interval_join(
     oracle runs would fan out per (key, interval) candidate at scale;
     this form never builds candidate pairs at all.
 
-    Output: all of ``left``, plus ``{valid_from}{suffix}`` /
-    ``{valid_to}{suffix}`` of the matched version and its payload
-    columns (suffixed on clash). Payload defaults to every dim column
-    except keys and the two bound columns.
+    Output: all of ``left``, plus the matched version's bounds and
+    payload columns — each under its own name, or ``{name}{suffix}``
+    only when that name already exists on ``left`` (clash-only
+    suffixing, the ``asof_join`` convention). Payload defaults to
+    every dim column except keys and the two bound columns; a caller-
+    supplied payload may list ``valid_to`` (it is carried once either
+    way).
     """
     if payload is None:
         payload = [
             c for c in dim.columns if c not in on and c not in (valid_from, valid_to)
         ]
+    # valid_to is appended as the expiry-check column; a payload that
+    # already names it would otherwise duplicate the struct field and
+    # make the __m.<field> reference ambiguous inside asof_join
+    payload = [c for c in payload if c != valid_to]
     j = asof_join(
         left,
         dim,

@@ -136,6 +136,16 @@ def load_jsonl_documents(
     decontamination sink) — a bad line never kills the job and never
     silently disappears. Returns ``(clean, quarantined)``; ``clean``
     carries (id, text, meta, source) with the file path as provenance.
+
+    Both frames share one CACHED scan (required SPARK-26108
+    workaround), exposed as ``.source_scan`` on each returned frame;
+    release the cache with ``clean.source_scan.unpersist()`` once both
+    have been consumed (unpersisting a DERIVED frame would not free
+    it). Quarantined rows always carry the offending line
+    content: ``_corrupt_record`` holds the raw line for malformed
+    JSON, and for well-formed JSON that fails the contract (null
+    ``text``) it holds the parsed row re-serialized — triage never
+    has to re-open the source file.
     """
     raw = (
         spark.read.schema(JSONL_SCHEMA)
@@ -148,7 +158,9 @@ def load_jsonl_documents(
     )
     # Spark cannot filter on the corrupt column of an unmaterialized
     # json scan (SPARK-26108); route both frames through a cached
-    # projection instead of re-reading the files per consumer.
+    # projection instead of re-reading the files per consumer. The
+    # cache is shared by both returned frames, so unpersisting either
+    # releases it.
     raw = raw.cache()
     clean = (
         raw.filter(F.col("_corrupt_record").isNull() & F.col("text").isNotNull())
@@ -156,5 +168,16 @@ def load_jsonl_documents(
     )
     quarantined = raw.filter(
         F.col("_corrupt_record").isNotNull() | F.col("text").isNull()
-    ).select("source", "_corrupt_record")
+    ).select(
+        "source",
+        # valid-JSON-but-null-text rows have a NULL _corrupt_record;
+        # reconstruct the line from the parsed fields so the
+        # quarantine always shows WHAT was rejected
+        F.coalesce(
+            F.col("_corrupt_record"),
+            F.to_json(F.struct("id", "text", "meta")),
+        ).alias("_corrupt_record"),
+    )
+    clean.source_scan = raw
+    quarantined.source_scan = raw
     return clean, quarantined

@@ -272,3 +272,38 @@ def test_ingest_stream_maintains_both_signals(spark, tmp_path):
     assert rows(lidx) == rows(rebuild())
     q = spark.createDataFrame([(1, "pasta")], "query_id long, text string")
     assert lidx.lexical_topk(q, k=5, df_cap=None).count() == 1
+
+
+def test_file_count_bounded_under_many_hot_batches(spark, tmp_path):
+    """Sustained micro-batches hitting the SAME hot buckets must not
+    accumulate files: every upsert rewrites each touched bucket dir
+    wholesale (repartition-by-bucket -> one file per bucket) and the
+    swap deletes the _old_ aside — so a bucket dir holds exactly one
+    data file no matter how many batches touched it. 100-batch run:
+    tools/scale_check_lexical_files.py (SCALE.md)."""
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.lexical_index import (
+        LexicalIndex,
+    )
+
+    path = str(tmp_path / "lexfiles")
+    seed = spark.createDataFrame(
+        [(i, "alpha beta gamma shared") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = LexicalIndex(spark, path).create(seed, term_buckets=4, doc_buckets=2)
+
+    def max_files():
+        worst = 0
+        for dirpath, _, files in os.walk(path):
+            worst = max(worst, sum(1 for f in files if f.endswith(".parquet")))
+        return worst
+
+    for b in range(1, 13):
+        batch = spark.createDataFrame(
+            [(i, f"alpha beta batch{b}") for i in range(5)],
+            "doc_id long, text string",
+        )
+        idx.upsert(batch, batch=b)
+        assert max_files() == 1, f"file growth at batch {b}"

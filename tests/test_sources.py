@@ -349,8 +349,18 @@ def test_jsonl_ingest_clean_and_quarantine(spark, tmp_path):
 
     q = quarantined.collect()
     assert len(q) == 2  # the garbage line and the text-less record
-    bad = [r for r in q if r["_corrupt_record"] is not None]
-    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+    # EVERY quarantined row carries the offending content: the raw
+    # line for malformed JSON, the re-serialized row for contract
+    # failures (null text) — triage never re-opens the source file
+    assert all(r["_corrupt_record"] is not None for r in q)
+    assert any("not json" in r["_corrupt_record"] for r in q)
+    assert any('"d4"' in r["_corrupt_record"] for r in q)
+
+    # the shared cached scan is exposed for release by the caller
+    assert clean.source_scan is quarantined.source_scan
+    assert clean.source_scan.is_cached
+    clean.source_scan.unpersist()
+    assert not clean.source_scan.is_cached
 
 
 def test_jsonl_ingest_empty_dir_is_empty_not_error(spark, tmp_path):
