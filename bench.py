@@ -205,19 +205,34 @@ def main() -> None:
     # Self-write the complete record: the driver captures stdout with a
     # bounded tail window, which truncated BENCH_r05.json mid-record.
     # Writing BENCH_local_r{N}.json directly means the committed history
-    # never depends on the driver's capture. N = 1 + the highest driver
-    # round already on disk (so the local record lands beside the
-    # driver's BENCH_r{N}.json for the round in progress).
-    repo = os.path.dirname(os.path.abspath(__file__))
-    import re
+    # never depends on the driver's capture.
+    #
+    # Output resolution (ADVICE r6: inference mislabels when the driver
+    # writes BENCH_r{N}.json before bench.py runs, and the repo-tree
+    # side effect should be optional):
+    #   BENCH_LOCAL_OUT=<path>  explicit output path (wins)
+    #   BENCH_ROUND=<N>         explicit round number
+    #   BENCH_LOCAL_OUT=none    skip the self-write entirely
+    #   (neither set)           fall back to N = 1 + highest
+    #                           BENCH_r{N}.json on disk
+    out = os.environ.get("BENCH_LOCAL_OUT")
+    if out == "none":
+        return
+    if not out:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env_round = os.environ.get("BENCH_ROUND")
+        if env_round:
+            n_round = int(env_round)
+        else:
+            import re
 
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(repo)
-        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-    ]
-    n_round = (max(rounds) + 1) if rounds else 1
-    out = os.path.join(repo, f"BENCH_local_r{n_round:02d}.json")
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(repo)
+                if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            n_round = (max(rounds) + 1) if rounds else 1
+        out = os.path.join(repo, f"BENCH_local_r{n_round:02d}.json")
     with open(out, "w") as fh:
         json.dump(record, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -48,6 +48,17 @@ Token ids: base alphabet = the corpus' distinct characters in sorted
 order (ids 0..B-1); merge #r mints id B+r for its concatenated symbol.
 If two merge paths produce the same symbol string, the smallest id
 wins (deterministic on both engines); unknown symbols encode as -1.
+
+Reserved-delimiter policy (pretokens containing ``|`` or ``\\x01`` —
+markdown tables, code, control chars; near-certain on real corpora):
+TRAINING drops them from the vocabulary (counted, logged — never a
+job-killing raise by default, that would be denial-of-training), so no
+merge rule ever contains a delimiter; ENCODING routes them to a
+character-level fallback (the fold's delimited-string representation
+cannot carry them), preserving the round-trip invariant
+``concat(syms) == tok``. This mirrors byte/char-fallback in production
+tokenizers: rare inputs outside the trained vocabulary still encode,
+just without merges.
 """
 
 from __future__ import annotations
@@ -83,17 +94,50 @@ def _word_syms(w: str) -> list[str]:
     return [s.strip("|") for s in w.split("||")]
 
 
+def split_reserved_pretokens(
+    vocab: list[tuple[str, int]],
+) -> tuple[list[tuple[str, int]], list[tuple[str, int]]]:
+    """(clean, dropped): partition a (pretoken, freq) table on the
+    reserved-delimiter predicate. Exposed so callers can audit exactly
+    which word types training excluded."""
+    clean, dropped = [], []
+    for tok, f in vocab:
+        (dropped if SYM_DELIM in tok or MERGE_SEP in tok else clean).append(
+            (tok, f)
+        )
+    return clean, dropped
+
+
 def train_bpe_local(
     vocab: list[tuple[str, int]],
     num_merges: int = 64,
     min_pair_freq: int = 2,
+    on_reserved: str = "drop",
 ) -> list[Merge]:
     """The driver-side merge loop over a bounded (pretoken, freq)
     table — separated from :func:`train_bpe` so tests can oracle it on
-    hand-counted corpora. Pure function of its inputs."""
-    for tok, _ in vocab:
-        if SYM_DELIM in tok or MERGE_SEP in tok:
-            raise ValueError(f"pretoken contains a reserved delimiter: {tok!r}")
+    hand-counted corpora. Pure function of its inputs.
+
+    Pretokens containing a reserved delimiter are DROPPED from the
+    vocabulary with a logged count (``on_reserved="drop"``, default —
+    see the module docstring's fallback policy) or rejected loudly
+    (``on_reserved="raise"``, for callers that need the job to stop on
+    unexpected input)."""
+    vocab, dropped = split_reserved_pretokens(vocab)
+    if dropped:
+        if on_reserved == "raise":
+            raise ValueError(
+                f"pretoken contains a reserved delimiter: {dropped[0][0]!r} "
+                f"({len(dropped)} such word types)"
+            )
+        import logging
+
+        logging.getLogger(__name__).info(
+            "train_bpe: dropped %d reserved-delimiter word types "
+            "(mass %d); they encode via the character fallback",
+            len(dropped),
+            sum(f for _, f in dropped),
+        )
     words: list[list] = [[_word_str(tok), int(f)] for tok, f in vocab]
     merges: list[Merge] = []
     for rank in range(num_merges):
@@ -143,9 +187,17 @@ def train_bpe(
 ) -> list[Merge]:
     """Distributed count -> deterministic ``vocab_cap`` head (freq
     desc, token asc) -> driver merge loop. The collect is bounded by
-    ``vocab_cap`` rows regardless of corpus size."""
+    ``vocab_cap`` rows regardless of corpus size. Reserved-delimiter
+    pretokens are filtered BEFORE the cap (JVM-side), so the training
+    vocabulary is always ``vocab_cap`` usable word types — a pipe-heavy
+    corpus (markdown tables) doesn't waste cap slots on tokens the
+    merge loop would drop anyway."""
     rows = (
         pretoken_counts(df, text_col, pattern)
+        .filter(
+            ~F.col("tok").contains(SYM_DELIM)
+            & ~F.col("tok").contains(MERGE_SEP)
+        )
         .orderBy(F.col("f").desc(), F.col("tok").asc())
         .limit(vocab_cap)
         .collect()
@@ -185,7 +237,15 @@ def encode_fold(tok: Column, merges: list[Merge]) -> Column:
     """The whole BPE encode of one pretoken as a single Catalyst fold:
     chars -> delimited word string -> ``aggregate`` over merge-rule
     literals, each step one ``replace``. Returns array<string> of
-    final symbols. JVM-side end to end."""
+    final symbols. JVM-side end to end.
+
+    Pretokens containing a reserved delimiter (``|`` / ``\\x01`` —
+    which the delimited-string representation cannot carry: the fold
+    would silently emit wrong/empty symbols) take the CHARACTER
+    fallback branch instead: no merges apply (training drops such word
+    types, so no rule could match them correctly anyway) and the
+    round-trip invariant ``concat(syms) == tok`` holds for every
+    input."""
     chars = F.filter(F.split(tok, ""), lambda x: x != "")
     word0 = F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
     rules = F.array(
@@ -203,9 +263,12 @@ def encode_fold(tok: Column, merges: list[Merge]) -> Column:
         encoded = F.aggregate(
             rules, word0, lambda acc, m: F.replace(acc, m["s"], m["p"])
         )
-    return F.transform(
+    folded = F.transform(
         F.split(encoded, r"\|\|"), lambda s: F.btrim(s, F.lit("|"))
     )
+    return F.when(
+        tok.contains(SYM_DELIM) | tok.contains(MERGE_SEP), chars
+    ).otherwise(folded)
 
 
 def _encoded_dim(pre: DataFrame, merges: list[Merge], ids: dict[str, int]) -> DataFrame:

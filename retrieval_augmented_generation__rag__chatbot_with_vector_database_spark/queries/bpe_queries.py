@@ -51,6 +51,9 @@ _TRAIN_CTE = f"""
 pre AS (
   SELECT tok, count(*)::BIGINT AS f
   FROM (SELECT unnest(regexp_extract_all(text, '{_PAT}')) AS tok FROM documents)
+  -- reserved-delimiter word types are dropped from the training
+  -- vocabulary BEFORE the cap (operators/bpe.py train_bpe policy)
+  WHERE strpos(tok, '|') = 0 AND strpos(tok, chr(1)) = 0
   GROUP BY tok
   ORDER BY f DESC, tok ASC
   LIMIT {VOCAB_CAP}
@@ -113,7 +116,12 @@ dtok AS (
 ),
 dim AS (
   SELECT tok,
-         list_transform(string_split(
+         -- reserved-delimiter pretokens take the character fallback
+         -- (operators/bpe.py encode_fold policy): no merges apply,
+         -- round-trip invariant preserved
+         CASE WHEN strpos(tok, '|') > 0 OR strpos(tok, chr(1)) > 0
+              THEN list_filter(string_split(tok, ''), c -> c <> '')
+              ELSE list_transform(string_split(
            list_reduce(
              list_prepend(
                '|' || array_to_string(list_filter(string_split(tok, ''), c -> c <> ''), '||') || '|',
@@ -121,7 +129,8 @@ dim AS (
              (acc, m) -> replace(acc,
                '|' || split_part(m, chr(1), 1) || '||' || split_part(m, chr(1), 2) || '|',
                '|' || split_part(m, chr(1), 1) || split_part(m, chr(1), 2) || '|')),
-           '||'), x -> trim(x, '|')) AS syms
+           '||'), x -> trim(x, '|'))
+         END AS syms
   FROM (SELECT DISTINCT tok FROM dtok)
 )
 """

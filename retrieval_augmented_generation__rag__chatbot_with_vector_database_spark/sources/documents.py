@@ -15,6 +15,7 @@ explode) real and tested via the injectable parser seam.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -121,9 +122,19 @@ JSONL_SCHEMA = T.StructType(
 )
 
 
-def load_jsonl_documents(
-    spark: SparkSession, data_dir: str
-) -> tuple[DataFrame, DataFrame]:
+class JsonlScan(NamedTuple):
+    """Result of :func:`load_jsonl_documents`. ``clean`` and
+    ``quarantined`` both derive from one cached ``source_scan`` —
+    returned as an explicit field (not a monkey-patched attribute,
+    which vanishes on any transformation) so callers can
+    ``source_scan.unpersist()`` once both frames are consumed."""
+
+    clean: DataFrame
+    quarantined: DataFrame
+    source_scan: DataFrame
+
+
+def load_jsonl_documents(spark: SparkSession, data_dir: str) -> JsonlScan:
     """JSONL corpus ingest — the interchange format LLM training
     corpora actually ship in (one JSON object per line: ``id``,
     ``text``, optional ``meta`` map).
@@ -134,14 +145,15 @@ def load_jsonl_documents(
     through PERMISSIVE mode into ``_corrupt_record`` and are returned
     as a separate quarantine frame (same discipline as the streaming
     decontamination sink) — a bad line never kills the job and never
-    silently disappears. Returns ``(clean, quarantined)``; ``clean``
-    carries (id, text, meta, source) with the file path as provenance.
+    silently disappears. Returns :class:`JsonlScan` ``(clean,
+    quarantined, source_scan)``; ``clean`` carries (id, text, meta,
+    source) with the file path as provenance.
 
-    Both frames share one CACHED scan (required SPARK-26108
-    workaround), exposed as ``.source_scan`` on each returned frame;
-    release the cache with ``clean.source_scan.unpersist()`` once both
-    have been consumed (unpersisting a DERIVED frame would not free
-    it). Quarantined rows always carry the offending line
+    Both frames share the one CACHED ``source_scan`` (required
+    SPARK-26108 workaround); release the cache with
+    ``result.source_scan.unpersist()`` once both have been consumed
+    (unpersisting a DERIVED frame would not free it).
+    Quarantined rows always carry the offending line
     content: ``_corrupt_record`` holds the raw line for malformed
     JSON, and for well-formed JSON that fails the contract (null
     ``text``) it holds the parsed row re-serialized — triage never
@@ -178,6 +190,4 @@ def load_jsonl_documents(
             F.to_json(F.struct("id", "text", "meta")),
         ).alias("_corrupt_record"),
     )
-    clean.source_scan = raw
-    quarantined.source_scan = raw
-    return clean, quarantined
+    return JsonlScan(clean, quarantined, raw)

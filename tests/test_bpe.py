@@ -67,9 +67,52 @@ def test_trainer_overlap_run_semantics():
     assert len(merges) == 1
 
 
-def test_trainer_rejects_reserved_delims():
+def test_trainer_drops_reserved_delims_by_default():
+    """Reserved-delimiter word types are filtered, not fatal: training
+    proceeds on the clean remainder (denial-of-training would be worse
+    than losing a few markdown-table tokens)."""
+    merges = train_bpe_local(
+        [("a|b", 100), ("x\x01y", 50), ("cc", 5)], num_merges=2
+    )
+    assert [(m.left, m.right) for m in merges] == [("c", "c")]
+
+
+def test_trainer_raise_mode_rejects_reserved_delims():
     with pytest.raises(ValueError, match="reserved delimiter"):
-        train_bpe_local([("a|b", 1)], num_merges=1)
+        train_bpe_local([("a|b", 1)], num_merges=1, on_reserved="raise")
+
+
+def test_split_reserved_pretokens():
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.bpe import (
+        split_reserved_pretokens,
+    )
+
+    clean, dropped = split_reserved_pretokens(
+        [("ab", 3), ("a|b", 2), ("x\x01", 1)]
+    )
+    assert clean == [("ab", 3)]
+    assert dropped == [("a|b", 2), ("x\x01", 1)]
+
+
+def test_encode_reserved_delim_char_fallback(spark):
+    """Pretokens the delimited-string fold cannot carry encode at
+    character level — round-trip invariant holds, no silent
+    wrong/empty symbols (the pre-guard bug: '|' -> ['',''])."""
+    merges = train_bpe_local([("aab", 4)], num_merges=1, min_pair_freq=2)
+    assert [(m.left, m.right) for m in merges] == [("a", "a")]
+    toks = ["|", "a|b", "aab", "a\x01ab"]
+    got = {
+        r["tok"]: r["syms"]
+        for r in spark.createDataFrame([(t,) for t in toks], "tok string")
+        .select("tok", encode_fold(F.col("tok"), merges).alias("syms"))
+        .collect()
+    }
+    assert got["|"] == ["|"]
+    assert got["a|b"] == ["a", "|", "b"]
+    assert got["a\x01ab"] == ["a", "\x01", "a", "b"]
+    assert got["aab"] == ["aa", "b"]  # clean toks still fold-merge
+    for t in toks:
+        assert "".join(got[t]) == t
 
 
 @pytest.fixture(scope="module")

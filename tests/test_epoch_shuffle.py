@@ -75,13 +75,28 @@ def test_assignment_feeds_training_shards(spark, packed, tmp_path):
     ep = epoch_pack_assignment(packed, seed=7, epoch=2, out_shards=4)
     assert ep.count() == packed.count()
     assert {"doc_id", "shard", "seq", "offset", "size"} <= set(ep.columns)
-    # docs of one original sequence stay together with offsets intact
-    orig = {
-        (r["shard"], r["seq"]): r["doc_id"] for r in packed.collect()
+    # every doc kept exactly once, identity preserved
+    packed_rows = packed.collect()
+    ep_rows = ep.collect()
+    assert sorted(r["doc_id"] for r in ep_rows) == sorted(
+        r["doc_id"] for r in packed_rows
+    )
+    # docs of one original sequence stay together: each original
+    # (shard, seq) group lands on a single epoch (shard, seq) slot,
+    # with every member's offset/size intact
+    orig_group = {
+        r["doc_id"]: (r["shard"], r["seq"], r["offset"], r["size"])
+        for r in packed_rows
     }
-    assert len({r["doc_id"] for r in ep.collect()}) == len(
-        {v for v in orig.values()}
-    ) or packed.count() == ep.count()
+    dest: dict[tuple, set] = {}
+    for r in ep_rows:
+        os_, oq, ooff, osz = orig_group[r["doc_id"]]
+        assert (r["offset"], r["size"]) == (ooff, osz), r["doc_id"]
+        dest.setdefault((os_, oq), set()).add((r["shard"], r["seq"]))
+    assert all(len(slots) == 1 for slots in dest.values())
+    # and distinct original sequences land on distinct epoch slots
+    all_slots = [next(iter(s)) for s in dest.values()]
+    assert len(set(all_slots)) == len(all_slots)
     path = str(tmp_path / "epoch2")
     write_training_shards(ep, path, budget=64)
     shard0 = read_training_shard(spark, path, 0)

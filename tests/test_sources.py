@@ -340,7 +340,7 @@ def test_jsonl_ingest_clean_and_quarantine(spark, tmp_path):
     (d / "b.jsonl").write_text('{"id": "d5", "text": "third file line"}\n')
     (d / "ignored.txt").write_text("not a jsonl file\n")
 
-    clean, quarantined = load_jsonl_documents(spark, str(d))
+    clean, quarantined, source_scan = load_jsonl_documents(spark, str(d))
     rows = {r["id"]: r for r in clean.collect()}
     assert set(rows) == {"d1", "d2", "d5"}
     assert rows["d1"]["meta"] == {"lang": "en"}
@@ -356,11 +356,13 @@ def test_jsonl_ingest_clean_and_quarantine(spark, tmp_path):
     assert any("not json" in r["_corrupt_record"] for r in q)
     assert any('"d4"' in r["_corrupt_record"] for r in q)
 
-    # the shared cached scan is exposed for release by the caller
-    assert clean.source_scan is quarantined.source_scan
-    assert clean.source_scan.is_cached
-    clean.source_scan.unpersist()
-    assert not clean.source_scan.is_cached
+    # the shared cached scan is exposed for release by the caller —
+    # as an explicit result field, so it survives any transformation
+    # of clean/quarantined (r6 ADVICE: attribute monkey-patching
+    # vanished on the first .select())
+    assert source_scan.is_cached
+    source_scan.unpersist()
+    assert not source_scan.is_cached
 
 
 def test_jsonl_ingest_empty_dir_is_empty_not_error(spark, tmp_path):
@@ -371,5 +373,5 @@ def test_jsonl_ingest_empty_dir_is_empty_not_error(spark, tmp_path):
     d = tmp_path / "empty"
     d.mkdir()
     (d / "a.jsonl").write_text("")  # zero-line file: schema is explicit
-    clean, quarantined = load_jsonl_documents(spark, str(d))
+    clean, quarantined, _ = load_jsonl_documents(spark, str(d))
     assert clean.count() == 0 and quarantined.count() == 0
