@@ -20,12 +20,13 @@ Everything is SQL aggregation — no Python, no gradient loop:
   the per-class fallback ``alpha / (c(k) + alpha*V)`` — handled
   arithmetically (n_oov * fallback), never by exploding OOV rows.
 - SCORING: test tokens x classes (a bounded |K|-way fan-out), one
-  broadcast join to the dense model, one groupBy(doc, class) DECIMAL
-  sum, then a |K|-row-per-doc window argmax (score desc, class asc).
+  join to the dense model, one groupBy(doc, class) DECIMAL sum, then
+  a |K|-row-per-doc window argmax (score desc, class asc).
 
 Scale shape: the model is a (vocab x classes) dimension — broadcast
-when it fits, else an equi-join on the token key; scoring shuffles one
-row per (doc, class), never corpus x vocab. Per-token contributions
+when it fits, else a plain ["w", "k"] shuffle equi-join (routing is
+explicit: ``broadcast_model`` flag, auto by estimated model rows);
+scoring shuffles one row per (doc, class), never corpus x vocab. Per-token contributions
 are rounded to 6 dp and summed as DECIMAL (repo determinism
 convention, cf. ``operators/lm.py``).
 """
@@ -114,6 +115,13 @@ def nb_model(
     return dense, per_class
 
 
+#: above this many (word, class) model rows the dense model no longer
+#: fits a sane executor broadcast (~40 B/row serialized → ~160 MB);
+#: a real 1e7-word × K-class model OOMs a forced broadcast, so auto
+#: routing falls back to the plain shuffle equi-join past this point
+BROADCAST_MAX_MODEL_ROWS = 4_000_000
+
+
 def nb_classify(
     train: DataFrame,
     test: DataFrame,
@@ -121,16 +129,43 @@ def nb_classify(
     label_col: str = "lang",
     text_col: str = "text",
     alpha: float = 0.5,
+    broadcast_model: bool | None = None,
+    broadcast_max_model_rows: int = BROADCAST_MAX_MODEL_ROWS,
 ) -> DataFrame:
     """Train on ``train``, score ``test``; returns one row per test
     doc that has at least one token: (id_col, label_col,
     pred_<label_col>, score, is_correct). Prediction is the argmax
-    class by DECIMAL log-posterior, ties broken by class name asc."""
+    class by DECIMAL log-posterior, ties broken by class name asc.
+
+    Model-join routing (the docstring promise made honest, same
+    pattern as ``operators/search.route``): ``broadcast_model=True``
+    forces ``F.broadcast(dense)``; ``False`` uses a plain ["w", "k"]
+    shuffle equi-join (the token stream and the model co-shuffle on
+    the word key — correct at any model size); ``None`` (default)
+    auto-routes by the estimated model size |train vocab| × |classes|
+    (one cheap aggregate over the train token stream) against
+    ``broadcast_max_model_rows``. Results are identical either way
+    (pytest pins hash equality); only the physical join strategy
+    moves."""
     dense, per_class = nb_model(train, id_col, label_col, text_col, alpha)
+    if broadcast_model is None:
+        # |model| = train vocab × classes, from one aggregate pass
+        est = (
+            _tokens(train, id_col, label_col, text_col)
+            .agg(
+                F.count_distinct("w").alias("v"),
+                F.count_distinct("label").alias("k"),
+            )
+            .collect()[0]
+        )
+        broadcast_model = (
+            (est["v"] or 0) * (est["k"] or 0) <= broadcast_max_model_rows
+        )
+    dense_side = F.broadcast(dense) if broadcast_model else dense
     tok = _tokens(test, id_col, label_col, text_col)
     scored = (
         tok.crossJoin(F.broadcast(per_class.select("k")))
-        .join(F.broadcast(dense), ["w", "k"], "left")
+        .join(dense_side, ["w", "k"], "left")
         .join(F.broadcast(per_class), "k")
         .groupBy("id", "k")
         .agg(

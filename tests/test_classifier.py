@@ -119,6 +119,47 @@ def test_oov_and_smoothing_defined(spark):
     assert per_class.count() == 2
 
 
+def test_broadcast_and_join_paths_identical(split):
+    """Routing is physical only: the forced-broadcast and the plain
+    shuffle equi-join model paths return identical rows (r6 verdict:
+    the hard-coded F.broadcast(dense) OOMs at real vocab; the flag
+    must not change answers)."""
+    train, test = split
+    rows_b = sorted(
+        map(tuple, nb_classify(train, test, broadcast_model=True).collect())
+    )
+    rows_j = sorted(
+        map(tuple, nb_classify(train, test, broadcast_model=False).collect())
+    )
+    assert rows_b == rows_j
+
+
+def test_auto_routing_thresholds(split):
+    """broadcast_model=None picks by estimated |vocab|×|classes|: a
+    tiny cap forces the equi-join path, a huge cap the broadcast path
+    — both still correct (same rows as the forced paths)."""
+    train, test = split
+    want = sorted(
+        map(tuple, nb_classify(train, test, broadcast_model=True).collect())
+    )
+    got_small = sorted(
+        map(
+            tuple,
+            nb_classify(train, test, broadcast_max_model_rows=1).collect(),
+        )
+    )
+    got_large = sorted(
+        map(
+            tuple,
+            nb_classify(
+                train, test, broadcast_max_model_rows=10**9
+            ).collect(),
+        )
+    )
+    assert got_small == want
+    assert got_large == want
+
+
 def test_tie_breaks_by_class_name(spark):
     # perfectly symmetric classes -> identical scores -> 'a' wins
     train = spark.createDataFrame(
