@@ -86,12 +86,23 @@ class Merge(NamedTuple):
     pair_freq: int
 
 
-def _word_str(tok: str) -> str:
-    return "|" + "||".join(tok) + "|"
-
-
-def _word_syms(w: str) -> list[str]:
-    return [s.strip("|") for s in w.split("||")]
+def _apply_merge(
+    syms: list[str], left: str, right: str, merged: str
+) -> list[str]:
+    """Leftmost-first non-overlapping merge of (left, right) in a
+    symbol list — identical semantics to ``replace`` on the delimited
+    word string (scan resumes AFTER each replacement), which is what
+    the Catalyst/DuckDB encode fold runs."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
 
 
 def split_reserved_pretokens(
@@ -122,7 +133,21 @@ def train_bpe_local(
     vocabulary with a logged count (``on_reserved="drop"``, default —
     see the module docstring's fallback policy) or rejected loudly
     (``on_reserved="raise"``, for callers that need the job to stop on
-    unexpected input)."""
+    unexpected input).
+
+    The merge loop maintains pair counts INCREMENTALLY (Sennrich's
+    optimization): after a merge, only the word types that contained
+    the merged pair are re-counted, and the best pair comes from a
+    lazy-invalidation max-heap instead of a full recount+scan. The
+    naive loop is O(merges × corpus word-type symbols) — hours of
+    driver Python at production 32k–50k merges; this is
+    O(initial symbols + merges×log H + touched-word updates), which
+    SCALE.md times at 4k merges (tools/scale_check_bpe.py). Output is
+    identical to the naive recount by construction: counts are exact
+    at every step and the heap orders by the same
+    (count desc, left asc, right asc) key."""
+    import heapq
+
     vocab, dropped = split_reserved_pretokens(vocab)
     if dropped:
         if on_reserved == "raise":
@@ -138,25 +163,56 @@ def train_bpe_local(
             len(dropped),
             sum(f for _, f in dropped),
         )
-    words: list[list] = [[_word_str(tok), int(f)] for tok, f in vocab]
+    words: list[tuple[list[str], int]] = [
+        (list(tok), int(f)) for tok, f in vocab
+    ]
+    counts: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, f) in enumerate(words):
+        for pair in zip(syms, syms[1:]):
+            counts[pair] = counts.get(pair, 0) + f
+            occ.setdefault(pair, set()).add(idx)
+    # heap entries are (-count, left, right): pop order == the naive
+    # scan's min key (count desc, then (l, r) lexicographic asc);
+    # stale entries (count changed since push) are discarded at pop
+    heap = [(-c, p[0], p[1]) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list[Merge] = []
-    for rank in range(num_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for w, f in words:
-            syms = _word_syms(w)
-            for pair in zip(syms, syms[1:]):
-                counts[pair] = counts.get(pair, 0) + f
-        if not counts:
+    while len(merges) < num_merges:
+        freq = left = right = None
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            if counts.get((l, r)) == -negc:
+                freq, left, right = -negc, l, r
+                break
+        if freq is None or freq < min_pair_freq:
             break
-        (left, right), freq = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        if freq < min_pair_freq:
-            break
-        pat, rep = f"|{left}||{right}|", f"|{left}{right}|"
-        for w in words:
-            w[0] = w[0].replace(pat, rep)
-        merges.append(Merge(rank, left, right, left + right, freq))
+        pair = (left, right)
+        merged = left + right
+        for idx in occ.pop(pair, ()):  # only words CONTAINING the pair
+            syms, f = words[idx]
+            for p in zip(syms, syms[1:]):
+                counts[p] -= f
+                if counts[p] <= 0:
+                    del counts[p]
+                else:
+                    # push the decreased value too — a pair is only
+                    # pickable while SOME heap entry matches its live
+                    # count, and decrements must stay pickable
+                    heapq.heappush(heap, (-counts[p], p[0], p[1]))
+                s = occ.get(p)
+                if s is not None:
+                    s.discard(idx)
+                    if not s:
+                        del occ[p]
+            new_syms = _apply_merge(syms, left, right, merged)
+            words[idx] = (new_syms, f)
+            for p in zip(new_syms, new_syms[1:]):
+                c = counts.get(p, 0) + f
+                counts[p] = c
+                occ.setdefault(p, set()).add(idx)
+                heapq.heappush(heap, (-c, p[0], p[1]))
+        merges.append(Merge(len(merges), left, right, merged, freq))
     return merges
 
 

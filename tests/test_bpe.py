@@ -115,6 +115,71 @@ def test_encode_reserved_delim_char_fallback(spark):
         assert "".join(got[t]) == t
 
 
+def naive_train(vocab, num_merges, min_pair_freq=2):
+    """Independent naive trainer (full recount + scan per merge — the
+    pre-r7 algorithm): the incremental-pair-count loop must produce
+    the IDENTICAL merge table on any input."""
+    words = [(list(t), int(f)) for t, f in vocab]
+    merges = []
+    for rank in range(num_merges):
+        counts = {}
+        for syms, f in words:
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_pair_freq:
+            break
+        words = [
+            (ref_merge_apply(s, l, r), f) for s, f in words
+        ]
+        merges.append((rank, l, r, l + r, c))
+    return merges
+
+
+def ref_merge_apply(syms, l, r):
+    out = []
+    for s in syms:
+        if out and out[-1] == l and s == r:
+            out[-1] = l + r
+        else:
+            out.append(s)
+    return out
+
+
+def test_incremental_trainer_equals_naive_random():
+    """Randomized corpora (runs, ties, shared prefixes/suffixes) —
+    incremental pair maintenance and the lazy-invalidation heap give
+    byte-identical merge tables to the naive recount."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(25):
+        n_types = rng.randint(1, 40)
+        vocab = []
+        seen = set()
+        for _ in range(n_types):
+            t = "".join(
+                rng.choice("aabbc d")  # skewed alphabet -> many ties/runs
+                for _ in range(rng.randint(1, 12))
+            ).replace(" ", "e")
+            if t in seen:
+                continue
+            seen.add(t)
+            vocab.append((t, rng.randint(1, 9)))
+        nm = rng.randint(1, 30)
+        mpf = rng.choice([1, 2, 3])
+        got = [
+            (m.rank, m.left, m.right, m.merged, m.pair_freq)
+            for m in train_bpe_local(vocab, num_merges=nm, min_pair_freq=mpf)
+        ]
+        want = naive_train(vocab, nm, mpf)
+        assert got == want, (trial, vocab, nm, mpf)
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     rows = [
