@@ -376,6 +376,25 @@ def pq_topk_rerank(
 IVFPQ_META = "_ivfpq_meta.json"
 
 
+def _unit_normalized(index: DataFrame, vec_col: str) -> DataFrame:
+    """Replace ``vec_col`` with its unit-normalized form (JVM-side,
+    float out — the layout's storage type). Zero-norm vectors pass
+    through unscaled: their cosine is undefined under ANY path, and a
+    layout build must stay total."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        l2_norm,
+        normalize,
+    )
+
+    return index.withColumn(
+        vec_col,
+        F.when(
+            l2_norm(F.col(vec_col)) > 0,
+            normalize(F.col(vec_col)).cast("array<float>"),
+        ).otherwise(F.col(vec_col).cast("array<float>")),
+    )
+
+
 def write_ivfpq_index(
     index: DataFrame,
     path: str,
@@ -384,6 +403,7 @@ def write_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    normalize: bool = False,
 ) -> None:
     """FAISS-IVFPQ-shaped layout: rows are assigned to their nearest
     coarse centroid (euclidean — the ADC metric) and PQ-ENCODED, then
@@ -398,11 +418,22 @@ def write_ivfpq_index(
     :func:`train_pq_codebooks_residual` — residuals concentrate near
     zero, so the same code budget quantizes finer (the classic IVFPQ).
     The flag is persisted; probe and upsert read it back.
+
+    ``normalize=True`` unit-normalizes every vector BEFORE assignment
+    and encoding (train centroids/codebooks on the normalized frame
+    too) and persists the flag: on unit vectors squared-L2 order ≡
+    cosine order (|a-b|² = 2-2·cos), so a normalized layout serves
+    ``metric="cosine"`` through the same ADC machinery — the
+    reference's default metric (`app/api/routes.py:139,152`) on the
+    engine's cheapest layout. ``route()`` accepts cosine only against
+    a normalized sidecar.
     """
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
         assign_centroids_gemm,
     )
 
+    if normalize:
+        index = _unit_normalized(index, vec_col)
     assigned = assign_centroids_gemm(index, centroids, "euclidean", vec_col)
     enc_src, enc_col = assigned, vec_col
     if residual:
@@ -429,6 +460,7 @@ def write_ivfpq_index(
                 "rows_at_build": n_rows,
                 "upserted_since_build": 0,
                 "residual": residual,
+                "normalize": normalize,
             },
             f,
         )
@@ -486,6 +518,8 @@ def ivfpq_topk_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    metric: str = "euclidean",
+    normalized: bool = False,
 ) -> DataFrame:
     """The full ANN-at-scale composition: coarse probe (each query's
     ``nprobe`` nearest centroids, chosen driver-side from the already-
@@ -495,7 +529,16 @@ def ivfpq_topk_rerank(
     bucket mask (a row scores only for queries probing its bucket) →
     per-query ``fetch_k`` candidates → full-precision rerank against
     the original vectors. Scan bytes: nprobe buckets × 16 B/vector;
-    rerank touches ``fetch_k`` float rows per query."""
+    rerank touches ``fetch_k`` float rows per query.
+
+    ``metric="cosine"`` requires a ``normalize=True`` layout
+    (``normalized=True`` here — :func:`search` wires it from the
+    sidecar): queries are unit-normalized driver-side so the ADC
+    candidate order equals cosine order (squared-L2 on unit vectors),
+    and the rerank scores exact cosine (scale-invariant, so the RAW
+    full-precision frame serves it unchanged) descending — emitted
+    (score, rank) rows hash-equal the exact cosine path on the
+    candidate set."""
     import numpy as np
     import pyarrow as pa
 
@@ -506,9 +549,24 @@ def ivfpq_topk_rerank(
         collect_query_matrix,
     )
 
+    if metric not in ("euclidean", "cosine"):
+        raise ValueError(
+            f"IVFPQ serves euclidean or (normalized) cosine, got {metric!r}"
+        )
+    if metric == "cosine" and not normalized:
+        raise ValueError(
+            "metric='cosine' over IVFPQ requires a unit-normalized layout "
+            "(write_ivfpq_index(normalize=True)); ADC on a raw layout is "
+            "squared-L2 and would return wrong neighbors"
+        )
     qids, Q, _ = collect_query_matrix(
         queries, query_id_col, query_vec_col, "euclidean", MAX_PQ_QUERIES
     )
+    if metric == "cosine":
+        # probe/ADC in the layout's unit-sphere space; zero-norm
+        # queries pass through (their cosine is undefined anywhere)
+        nrm = np.linalg.norm(Q, axis=1, keepdims=True)
+        Q = np.where(nrm > 0, Q / np.where(nrm == 0, 1.0, nrm), Q)
     m = len(codebooks)
     sub = len(codebooks[0][0])
     if Q.shape[1] != m * sub:
@@ -627,13 +685,12 @@ def ivfpq_topk_rerank(
             "query_id",
             F.col(id_col).alias("vec_id"),
             similarity_expr(
-                "euclidean", F.col("__qvec"), F.col(vec_col)
+                metric, F.col("__qvec"), F.col(vec_col)
             ).alias("score"),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score").asc(), F.col("vec_id").asc()
-    )
+    lead = F.col("score").asc() if metric == "euclidean" else F.col("score").desc()
+    w2 = Window.partitionBy("query_id").orderBy(lead, F.col("vec_id").asc())
     return (
         rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
@@ -673,22 +730,25 @@ def retrain_ivfpq_index(
     n_cent = len(meta["centroids"])
     m, k = int(meta["m"]), int(meta["k"])
     residual = bool(meta.get("residual", False))
+    normalize = bool(meta.get("normalize", False))
 
-    cents = seed_centroids(vectors, n_cent, id_col, vec_col)
+    # train quantizers in the layout's own space (unit sphere for a
+    # normalized/cosine layout) — the flag is part of the index design
+    src = _unit_normalized(vectors, vec_col) if normalize else vectors
+    cents = seed_centroids(src, n_cent, id_col, vec_col)
     if lloyd_iters > 0:
-        cents = lloyd_refine(
-            vectors, cents, iters=lloyd_iters, vec_col=vec_col
-        )
+        cents = lloyd_refine(src, cents, iters=lloyd_iters, vec_col=vec_col)
     if residual:
         books = train_pq_codebooks_residual(
-            vectors, cents, m=m, k=k, id_col=id_col, vec_col=vec_col
+            src, cents, m=m, k=k, id_col=id_col, vec_col=vec_col
         )
     else:
         books = train_pq_codebooks(
-            vectors, m=m, k=k, id_col=id_col, vec_col=vec_col
+            src, m=m, k=k, id_col=id_col, vec_col=vec_col
         )
     write_ivfpq_index(
-        vectors, path, cents, books, id_col, vec_col, residual=residual
+        vectors, path, cents, books, id_col, vec_col,
+        residual=residual, normalize=normalize,
     )
     return {
         "rows": int(load_ivfpq_meta(path)["rows_at_build"]),
@@ -728,6 +788,10 @@ def upsert_ivfpq_index(
     centroids = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
     codebooks = meta["codebooks"]
     residual = bool(meta.get("residual", False))
+    if bool(meta.get("normalize", False)):
+        # a normalized layout stores unit vectors; upserts must enter
+        # the same space or their codes would be scale-garbage
+        records = _unit_normalized(records, vec_col)
 
     assigned = assign_centroids_gemm(records, centroids, "euclidean", vec_col)
     payload = sorted(c for c in assigned.columns if c != id_col)

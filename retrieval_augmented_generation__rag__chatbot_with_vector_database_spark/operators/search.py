@@ -47,22 +47,38 @@ def route(
     hof_max_rows: int = DEFAULT_HOF_MAX_ROWS,
 ) -> dict:
     """Pick the search path. Returns {"path": ..., "reason": ...};
-    raises on contradictions (an IVFPQ layout only serves euclidean —
-    its ADC distances and rerank are squared-L2)."""
+    raises on contradictions (an IVFPQ layout's ADC is squared-L2, so
+    it serves euclidean always, cosine only when the layout was built
+    ``normalize=True`` — unit vectors make squared-L2 order ≡ cosine
+    order — and dotproduct never)."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
         IVF_META,
     )
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.pq import (
         IVFPQ_META,
+        load_ivfpq_meta,
     )
 
     if layout_path is not None:
         if os.path.exists(os.path.join(layout_path, IVFPQ_META)):
+            if metric == "cosine":
+                if not bool(load_ivfpq_meta(layout_path).get("normalize", False)):
+                    raise ValueError(
+                        "cosine over IVFPQ needs a unit-normalized layout "
+                        "(write_ivfpq_index(normalize=True)); this layout "
+                        "stores raw vectors — rebuild it normalized or use "
+                        "an IVF/float layout"
+                    )
+                return {
+                    "path": "ivfpq",
+                    "reason": f"{IVFPQ_META} present, normalized: ADC order "
+                    "≡ cosine order on unit vectors + cosine rerank",
+                }
             if metric != "euclidean":
                 raise ValueError(
-                    "IVFPQ layout serves euclidean only (ADC is squared-L2); "
-                    f"got metric={metric!r} — use an IVF/float layout for "
-                    "cosine/dotproduct"
+                    "IVFPQ layout serves euclidean (always) or cosine "
+                    f"(normalized layouts only); got metric={metric!r} — "
+                    "use an IVF/float layout for dotproduct"
                 )
             return {
                 "path": "ivfpq",
@@ -140,6 +156,8 @@ def search(
             id_col=id_col,
             vec_col=vec_col,
             residual=meta.get("residual", False),
+            metric=metric,
+            normalized=bool(meta.get("normalize", False)),
         )
     if path == "ivf":
         from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (

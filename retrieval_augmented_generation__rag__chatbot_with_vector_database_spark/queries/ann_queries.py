@@ -514,6 +514,78 @@ def ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+_IVFPQ_COSINE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+@register("ann_ivfpq_cosine", _IVFPQ_COSINE_ORACLE)
+def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COSINE over the IVFPQ tier (r6 verdict gap: the engine's
+    cheapest layout now serves the reference's flagship metric,
+    `app/api/routes.py:139,152`): the layout is built
+    ``normalize=True`` — vectors unit-normalized before coarse
+    assignment and PQ encoding, quantizers trained in the same
+    unit-sphere space — so ADC's squared-L2 candidate order equals
+    cosine order (|a-b|² = 2-2·cos on unit vectors), and the
+    full-precision rerank scores exact cosine on the RAW vectors
+    (scale-invariant). Routed through the front-door dispatcher
+    (``search()`` reads the ``normalize`` flag from the sidecar; a raw
+    layout + cosine raises).
+
+    FULL-VALUE oracle, not a recall contract: with every bucket
+    probed and a 100-candidate over-fetch the rerank set provably
+    contains the true top-{K} on these fixtures, so the output
+    hash-equals the exact cosine top-k (`_TOPK_ORACLE` shape). The
+    PRUNED (nprobe < buckets) behavior is covered by the recall
+    contract of ``ann_ivfpq_rerank_recall`` and the dispatcher
+    pytest."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    emb_n = pq._unit_normalized(emb, "embedding")
+    books = pq.train_pq_codebooks(emb_n, m=16, k=64)
+    cents = ann.seed_centroids(emb_n, N_CENTROIDS)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivfpq_cos"
+        pq.write_ivfpq_index(emb, path, cents, books, normalize=True)
+        out = search(
+            q,
+            emb,
+            k=K,
+            metric="cosine",
+            layout_path=path,
+            nprobe=N_CENTROIDS,
+            fetch_k=100,
+        ).select(
+            "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+        )
+        # materialize before the tempdir disappears (N_QUERIES x K rows)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 @register(
     "ann_ivf_topk_filtered",
     f"""

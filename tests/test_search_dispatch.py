@@ -73,8 +73,32 @@ def test_route_ivfpq_layout_and_metric_guard(spark, emb, tmp_path):
     cents = ann.seed_centroids(emb, 8)
     pq.write_ivfpq_index(emb, path, cents, books)
     assert route(layout_path=path, metric="euclidean")["path"] == "ivfpq"
-    with pytest.raises(ValueError, match="euclidean only"):
+    # raw (unnormalized) layout: cosine needs a normalized rebuild
+    with pytest.raises(ValueError, match="unit-normalized layout"):
         route(layout_path=path, metric="cosine")
+    with pytest.raises(ValueError, match="dotproduct"):
+        route(layout_path=path, metric="dotproduct")
+
+
+def _normalized_ivfpq(spark, emb, path, n_cents=8):
+    """Build a normalize=True IVFPQ layout with quantizers trained in
+    the unit-sphere space (the layout's own space)."""
+    emb_n = pq._unit_normalized(emb, "embedding")
+    books = pq.train_pq_codebooks(emb_n, m=8, k=16)
+    cents = ann.seed_centroids(emb_n, n_cents)
+    pq.write_ivfpq_index(emb, path, cents, books, normalize=True)
+    return cents, books
+
+
+def test_route_normalized_ivfpq_serves_cosine(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfpq_n")
+    _normalized_ivfpq(spark, emb, path)
+    r = route(layout_path=path, metric="cosine")
+    assert r["path"] == "ivfpq"
+    assert "normalized" in r["reason"]
+    assert route(layout_path=path, metric="euclidean")["path"] == "ivfpq"
+    with pytest.raises(ValueError, match="dotproduct"):
+        route(layout_path=path, metric="dotproduct")
 
 
 def test_route_rejects_non_layout_dir(tmp_path):
@@ -133,6 +157,43 @@ def test_search_ivfpq_layout_equals_direct_rerank(spark, emb, tmp_path):
         fetch_k=25,
     )
     assert _rows(got) == _rows(want)
+
+
+def test_search_ivfpq_cosine_hash_equals_exact(spark, emb):
+    """The r6-verdict gap closed: cosine over a NORMALIZED IVFPQ
+    layout. With nprobe = all buckets and fetch_k >= |index| the
+    rerank set is the whole corpus, so the dispatched result must
+    hash-equal the exact cosine top-k — not approximately, exactly
+    (squared-L2 order ≡ cosine order on unit vectors; rerank scores
+    are the scale-invariant exact cosine of the RAW vectors)."""
+    import tempfile
+
+    n = emb.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivfpq_cos"
+        _normalized_ivfpq(spark, emb, path)
+        got = _rows(
+            search(
+                _queries(emb),
+                emb,
+                k=5,
+                metric="cosine",
+                layout_path=path,
+                nprobe=8,
+                fetch_k=n,
+            )
+        )
+    want = _rows(topk_search(_queries(emb), emb, k=5, metric="cosine"))
+    assert got == want
+
+
+def test_search_ivfpq_cosine_raw_layout_raises(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfpq_raw")
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    cents = ann.seed_centroids(emb, 8)
+    pq.write_ivfpq_index(emb, path, cents, books)
+    with pytest.raises(ValueError, match="unit-normalized layout"):
+        search(_queries(emb), emb, k=5, metric="cosine", layout_path=path)
 
 
 def test_search_exact_needs_index(spark, emb):
