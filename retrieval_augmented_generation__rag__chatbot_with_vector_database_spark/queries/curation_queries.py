@@ -296,8 +296,11 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NB_MOD = 5  # doc_id % 5 == 0 is the held-out scoring slice
 
-_NB_ORACLE = f"""
-WITH tok AS (
+# Shared NB CTE chain (train on doc_id % 5 != 0, score the held-out
+# slice, argmax per doc) — ends at ``pred``; used by the standalone
+# scores query and as the learned-gate stage of the curation funnel.
+_NB_CTE = f"""
+tok AS (
   SELECT doc_id, lang,
          unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
   FROM documents
@@ -344,6 +347,10 @@ pred AS (
          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, k ASC) AS rn
   FROM final
 )
+"""
+
+_NB_ORACLE = f"""
+WITH {_NB_CTE}
 SELECT doc_id, lang, pred_lang, score, is_correct FROM pred WHERE rn = 1
 """
 
@@ -601,4 +608,142 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_avg_nll"),
         F.round(F.min("avg_nll"), 6).alias("min_avg_nll"),
         F.round(F.max("avg_nll"), 6).alias("max_avg_nll"),
+    )
+
+
+_NB_PIPE_ORACLE = rf"""
+WITH {_NB_CTE},
+f AS (
+  SELECT doc_id, lang AS mlang, text, length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents WHERE doc_id % {_NB_MOD} = 0
+), s AS (
+  SELECT doc_id, mlang,
+         0.25 * (CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 ELSE 0.5 END)
+       + 0.25 * (CASE WHEN toks > 0 AND nonspace * 1.0 / toks >= 3 AND nonspace * 1.0 / toks <= 12 THEN 1.0 ELSE 0.5 END)
+       + 0.25 * (CASE WHEN nonspace > 0 AND n_punct * 1.0 / nonspace <= 0.2 THEN 1.0
+                      WHEN nonspace = 0 THEN 1.0 ELSE 0.4 END)
+       + 0.25 * (CASE WHEN nonspace > 0 AND n_digit * 1.0 / nonspace <= 0.2 THEN 1.0
+                      WHEN nonspace = 0 THEN 1.0 ELSE 0.4 END) AS quality,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM f
+), rtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents WHERE doc_id % {_NB_MOD} = 0
+), bi AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
+  FROM rtoks, unnest(range(1, greatest(len(arr), 1))) t(i) WHERE len(arr) >= 2
+), bcnt AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram),
+rep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS share FROM bcnt GROUP BY doc_id),
+nbp AS (SELECT doc_id, pred_lang, is_correct FROM pred WHERE rn = 1),
+flags AS (
+  SELECT s.doc_id, s.mlang, s.fp,
+         s.quality >= 0.9 AS q_ok,
+         coalesce(r.share, 0.0) <= 0.1 AS rep_ok,
+         p.pred_lang IS NOT NULL AS nb_scored,
+         coalesce(p.is_correct, FALSE) AS nb_ok
+  FROM s LEFT JOIN rep r USING (doc_id) LEFT JOIN nbp p USING (doc_id)
+), pass AS (
+  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS survivor
+  FROM flags WHERE q_ok AND rep_ok AND nb_ok
+)
+SELECT flags.mlang AS lang,
+       count(*) AS n_input,
+       sum(q_ok::int)::BIGINT AS n_quality,
+       sum((q_ok AND rep_ok)::int)::BIGINT AS n_clean,
+       sum(nb_scored::int)::BIGINT AS n_nb_scored,
+       sum((q_ok AND rep_ok AND nb_ok)::int)::BIGINT AS n_nb_kept,
+       (SELECT count(*) FROM pass p WHERE p.survivor AND p.mlang = flags.mlang)::BIGINT AS n_unique
+FROM flags GROUP BY flags.mlang
+"""
+
+
+@register("corpus_curation_pipeline_nb", _NB_PIPE_ORACLE)
+def corpus_curation_pipeline_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel with the LEARNED classifier gate composed
+    in — how CCNet chains its LM filter after the cheap heuristics:
+    heuristic quality gate (score >= 0.9) -> Gopher repetition gate
+    (top-bigram share <= 0.1) -> naive-Bayes agreement gate (the model
+    trains on the labeled slice doc_id % {m} != 0 and scores ONLY the
+    held-out slice doc_id % {m} == 0 — leakage-safe by construction;
+    a doc is kept when the learned prediction agrees with its metadata
+    label, the learned-language-consistency check) -> exact-dedup
+    survivors. Reported as per-label stage counts over the held-out
+    slice; the oracle replays every stage including NB training.
+    Token-less docs are never NB-scored and thus never pass the
+    learned gate (nb_scored counts them).""".format(m=_NB_MOD)
+    from pyspark.sql import Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        textstats,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+        nb_classify,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _NB_MOD != 0)
+    test = docs.filter(F.col("doc_id") % _NB_MOD == 0)
+    feats = test.select(
+        "doc_id",
+        F.col("lang").alias("mlang"),
+        textstats.quality_score("text").alias("quality"),
+        textstats.fingerprint("text").alias("fp"),
+    )
+    rep = textstats.repetition_stats(test).select(
+        F.col("id").alias("doc_id"), "top_bigram_share"
+    )
+    nb = nb_classify(train, test).select(
+        "doc_id",
+        F.col("pred_lang").isNotNull().alias("nb_scored"),
+        F.col("is_correct").alias("nb_ok"),
+    )
+    flags = (
+        feats.join(rep, "doc_id", "left")
+        .join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "mlang",
+            "fp",
+            (F.col("quality") >= 0.9).alias("q_ok"),
+            (F.coalesce("top_bigram_share", F.lit(0.0)) <= 0.1).alias("rep_ok"),
+            F.coalesce("nb_scored", F.lit(False)).alias("nb_scored"),
+            F.coalesce("nb_ok", F.lit(False)).alias("nb_ok"),
+        )
+    )
+    passing = flags.filter("q_ok AND rep_ok AND nb_ok").withColumn(
+        "survivor",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")),
+    )
+    base = flags.groupBy(F.col("mlang").alias("lang")).agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("q_ok").cast("int")).cast("bigint").alias("n_quality"),
+        F.sum((F.col("q_ok") & F.col("rep_ok")).cast("int"))
+        .cast("bigint")
+        .alias("n_clean"),
+        F.sum(F.col("nb_scored").cast("int")).cast("bigint").alias("n_nb_scored"),
+        F.sum(
+            (F.col("q_ok") & F.col("rep_ok") & F.col("nb_ok")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_nb_kept"),
+    )
+    n_uniq = (
+        passing.filter("survivor")
+        .groupBy(F.col("mlang").alias("lang"))
+        .agg(F.count("*").cast("bigint").alias("n_unique"))
+    )
+    return base.join(n_uniq, "lang", "left").select(
+        "lang",
+        "n_input",
+        "n_quality",
+        "n_clean",
+        "n_nb_scored",
+        "n_nb_kept",
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
     )
