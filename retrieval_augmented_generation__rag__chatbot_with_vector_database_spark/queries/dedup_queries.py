@@ -765,3 +765,126 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_after_exact") - F.col("__n_dropped")).alias("n_after_neardup"),
         )
     )
+
+
+# ------------------------------------------------------------------ 512-d
+
+_D512 = 512
+_D512_OUT = 16
+_D512_SLACK = 2.5
+_D512_THRESHOLD = 0.45
+
+
+def _d512_weight(hex_char: str) -> float:
+    """First md5 hex char -> coordinate weight in {0.5, 1.0, 1.5,
+    2.0}: same 4-way split both engines compute from substr(md5, 1, 1)."""
+    if hex_char in "0123":
+        return 0.5
+    if hex_char in "4567":
+        return 1.0
+    if hex_char in "89ab":
+        return 1.5
+    return 2.0
+
+
+def _d512_weights() -> list[float]:
+    import hashlib
+
+    return [
+        _d512_weight(hashlib.md5(f"d512:{k}".encode()).hexdigest()[0])
+        for k in range(_D512)
+    ]
+
+
+def _expand_512(emb: DataFrame) -> DataFrame:
+    """Deterministic 512-d embedding derived from the 64-d fixture:
+    coordinate k = embedding[k mod 64] × w(k) with md5-derived weights
+    — the per-coordinate weights vary with k, so the 512-d cosine
+    geometry genuinely differs from the 64-d one (weighted inner
+    product with non-uniform per-dimension mass), while staying a pure
+    integer function both engines replay (the JL sign-matrix
+    convention, cf. functions.vector.random_projection)."""
+    w = _d512_weights()
+    arr = F.array(
+        *[
+            (
+                F.element_at(F.col("embedding"), k % 64 + 1).cast("double")
+                * F.lit(w[k])
+            )
+            for k in range(_D512)
+        ]
+    )
+    return emb.select("vec_id", arr.alias("embedding"))
+
+
+_JL512_ORACLE = f"""
+WITH wl AS (
+  SELECT list(CASE WHEN substr(md5('d512:' || j), 1, 1) IN ('0','1','2','3') THEN 0.5
+                   WHEN substr(md5('d512:' || j), 1, 1) IN ('4','5','6','7') THEN 1.0
+                   WHEN substr(md5('d512:' || j), 1, 1) IN ('8','9','a','b') THEN 1.5
+                   ELSE 2.0 END ORDER BY j) AS w
+  FROM (SELECT unnest(range(0, {_D512})) AS j)
+),
+e512 AS (
+  SELECT vec_id,
+         list_transform(range(1, {_D512} + 1),
+           k -> (embedding::DOUBLE[])[(k - 1) % 64 + 1] * wl.w[k]) AS v
+  FROM embeddings, wl
+),
+nn AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e512
+),
+nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM nn WHERE nrm > 0),
+proj AS (
+  SELECT vec_id, u,
+         list_transform(range(0, {_D512_OUT}), j ->
+           list_aggregate(
+             list_transform(range(1, len(u) + 1),
+               i -> u[i] * (CASE WHEN substr(md5('7919:' || CAST(i - 1 AS VARCHAR)
+                                             || ':' || CAST(j AS VARCHAR)), 1, 1)
+                               IN ('0','1','2','3','4','5','6','7')
+                          THEN 1.0 ELSE -1.0 END)),
+             'sum') / sqrt({_D512_OUT}.0)) AS p
+  FROM nv
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.u AS ua, b.u AS ub
+  FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+  WHERE list_aggregate(
+          list_transform(range(1, {_D512_OUT} + 1),
+            i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])), 'sum')
+        <= {_D512_SLACK} * 2.0 * (1.0 - {_D512_THRESHOLD})
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b,
+         round(list_aggregate(
+           list_transform(range(1, len(ua) + 1), i -> ua[i] * ub[i]),
+           'sum'), 6) AS cosine
+  FROM cand
+) WHERE cosine >= {_D512_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_pairs_jl_512", _JL512_ORACLE)
+def dedup_embedding_pairs_jl_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL-prefiltered near-dup pipeline at the REAL embedding-model
+    dimension class (r5/r6 verdict: reference models run 384–3072 dims,
+    `app/core/embeddings.py:33-39`; SCALE.md's 512-d findings were
+    probes outside the oracle harness until this query): the fixture's
+    64-d vectors are expanded to a deterministic 512-d frame
+    (md5-weighted tiling — genuinely different cosine geometry, see
+    ``_expand_512``), then the SAME operator as
+    ``dedup_embedding_pairs_jl`` runs: project 512→16 through the
+    md5-Rademacher matrix (32× the FLOPs saved on the quadratic
+    stage), distance-filter, exact-verify survivors at full 512-d.
+    FULL-VALUE oracle — DuckDB replays expansion, projection, filter
+    and verification end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs_jl(
+        _expand_512(emb),
+        threshold=_D512_THRESHOLD,
+        out_dim=_D512_OUT,
+        slack=_D512_SLACK,
+    )
