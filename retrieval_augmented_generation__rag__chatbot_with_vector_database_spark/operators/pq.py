@@ -395,6 +395,65 @@ def _unit_normalized(index: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def mips_max_norm(index: DataFrame, vec_col: str = "embedding") -> float:
+    """Max L2 norm over the index — the MIPS transform's scale
+    constant ``M``. One aggregate; exact and order-independent (float
+    max), so build and callers compute the identical value."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        l2_norm,
+    )
+
+    row = index.agg(F.max(l2_norm(F.col(vec_col))).alias("m")).collect()[0]
+    m = row["m"]
+    if m is None or m <= 0:
+        raise ValueError("MIPS transform needs at least one non-zero vector")
+    return float(m)
+
+
+def mips_augmented(
+    index: DataFrame,
+    vec_col: str,
+    max_norm: float,
+    target_dim: int,
+) -> DataFrame:
+    """The classic MIPS→L2 reduction (Bachrach et al. 2014, "Speeding
+    up the Xbox recommender"; Shrivastava & Li's ALSH family):
+    ``x' = [x/M, sqrt(1-|x/M|²), 0…]`` padded to ``target_dim`` — then
+    for any query ``q' = [q, 0…]``, ``|q'-x'|² = |q'|² + 1 - 2·(q·x)/M``
+    is a per-query constant minus a monotone image of the dot product,
+    so euclidean candidate order ≡ dot-product order. The sqrt term
+    clamps at 0 for |x| ≥ M (exactly the max row; or post-build upserts
+    that outgrow M — mild distortion for those rows only, fixed by the
+    staleness-triggered retrain like every other quantizer drift).
+    Zero padding aligns the augmented dimension to the PQ subspace
+    grid; zero coordinates contribute nothing to any distance.
+    JVM-side end to end."""
+    scaled = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: x / F.lit(float(max_norm)),
+    )
+    aug = F.concat(
+        scaled,
+        F.array(
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.aggregate(
+                        scaled, F.lit(0.0), lambda acc, x: acc + x * x
+                    ),
+                )
+            )
+        ),
+    )
+    pad = F.array_repeat(
+        F.lit(0.0), F.lit(target_dim) - F.size(aug)
+    )
+    return index.withColumn(
+        vec_col, F.concat(aug, pad).cast("array<float>")
+    )
+
+
 def write_ivfpq_index(
     index: DataFrame,
     path: str,
@@ -404,6 +463,7 @@ def write_ivfpq_index(
     vec_col: str = "embedding",
     residual: bool = False,
     normalize: bool = False,
+    mips: bool = False,
 ) -> None:
     """FAISS-IVFPQ-shaped layout: rows are assigned to their nearest
     coarse centroid (euclidean — the ADC metric) and PQ-ENCODED, then
@@ -427,13 +487,29 @@ def write_ivfpq_index(
     reference's default metric (`app/api/routes.py:139,152`) on the
     engine's cheapest layout. ``route()`` accepts cosine only against
     a normalized sidecar.
+
+    ``mips=True`` applies the MIPS→L2 augmentation instead
+    (:func:`mips_augmented`, target dim = the codebooks' m×sub;
+    ``M`` recomputed here — deterministic, equal to the caller's
+    :func:`mips_max_norm`): the layout serves ``metric="dotproduct"``.
+    Mutually exclusive with ``normalize`` (each transform defines the
+    layout's space). Centroids/codebooks must be trained on the SAME
+    augmented frame.
     """
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
         assign_centroids_gemm,
     )
 
+    if normalize and mips:
+        raise ValueError("normalize and mips are mutually exclusive")
+    max_norm = None
     if normalize:
         index = _unit_normalized(index, vec_col)
+    if mips:
+        max_norm = mips_max_norm(index, vec_col)
+        index = mips_augmented(
+            index, vec_col, max_norm, len(codebooks) * len(codebooks[0][0])
+        )
     assigned = assign_centroids_gemm(index, centroids, "euclidean", vec_col)
     enc_src, enc_col = assigned, vec_col
     if residual:
@@ -461,6 +537,8 @@ def write_ivfpq_index(
                 "upserted_since_build": 0,
                 "residual": residual,
                 "normalize": normalize,
+                "mips": mips,
+                "mips_max_norm": max_norm,
             },
             f,
         )
@@ -520,6 +598,7 @@ def ivfpq_topk_rerank(
     residual: bool = False,
     metric: str = "euclidean",
     normalized: bool = False,
+    mips: bool = False,
 ) -> DataFrame:
     """The full ANN-at-scale composition: coarse probe (each query's
     ``nprobe`` nearest centroids, chosen driver-side from the already-
@@ -531,14 +610,22 @@ def ivfpq_topk_rerank(
     the original vectors. Scan bytes: nprobe buckets × 16 B/vector;
     rerank touches ``fetch_k`` float rows per query.
 
-    ``metric="cosine"`` requires a ``normalize=True`` layout
-    (``normalized=True`` here — :func:`search` wires it from the
-    sidecar): queries are unit-normalized driver-side so the ADC
-    candidate order equals cosine order (squared-L2 on unit vectors),
-    and the rerank scores exact cosine (scale-invariant, so the RAW
-    full-precision frame serves it unchanged) descending — emitted
-    (score, rank) rows hash-equal the exact cosine path on the
-    candidate set."""
+    A transformed layout serves EXACTLY its metric (each transform
+    defines the space the codes live in; mixing metrics would rank by
+    one geometry and score by another):
+
+    - raw layout → ``euclidean``: ADC is squared-L2, rerank exact
+      euclidean ascending;
+    - ``normalize=True`` layout → ``cosine``: queries unit-normalized
+      driver-side, ADC candidate order ≡ cosine order on unit vectors,
+      rerank exact cosine (scale-invariant → RAW full-precision frame)
+      descending — rows hash-equal the exact cosine path on the
+      candidate set;
+    - ``mips=True`` layout → ``dotproduct``: queries zero-padded to
+      the augmented dimension (``q' = [q, 0…]`` — scaling a single
+      query never changes its own ranking), ADC candidate order ≡
+      dot-product order by the MIPS reduction, rerank exact dot
+      product on the RAW frame descending."""
     import numpy as np
     import pyarrow as pa
 
@@ -549,15 +636,19 @@ def ivfpq_topk_rerank(
         collect_query_matrix,
     )
 
-    if metric not in ("euclidean", "cosine"):
+    required = {
+        "euclidean": (False, False),
+        "cosine": (True, False),
+        "dotproduct": (False, True),
+    }
+    if metric not in required:
+        raise ValueError(f"unknown IVFPQ metric {metric!r}")
+    if (normalized, mips) != required[metric]:
         raise ValueError(
-            f"IVFPQ serves euclidean or (normalized) cosine, got {metric!r}"
-        )
-    if metric == "cosine" and not normalized:
-        raise ValueError(
-            "metric='cosine' over IVFPQ requires a unit-normalized layout "
-            "(write_ivfpq_index(normalize=True)); ADC on a raw layout is "
-            "squared-L2 and would return wrong neighbors"
+            f"metric={metric!r} needs layout flags (normalize, mips)="
+            f"{required[metric]}, got ({normalized}, {mips}) — a "
+            "transformed IVFPQ layout serves exactly its own metric; "
+            "rebuild with the matching write_ivfpq_index flags"
         )
     qids, Q, _ = collect_query_matrix(
         queries, query_id_col, query_vec_col, "euclidean", MAX_PQ_QUERIES
@@ -567,6 +658,15 @@ def ivfpq_topk_rerank(
         # queries pass through (their cosine is undefined anywhere)
         nrm = np.linalg.norm(Q, axis=1, keepdims=True)
         Q = np.where(nrm > 0, Q / np.where(nrm == 0, 1.0, nrm), Q)
+    if metric == "dotproduct":
+        # pad to the augmented dimension; the sqrt/pad coordinates are
+        # zero on the query side by construction
+        aug_dim = len(codebooks) * len(codebooks[0][0])
+        if Q.shape[1] > aug_dim:
+            raise ValueError(
+                f"query dim {Q.shape[1]} exceeds MIPS layout dim {aug_dim}"
+            )
+        Q = np.hstack([Q, np.zeros((Q.shape[0], aug_dim - Q.shape[1]))])
     m = len(codebooks)
     sub = len(codebooks[0][0])
     if Q.shape[1] != m * sub:
@@ -731,10 +831,19 @@ def retrain_ivfpq_index(
     m, k = int(meta["m"]), int(meta["k"])
     residual = bool(meta.get("residual", False))
     normalize = bool(meta.get("normalize", False))
+    mips = bool(meta.get("mips", False))
 
     # train quantizers in the layout's own space (unit sphere for a
-    # normalized/cosine layout) — the flag is part of the index design
-    src = _unit_normalized(vectors, vec_col) if normalize else vectors
+    # normalized/cosine layout; the MIPS-augmented space — with a
+    # FRESH M for the drifted corpus — for a dotproduct layout)
+    src = vectors
+    if normalize:
+        src = _unit_normalized(vectors, vec_col)
+    if mips:
+        sub = len(meta["codebooks"][0][0])
+        src = mips_augmented(
+            vectors, vec_col, mips_max_norm(vectors, vec_col), m * sub
+        )
     cents = seed_centroids(src, n_cent, id_col, vec_col)
     if lloyd_iters > 0:
         cents = lloyd_refine(src, cents, iters=lloyd_iters, vec_col=vec_col)
@@ -748,7 +857,7 @@ def retrain_ivfpq_index(
         )
     write_ivfpq_index(
         vectors, path, cents, books, id_col, vec_col,
-        residual=residual, normalize=normalize,
+        residual=residual, normalize=normalize, mips=mips,
     )
     return {
         "rows": int(load_ivfpq_meta(path)["rows_at_build"]),
@@ -792,6 +901,18 @@ def upsert_ivfpq_index(
         # a normalized layout stores unit vectors; upserts must enter
         # the same space or their codes would be scale-garbage
         records = _unit_normalized(records, vec_col)
+    if bool(meta.get("mips", False)):
+        # same space rule for the MIPS layout: augment with the
+        # PERSISTED build-time M (recomputing on the batch would put
+        # new codes in a different space). Records whose norm
+        # outgrew M clamp the sqrt term — counted drift, resolved by
+        # the staleness-triggered retrain.
+        records = mips_augmented(
+            records,
+            vec_col,
+            float(meta["mips_max_norm"]),
+            int(meta["m"]) * len(codebooks[0][0]),
+        )
 
     assigned = assign_centroids_gemm(records, centroids, "euclidean", vec_col)
     payload = sorted(c for c in assigned.columns if c != id_col)

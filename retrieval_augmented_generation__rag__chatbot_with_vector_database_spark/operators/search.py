@@ -61,29 +61,35 @@ def route(
 
     if layout_path is not None:
         if os.path.exists(os.path.join(layout_path, IVFPQ_META)):
-            if metric == "cosine":
-                if not bool(load_ivfpq_meta(layout_path).get("normalize", False)):
-                    raise ValueError(
-                        "cosine over IVFPQ needs a unit-normalized layout "
-                        "(write_ivfpq_index(normalize=True)); this layout "
-                        "stores raw vectors — rebuild it normalized or use "
-                        "an IVF/float layout"
-                    )
-                return {
-                    "path": "ivfpq",
-                    "reason": f"{IVFPQ_META} present, normalized: ADC order "
-                    "≡ cosine order on unit vectors + cosine rerank",
-                }
-            if metric != "euclidean":
-                raise ValueError(
-                    "IVFPQ layout serves euclidean (always) or cosine "
-                    f"(normalized layouts only); got metric={metric!r} — "
-                    "use an IVF/float layout for dotproduct"
-                )
-            return {
-                "path": "ivfpq",
-                "reason": f"{IVFPQ_META} present: 16 B/row pruned probe + rerank",
+            meta = load_ivfpq_meta(layout_path)
+            flags = (
+                bool(meta.get("normalize", False)),
+                bool(meta.get("mips", False)),
+            )
+            required = {
+                "euclidean": (False, False),
+                "cosine": (True, False),
+                "dotproduct": (False, True),
             }
+            if metric not in required:
+                raise ValueError(f"unknown metric {metric!r}")
+            if flags != required[metric]:
+                raise ValueError(
+                    f"metric={metric!r} needs an IVFPQ layout built with "
+                    f"(normalize, mips)={required[metric]}; this layout has "
+                    f"{flags} — a transformed layout serves exactly its own "
+                    "metric (normalize→cosine, mips→dotproduct, raw→"
+                    "euclidean); rebuild with the matching "
+                    "write_ivfpq_index flags or use an IVF/float layout"
+                )
+            reason = {
+                "euclidean": f"{IVFPQ_META} present: 16 B/row pruned probe + rerank",
+                "cosine": f"{IVFPQ_META} present, normalized: ADC order "
+                "≡ cosine order on unit vectors + cosine rerank",
+                "dotproduct": f"{IVFPQ_META} present, MIPS-augmented: ADC "
+                "order ≡ dot-product order + dotproduct rerank",
+            }[metric]
+            return {"path": "ivfpq", "reason": reason}
         if os.path.exists(os.path.join(layout_path, IVF_META)):
             return {
                 "path": "ivf",
@@ -158,6 +164,7 @@ def search(
             residual=meta.get("residual", False),
             metric=metric,
             normalized=bool(meta.get("normalize", False)),
+            mips=bool(meta.get("mips", False)),
         )
     if path == "ivf":
         from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (

@@ -586,6 +586,76 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+_IVFPQ_DOT_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id, list_inner_product(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+@register("ann_ivfpq_dotproduct", _IVFPQ_DOT_ORACLE)
+def ann_ivfpq_dotproduct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOT PRODUCT over the IVFPQ tier via the classic MIPS→L2
+    reduction (Bachrach et al. 2014): the layout is built
+    ``mips=True`` — every vector becomes ``[x/M, sqrt(1-|x/M|²), 0…]``
+    (M = max index norm, persisted in the sidecar; zero padding aligns
+    the PQ subspace grid) — so for zero-padded queries the augmented
+    euclidean candidate order equals dot-product order, and the
+    full-precision rerank scores the exact dot product on the RAW
+    vectors, descending. Routed through the dispatcher (``search()``
+    reads the ``mips`` flag; a transformed layout serves exactly its
+    own metric — raw/normalized layouts + dotproduct raise).
+
+    FULL-VALUE oracle like ``ann_ivfpq_cosine``: all buckets probed +
+    100-candidate over-fetch makes the rerank set provably contain
+    the true top-{K} on these fixtures, so the output hash-equals the
+    exact dot-product top-k."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    aug = pq.mips_augmented(
+        emb, "embedding", pq.mips_max_norm(emb, "embedding"), 68
+    )
+    books = pq.train_pq_codebooks(aug, m=17, k=64)
+    cents = ann.seed_centroids(aug, N_CENTROIDS)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivfpq_mips"
+        pq.write_ivfpq_index(emb, path, cents, books, mips=True)
+        out = search(
+            q,
+            emb,
+            k=K,
+            metric="dotproduct",
+            layout_path=path,
+            nprobe=N_CENTROIDS,
+            fetch_k=100,
+        ).select(
+            "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+        )
+        # materialize before the tempdir disappears (N_QUERIES x K rows)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 @register(
     "ann_ivf_topk_filtered",
     f"""

@@ -73,10 +73,11 @@ def test_route_ivfpq_layout_and_metric_guard(spark, emb, tmp_path):
     cents = ann.seed_centroids(emb, 8)
     pq.write_ivfpq_index(emb, path, cents, books)
     assert route(layout_path=path, metric="euclidean")["path"] == "ivfpq"
-    # raw (unnormalized) layout: cosine needs a normalized rebuild
-    with pytest.raises(ValueError, match="unit-normalized layout"):
+    # a transformed layout serves exactly its own metric — raw serves
+    # euclidean only
+    with pytest.raises(ValueError, match="serves exactly its own metric"):
         route(layout_path=path, metric="cosine")
-    with pytest.raises(ValueError, match="dotproduct"):
+    with pytest.raises(ValueError, match="serves exactly its own metric"):
         route(layout_path=path, metric="dotproduct")
 
 
@@ -96,9 +97,72 @@ def test_route_normalized_ivfpq_serves_cosine(spark, emb, tmp_path):
     r = route(layout_path=path, metric="cosine")
     assert r["path"] == "ivfpq"
     assert "normalized" in r["reason"]
-    assert route(layout_path=path, metric="euclidean")["path"] == "ivfpq"
-    with pytest.raises(ValueError, match="dotproduct"):
+    # normalized codes live on the unit sphere: euclidean against RAW
+    # geometry would rank by a different space — rejected
+    with pytest.raises(ValueError, match="serves exactly its own metric"):
+        route(layout_path=path, metric="euclidean")
+    with pytest.raises(ValueError, match="serves exactly its own metric"):
         route(layout_path=path, metric="dotproduct")
+
+
+def _mips_ivfpq(spark, emb, path, n_cents=8):
+    """Build a mips=True IVFPQ layout: quantizers trained in the
+    augmented space (dim 64 -> 72 = 9 subspaces x 8)."""
+    M = pq.mips_max_norm(emb, "embedding")
+    aug = pq.mips_augmented(emb, "embedding", M, 72)
+    books = pq.train_pq_codebooks(aug, m=9, k=16)
+    cents = ann.seed_centroids(aug, n_cents)
+    pq.write_ivfpq_index(emb, path, cents, books, mips=True)
+    return cents, books
+
+
+def test_route_mips_ivfpq_serves_dotproduct(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfpq_m")
+    _mips_ivfpq(spark, emb, path)
+    r = route(layout_path=path, metric="dotproduct")
+    assert r["path"] == "ivfpq"
+    assert "MIPS" in r["reason"]
+    with pytest.raises(ValueError, match="serves exactly its own metric"):
+        route(layout_path=path, metric="euclidean")
+    with pytest.raises(ValueError, match="serves exactly its own metric"):
+        route(layout_path=path, metric="cosine")
+
+
+def test_search_ivfpq_dotproduct_hash_equals_exact(spark, emb):
+    """MIPS reduction end to end: with all buckets probed and
+    fetch_k >= |index| the dispatched dotproduct result must
+    hash-equal the exact dot-product top-k (augmented euclidean
+    candidate order ≡ dot-product order; rerank scores exact dot
+    product on the raw vectors)."""
+    import tempfile
+
+    n = emb.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivfpq_mips"
+        _mips_ivfpq(spark, emb, path)
+        got = _rows(
+            search(
+                _queries(emb),
+                emb,
+                k=5,
+                metric="dotproduct",
+                layout_path=path,
+                nprobe=8,
+                fetch_k=n,
+            )
+        )
+    want = _rows(topk_search(_queries(emb), emb, k=5, metric="dotproduct"))
+    assert got == want
+
+
+def test_write_ivfpq_normalize_mips_exclusive(spark, emb, tmp_path):
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    cents = ann.seed_centroids(emb, 8)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pq.write_ivfpq_index(
+            emb, str(tmp_path / "x"), cents, books,
+            normalize=True, mips=True,
+        )
 
 
 def test_route_rejects_non_layout_dir(tmp_path):
@@ -192,7 +256,7 @@ def test_search_ivfpq_cosine_raw_layout_raises(spark, emb, tmp_path):
     books = pq.train_pq_codebooks(emb, m=8, k=16)
     cents = ann.seed_centroids(emb, 8)
     pq.write_ivfpq_index(emb, path, cents, books)
-    with pytest.raises(ValueError, match="unit-normalized layout"):
+    with pytest.raises(ValueError, match="serves exactly its own metric"):
         search(_queries(emb), emb, k=5, metric="cosine", layout_path=path)
 
 
