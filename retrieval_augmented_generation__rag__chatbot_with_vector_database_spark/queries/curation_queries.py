@@ -838,3 +838,89 @@ def corpus_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the tempdir disappears (sequence-count rows)
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+_KLL_BUCKETS_ORACLE = """
+SELECT d.lang, b.bucket, TRUE AS size_ok
+FROM (SELECT DISTINCT lang FROM documents) d,
+     (VALUES ('head'), ('middle'), ('tail')) b(bucket)
+"""
+
+
+@register("corpus_perplexity_buckets_kll", _KLL_BUCKETS_ORACLE)
+def corpus_perplexity_buckets_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``corpus_perplexity_buckets`` made real (its
+    docstring promised "at 100 TB the cut points would come from a KLL
+    sketch instead of a full sort" — this is that query): per-language
+    CUT POINTS come from a mergeable Datasketches KLL aggregate
+    (q(1/3), q(2/3) off one hash aggregate — no per-language sort, no
+    window over document scores), and every doc buckets by comparing
+    its score to the broadcast cuts. Shuffle is one score row per doc
+    into the sketch aggregate plus a |langs|-row broadcast — the
+    window-free shape that survives a 1000-executor corpus.
+
+    Contract oracle (codes are sketch-dependent, same pattern as
+    ``events_value_quantiles_kll``): for every (lang, bucket) cell the
+    threshold-bucketed count must sit within max(2, 5% of the
+    language's scored docs) of the exact ntile tertile size — pinned
+    TRUE. At fixture scale KLL (k=800) holds every value exactly, so
+    the slack only absorbs tie-group placement (ntile splits ties
+    arbitrarily; thresholds keep tied docs together — the honest
+    difference between the two cuts)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.lm import (
+        bigram_nll_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scores = (
+        bigram_nll_scores(docs)
+        .filter(F.col("n_bigrams") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "avg_nll")
+    )
+    cuts = (
+        scores.groupBy("lang")
+        .agg(
+            F.expr("kll_sketch_agg_double(avg_nll, 800)").alias("sk"),
+            F.count("*").alias("n_lang"),
+        )
+        .select(
+            "lang",
+            "n_lang",
+            F.expr("kll_sketch_get_quantile_double(sk, 0.3333333333333333)").alias("q33"),
+            F.expr("kll_sketch_get_quantile_double(sk, 0.6666666666666666)").alias("q67"),
+        )
+    )
+    bucketed = scores.join(F.broadcast(cuts), "lang").withColumn(
+        "bucket",
+        F.when(F.col("avg_nll") <= F.col("q33"), "head")
+        .when(F.col("avg_nll") <= F.col("q67"), "middle")
+        .otherwise("tail"),
+    )
+    counts = bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"), F.any_value("n_lang").alias("n_lang")
+    )
+    # exact ntile target sizes: n = 3q + r docs per lang -> the first
+    # r tertiles get q+1; compare per cell with the tie-absorbing slack
+    grid = (
+        docs.select("lang")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame(
+                [("head", 1), ("middle", 2), ("tail", 3)], "bucket string, b int"
+            )
+        )
+    )
+    cells = grid.join(counts, ["lang", "bucket"], "left").join(
+        cuts.select("lang", F.col("n_lang").alias("n_all")), "lang"
+    )
+    slack = F.greatest(F.lit(2.0), 0.05 * F.col("n_all"))
+    return cells.select(
+        "lang",
+        "bucket",
+        (
+            F.abs(F.coalesce("n_docs", F.lit(0)) - F.floor(F.col("n_all") / 3)
+                  - F.when((F.col("n_all") % 3) >= F.col("b"), 1).otherwise(0))
+            <= slack
+        ).alias("size_ok"),
+    )
