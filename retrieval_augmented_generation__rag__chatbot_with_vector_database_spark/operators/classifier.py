@@ -54,28 +54,42 @@ def _tokens(df: DataFrame, id_col: str, label_col: str | None, text_col: str):
     )
 
 
-def nb_model(
+def nb_stats(
     train: DataFrame,
     id_col: str = "doc_id",
     label_col: str = "lang",
     text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The model's SUFFICIENT STATISTICS — ``cwk`` = (w, k, c)
+    token-class counts and ``classes`` = (k, nk) per-class doc counts
+    (docs with >= 1 token). Both are EXACTLY ADDITIVE across disjoint
+    doc sets (a token belongs to one doc, a doc to one class), which
+    is what makes the persisted model incrementally updatable
+    (:func:`update_nb_model`) — everything else (class totals,
+    vocabulary size, priors, smoothing) re-derives from these two
+    vocabulary-bounded tables."""
+    tok = _tokens(train, id_col, label_col, text_col)
+    cwk = tok.groupBy("w", F.col("label").alias("k")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    classes = tok.groupBy(F.col("label").alias("k")).agg(
+        F.count_distinct("id").cast("bigint").alias("nk")
+    )
+    return cwk, classes
+
+
+def nb_model_from_stats(
+    cwk: DataFrame,
+    classes: DataFrame,
     alpha: float = 0.5,
 ) -> tuple[DataFrame, DataFrame]:
-    """(dense, per_class): ``dense`` = (w, k, logp DECIMAL) over train
-    vocabulary x classes; ``per_class`` = (k, fallback, prior) — the
-    OOV floor and the log doc-count prior. All six-decimal DECIMAL,
-    deterministic across engines."""
-    tok = _tokens(train, id_col, label_col, text_col)
-    classes = tok.groupBy(F.col("label").alias("k")).agg(
-        F.count_distinct("id").alias("nk")
-    )
-    ndocs = tok.agg(F.count_distinct("id").alias("n"))
-    cwk = tok.groupBy("w", F.col("label").alias("k")).agg(
-        F.count("*").alias("c")
-    )
+    """(dense, per_class) from the sufficient-statistic tables —
+    shared by the from-corpus and from-layout paths, so scoring from a
+    persisted model is hash-identical to retraining by construction."""
+    ndocs = classes.agg(F.sum("nk").alias("n"))
     ck = cwk.groupBy("k").agg(F.sum("c").alias("ck"))
-    v = tok.agg(F.count_distinct("w").alias("v"))
-    vw = tok.select("w").distinct()
+    v = cwk.select("w").distinct().agg(F.count("*").alias("v"))
+    vw = cwk.select("w").distinct()
     dense = (
         vw.crossJoin(classes.select("k"))
         .join(cwk, ["w", "k"], "left")
@@ -115,6 +129,113 @@ def nb_model(
     return dense, per_class
 
 
+def nb_model(
+    train: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """(dense, per_class): ``dense`` = (w, k, logp DECIMAL) over train
+    vocabulary x classes; ``per_class`` = (k, fallback, prior) — the
+    OOV floor and the log doc-count prior. All six-decimal DECIMAL,
+    deterministic across engines."""
+    cwk, classes = nb_stats(train, id_col, label_col, text_col)
+    return nb_model_from_stats(cwk, classes, alpha)
+
+
+def save_nb_model(
+    train: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> None:
+    """Persist the NB model as a managed layout — ``{path}/cwk`` and
+    ``{path}/classes`` (the sufficient statistics, vocabulary-bounded)
+    — the estimate-once/score-per-batch contract the bigram-LM layout
+    carries (``operators/lm.save_bigram_model``). Crash-consistent:
+    both tables build in a tmp subtree and swap in under the
+    ``sources.layout`` marker fence."""
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        check_not_torn,
+        swap_partition_dirs,
+    )
+
+    os.makedirs(path, exist_ok=True)
+    check_not_torn(path)
+    tmp = os.path.join(path, "_tmp_model")
+    cwk, classes = nb_stats(train, id_col, label_col, text_col)
+    cwk.write.mode("overwrite").parquet(os.path.join(tmp, "cwk"))
+    classes.write.mode("overwrite").parquet(os.path.join(tmp, "classes"))
+    swap_partition_dirs(path, tmp, ["cwk", "classes"])
+
+
+def update_nb_model(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> None:
+    """Incrementally fold NEW labeled documents into the stored model.
+    Both statistic tables are exactly additive across disjoint doc
+    sets, so update ≡ rebuild-from-union bit for bit (tested) at
+    vocabulary-bounded merge cost — new labeled data keeps the
+    quality/domain gate fresh without re-aggregating the whole labeled
+    corpus. Same marker-fenced swap as :func:`save_nb_model`."""
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        check_not_torn,
+        swap_partition_dirs,
+    )
+
+    check_not_torn(path)
+    spark = new_docs.sparkSession
+    old_cwk = spark.read.parquet(os.path.join(path, "cwk"))
+    old_classes = spark.read.parquet(os.path.join(path, "classes"))
+    new_cwk, new_classes = nb_stats(new_docs, id_col, label_col, text_col)
+    merged_cwk = (
+        old_cwk.unionByName(new_cwk)
+        .groupBy("w", "k")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    merged_classes = (
+        old_classes.unionByName(new_classes)
+        .groupBy("k")
+        .agg(F.sum("nk").cast("bigint").alias("nk"))
+    )
+    tmp = os.path.join(path, "_tmp_model")
+    # pin the merges before the swap touches their input files
+    merged_cwk.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        os.path.join(tmp, "cwk")
+    )
+    merged_classes.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        os.path.join(tmp, "classes")
+    )
+    swap_partition_dirs(path, tmp, ["cwk", "classes"])
+
+
+def load_nb_model(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(cwk, classes) from the stored layout — feed to
+    :func:`nb_model_from_stats` / ``nb_classify(model_tables=...)``.
+    No corpus scan happens here."""
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        check_not_torn,
+    )
+
+    check_not_torn(path)
+    return (
+        spark.read.parquet(os.path.join(path, "cwk")),
+        spark.read.parquet(os.path.join(path, "classes")),
+    )
+
+
 #: above this many (word, class) model rows the dense model no longer
 #: fits a sane executor broadcast (~40 B/row serialized → ~160 MB);
 #: a real 1e7-word × K-class model OOMs a forced broadcast, so auto
@@ -123,7 +244,7 @@ BROADCAST_MAX_MODEL_ROWS = 4_000_000
 
 
 def nb_classify(
-    train: DataFrame,
+    train: DataFrame | None,
     test: DataFrame,
     id_col: str = "doc_id",
     label_col: str = "lang",
@@ -131,6 +252,7 @@ def nb_classify(
     alpha: float = 0.5,
     broadcast_model: bool | None = None,
     broadcast_max_model_rows: int = BROADCAST_MAX_MODEL_ROWS,
+    model_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Train on ``train``, score ``test``; returns one row per test
     doc that has at least one token: (id_col, label_col,
@@ -143,21 +265,30 @@ def nb_classify(
     shuffle equi-join (the token stream and the model co-shuffle on
     the word key — correct at any model size); ``None`` (default)
     auto-routes by the estimated model size |train vocab| × |classes|
-    (one cheap aggregate over the train token stream) against
-    ``broadcast_max_model_rows``. Results are identical either way
-    (pytest pins hash equality); only the physical join strategy
-    moves."""
-    dense, per_class = nb_model(train, id_col, label_col, text_col, alpha)
+    (one cheap aggregate over the vocabulary-bounded statistic table)
+    against ``broadcast_max_model_rows``. Results are identical either
+    way (pytest pins hash equality); only the physical join strategy
+    moves.
+
+    ``model_tables=(cwk, classes)`` scores from PRE-COMPUTED
+    sufficient statistics (:func:`load_nb_model`) instead of
+    re-aggregating ``train`` (which may then be None) — the
+    estimate-once/score-per-batch serving path; hash-identical to
+    retraining by construction (same derivation,
+    :func:`nb_model_from_stats`)."""
+    if model_tables is not None:
+        cwk, classes = model_tables
+    elif train is not None:
+        cwk, classes = nb_stats(train, id_col, label_col, text_col)
+    else:
+        raise ValueError("need either train or model_tables")
+    dense, per_class = nb_model_from_stats(cwk, classes, alpha)
     if broadcast_model is None:
-        # |model| = train vocab × classes, from one aggregate pass
-        est = (
-            _tokens(train, id_col, label_col, text_col)
-            .agg(
-                F.count_distinct("w").alias("v"),
-                F.count_distinct("label").alias("k"),
-            )
-            .collect()[0]
-        )
+        # |model| = vocab × classes, one vocabulary-bounded aggregate
+        est = cwk.agg(
+            F.count_distinct("w").alias("v"),
+            F.count_distinct("k").alias("k"),
+        ).collect()[0]
         broadcast_model = (
             (est["v"] or 0) * (est["k"] or 0) <= broadcast_max_model_rows
         )

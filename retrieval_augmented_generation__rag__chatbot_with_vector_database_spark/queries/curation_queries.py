@@ -924,3 +924,34 @@ def corpus_perplexity_buckets_kll(spark: SparkSession, sf_dir: str) -> DataFrame
             <= slack
         ).alias("size_ok"),
     )
+
+
+@register("corpus_nb_quality_scores_indexed", _NB_ORACLE)
+def corpus_nb_quality_scores_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same predictions served from the PERSISTED model layout
+    (operators.classifier.save_nb_model → load_nb_model →
+    nb_classify(model_tables=)): train once, score per batch — the
+    estimate-once/probe-many contract the bigram-LM, lexical and
+    vector layouts all carry, against the SAME oracle SQL as
+    ``corpus_nb_quality_scores`` (hash-equal by construction: the
+    stored tables are the model's sufficient statistics and the
+    derivation is shared). The end-to-end number includes building
+    the layout; incremental ``update_nb_model`` ≡ rebuild is pinned
+    in tests/test_classifier.py."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+        load_nb_model,
+        nb_classify,
+        save_nb_model,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _NB_MOD != 0)
+    test = docs.filter(F.col("doc_id") % _NB_MOD == 0)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/nb"
+        save_nb_model(train, path)
+        out = nb_classify(None, test, model_tables=load_nb_model(spark, path))
+        out = out.localCheckpoint(eager=True)  # consume before tmp cleanup
+    return out

@@ -160,6 +160,48 @@ def test_auto_routing_thresholds(split):
     assert got_large == want
 
 
+def test_model_layout_update_equals_rebuild(spark, split, tmp_path):
+    """Persisted sufficient statistics are exactly additive: saving
+    half the labeled corpus then folding in the other half equals
+    rebuilding from the union, bit for bit — and classifying from the
+    loaded tables equals classifying from raw train."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+        load_nb_model,
+        save_nb_model,
+        update_nb_model,
+    )
+
+    train, test = split
+    h1 = train.filter(F.col("doc_id") % 2 == 0)
+    h2 = train.filter(F.col("doc_id") % 2 == 1)
+    pa, pb = str(tmp_path / "nb_inc"), str(tmp_path / "nb_full")
+    save_nb_model(h1, pa)
+    update_nb_model(h2, pa)
+    save_nb_model(train, pb)
+    cwk_a, cls_a = load_nb_model(spark, pa)
+    cwk_b, cls_b = load_nb_model(spark, pb)
+    assert sorted(map(tuple, cwk_a.collect())) == sorted(
+        map(tuple, cwk_b.collect())
+    )
+    assert sorted(map(tuple, cls_a.collect())) == sorted(
+        map(tuple, cls_b.collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            nb_classify(None, test, model_tables=(cwk_a, cls_a)).collect(),
+        )
+    )
+    want = sorted(map(tuple, nb_classify(train, test).collect()))
+    assert got == want
+
+
+def test_classify_needs_train_or_tables(split):
+    _, test = split
+    with pytest.raises(ValueError, match="train or model_tables"):
+        nb_classify(None, test)
+
+
 def test_tie_breaks_by_class_name(spark):
     # perfectly symmetric classes -> identical scores -> 'a' wins
     train = spark.createDataFrame(
