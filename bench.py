@@ -66,6 +66,12 @@ HEADLINE = [
     "dedup_embedding_pairs_jl",
     "events_audience_overlap_theta",
     "corpus_perplexity_buckets",
+    # round 7: full BPE, quantized-layout cosine, learned-gate funnel,
+    # KLL-cut tertiles (new keys — no history)
+    "text_bpe_full_encode",
+    "ann_ivfpq_cosine",
+    "corpus_curation_pipeline_nb",
+    "corpus_perplexity_buckets_kll",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round
