@@ -8,7 +8,7 @@ the decision space is the engine's real strategy ladder:
 
 | path        | when                                            |
 |-------------|-------------------------------------------------|
-| ``ivfpq``   | layout dir carries ``_ivfpq_meta.json``         |
+| ``ivfpq``   | layout dir carries ``_ivfpq_meta.json`` AND the metric matches the layout's transform: raw→euclidean, ``normalize``→cosine, ``mips``→dotproduct (a transformed layout serves exactly its own metric) |
 | ``ivf``     | layout dir carries ``_ivf_meta.json``           |
 | ``exact_gemm`` | no layout, index rows > ``hof_max_rows``     |
 | ``exact_hof``  | no layout, small index (or ``parity=True``)  |
