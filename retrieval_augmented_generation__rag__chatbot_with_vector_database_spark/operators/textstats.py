@@ -133,6 +133,78 @@ def repetition_stats(
     )
 
 
+#: (n, mode) per Gopher Table A1: top-n-gram share for short n-grams,
+#: duplicate-n-gram mass for long ones
+GOPHER_NGRAMS: tuple[tuple[int, str], ...] = (
+    (2, "top"),
+    (3, "top"),
+    (4, "top"),
+    (5, "dup"),
+    (8, "dup"),
+    (10, "dup"),
+)
+
+
+def gopher_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full Gopher repetition-filter signal set (Rae et al. 2021,
+    Table A1's n-gram rules): per document, ``top_{n}gram_share`` for
+    n=2,3,4 (occurrences of the most frequent word n-gram / total
+    n-grams — generalizing :func:`repetition_stats`) and
+    ``dup_{n}gram_share`` for n=5,8,10 (count MASS of n-grams occurring
+    more than once / total n-grams; Gopher's exact rule measures
+    character coverage of duplicate n-grams — the count-mass form is
+    the standard streaming approximation and upper-bounds it). Docs
+    with fewer than n tokens score 0.0 for that n (nothing to repeat).
+
+    Plan shape: tokenize once, then per n one explode + two hash
+    aggregations (map-side partial combine; shuffle ∝ distinct
+    (doc, n-gram)); the six per-n frames join back on the doc id —
+    all JVM-side, no UDFs."""
+    t = F.lower(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(t, r"[^a-z0-9]+"), lambda x: x != "").alias("__arr"),
+    )
+    arr = F.col("__arr")
+
+    def _gram(width: int):
+        # closure, NOT a default arg: a 2-param lambda would be read
+        # by transform() as (element, index)
+        return lambda i: F.concat_ws(" ", *[arr[i + j] for j in range(width)])
+
+    out = base.select("id")
+    for n, mode in GOPHER_NGRAMS:
+        grams = F.when(
+            F.size(arr) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(arr) - n), _gram(n)),
+        ).otherwise(F.array().cast("array<string>"))
+        g = base.select("id", F.explode(grams).alias("g"))
+        cnt = g.groupBy("id", "g").agg(F.count("*").alias("c"))
+        if mode == "top":
+            col = f"top_{n}gram_share"
+            per = cnt.groupBy("id").agg(
+                (F.max("c").cast("double") / F.sum("c")).alias(col)
+            )
+        else:
+            col = f"dup_{n}gram_share"
+            per = cnt.groupBy("id").agg(
+                (
+                    F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.sum("c")
+                ).alias(col)
+            )
+        out = out.join(per, "id", "left").withColumn(
+            col, F.round(F.coalesce(F.col(col), F.lit(0.0)), 6)
+        )
+    return out.withColumnRenamed("id", id_col)
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the full analysis column set — one projection, one pass."""
     f = quality_features(text_col)
@@ -155,6 +227,7 @@ __all__ = [
     "quality_score",
     "fingerprint",
     "repetition_stats",
+    "gopher_repetition_stats",
     "text_profile",
     "token_count",
 ]

@@ -521,3 +521,60 @@ def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "rank", "term", "n_occurrences", "n_docs"
     )
+
+
+def _gopher_cte(n: int, mode: str) -> str:
+    share = (
+        "max(c) * 1.0 / sum(c)"
+        if mode == "top"
+        else "sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c)"
+    )
+    name = f"{'top' if mode == 'top' else 'dup'}_{n}gram_share"
+    return f"""
+g{n} AS (
+  SELECT doc_id, array_to_string(arr[i:i+{n - 1}], ' ') AS g
+  FROM gtoks, unnest(range(1, len(arr) - {n - 2})) t(i)
+  WHERE len(arr) >= {n}
+),
+c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g),
+s{n} AS (SELECT doc_id, round({share}, 6) AS {name} FROM c{n} GROUP BY doc_id)"""
+
+
+_GOPHER_ORACLE = (
+    """
+WITH gtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents
+),"""
+    + ",".join(
+        _gopher_cte(n, m)
+        for n, m in ((2, "top"), (3, "top"), (4, "top"), (5, "dup"), (8, "dup"), (10, "dup"))
+    )
+    + """
+SELECT d.doc_id,
+       coalesce(s2.top_2gram_share, 0.0) AS top_2gram_share,
+       coalesce(s3.top_3gram_share, 0.0) AS top_3gram_share,
+       coalesce(s4.top_4gram_share, 0.0) AS top_4gram_share,
+       coalesce(s5.dup_5gram_share, 0.0) AS dup_5gram_share,
+       coalesce(s8.dup_8gram_share, 0.0) AS dup_8gram_share,
+       coalesce(s10.dup_10gram_share, 0.0) AS dup_10gram_share
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+LEFT JOIN s4 USING (doc_id) LEFT JOIN s5 USING (doc_id)
+LEFT JOIN s8 USING (doc_id) LEFT JOIN s10 USING (doc_id)
+"""
+)
+
+
+@register("text_gopher_repetition", _GOPHER_ORACLE)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher repetition-rule signal set per document
+    (operators.textstats.gopher_repetition_stats; Rae et al. 2021
+    Table A1): top-{2,3,4}-gram count share and duplicate-{5,8,10}-gram
+    count mass — the published multi-n generalization of
+    ``text_repetition_profile``'s single top-bigram rule. Six
+    independent explode+aggregate branches over one tokenization,
+    all JVM-side; full-value oracle re-derives every share."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.gopher_repetition_stats(docs)

@@ -195,3 +195,31 @@ def test_jl_pairs_subset_of_exact_with_identical_scores(spark):
         ).collect()
     }
     assert jl_all == exact
+
+
+def test_gopher_repetition_stats_hand_values(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.textstats import (
+        gopher_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),
+            (1, "x " * 12),
+            (2, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition_stats(docs).collect()}
+    # doc 0: 2-grams {ab:3, ba:2} -> 3/5; 3-grams {aba:2, bab:2} -> 0.5;
+    # 4-grams {abab:2, baba:1} -> 2/3; 5-grams all unique -> dup 0
+    assert got[0]["top_2gram_share"] == 0.6
+    assert got[0]["top_3gram_share"] == 0.5
+    assert got[0]["top_4gram_share"] == round(2 / 3, 6)
+    assert got[0]["dup_5gram_share"] == 0.0
+    # doc 1: every n-gram identical -> dup mass 1.0 at all long n
+    assert got[1]["dup_5gram_share"] == 1.0
+    assert got[1]["dup_8gram_share"] == 1.0
+    assert got[1]["dup_10gram_share"] == 1.0
+    # doc 2: shorter than every n -> all zeros
+    assert all(v == 0.0 for k, v in got[2].items() if k != "doc_id")
