@@ -171,3 +171,64 @@ def leakage_safe_split(
         "split",
         F.when(u < lo, "train").when(u < hi, "val").otherwise("test"),
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    alpha: float = 0.3,
+    total: int = 100,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual-LM
+    data-mixing rule (XLM-R / mBERT / Llama practice): stratum ``l``
+    with corpus share ``p_l`` is sampled with probability
+    ``q_l ∝ p_l^alpha`` (``alpha < 1`` up-weights low-resource strata,
+    ``alpha = 1`` is natural sampling), realized as exact per-stratum
+    TARGET COUNTS via largest-remainder apportionment of ``total``
+    (deterministic ties: remainder desc, stratum asc; targets cap at
+    the stratum's size) and a deterministic within-stratum pick (the
+    ``key_uniform`` pseudo-random order — pure function of the key, so
+    re-runs, backfills and the SQL oracle choose identical rows).
+
+    Scale shape: one count aggregate; every apportionment window runs
+    over the |strata|-sized dimension frame, never the corpus; the
+    per-stratum pick is the WindowGroupLimit top-k shape. Output:
+    (strata_col, rank, key_col)."""
+    from pyspark.sql import Window
+
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    c = df.groupBy(strata_col).agg(F.count("*").alias("__c"))
+    wall = Window.partitionBy()
+    raw = (
+        c.withColumn("__s", F.pow(F.col("__c"), F.lit(float(alpha))))
+        .withColumn("__q", F.col("__s") / F.sum("__s").over(wall))
+        .withColumn("__raw", F.lit(int(total)) * F.col("__q"))
+        .withColumn("__base", F.floor("__raw"))
+        .withColumn("__frac", F.col("__raw") - F.col("__base"))
+    )
+    worder = Window.orderBy(F.col("__frac").desc(), F.col(strata_col).asc())
+    targets = (
+        raw.withColumn("__left", F.lit(int(total)) - F.sum("__base").over(wall))
+        .withColumn("__fr", F.row_number().over(worder))
+        .withColumn(
+            "__target",
+            F.least(
+                F.col("__base") + (F.col("__fr") <= F.col("__left")).cast("long"),
+                F.col("__c"),
+            ),
+        )
+        .select(strata_col, "__target")
+    )
+    pick = Window.partitionBy(strata_col).orderBy(
+        key_uniform(key_col).desc(), F.col(key_col).asc()
+    )
+    return (
+        df.join(F.broadcast(targets), strata_col)
+        .withColumn("rank", F.row_number().over(pick))
+        .filter(F.col("rank") <= F.col("__target"))
+        .select(strata_col, "rank", key_col)
+    )

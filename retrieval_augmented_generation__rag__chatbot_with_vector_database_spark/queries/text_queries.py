@@ -578,3 +578,50 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     all JVM-side; full-value oracle re-derives every share."""
     docs = load(spark, sf_dir, "documents")
     return textstats.gopher_repetition_stats(docs)
+
+
+_TEMP_MIX_ORACLE = """
+WITH c AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY lang),
+sc AS (SELECT lang, c, pow(c, 0.3) AS s FROM c),
+q AS (SELECT lang, c, 100 * s / sum(s) OVER () AS raw FROM sc),
+t AS (
+  SELECT lang, c, floor(raw) AS base, raw - floor(raw) AS frac,
+         100 - sum(floor(raw)) OVER () AS leftover,
+         row_number() OVER (ORDER BY raw - floor(raw) DESC, lang ASC) AS fr
+  FROM q
+),
+tgt AS (
+  SELECT lang, least(base + (fr <= leftover)::int, c)::BIGINT AS target FROM t
+),
+pick AS (
+  SELECT d.lang, d.doc_id,
+         row_number() OVER (PARTITION BY d.lang
+           ORDER BY ((d.doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 DESC,
+                    d.doc_id ASC) AS rank
+  FROM documents d
+)
+SELECT p.lang, p.rank::INT AS rank, p.doc_id
+FROM pick p JOIN tgt USING (lang) WHERE p.rank <= tgt.target
+"""
+
+
+@register("corpus_temperature_mixture", _TEMP_MIX_ORACLE)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling
+    (operators.sampling.temperature_mixture_sample) — the
+    multilingual-LM data-mixing rule (XLM-R's q_l ∝ p_l^alpha,
+    alpha=0.3): per-language targets from largest-remainder
+    apportionment of a 100-doc budget over temperature-scaled corpus
+    shares (low-resource languages up-weighted), realized by the
+    deterministic Knuth-uniform within-language pick. Every window in
+    the apportionment runs over the |languages| dimension frame; the
+    pick is the WindowGroupLimit top-k shape. Full-value oracle
+    re-derives targets and the exact sampled rows."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        docs, strata_col="lang", key_col="doc_id", alpha=0.3, total=100
+    )
