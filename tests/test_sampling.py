@@ -167,3 +167,49 @@ def test_leakage_safe_split_rejects_bad_bounds(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     with pt.raises(ValueError, match="bounds"):
         leakage_safe_split(docs, pairs, bounds=(0.9, 0.8))
+
+
+def test_temperature_mixture_targets_and_determinism(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = (
+        [(i, "en") for i in range(70)]
+        + [(100 + i, "de") for i in range(20)]
+        + [(200 + i, "es") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture_sample(df, "lang", "doc_id", alpha=0.5, total=10)
+    got = out.collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append((r["rank"], r["doc_id"]))
+    # hand-derived largest-remainder apportionment at alpha=0.5:
+    # raw = 10*sqrt(c)/sum(sqrt) -> en 5.23, de 2.80, es 1.98;
+    # leftover 2 goes to the two largest remainders (es, de)
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 5, "de": 3, "es": 2}
+    # ranks contiguous from 1 per stratum
+    for v in by_lang.values():
+        assert sorted(r for r, _ in v) == list(range(1, len(v) + 1))
+    # pure function of keys: identical rows on re-run
+    again = sorted(map(tuple, temperature_mixture_sample(
+        df, "lang", "doc_id", alpha=0.5, total=10
+    ).collect()))
+    assert again == sorted(map(tuple, got))
+
+
+def test_temperature_mixture_caps_at_stratum_size(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b")], "doc_id long, lang string"
+    )
+    out = temperature_mixture_sample(df, "lang", "doc_id", alpha=0.3, total=50)
+    by = {}
+    for r in out.collect():
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    # a stratum can never contribute more docs than it has
+    assert by["a"] <= 2 and by["b"] <= 1
