@@ -151,3 +151,27 @@ def test_top_terms_is_take_ordered(spark):
     out = corpus_top_terms(spark, SF_DIR)
     # global top-20 via per-partition limits, not a global sort
     assert "TakeOrderedAndProject" in pp(out)
+
+
+def test_ivfpq_cosine_dispatch_keeps_partition_pruning(spark, emb, tmp_path):
+    """The r7 metric paths ride the same pruned scan: a dispatched
+    cosine probe over a normalized IVFPQ layout still reads only the
+    probed centroid_id partition directories (PartitionFilters — the
+    16 B/row scan promise survives the transform)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+
+    emb_n = pq._unit_normalized(emb, "embedding")
+    books = pq.train_pq_codebooks(emb_n, m=8, k=16)
+    cents = ann.seed_centroids(emb_n, 8)
+    path = str(tmp_path / "ivfpq_cos_plan")
+    pq.write_ivfpq_index(emb, path, cents, books, normalize=True)
+    out = search(
+        _queries(emb), emb, k=5, metric="cosine",
+        layout_path=path, nprobe=2, fetch_k=25,
+    )
+    assert has_partition_filter(out, "centroid_id")
