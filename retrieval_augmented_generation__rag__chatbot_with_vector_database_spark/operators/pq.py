@@ -399,15 +399,27 @@ def mips_max_norm(index: DataFrame, vec_col: str = "embedding") -> float:
     """Max L2 norm over the index — the MIPS transform's scale
     constant ``M``. One aggregate; exact and order-independent (float
     max), so build and callers compute the identical value."""
+    return _mips_norm_and_dim(index, vec_col)[0]
+
+
+def _mips_norm_and_dim(
+    index: DataFrame, vec_col: str = "embedding"
+) -> tuple[float, int]:
+    """(max L2 norm, max vector dim) in ONE aggregate — the build path
+    needs both (M for the transform, dim to validate the codebook
+    covers the augmented vector) and shouldn't pay two scans."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
         l2_norm,
     )
 
-    row = index.agg(F.max(l2_norm(F.col(vec_col))).alias("m")).collect()[0]
+    row = index.agg(
+        F.max(l2_norm(F.col(vec_col))).alias("m"),
+        F.max(F.size(F.col(vec_col))).alias("d"),
+    ).collect()[0]
     m = row["m"]
     if m is None or m <= 0:
         raise ValueError("MIPS transform needs at least one non-zero vector")
-    return float(m)
+    return float(m), int(row["d"])
 
 
 def mips_augmented(
@@ -461,7 +473,7 @@ def write_ivfpq_index(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    residual: bool = False,
+    residual: bool | None = None,
     normalize: bool = False,
     mips: bool = False,
 ) -> None:
@@ -494,7 +506,20 @@ def write_ivfpq_index(
     :func:`mips_max_norm`): the layout serves ``metric="dotproduct"``.
     Mutually exclusive with ``normalize`` (each transform defines the
     layout's space). Centroids/codebooks must be trained on the SAME
-    augmented frame.
+    augmented frame, and the codebook dim must cover the augmented
+    vector (input dim + 1) — a smaller codebook would silently slice
+    off the sqrt coordinate and ADC order would no longer be
+    dot-product order, so it raises here.
+
+    ``residual=None`` (the default) resolves to ``mips``: MIPS is
+    intrinsically the hardest metric for reconstruction-optimal PQ
+    (the sqrt coordinate concentrates the inner-product signal —
+    recall@10 0.037 raw vs 0.54 residual at fetch-100 on the 500k
+    hard case, SCALE.md), so a dotproduct tier defaults to residual
+    codes; the other transforms keep the cheaper raw encoding.
+    Passing ``residual=False`` WITH ``mips=True`` explicitly raises —
+    a raw-code MIPS layout is a recall trap with no error anywhere
+    downstream.
     """
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
         assign_centroids_gemm,
@@ -502,14 +527,32 @@ def write_ivfpq_index(
 
     if normalize and mips:
         raise ValueError("normalize and mips are mutually exclusive")
+    if residual is None:
+        residual = mips
+    if mips and not residual:
+        raise ValueError(
+            "mips=True with residual=False: raw PQ codes cannot carry "
+            "the MIPS sqrt coordinate's signal (recall@10 0.037 vs "
+            "0.54 residual on the 500k hard case — SCALE.md); train "
+            "with train_pq_codebooks_residual on the augmented frame "
+            "and pass residual=True (or leave residual=None)"
+        )
     max_norm = None
     if normalize:
         index = _unit_normalized(index, vec_col)
     if mips:
-        max_norm = mips_max_norm(index, vec_col)
-        index = mips_augmented(
-            index, vec_col, max_norm, len(codebooks) * len(codebooks[0][0])
-        )
+        target_dim = len(codebooks) * len(codebooks[0][0])
+        max_norm, in_dim = _mips_norm_and_dim(index, vec_col)
+        if target_dim < in_dim + 1:
+            raise ValueError(
+                f"MIPS codebook dim m*sub={target_dim} < input dim "
+                f"{in_dim} + 1: the augmented vector [x/M, sqrt(1-|x/M|²)] "
+                "would be truncated and ADC order would silently stop "
+                "being dot-product order — train codebooks on the "
+                "augmented frame (dim >= input + 1, padded to the "
+                "subspace grid)"
+            )
+        index = mips_augmented(index, vec_col, max_norm, target_dim)
     assigned = assign_centroids_gemm(index, centroids, "euclidean", vec_col)
     enc_src, enc_col = assigned, vec_col
     if residual:
@@ -718,49 +761,84 @@ def ivfpq_topk_rerank(
                 )
             return out
 
-        # LUT per (query, probed bucket): for residual layouts the ADC
-        # target is q - c_bucket (|q - (c + r)|^2 = |(q - c) - r|^2);
-        # for raw layouts every bucket shares the query's own LUT.
-        luts: dict[tuple[int, int], "np.ndarray"] = {}
-        raw_luts: dict[int, "np.ndarray"] = {}
+        # Invert the probe map once per task: bucket → the (sorted)
+        # query indices probing it, plus ONE stacked LUT tensor
+        # (nq_b × m × k) per bucket so every query scoring a bucket is
+        # a single fancy gather, not a Python loop. For residual
+        # layouts the ADC target is q - c_bucket
+        # (|q - (c + r)|^2 = |(q - c) - r|^2) so the tensor is built
+        # per bucket; raw layouts share each query's own LUT across
+        # buckets (stack is a view-index into one nq × m × k array).
+        bq_lists: dict[int, list[int]] = {}
         for qi in range(nq):
-            if residual:
-                for cid in probe[qi]:
-                    luts[(qi, cid)] = make_lut(Qm[qi] - cvec[cid])
-            else:
-                raw_luts[qi] = make_lut(Qm[qi])
+            for cid in probe[qi]:
+                bq_lists.setdefault(int(cid), []).append(qi)
+        bucket_queries = {
+            c: np.array(v, dtype=np.int64) for c, v in bq_lists.items()
+        }
+        if residual:
+            bucket_luts = {
+                c: np.stack([make_lut(Qm[qi] - cvec[c]) for qi in qis])
+                for c, qis in bucket_queries.items()
+            }
+        else:
+            raw = np.stack([make_lut(Qm[qi]) for qi in range(nq)])
+            bucket_luts = {c: raw[qis] for c, qis in bucket_queries.items()}
 
         for batch in batches:
-            tbl = batch.to_pydict()
-            ids = np.array(tbl[id_col], dtype=np.int64)
-            n = len(ids)
+            n = batch.num_rows
             if n == 0:
                 continue
-            codes = np.array(tbl["codes"], dtype=np.int64)
-            bucket = np.array(tbl["centroid_id"], dtype=np.int64)
-            for qi in range(nq):
-                for cid in probe[qi]:
-                    sel = np.nonzero(bucket == cid)[0]
-                    if len(sel) == 0:
-                        continue
-                    lut = luts[(qi, cid)] if residual else raw_luts[qi]
-                    dist = np.zeros(len(sel), dtype=np.float64)
-                    cs = codes[sel]
-                    for j in range(m):
-                        dist += lut[j, cs[:, j]]
-                    yield pa.RecordBatch.from_pydict(
-                        {
-                            "query_id": pa.array(
-                                [int(qid[qi])] * len(sel), type=pa.int64()
-                            ),
-                            "vec_id": pa.array(
-                                [int(x) for x in ids[sel]], type=pa.int64()
-                            ),
-                            "adc_dist": pa.array(
-                                [float(x) for x in dist], type=pa.float64()
-                            ),
-                        }
-                    )
+            ids = (
+                batch.column(id_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            codes_col = batch.column("codes")
+            off = np.asarray(codes_col.offsets, dtype=np.int64)
+            flat = np.asarray(codes_col.values)
+            widths = np.diff(off)
+            if not (widths == m).all():
+                raise ValueError(
+                    f"codes column is not fixed-width m={m}: widths "
+                    f"{sorted(set(int(w) for w in widths))[:5]}"
+                )
+            codes = flat[off[0] : off[-1]].reshape(n, m).astype(
+                np.int64, copy=False
+            )
+            bucket = (
+                batch.column("centroid_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            # the layout is partitioned by centroid_id so a batch is
+            # normally ONE bucket; group once regardless
+            out_q: list["np.ndarray"] = []
+            out_v: list["np.ndarray"] = []
+            out_d: list["np.ndarray"] = []
+            for cid in np.unique(bucket):
+                qis = bucket_queries.get(int(cid))
+                if qis is None:
+                    continue
+                sel = np.nonzero(bucket == cid)[0]
+                cs = codes[sel]  # n_sel × m
+                lut = bucket_luts[int(cid)]  # nq_b × m × k
+                dist = lut[:, 0, cs[:, 0]]  # nq_b × n_sel
+                for j in range(1, m):
+                    dist = dist + lut[:, j, cs[:, j]]
+                n_sel = len(sel)
+                out_q.append(np.repeat(qid[qis], n_sel))
+                out_v.append(np.tile(ids[sel], len(qis)))
+                out_d.append(dist.ravel())
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_v), type=pa.int64()),
+                        pa.array(np.concatenate(out_d), type=pa.float64()),
+                    ],
+                    names=["query_id", "vec_id", "adc_dist"],
+                )
 
     scored = pruned.select(id_col, "codes", "centroid_id").mapInArrow(
         kernel, out_schema

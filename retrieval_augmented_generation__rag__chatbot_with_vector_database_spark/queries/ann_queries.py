@@ -636,8 +636,12 @@ def ann_ivfpq_dotproduct(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = pq.mips_augmented(
         emb, "embedding", pq.mips_max_norm(emb, "embedding"), 68
     )
-    books = pq.train_pq_codebooks(aug, m=17, k=64)
     cents = ann.seed_centroids(aug, N_CENTROIDS)
+    # residual codebooks — the shipped default for MIPS layouts
+    # (write_ivfpq_index resolves residual=None → True under mips=True;
+    # raw codes can't carry the sqrt coordinate's signal: recall@10
+    # 0.037 raw vs 0.54 residual on the 500k hard case, SCALE.md)
+    books = pq.train_pq_codebooks_residual(aug, cents, m=17, k=64)
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/ivfpq_mips"
         pq.write_ivfpq_index(emb, path, cents, books, mips=True)

@@ -107,11 +107,12 @@ def test_route_normalized_ivfpq_serves_cosine(spark, emb, tmp_path):
 
 def _mips_ivfpq(spark, emb, path, n_cents=8):
     """Build a mips=True IVFPQ layout: quantizers trained in the
-    augmented space (dim 64 -> 72 = 9 subspaces x 8)."""
+    augmented space (dim 64 -> 72 = 9 subspaces x 8); residual
+    codebooks — the shipped MIPS default (residual=None → True)."""
     M = pq.mips_max_norm(emb, "embedding")
     aug = pq.mips_augmented(emb, "embedding", M, 72)
-    books = pq.train_pq_codebooks(aug, m=9, k=16)
     cents = ann.seed_centroids(aug, n_cents)
+    books = pq.train_pq_codebooks_residual(aug, cents, m=9, k=16)
     pq.write_ivfpq_index(emb, path, cents, books, mips=True)
     return cents, books
 
@@ -163,6 +164,41 @@ def test_write_ivfpq_normalize_mips_exclusive(spark, emb, tmp_path):
             emb, str(tmp_path / "x"), cents, books,
             normalize=True, mips=True,
         )
+
+
+def test_write_ivfpq_mips_defaults_residual(spark, emb, tmp_path):
+    """residual=None resolves to True under mips=True (SCALE.md: raw
+    codes recall@10 0.037 vs 0.54 residual on the 500k hard case) —
+    the sidecar must persist residual=true without the caller asking."""
+    path = str(tmp_path / "ivfpq_m")
+    _mips_ivfpq(spark, emb, path)
+    meta = pq.load_ivfpq_meta(path)
+    assert meta["mips"] is True
+    assert meta["residual"] is True
+
+
+def test_write_ivfpq_mips_refuses_raw_codes(spark, emb, tmp_path):
+    """Explicit residual=False with mips=True is a recall trap with no
+    downstream error — the build must refuse loudly."""
+    M = pq.mips_max_norm(emb, "embedding")
+    aug = pq.mips_augmented(emb, "embedding", M, 72)
+    books = pq.train_pq_codebooks(aug, m=9, k=16)
+    cents = ann.seed_centroids(aug, 8)
+    with pytest.raises(ValueError, match="residual"):
+        pq.write_ivfpq_index(
+            emb, str(tmp_path / "x"), cents, books, mips=True, residual=False
+        )
+
+
+def test_write_ivfpq_mips_rejects_undersized_codebooks(spark, emb, tmp_path):
+    """Codebooks trained on the RAW frame (m*sub == input dim < dim+1)
+    would silently truncate the sqrt augmentation coordinate — ADC
+    order would stop being dot-product order with no error anywhere.
+    The build must raise instead (ADVICE r7)."""
+    cents = ann.seed_centroids(emb, 8)
+    books = pq.train_pq_codebooks_residual(emb, cents, m=8, k=16)  # dim 64
+    with pytest.raises(ValueError, match="augmented"):
+        pq.write_ivfpq_index(emb, str(tmp_path / "x"), cents, books, mips=True)
 
 
 def test_route_rejects_non_layout_dir(tmp_path):
