@@ -72,6 +72,10 @@ HEADLINE = [
     "ann_ivfpq_cosine",
     "corpus_curation_pipeline_nb",
     "corpus_perplexity_buckets_kll",
+    # round 9: ANN-layout RAG serving shape + full-Gopher-gate funnel
+    # (new keys — no history)
+    "rag_ann_e2e",
+    "corpus_curation_pipeline_gopher",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round

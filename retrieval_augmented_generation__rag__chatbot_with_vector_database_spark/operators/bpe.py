@@ -148,6 +148,10 @@ def train_bpe_local(
     (count desc, left asc, right asc) key."""
     import heapq
 
+    if on_reserved not in ("drop", "raise"):
+        raise ValueError(
+            f"on_reserved must be 'drop' or 'raise', got {on_reserved!r}"
+        )
     vocab, dropped = split_reserved_pretokens(vocab)
     if dropped:
         if on_reserved == "raise":

@@ -188,10 +188,41 @@ def chunk_documents(
 
     out = src.mapInPandas(_chunk_batches, schema=CHUNK_SCHEMA)
     if with_global_index:
+        # scalable global enumeration (zipWithIndex's shape in pure
+        # DataFrame ops): range-partition by the global sort key so
+        # partition p holds exactly the keys between p's boundaries,
+        # count rows per partition (the counts frame is |partitions|
+        # rows — bounded by cluster config, not data), turn the counts
+        # into cumulative offsets driver-side, and add a PARALLEL
+        # per-partition row_number to each row's partition offset. No
+        # single-partition WindowExec anywhere — the old
+        # Window.orderBy(...) form funneled the whole corpus through
+        # one task (tests/test_plans.py pins the new shape).
+        # (doc_id, local_index) is unique per row, so the enumeration
+        # is identical to the global-window form.
         from pyspark.sql import Window
 
-        w = Window.orderBy("doc_id", "local_index")
-        out = out.withColumn("global_index", F.row_number().over(w) - 1)
+        part = out.repartitionByRange(F.col("doc_id"), F.col("local_index"))
+        pid = part.withColumn("__pid", F.spark_partition_id())
+        counts = sorted(
+            (r["__pid"], r["c"])
+            for r in pid.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+        )
+        offs, acc = [], 0
+        for p, c in counts:
+            offs.append((p, acc))
+            acc += c
+        spark = out.sparkSession
+        off_df = spark.createDataFrame(offs, "__pid int, __off long")
+        wl = Window.partitionBy("__pid").orderBy("doc_id", "local_index")
+        out = (
+            pid.join(F.broadcast(off_df), "__pid")
+            .withColumn(
+                "global_index",
+                F.row_number().over(wl) - 1 + F.col("__off"),
+            )
+            .drop("__pid", "__off")
+        )
         out = out.withColumn("chunk_id", chunk_id(F.col("global_index"), F.col("text")))
     else:
         out = out.withColumn("chunk_id", chunk_id(F.col("local_index"), F.col("text")))

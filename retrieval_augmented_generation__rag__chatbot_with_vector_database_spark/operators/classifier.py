@@ -280,6 +280,14 @@ def nb_classify(
         cwk, classes = model_tables
     elif train is not None:
         cwk, classes = nb_stats(train, id_col, label_col, text_col)
+        if broadcast_model is None:
+            # the routing estimate below runs an action over cwk; when
+            # cwk is derived from train that action would re-run the
+            # full train-corpus token aggregation a second time when
+            # the dense model materializes for scoring. cwk is
+            # vocabulary-bounded (|vocab x classes| rows), so cache it
+            # and let the estimate be the materializing job.
+            cwk = cwk.cache()
     else:
         raise ValueError("need either train or model_tables")
     dense, per_class = nb_model_from_stats(cwk, classes, alpha)

@@ -476,6 +476,7 @@ def write_ivfpq_index(
     residual: bool | None = None,
     normalize: bool = False,
     mips: bool = False,
+    store_vectors: bool = True,
 ) -> None:
     """FAISS-IVFPQ-shaped layout: rows are assigned to their nearest
     coarse centroid (euclidean — the ADC metric) and PQ-ENCODED, then
@@ -520,6 +521,16 @@ def write_ivfpq_index(
     Passing ``residual=False`` WITH ``mips=True`` explicitly raises —
     a raw-code MIPS layout is a recall trap with no error anywhere
     downstream.
+
+    ``store_vectors=True`` (default) co-locates the RAW full-precision
+    vectors with the codes in each bucket file, making the layout
+    SELF-CONTAINED: the probe's exact rerank reads only the probed
+    bucket directories (parquet column pruning keeps the ADC scan on
+    the codes column) instead of scanning a separate full-precision
+    table — the only rerank shape that works at 100 TB, and it fuses
+    probe+rerank into a single job (see :func:`ivfpq_topk_rerank`).
+    ``False`` keeps the codes-only layout (4·d/m× smaller on disk);
+    probes then need the ``index`` frame for the rerank join.
     """
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
         assign_centroids_gemm,
@@ -538,6 +549,11 @@ def write_ivfpq_index(
             "and pass residual=True (or leave residual=None)"
         )
     max_norm = None
+    # stash the raw vectors before any space transform: the layout
+    # stores RAW floats (the rerank metric is defined on them), while
+    # assignment + encoding run in the transformed space
+    if store_vectors and (normalize or mips):
+        index = index.withColumn("__raw", F.col(vec_col))
     if normalize:
         index = _unit_normalized(index, vec_col)
     if mips:
@@ -558,7 +574,13 @@ def write_ivfpq_index(
     if residual:
         enc_src, enc_col = _with_residual(assigned, centroids, vec_col)
     enc = pq_encode(enc_src, codebooks, id_col, enc_col)
-    layout = assigned.select(id_col, "centroid_id").join(enc, id_col)
+    keep = [F.col(id_col), F.col("centroid_id")]
+    if store_vectors:
+        # stored AS-IS (no float cast): the fused rerank must see the
+        # exact values a side-table rerank would
+        raw = "__raw" if (normalize or mips) else vec_col
+        keep.append(F.col(raw).alias(vec_col))
+    layout = assigned.select(*keep).join(enc, id_col)
     n_parts = len(centroids)
     (
         layout.repartition(n_parts, F.col("centroid_id"))
@@ -566,7 +588,10 @@ def write_ivfpq_index(
         .partitionBy("centroid_id")
         .parquet(path)
     )
-    n_rows = layout.count()
+    # count from the WRITTEN files (parquet footer metadata), not the
+    # logical plan — layout.count() would re-run the whole
+    # assign+encode DAG a second time
+    n_rows = index.sparkSession.read.parquet(path).count()
     with open(os.path.join(path, IVFPQ_META), "w") as f:
         json.dump(
             {
@@ -582,6 +607,8 @@ def write_ivfpq_index(
                 "normalize": normalize,
                 "mips": mips,
                 "mips_max_norm": max_norm,
+                "stores_vectors": store_vectors,
+                "vec_col": vec_col if store_vectors else None,
             },
             f,
         )
@@ -696,6 +723,7 @@ def ivfpq_topk_rerank(
     qids, Q, _ = collect_query_matrix(
         queries, query_id_col, query_vec_col, "euclidean", MAX_PQ_QUERIES
     )
+    Qraw = Q  # raw query space — the rerank metric is defined on it
     if metric == "cosine":
         # probe/ADC in the layout's unit-sphere space; zero-norm
         # queries pass through (their cosine is undefined anywhere)
@@ -731,6 +759,7 @@ def ivfpq_topk_rerank(
     pruned = layout.filter(F.col("centroid_id").isin(all_probed))
 
     q_payload = json.dumps([[float(x) for x in row] for row in Q])
+    qraw_payload = json.dumps([[float(x) for x in row] for row in Qraw])
     qid_payload = json.dumps([int(x) for x in qids])
     probe_payload = json.dumps([[int(c) for c in row] for row in probed])
     books_payload = json.dumps(codebooks)
@@ -821,15 +850,37 @@ def ivfpq_topk_rerank(
                 if qis is None:
                     continue
                 sel = np.nonzero(bucket == cid)[0]
+                # ascending-id order so the stable argsort below
+                # breaks distance ties by vec_id — the exact key the
+                # downstream window uses
+                sel = sel[np.argsort(ids[sel], kind="stable")]
                 cs = codes[sel]  # n_sel × m
                 lut = bucket_luts[int(cid)]  # nq_b × m × k
                 dist = lut[:, 0, cs[:, 0]]  # nq_b × n_sel
                 for j in range(1, m):
                     dist = dist + lut[:, j, cs[:, j]]
                 n_sel = len(sel)
-                out_q.append(np.repeat(qid[qis], n_sel))
-                out_v.append(np.tile(ids[sel], len(qis)))
-                out_d.append(dist.ravel())
+                # emit only each query's LOCAL top-fetch_k by
+                # (adc_dist asc, vec_id asc): any candidate in the
+                # global per-query top-fetch_k is necessarily in its
+                # own batch's top-fetch_k under the same key, so the
+                # downstream exact window sees every winner while the
+                # kernel output shrinks from (rows scanned) to
+                # (queries × fetch_k) per batch — the post-kernel
+                # shuffle stops scaling with the corpus.
+                if n_sel > fetch_k:
+                    top = np.argsort(dist, axis=1, kind="stable")[
+                        :, :fetch_k
+                    ]  # nq_b × fetch_k
+                    out_q.append(
+                        np.repeat(qid[qis], fetch_k)
+                    )
+                    out_v.append(ids[sel][top].ravel())
+                    out_d.append(np.take_along_axis(dist, top, axis=1).ravel())
+                else:
+                    out_q.append(np.repeat(qid[qis], n_sel))
+                    out_v.append(np.tile(ids[sel], len(qis)))
+                    out_d.append(dist.ravel())
             if out_q:
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -840,6 +891,194 @@ def ivfpq_topk_rerank(
                     names=["query_id", "vec_id", "adc_dist"],
                 )
 
+    lead_asc = metric == "euclidean"
+
+    def fused_kernel(batches):
+        """Single-pass probe: ADC over the batch's probed buckets →
+        per-(query, batch) top-``fetch_k`` cut → EXACT rerank of those
+        candidates against the raw vectors CO-LOCATED in the layout.
+        The rescore reproduces ``functions.vector.similarity_expr``
+        bit-for-bit: float64 everywhere, per-dimension SEQUENTIAL
+        left-fold adds (a Python loop of vectorized adds over dims —
+        not numpy pairwise summation), same zero-denominator NULL for
+        cosine. The candidate set is the union of per-(query, batch)
+        ADC top-``fetch_k`` cuts — a SUPERSET of the join path's
+        global top-``fetch_k`` (recall never lower; identical, hence
+        hash-equal, whenever ``fetch_k`` covers the probed rows, which
+        is how the full-value oracles are constructed)."""
+        B = [np.array(b, dtype=np.float64) for b in json.loads(books_payload)]
+        Qm = np.array(json.loads(q_payload), dtype=np.float64)
+        Qr = np.array(json.loads(qraw_payload), dtype=np.float64)
+        qid = np.array(json.loads(qid_payload), dtype=np.int64)
+        probe = json.loads(probe_payload)
+        cvec = {
+            int(c): np.array(v, dtype=np.float64)
+            for c, v in json.loads(cent_payload).items()
+        }
+        nq = Qm.shape[0]
+        d_raw = Qr.shape[1]
+
+        def make_lut(target):
+            out = np.empty((m, B[0].shape[0]), dtype=np.float64)
+            for j in range(m):
+                t = target[j * sub : (j + 1) * sub]
+                out[j] = (
+                    (t * t).sum() - 2.0 * (B[j] @ t) + (B[j] ** 2).sum(axis=1)
+                )
+            return out
+
+        def seq_dot(qv, W):
+            """<q, w> per row of W with the SQL fold's add order."""
+            acc = np.zeros(W.shape[0], dtype=np.float64)
+            for j in range(W.shape[1]):
+                acc = acc + qv[j] * W[:, j]
+            return acc
+
+        def seq_sq(W):
+            acc = np.zeros(W.shape[0], dtype=np.float64)
+            for j in range(W.shape[1]):
+                acc = acc + W[:, j] * W[:, j]
+            return acc
+
+        def seq_l2(qv):
+            acc = 0.0
+            for x in qv:
+                acc = acc + x * x
+            return float(np.sqrt(acc))
+
+        q_norms = [seq_l2(Qr[i]) for i in range(nq)]
+
+        bq_lists: dict[int, list[int]] = {}
+        for qi in range(nq):
+            for cid in probe[qi]:
+                bq_lists.setdefault(int(cid), []).append(qi)
+        bucket_queries = {
+            c: np.array(v, dtype=np.int64) for c, v in bq_lists.items()
+        }
+        if residual:
+            bucket_luts = {
+                c: np.stack([make_lut(Qm[qi] - cvec[c]) for qi in qis])
+                for c, qis in bucket_queries.items()
+            }
+        else:
+            raw_l = np.stack([make_lut(Qm[qi]) for qi in range(nq)])
+            bucket_luts = {c: raw_l[qis] for c, qis in bucket_queries.items()}
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = (
+                batch.column(id_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            codes_col = batch.column("codes")
+            off = np.asarray(codes_col.offsets, dtype=np.int64)
+            flat = np.asarray(codes_col.values)
+            widths = np.diff(off)
+            if not (widths == m).all():
+                raise ValueError(
+                    f"codes column is not fixed-width m={m}: widths "
+                    f"{sorted(set(int(w) for w in widths))[:5]}"
+                )
+            codes = flat[off[0] : off[-1]].reshape(n, m).astype(
+                np.int64, copy=False
+            )
+            vcol = batch.column(vec_col)
+            voff = np.asarray(vcol.offsets, dtype=np.int64)
+            # zero-copy view in the STORED dtype; only the ≤ fetch_k
+            # candidate rows per query are widened to float64 below —
+            # widening the whole batch would copy ~n×d×8 bytes for
+            # rows the rerank never touches
+            vflat = np.asarray(vcol.values)
+            vw = np.diff(voff)
+            if not (vw == d_raw).all():
+                raise ValueError(
+                    f"stored vector column is not fixed-width d={d_raw}"
+                )
+            V = vflat[voff[0] : voff[-1]].reshape(n, d_raw)
+            bucket = (
+                batch.column("centroid_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            out_q: list["np.ndarray"] = []
+            out_v: list["np.ndarray"] = []
+            out_s: list["np.ndarray"] = []
+            out_nul: list["np.ndarray"] = []
+            for cid in np.unique(bucket):
+                qis = bucket_queries.get(int(cid))
+                if qis is None:
+                    continue
+                sel = np.nonzero(bucket == cid)[0]
+                sel = sel[np.argsort(ids[sel], kind="stable")]
+                cs = codes[sel]
+                lut = bucket_luts[int(cid)]
+                dist = lut[:, 0, cs[:, 0]]
+                for j in range(1, m):
+                    dist = dist + lut[:, j, cs[:, j]]
+                n_sel = len(sel)
+                t = min(fetch_k, n_sel)
+                # per-query ADC cut by (dist asc, vec_id asc) — ids
+                # are pre-sorted so the stable argsort's tie order is
+                # the window's tie order
+                top = np.argsort(dist, axis=1, kind="stable")[:, :t]
+                for bi, qi in enumerate(qis):
+                    rows = sel[top[bi]]
+                    W = V[rows].astype(np.float64)  # exact widening
+                    if metric == "euclidean":
+                        diff = Qr[qi][None, :] - W
+                        s = np.sqrt(seq_sq(diff))
+                        nul = np.zeros(t, dtype=bool)
+                    elif metric == "dotproduct":
+                        s = seq_dot(Qr[qi], W)
+                        nul = np.zeros(t, dtype=bool)
+                    else:  # cosine
+                        denom = q_norms[qi] * np.sqrt(seq_sq(W))
+                        nul = denom == 0.0
+                        s = np.divide(
+                            seq_dot(Qr[qi], W),
+                            np.where(nul, 1.0, denom),
+                        )
+                    out_q.append(np.full(t, qid[qi], dtype=np.int64))
+                    out_v.append(ids[rows])
+                    out_s.append(s)
+                    out_nul.append(nul)
+            if out_q:
+                nul_all = np.concatenate(out_nul)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_v), type=pa.int64()),
+                        pa.array(
+                            np.concatenate(out_s),
+                            type=pa.float64(),
+                            mask=nul_all if nul_all.any() else None,
+                        ),
+                    ],
+                    names=["query_id", "vec_id", "score"],
+                )
+
+    if vec_col in layout.columns:
+        # self-contained layout: probe + exact rerank in ONE job over
+        # the pruned bucket reads; the only post-kernel op is the
+        # final per-query top-k window over ≤ |Q|·buckets·fetch_k rows
+        scored2 = pruned.select(
+            id_col, "codes", "centroid_id", vec_col
+        ).mapInArrow(fused_kernel, "query_id long, vec_id long, score double")
+        lead2 = F.col("score").asc() if lead_asc else F.col("score").desc()
+        wf = Window.partitionBy("query_id").orderBy(lead2, F.col("vec_id").asc())
+        return (
+            scored2.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k)
+        )
+
+    if index is None:
+        raise ValueError(
+            "this IVFPQ layout stores codes only (store_vectors=False); "
+            "the rerank needs the full-precision index frame"
+        )
     scored = pruned.select(id_col, "codes", "centroid_id").mapInArrow(
         kernel, out_schema
     )
@@ -936,6 +1175,7 @@ def retrain_ivfpq_index(
     write_ivfpq_index(
         vectors, path, cents, books, id_col, vec_col,
         residual=residual, normalize=normalize, mips=mips,
+        store_vectors=bool(meta.get("stores_vectors", False)),
     )
     return {
         "rows": int(load_ivfpq_meta(path)["rows_at_build"]),
@@ -975,6 +1215,14 @@ def upsert_ivfpq_index(
     centroids = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
     codebooks = meta["codebooks"]
     residual = bool(meta.get("residual", False))
+    stores_vectors = bool(meta.get("stores_vectors", False))
+    transformed = bool(meta.get("normalize", False)) or bool(
+        meta.get("mips", False)
+    )
+    if stores_vectors and transformed:
+        # the layout stores RAW vectors next to the transformed-space
+        # codes; stash them before entering the layout's space
+        records = records.withColumn("__raw", F.col(vec_col))
     if bool(meta.get("normalize", False)):
         # a normalized layout stores unit vectors; upserts must enter
         # the same space or their codes would be scale-garbage
@@ -993,7 +1241,10 @@ def upsert_ivfpq_index(
         )
 
     assigned = assign_centroids_gemm(records, centroids, "euclidean", vec_col)
-    payload = sorted(c for c in assigned.columns if c != id_col)
+    # __raw is derived from the same record as the transformed vector,
+    # so excluding it keeps the duplicate-survivor choice identical to
+    # codes-only layouts
+    payload = sorted(c for c in assigned.columns if c not in (id_col, "__raw"))
     dw = Window.partitionBy(id_col).orderBy(
         F.md5(F.to_json(F.struct(*payload))).asc()
     )
@@ -1011,7 +1262,12 @@ def upsert_ivfpq_index(
         # encode exactly as the build did (flag persisted in sidecar)
         enc_src, enc_col = _with_residual(assigned, centroids, vec_col)
     enc = pq_encode(enc_src, codebooks, id_col, enc_col)
-    fresh = assigned.select(id_col, "centroid_id").join(enc, id_col)
+    keep = [F.col(id_col), F.col("centroid_id")]
+    if stores_vectors:
+        lcol = meta.get("vec_col") or vec_col
+        raw = "__raw" if transformed else vec_col
+        keep.append(F.col(raw).alias(lcol))
+    fresh = assigned.select(*keep).join(enc, id_col)
 
     ids = assigned.select(id_col).distinct()
     layout = spark.read.parquet(path)

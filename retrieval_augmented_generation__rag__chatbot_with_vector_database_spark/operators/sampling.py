@@ -179,6 +179,7 @@ def temperature_mixture_sample(
     key_col: str = "doc_id",
     alpha: float = 0.3,
     total: int = 100,
+    redistribute: bool = False,
 ) -> DataFrame:
     """Temperature-scaled mixture sampling — the multilingual-LM
     data-mixing rule (XLM-R / mBERT / Llama practice): stratum ``l``
@@ -190,6 +191,17 @@ def temperature_mixture_sample(
     the stratum's size) and a deterministic within-stratum pick (the
     ``key_uniform`` pseudo-random order — pure function of the key, so
     re-runs, backfills and the SQL oracle choose identical rows).
+
+    Shortfall contract: with ``redistribute=False`` (default) the
+    size cap is applied AFTER apportionment without reallocating, so
+    when any stratum is exhausted the result totals FEWER than
+    ``total`` rows — the natural-mixture reading ("an exhausted
+    stratum simply contributes everything it has"). Pass
+    ``redistribute=True`` to fill the post-cap deficit from the
+    remaining capacity of the other strata, greedily in temperature-
+    share order (``q`` desc, stratum asc; one cumulative-sum window
+    over the |strata| frame): the result then totals exactly
+    ``min(total, count(df))``, still fully deterministic.
 
     Scale shape: one count aggregate; every apportionment window runs
     over the |strata|-sized dimension frame, never the corpus; the
@@ -221,8 +233,32 @@ def temperature_mixture_sample(
                 F.col("__c"),
             ),
         )
-        .select(strata_col, "__target")
     )
+    if redistribute:
+        # fill the post-cap deficit from the other strata's remaining
+        # capacity, greedily in temperature-share order: one running
+        # capacity sum over the |strata| frame — exactly min(total, N)
+        # rows come out, fully deterministic
+        gorder = Window.orderBy(F.col("__q").desc(), F.col(strata_col).asc())
+        before = gorder.rowsBetween(Window.unboundedPreceding, -1)
+        targets = (
+            targets.withColumn(
+                "__deficit", F.lit(int(total)) - F.sum("__target").over(wall)
+            )
+            .withColumn("__cap", F.col("__c") - F.col("__target"))
+            .withColumn(
+                "__taken", F.coalesce(F.sum("__cap").over(before), F.lit(0))
+            )
+            .withColumn(
+                "__target",
+                F.col("__target")
+                + F.greatest(
+                    F.lit(0),
+                    F.least(F.col("__cap"), F.col("__deficit") - F.col("__taken")),
+                ),
+            )
+        )
+    targets = targets.select(strata_col, "__target")
     pick = Window.partitionBy(strata_col).orderBy(
         key_uniform(key_col).desc(), F.col(key_col).asc()
     )

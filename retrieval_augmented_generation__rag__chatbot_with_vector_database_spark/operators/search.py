@@ -10,7 +10,7 @@ the decision space is the engine's real strategy ladder:
 |-------------|-------------------------------------------------|
 | ``ivfpq``   | layout dir carries ``_ivfpq_meta.json`` AND the metric matches the layout's transform: raw→euclidean, ``normalize``→cosine, ``mips``→dotproduct (a transformed layout serves exactly its own metric) |
 | ``ivf``     | layout dir carries ``_ivf_meta.json``           |
-| ``exact_gemm`` | no layout, index rows > ``hof_max_rows``     |
+| ``exact_gemm`` | no layout, index rows > ``hof_max_rows``; OR a layout exists but its sidecar ``rows_at_build`` < ``prefer_exact_below`` (size-aware crossover: below break-even the single-stage brute-force scan beats any probe's fixed overhead) |
 | ``exact_hof``  | no layout, small index (or ``parity=True``)  |
 
 Rationale: a persisted inverted-file layout always beats rescanning
@@ -45,14 +45,25 @@ def route(
     metric: str = "cosine",
     parity: bool = False,
     hof_max_rows: int = DEFAULT_HOF_MAX_ROWS,
+    prefer_exact_below: int = 0,
 ) -> dict:
     """Pick the search path. Returns {"path": ..., "reason": ...};
     raises on contradictions (an IVFPQ layout's ADC is squared-L2, so
     it serves euclidean always, cosine only when the layout was built
     ``normalize=True`` — unit vectors make squared-L2 order ≡ cosine
-    order — and dotproduct never)."""
+    order — and dotproduct never).
+
+    ``prefer_exact_below``: size-aware crossover override — when a
+    layout exists but its sidecar ``rows_at_build`` is below this
+    bound, route to the exact GEMM scan instead (SCALE.md finding 1:
+    below a few hundred thousand rows the single-stage brute-force
+    scan beats any probe's fixed multi-stage overhead; the layout
+    only pays off once scan IO dominates). 0 (default) disables the
+    override — a present layout is served. Routing still reads NO
+    data: the row count comes from the sidecar JSON."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
         IVF_META,
+        ivf_meta,
     )
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.pq import (
         IVFPQ_META,
@@ -62,6 +73,17 @@ def route(
     if layout_path is not None:
         if os.path.exists(os.path.join(layout_path, IVFPQ_META)):
             meta = load_ivfpq_meta(layout_path)
+            built = int(meta.get("rows_at_build", 0) or 0)
+            if prefer_exact_below and built and built < prefer_exact_below:
+                return {
+                    "path": "exact_gemm",
+                    "reason": (
+                        f"layout present but rows_at_build {built} < "
+                        f"prefer_exact_below {prefer_exact_below}: below "
+                        "the probe/scan crossover the single-stage exact "
+                        "GEMM wins"
+                    ),
+                }
             flags = (
                 bool(meta.get("normalize", False)),
                 bool(meta.get("mips", False)),
@@ -91,6 +113,17 @@ def route(
             }[metric]
             return {"path": "ivfpq", "reason": reason}
         if os.path.exists(os.path.join(layout_path, IVF_META)):
+            built = int(ivf_meta(layout_path).get("rows_at_build", 0) or 0)
+            if prefer_exact_below and built and built < prefer_exact_below:
+                return {
+                    "path": "exact_gemm",
+                    "reason": (
+                        f"layout present but rows_at_build {built} < "
+                        f"prefer_exact_below {prefer_exact_below}: below "
+                        "the probe/scan crossover the single-stage exact "
+                        "GEMM wins"
+                    ),
+                }
             return {
                 "path": "ivf",
                 "reason": f"{IVF_META} present: partition-pruned nprobe probe",
@@ -123,6 +156,8 @@ def search(
     n_rows: int | None = None,
     parity: bool = False,
     hof_max_rows: int = DEFAULT_HOF_MAX_ROWS,
+    prefer_exact_below: int = 0,
+    mips_fetch_floor: float = 0.01,
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
     id_col: str = "vec_id",
@@ -130,12 +165,24 @@ def search(
 ) -> DataFrame:
     """Dispatching batch top-k: (query_id, vec_id, score, rank) from
     whichever strategy :func:`route` picks. ``index`` is the
-    full-precision frame — required for the exact paths and for the
-    IVFPQ rerank stage; the IVF path reads its own persisted layout.
-    ``n_rows`` lets callers who know the index size skip a count; when
-    absent and no layout exists the router treats the index as large
-    (GEMM) rather than pay a count job."""
-    decision = route(layout_path, n_rows, metric, parity, hof_max_rows)
+    full-precision frame — required for the exact paths, and for the
+    IVFPQ rerank stage ONLY when the layout stores codes without
+    vectors (``store_vectors=False``); a self-contained layout serves
+    with ``index=None``. ``n_rows`` lets callers who know the index
+    size skip a count; when absent and no layout exists the router
+    treats the index as large (GEMM) rather than pay a count job.
+
+    ``mips_fetch_floor``: minimum over-fetch FRACTION of the index for
+    dotproduct-over-IVFPQ — MIPS is the hardest metric for
+    reconstruction-optimal PQ (the sqrt coordinate concentrates the
+    inner-product signal), so the effective ``fetch_k`` is raised to
+    at least ``mips_fetch_floor × rows_at_build`` (SCALE.md: recall
+    0.037 at fetch-100 vs ≥0.9 at ~1% over-fetch on the 500k hard
+    case). Only ever raises ``fetch_k``, so full-coverage results are
+    unchanged."""
+    decision = route(
+        layout_path, n_rows, metric, parity, hof_max_rows, prefer_exact_below
+    )
     path = decision["path"]
 
     if path == "ivfpq":
@@ -144,9 +191,17 @@ def search(
             load_ivfpq_meta,
         )
 
-        if index is None:
-            raise ValueError("IVFPQ rerank needs the full-precision index frame")
         meta = load_ivfpq_meta(layout_path)
+        if index is None and not meta.get("stores_vectors", False):
+            raise ValueError(
+                "IVFPQ rerank needs the full-precision index frame for a "
+                "codes-only layout (store_vectors=False)"
+            )
+        if metric == "dotproduct" and mips_fetch_floor > 0:
+            import math
+
+            built = int(meta.get("rows_at_build", 0) or 0)
+            fetch_k = max(fetch_k, math.ceil(mips_fetch_floor * built))
         layout = queries.sparkSession.read.parquet(layout_path)
         return ivfpq_topk_rerank(
             queries,

@@ -145,6 +145,31 @@ GOPHER_NGRAMS: tuple[tuple[int, str], ...] = (
 )
 
 
+#: Rae et al. 2021 (Gopher) Table A1 repetition-filter thresholds for
+#: the signals :func:`gopher_repetition_stats` computes — a document
+#: whose share EXCEEDS any bound is filtered. Public numbers from the
+#: paper; exposed so pipelines and oracles gate on the same constants.
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "top_2gram_share": 0.20,
+    "top_3gram_share": 0.18,
+    "top_4gram_share": 0.16,
+    "dup_5gram_share": 0.15,
+    "dup_8gram_share": 0.12,
+    "dup_10gram_share": 0.10,
+}
+
+
+def gopher_repetition_gate(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_col, gopher_ok): True iff EVERY Gopher repetition share is
+    within its Table A1 bound. One call to
+    :func:`gopher_repetition_stats`; the conjunction folds JVM-side."""
+    stats = gopher_repetition_stats(df, id_col)
+    ok = F.lit(True)
+    for col, bound in GOPHER_THRESHOLDS.items():
+        ok = ok & (F.col(col) <= F.lit(bound))
+    return stats.select(id_col, ok.alias("gopher_ok"))
+
+
 def gopher_repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -228,6 +253,8 @@ __all__ = [
     "fingerprint",
     "repetition_stats",
     "gopher_repetition_stats",
+    "gopher_repetition_gate",
+    "GOPHER_THRESHOLDS",
     "text_profile",
     "token_count",
 ]

@@ -494,6 +494,92 @@ def rag_e2e_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rag_ann_e2e",
+    f"""
+WITH {_MATCH_CTE},
+lines AS (
+  SELECT query_id, rank, source,
+         printf('[Document %d] (Source: %s, Relevance: %.3f)', rank, source, score)
+           || chr(10) || substr(text, 1, 80) || chr(10) AS line
+  FROM matches
+),
+ctx AS (
+  SELECT query_id,
+         string_agg(line, chr(10) ORDER BY rank) AS context,
+         string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+         count(*) AS n_matches
+  FROM lines GROUP BY query_id
+),
+qs AS (SELECT vec_id AS query_id, 'q' || vec_id::VARCHAR AS question
+       FROM embeddings WHERE vec_id < 8)
+SELECT qs.query_id, qs.question,
+       coalesce(ctx.sources, '') AS sources,
+       coalesce(ctx.n_matches, 0) AS n_matches,
+       CASE WHEN coalesce(ctx.n_matches, 0) = 0
+            THEN 'I couldn''t find any relevant information to answer your question.'
+            ELSE substr(coalesce(ctx.context, ''), 1, 160) END AS answer
+FROM qs LEFT JOIN ctx ON qs.query_id = ctx.query_id
+""",
+)
+def rag_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship RAG chain on the 100 TB SERVING SHAPE: build a
+    self-contained normalized IVFPQ layout (codes + raw floats
+    co-partitioned by centroid, ``write_ivfpq_index`` default) →
+    dispatched probe (``search()`` with ``index=None`` — the fused
+    in-kernel rerank reads only bucket directories, no side
+    full-precision table) → context assembly → echo answer. Same
+    oracle as ``rag_e2e_echo``: with every bucket probed and full
+    over-fetch the fixture-scale top-3 is provably exact, so this
+    hash-MATCHES the exact-scan flagship — the layout changes the
+    physical plan, not one byte of the answer."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    emb_n = pq._unit_normalized(emb, "embedding")
+    books = pq.train_pq_codebooks(emb_n, m=16, k=64)
+    cents = ann.seed_centroids(emb_n, 16)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivfpq_rag"
+        pq.write_ivfpq_index(emb, path, cents, books, normalize=True)
+        hits = search(
+            queries,
+            None,  # self-contained layout: no side index frame
+            k=3,
+            metric="cosine",
+            layout_path=path,
+            nprobe=16,
+            fetch_k=100,
+        ).withColumn("score", F.round("score", 6))
+        # materialize before the tempdir disappears (8 x 3 rows)
+        hits = spark.createDataFrame(hits.collect(), hits.schema)
+    m = rag.project_matches(
+        hits.join(docs, hits.vec_id == docs.doc_id, "left").select(
+            "query_id", "vec_id", "score", "rank", "text", "source"
+        )
+    ).withColumn("text", F.substring("text", 1, 80))
+    ctx = rag.build_context(m)
+    q_named = queries.select(
+        "query_id", F.concat(F.lit("q"), F.col("query_id")).alias("question")
+    )
+    return rag.assemble_answers(q_named, ctx).select(
+        "query_id", "question", "sources", "n_matches", "answer"
+    )
+
+
+@register(
     "rag_context_budget",
     r"""
 WITH q AS (

@@ -326,8 +326,11 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("lang", "rank", "doc_id", "n_chars")
 
 
-_CURATION_ORACLE = rf"""
-WITH f AS (
+# shared head (langid features + quality/fingerprint scoring) and
+# tail (dedup survivors + mixture + stage counts) of the curation
+# funnel oracles — the two pipeline variants differ only in the
+# repetition gate plugged in between
+_CUR_HEAD = rf"""f AS (
   SELECT doc_id, text, length(text) AS n,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
@@ -358,21 +361,9 @@ WITH f AS (
                       WHEN nonspace = 0 THEN 1.0 ELSE 0.4 END) AS quality,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
   FROM f
-), rtoks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
-  FROM documents
-), bi AS (
-  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
-  FROM rtoks, unnest(range(1, greatest(len(arr), 1))) t(i) WHERE len(arr) >= 2
-), bcnt AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram),
-rep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS share FROM bcnt GROUP BY doc_id),
-flags AS (
-  SELECT s.doc_id, s.dl, s.fp,
-         s.quality >= 0.9 AS q_ok,
-         coalesce(r.share, 0.0) <= 0.1 AS rep_ok
-  FROM s LEFT JOIN rep r USING (doc_id)
-), clean AS (
+)"""
+
+_CUR_TAIL = """, clean AS (
   SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS survivor
   FROM flags WHERE q_ok AND rep_ok
 ), kept AS (
@@ -391,6 +382,23 @@ SELECT flags.dl AS lang,
        (SELECT count(*) FROM kept k WHERE k.dl = flags.dl) AS n_kept
 FROM flags GROUP BY flags.dl
 """
+
+_CURATION_ORACLE = rf"""
+WITH {_CUR_HEAD}, rtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents
+), bi AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
+  FROM rtoks, unnest(range(1, greatest(len(arr), 1))) t(i) WHERE len(arr) >= 2
+), bcnt AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram),
+rep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS share FROM bcnt GROUP BY doc_id),
+flags AS (
+  SELECT s.doc_id, s.dl, s.fp,
+         s.quality >= 0.9 AS q_ok,
+         coalesce(r.share, 0.0) <= 0.1 AS rep_ok
+  FROM s LEFT JOIN rep r USING (doc_id)
+){_CUR_TAIL}"""
 
 
 @register("corpus_curation_pipeline", _CURATION_ORACLE)
@@ -580,6 +588,108 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_repetition_stats(docs)
 
 
+_CURATION_GOPHER_ORACLE = (
+    "WITH "
+    + _CUR_HEAD
+    + """, gtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents
+),"""
+    + ",".join(
+        _gopher_cte(n, m)
+        for n, m in ((2, "top"), (3, "top"), (4, "top"), (5, "dup"), (8, "dup"), (10, "dup"))
+    )
+    + """,
+flags AS (
+  SELECT s.doc_id, s.dl, s.fp,
+         s.quality >= 0.9 AS q_ok,
+         coalesce(s2.top_2gram_share, 0.0) <= 0.2
+     AND coalesce(s3.top_3gram_share, 0.0) <= 0.18
+     AND coalesce(s4.top_4gram_share, 0.0) <= 0.16
+     AND coalesce(s5.dup_5gram_share, 0.0) <= 0.15
+     AND coalesce(s8.dup_8gram_share, 0.0) <= 0.12
+     AND coalesce(s10.dup_10gram_share, 0.0) <= 0.1 AS rep_ok
+  FROM s LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+         LEFT JOIN s4 USING (doc_id) LEFT JOIN s5 USING (doc_id)
+         LEFT JOIN s8 USING (doc_id) LEFT JOIN s10 USING (doc_id)
+)"""
+    + _CUR_TAIL
+)
+
+
+@register("corpus_curation_pipeline_gopher", _CURATION_GOPHER_ORACLE)
+def corpus_curation_pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel with the FULL Gopher repetition-rule gate
+    composed in (Rae et al. 2021 Table A1 thresholds,
+    operators.textstats.GOPHER_THRESHOLDS) in place of the single
+    top-bigram rule of ``corpus_curation_pipeline``: language-ID →
+    quality gate → six-signal Gopher gate (top-{2,3,4}-gram share and
+    dup-{5,8,10}-gram mass each within its published bound) →
+    exact-dedup survivors → deterministic mixture sampling, reported
+    as per-language stage counts. Same one-DAG shape: the six n-gram
+    aggregations share one tokenization, everything else pipelines —
+    the form a Gopher-style 100 TB corpus build actually runs."""
+    from pyspark.sql import Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        stratified_mod_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        textstats.detect_language("text").alias("dl"),
+        textstats.quality_score("text").alias("quality"),
+        textstats.fingerprint("text").alias("fp"),
+    )
+    gate = textstats.gopher_repetition_gate(docs)
+    flags = feats.join(gate, "doc_id").select(
+        "doc_id",
+        "dl",
+        "fp",
+        (F.col("quality") >= 0.9).alias("q_ok"),
+        F.col("gopher_ok").alias("rep_ok"),
+    )
+    clean = flags.filter("q_ok AND rep_ok").withColumn(
+        "survivor",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")),
+    )
+    survivors = clean.filter("survivor")
+    kept = stratified_mod_sample(
+        survivors,
+        "dl",
+        "doc_id",
+        {"en": (1, 1), "de": (1, 2), "es": (1, 5)},
+        default=(1, 10),
+    )
+    base = flags.groupBy(F.col("dl").alias("lang")).agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("q_ok").cast("int")).cast("bigint").alias("n_quality"),
+        F.sum((F.col("q_ok") & F.col("rep_ok")).cast("int"))
+        .cast("bigint")
+        .alias("n_clean"),
+    )
+    n_uniq = survivors.groupBy(F.col("dl").alias("lang")).agg(
+        F.count("*").alias("n_unique")
+    )
+    n_kept = kept.groupBy(F.col("dl").alias("lang")).agg(
+        F.count("*").alias("n_kept")
+    )
+    return (
+        base.join(n_uniq, "lang", "left")
+        .join(n_kept, "lang", "left")
+        .select(
+            "lang",
+            "n_input",
+            "n_quality",
+            "n_clean",
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 _TEMP_MIX_ORACLE = """
 WITH c AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY lang),
 sc AS (SELECT lang, c, pow(c, 0.3) AS s FROM c),
@@ -624,4 +734,70 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return temperature_mixture_sample(
         docs, strata_col="lang", key_col="doc_id", alpha=0.3, total=100
+    )
+
+
+_TEMP_MIX_REDIST_ORACLE = """
+WITH c AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY lang),
+sc AS (SELECT lang, c, pow(c, 0.3) AS s FROM c),
+q AS (SELECT lang, c, s / sum(s) OVER () AS qs,
+             4000 * s / sum(s) OVER () AS raw FROM sc),
+t AS (
+  SELECT lang, c, qs, floor(raw) AS base, raw - floor(raw) AS frac,
+         4000 - sum(floor(raw)) OVER () AS leftover,
+         row_number() OVER (ORDER BY raw - floor(raw) DESC, lang ASC) AS fr
+  FROM q
+),
+t0 AS (
+  SELECT lang, c, qs,
+         least(base + (fr <= leftover)::int, c)::BIGINT AS target FROM t
+),
+t1 AS (
+  SELECT lang, target, c - target AS cap, qs,
+         4000 - sum(target) OVER () AS deficit,
+         coalesce(sum(c - target) OVER (ORDER BY qs DESC, lang ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS taken
+  FROM t0
+),
+tgt AS (
+  SELECT lang,
+         (target + greatest(0, least(cap, deficit - taken)))::BIGINT AS target
+  FROM t1
+),
+pick AS (
+  SELECT d.lang, d.doc_id,
+         row_number() OVER (PARTITION BY d.lang
+           ORDER BY ((d.doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0 DESC,
+                    d.doc_id ASC) AS rank
+  FROM documents d
+)
+SELECT p.lang, p.rank::INT AS rank, p.doc_id
+FROM pick p JOIN tgt USING (lang) WHERE p.rank <= tgt.target
+"""
+
+
+@register("corpus_temperature_mixture_redist", _TEMP_MIX_REDIST_ORACLE)
+def corpus_temperature_mixture_redist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture with DEFICIT REDISTRIBUTION
+    (``temperature_mixture_sample(redistribute=True)``): when the
+    4000-doc budget exhausts a stratum (the cap binds), the shortfall
+    refills from the remaining strata's capacity greedily in
+    temperature-share order — the sample totals exactly
+    ``min(4000, corpus)`` instead of silently under-delivering. At
+    sf ≤ 0.01 the whole corpus returns (budget > corpus, the exhaust
+    branch); at sf0.1 the small languages cap and the refill fires —
+    the oracle replays apportionment, cap, and the greedy
+    cumulative-capacity refill value-for-value."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        docs,
+        strata_col="lang",
+        key_col="doc_id",
+        alpha=0.3,
+        total=4000,
+        redistribute=True,
     )

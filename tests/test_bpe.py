@@ -300,3 +300,15 @@ def test_empty_merge_table_encodes_chars(spark, docs):
     )
     # with no merges every token is a single character
     assert all(len(t) == 1 for _, _, t in rows)
+
+
+def test_train_bpe_local_rejects_unknown_on_reserved():
+    """A typo like on_reserved="error" must not silently mean "drop"."""
+    import pytest as _pytest
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.bpe import (
+        train_bpe_local,
+    )
+
+    with _pytest.raises(ValueError, match="on_reserved"):
+        train_bpe_local([("ab", 3)], num_merges=1, on_reserved="error")

@@ -166,3 +166,39 @@ def test_token_chunks_edge_cases(spark):
         token_chunks(docs, chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError, match="chunk_tokens"):
         token_chunks(docs, chunk_tokens=0)
+
+
+def test_chunk_documents_global_index_scales(spark):
+    """The parity id scheme without the corpus-wide single-partition
+    window: range partition + per-partition parallel row_number +
+    driver-side cumulative offsets (bounded by |partitions|, not
+    data). Enumeration equals the global (doc_id, local_index) rank,
+    ids keep the reference doc_{i}_{md5} scheme, and the plan carries
+    NO Exchange SinglePartition."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.concat(F.lit("w"), F.col("id")), 400)
+        ).alias("text"),
+        F.lit("s").alias("source"),
+    ).repartition(7)
+    df = chunk_documents(docs, with_global_index=True)
+    rows = df.collect()
+    assert len(rows) > 400  # multi-chunk docs
+    seq = sorted(rows, key=lambda r: (r["doc_id"], r["local_index"]))
+    assert [r["global_index"] for r in seq] == list(range(len(rows)))
+    for r in rows:
+        exp = (
+            f"doc_{r['global_index']}_"
+            f"{hashlib.md5(r['text'].encode()).hexdigest()[:8]}"
+        )
+        assert r["chunk_id"] == exp
+    assert "Exchange SinglePartition" not in physical_plan(df)

@@ -296,8 +296,14 @@ def test_residual_encoding_beats_raw_at_tight_code_budget(spark, tmp_path):
     raw_books = pq.train_pq_codebooks(emb, m=8, k=16)
     res_books = pq.train_pq_codebooks_residual(emb, cents, m=8, k=16)
     p_raw, p_res = str(tmp_path / "raw"), str(tmp_path / "res")
-    pq.write_ivfpq_index(emb, p_raw, cents, raw_books)
-    pq.write_ivfpq_index(emb, p_res, cents, res_books, residual=True)
+    # codes-only layouts: the GLOBAL fetch_k cut makes recall a pure
+    # function of ADC order, which is the property under test (the
+    # fused store_vectors path over-fetches per batch and would
+    # saturate both variants at this corpus size)
+    pq.write_ivfpq_index(emb, p_raw, cents, raw_books, store_vectors=False)
+    pq.write_ivfpq_index(
+        emb, p_res, cents, res_books, residual=True, store_vectors=False
+    )
     assert pq.load_ivfpq_meta(p_res)["residual"] is True
     r_raw, r_res = recall(p_raw, raw_books, False), recall(p_res, res_books, True)
     assert r_res > r_raw, f"residual {r_res} <= raw {r_raw}"

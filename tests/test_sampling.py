@@ -213,3 +213,67 @@ def test_temperature_mixture_caps_at_stratum_size(spark):
         by[r["lang"]] = by.get(r["lang"], 0) + 1
     # a stratum can never contribute more docs than it has
     assert by["a"] <= 2 and by["b"] <= 1
+
+
+def test_temperature_mixture_redistribute_fills_deficit(spark):
+    """Hand-derived: a=100 docs, b=2 docs, alpha=0.3, total=30.
+    s_a=100^0.3, s_b=2^0.3 -> q_a~0.764 -> raw a=22.91, b=7.09;
+    largest remainder: a=23, b=7 -> cap b at 2 (deficit 5). Greedy
+    refill in q-order gives the 5 to a: a=28, b=2, total exactly 30.
+    The default keeps the shortfall (25 rows)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    kept = temperature_mixture_sample(df, "lang", "doc_id", alpha=0.3, total=30)
+    by = {}
+    for r in kept.collect():
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    assert by == {"a": 23, "b": 2}  # documented shortfall: 25 < 30
+
+    full = temperature_mixture_sample(
+        df, "lang", "doc_id", alpha=0.3, total=30, redistribute=True
+    )
+    by = {}
+    for r in full.collect():
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    assert by == {"a": 28, "b": 2}
+
+
+def test_temperature_mixture_redistribute_exhausts_corpus(spark):
+    """total > N: every row comes back exactly once (min(total, N))."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b")], "doc_id long, lang string"
+    )
+    out = temperature_mixture_sample(
+        df, "lang", "doc_id", alpha=0.3, total=50, redistribute=True
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2]
+
+
+def test_temperature_mixture_redistribute_noop_when_uncapped(spark):
+    """With no stratum exhausted the redistribution stage is the
+    identity — both paths pick the same rows."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "a") for i in range(60)] + [(100 + i, "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = sorted(
+        map(tuple, temperature_mixture_sample(df, total=20).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            temperature_mixture_sample(df, total=20, redistribute=True).collect(),
+        )
+    )
+    assert a == b and len(a) == 20

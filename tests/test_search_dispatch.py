@@ -299,3 +299,145 @@ def test_search_ivfpq_cosine_raw_layout_raises(spark, emb, tmp_path):
 def test_search_exact_needs_index(spark, emb):
     with pytest.raises(ValueError, match="needs an index frame"):
         search(_queries(emb), None, k=5)
+
+
+# -- size-aware crossover + self-contained layouts (round 9) -------------
+
+
+def _euclid_ivfpq(spark, emb, path, **kw):
+    cents = ann.seed_centroids(emb, 8)
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    pq.write_ivfpq_index(emb, path, cents, books, **kw)
+
+
+def test_route_prefer_exact_below_crossover(spark, emb, tmp_path):
+    """Both sides of the threshold: a present layout whose sidecar
+    rows_at_build is under prefer_exact_below routes to the exact GEMM
+    scan (SCALE.md: brute force beats any probe's fixed overhead below
+    the crossover); above it (or with the override off) the layout is
+    served."""
+    path = str(tmp_path / "ivfpq")
+    _euclid_ivfpq(spark, emb, path)
+    built = int(pq.load_ivfpq_meta(path)["rows_at_build"])
+    assert built > 0
+    under = route(layout_path=path, metric="euclidean",
+                  prefer_exact_below=built + 1)
+    assert under["path"] == "exact_gemm"
+    assert "crossover" in under["reason"]
+    over = route(layout_path=path, metric="euclidean",
+                 prefer_exact_below=built)
+    assert over["path"] == "ivfpq"
+    off = route(layout_path=path, metric="euclidean")
+    assert off["path"] == "ivfpq"
+
+
+def test_route_prefer_exact_below_ivf(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    cents = ann.seed_centroids(emb, 8)
+    ann.write_ivf_index(emb, path, cents)
+    built = int(ann.ivf_meta(path)["rows_at_build"])
+    assert route(layout_path=path, prefer_exact_below=built + 1)[
+        "path"
+    ] == "exact_gemm"
+    assert route(layout_path=path, prefer_exact_below=built)["path"] == "ivf"
+
+
+def test_search_crossover_matches_exact(spark, emb, tmp_path):
+    """search() with the crossover active returns the exact GEMM rows."""
+    path = str(tmp_path / "ivfpq")
+    _euclid_ivfpq(spark, emb, path)
+    q = _queries(emb)
+    got = _rows(
+        search(q, emb, k=5, metric="euclidean", layout_path=path,
+               prefer_exact_below=10**9)
+    )
+    want = _rows(topk_search_gemm(q, emb, k=5, metric="euclidean"))
+    assert got == want
+
+
+def test_search_self_contained_layout_serves_without_index(spark, emb, tmp_path):
+    """store_vectors=True layouts carry the raw floats: the probe's
+    fused in-kernel rerank needs no side full-precision table — the
+    100 TB serving shape (only probed bucket dirs are read)."""
+    path = str(tmp_path / "ivfpq")
+    _euclid_ivfpq(spark, emb, path)
+    assert pq.load_ivfpq_meta(path)["stores_vectors"] is True
+    q = _queries(emb)
+    got = _rows(
+        search(q, None, k=5, metric="euclidean", layout_path=path,
+               nprobe=8, fetch_k=10**6)
+    )
+    want = _rows(topk_search_gemm(q, emb, k=5, metric="euclidean"))
+    assert got == want
+
+
+def test_codes_only_layout_requires_index(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfpq")
+    _euclid_ivfpq(spark, emb, path, store_vectors=False)
+    assert pq.load_ivfpq_meta(path)["stores_vectors"] is False
+    q = _queries(emb)
+    with pytest.raises(ValueError, match="full-precision index frame"):
+        search(q, None, k=5, metric="euclidean", layout_path=path).collect()
+
+
+def test_fused_rerank_hash_equals_join_rerank(spark, emb, tmp_path):
+    """Same quantizers, both layout shapes, full-coverage fetch: the
+    fused in-kernel rescore (sequential float64 folds mirroring
+    similarity_expr) and the join-rerank path return IDENTICAL rows
+    including 6-decimal scores — for every metric."""
+    cents_r = ann.seed_centroids(emb, 8)
+    books_r = pq.train_pq_codebooks(emb, m=8, k=16)
+    q = _queries(emb)
+    for metric, build in (
+        ("euclidean", dict(centroids=cents_r, codebooks=books_r)),
+        ("cosine", None),
+        ("dotproduct", None),
+    ):
+        if metric == "cosine":
+            src = pq._unit_normalized(emb, "embedding")
+            cents = ann.seed_centroids(src, 8)
+            books = pq.train_pq_codebooks(src, m=8, k=16)
+            kw = dict(normalize=True)
+        elif metric == "dotproduct":
+            M = pq.mips_max_norm(emb, "embedding")
+            aug = pq.mips_augmented(emb, "embedding", M, 72)
+            cents = ann.seed_centroids(aug, 8)
+            books = pq.train_pq_codebooks_residual(aug, cents, m=9, k=16)
+            kw = dict(mips=True)
+        else:
+            cents, books, kw = cents_r, books_r, {}
+        p_f = str(tmp_path / f"f_{metric}")
+        p_j = str(tmp_path / f"j_{metric}")
+        pq.write_ivfpq_index(emb, p_f, cents, books, **kw)
+        pq.write_ivfpq_index(emb, p_j, cents, books, store_vectors=False, **kw)
+        fused = _rows(
+            search(q, None, k=5, metric=metric, layout_path=p_f,
+                   nprobe=8, fetch_k=10**6, mips_fetch_floor=0)
+        )
+        joined = _rows(
+            search(q, emb, k=5, metric=metric, layout_path=p_j,
+                   nprobe=8, fetch_k=10**6, mips_fetch_floor=0)
+        )
+        assert fused == joined, metric
+
+
+def test_mips_fetch_floor_only_raises_fetch(spark, emb, tmp_path):
+    """The dotproduct over-fetch floor (fraction of rows_at_build)
+    can only ADD candidates: at full coverage the results equal the
+    floor-disabled call."""
+    M = pq.mips_max_norm(emb, "embedding")
+    aug = pq.mips_augmented(emb, "embedding", M, 72)
+    cents = ann.seed_centroids(aug, 8)
+    books = pq.train_pq_codebooks_residual(aug, cents, m=9, k=16)
+    path = str(tmp_path / "mips")
+    pq.write_ivfpq_index(emb, path, cents, books, mips=True)
+    q = _queries(emb)
+    with_floor = _rows(
+        search(q, None, k=5, metric="dotproduct", layout_path=path,
+               nprobe=8, fetch_k=10**6, mips_fetch_floor=1.0)
+    )
+    no_floor = _rows(
+        search(q, None, k=5, metric="dotproduct", layout_path=path,
+               nprobe=8, fetch_k=10**6, mips_fetch_floor=0)
+    )
+    assert with_floor == no_floor
