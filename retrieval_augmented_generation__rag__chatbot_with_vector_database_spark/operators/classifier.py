@@ -253,6 +253,7 @@ def nb_classify(
     broadcast_model: bool | None = None,
     broadcast_max_model_rows: int = BROADCAST_MAX_MODEL_ROWS,
     model_tables: tuple[DataFrame, DataFrame] | None = None,
+    return_scores: bool = False,
 ) -> DataFrame:
     """Train on ``train``, score ``test``; returns one row per test
     doc that has at least one token: (id_col, label_col,
@@ -275,7 +276,12 @@ def nb_classify(
     re-aggregating ``train`` (which may then be None) — the
     estimate-once/score-per-batch serving path; hash-identical to
     retraining by construction (same derivation,
-    :func:`nb_model_from_stats`)."""
+    :func:`nb_model_from_stats`).
+
+    ``return_scores=True`` skips the argmax and returns the FULL
+    per-(doc, class) score frame (id_col, label_col, k, score) —
+    the input shape threshold calibration and ranking-quality
+    evaluation (AUC) need."""
     if model_tables is not None:
         cwk, classes = model_tables
     elif train is not None:
@@ -324,6 +330,13 @@ def nb_classify(
             .alias("score"),
         )
     )
+    if return_scores:
+        return scored.select(
+            F.col("id").alias(id_col),
+            F.col("label").alias(label_col),
+            "k",
+            F.round("score", 6).alias("score"),
+        )
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("k").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -335,4 +348,65 @@ def nb_classify(
             F.round("score", 6).alias("score"),
             (F.col("label") == F.col("k")).alias("is_correct"),
         )
+    )
+
+
+def ovr_auc(
+    scores: DataFrame,
+    label_col: str = "lang",
+    class_col: str = "k",
+    score_col: str = "score",
+) -> DataFrame:
+    """One-vs-rest ROC AUC per class from a per-(example, class) score
+    frame (the ``nb_classify(return_scores=True)`` shape) — the
+    ranking-quality evaluation a learned curation gate needs beyond
+    argmax accuracy (a gate is deployed at a THRESHOLD; AUC measures
+    every threshold at once).
+
+    Mann-Whitney form with midrank tie handling:
+    ``AUC_k = (Σ ranks of positives − n_pos(n_pos+1)/2) / (n_pos·n_neg)``
+    where rank is the average (mid) rank under ascending score —
+    exactly the probability a random positive outscores a random
+    negative, counting ties half. Midranks come from
+    ``rank() + (count_over_equal − 1)/2`` (min-rank plus half the tie
+    group), so no per-class sort order ambiguity exists anywhere —
+    the whole computation is windows + one aggregate per class, every
+    shuffle keyed by the class (|classes| partitions of |test| rows;
+    at corpus scale the score frame is the big side and this is one
+    repartition of it). Classes with no positives or no negatives are
+    dropped (AUC undefined).
+
+    Returns (class, n_pos, n_neg, auc) with auc rounded to 6 — the
+    rank sums are exact half-integers, so the division is the only
+    float op and a DuckDB oracle reproduces it digit-for-digit.
+    """
+    rank_w = Window.partitionBy(class_col).orderBy(F.col(score_col).asc())
+    tie_w = Window.partitionBy(class_col, score_col)
+    ranked = scores.select(
+        F.col(class_col).alias("class"),
+        (F.col(label_col) == F.col(class_col)).alias("is_pos"),
+        (
+            F.rank().over(rank_w)
+            + (F.count(F.lit(1)).over(tie_w) - F.lit(1)) / F.lit(2.0)
+        ).alias("mid_rank"),
+    )
+    agg = ranked.groupBy("class").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0)).alias("n_neg"),
+        F.sum(F.when(F.col("is_pos"), F.col("mid_rank")).otherwise(0.0)).alias(
+            "pos_rank_sum"
+        ),
+    )
+    return agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "class",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("pos_rank_sum")
+                - F.col("n_pos") * (F.col("n_pos") + F.lit(1)) / F.lit(2.0)
+            )
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
     )

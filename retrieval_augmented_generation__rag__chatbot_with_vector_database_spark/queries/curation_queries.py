@@ -955,3 +955,49 @@ def corpus_nb_quality_scores_indexed(spark: SparkSession, sf_dir: str) -> DataFr
         out = nb_classify(None, test, model_tables=load_nb_model(spark, path))
         out = out.localCheckpoint(eager=True)  # consume before tmp cleanup
     return out
+
+
+_NB_AUC_ORACLE = f"""
+WITH {_NB_CTE},
+sc AS (SELECT doc_id, lang, k, round(score, 6) AS score FROM final),
+ranked AS (
+  SELECT k AS class, (lang = k) AS is_pos,
+         rank() OVER (PARTITION BY k ORDER BY score ASC)
+         + (count(*) OVER (PARTITION BY k, score) - 1) / 2.0 AS mid_rank
+  FROM sc
+),
+agg AS (
+  SELECT class,
+         sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         sum(CASE WHEN is_pos THEN 0 ELSE 1 END)::BIGINT AS n_neg,
+         sum(CASE WHEN is_pos THEN mid_rank ELSE 0 END) AS prs
+  FROM ranked GROUP BY class
+)
+SELECT class, n_pos, n_neg,
+       round((prs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+@register("corpus_nb_auc", _NB_AUC_ORACLE)
+def corpus_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC of the learned NB gate on the held-out
+    slice (operators.classifier.ovr_auc over
+    ``nb_classify(return_scores=True)``) — the evaluation that
+    justifies deploying the gate at a threshold: AUC is the
+    probability a random in-class doc outscores a random out-of-class
+    doc under the class's score, every threshold at once, where argmax
+    accuracy sees only one operating point. Mann-Whitney midrank form
+    — windows keyed by class + one aggregate, no pairwise expansion —
+    and both engines re-derive the model AND the rank arithmetic, so
+    the oracle is full-value down to the sixth decimal of each AUC."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+        nb_classify,
+        ovr_auc,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _NB_MOD != 0)
+    test = docs.filter(F.col("doc_id") % _NB_MOD == 0)
+    scored = nb_classify(train, test, return_scores=True)
+    return ovr_auc(scored)
