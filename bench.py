@@ -76,6 +76,9 @@ HEADLINE = [
     # (new keys — no history)
     "rag_ann_e2e",
     "corpus_curation_pipeline_gopher",
+    # round 9: metadata-filtered probe on the quantized layout
+    # (new key — no history)
+    "ann_ivfpq_filtered",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round

@@ -592,11 +592,15 @@ def load_centroids(path: str) -> list[tuple[int, list[float]]]:
 
 
 def ivf_staleness(path: str) -> float:
-    """Fraction of the layout upserted since the last full build — the
-    retrain trigger (centroids drift as the corpus moves; rebuild when
-    this crosses a policy bound, e.g. 0.2)."""
+    """Fraction of the layout changed (upserted + deleted) since the
+    last full build — the retrain trigger (centroids drift as the
+    corpus moves, and deletions remove mass the quantizer was trained
+    on; rebuild when this crosses a policy bound, e.g. 0.2)."""
     meta = ivf_meta(path)
-    return meta["upserted_since_build"] / max(meta["rows_at_build"] or 1, 1)
+    changed = int(meta.get("upserted_since_build", 0)) + int(
+        meta.get("deleted_since_build", 0)
+    )
+    return changed / max(meta["rows_at_build"] or 1, 1)
 
 
 def read_ivf_index(spark: SparkSession, path: str) -> DataFrame:
@@ -723,6 +727,70 @@ def upsert_ivf_index(
     return {
         "touched": touched,
         "n_upserted": n_new,
+        "staleness": ivf_staleness(path),
+    }
+
+
+def delete_ivf_ids(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame | list[int],
+    id_col: str = "vec_id",
+) -> dict:
+    """Right-to-be-forgotten / takedown propagation for the float IVF
+    layout — same touched-partition discipline as
+    :func:`upsert_ivf_index`: a broadcast semi-join finds the
+    centroid partitions that HOLD the ids (column-pruned scan), only
+    those are re-merged via anti-join and crash-consistently swapped
+    (a partition emptied by the delete disappears from the layout);
+    untouched partitions stay byte-identical. Deleting absent ids is
+    a no-op. Deletions count into ``deleted_since_build`` — quantizer
+    drift exactly like upserts — so :func:`ivf_staleness` fires the
+    retrain policy on churn, not only growth. Composes with
+    ``VectorIndex.delete_ids`` / ``LexicalIndex.delete_docs`` /
+    ``pq.delete_ivfpq_ids`` for cross-layout takedown of a document.
+
+    Returns ``{"touched": [...], "n_deleted": int, "staleness": float}``.
+    """
+    check_not_torn(path)
+    meta = ivf_meta(path)
+    if isinstance(ids, list):
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    else:
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+    ids_df = ids_df.distinct().localCheckpoint(eager=True)
+    layout = spark.read.parquet(path)
+    hits = (
+        layout.join(F.broadcast(ids_df), id_col)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    touched = sorted(int(r["centroid_id"]) for r in hits)
+    n_deleted = int(sum(r["n"] for r in hits))
+    if not touched:
+        return {"touched": [], "n_deleted": 0, "staleness": ivf_staleness(path)}
+    survivors = layout.filter(F.col("centroid_id").isin(touched)).join(
+        F.broadcast(ids_df), id_col, "left_anti"
+    )
+    tmp = path.rstrip("/") + "._tmp"
+    (
+        survivors.repartition(len(touched), F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    swap_partition_dirs(path, tmp, [f"centroid_id={c}" for c in touched])
+    meta["deleted_since_build"] = (
+        int(meta.get("deleted_since_build", 0)) + n_deleted
+    )
+    with open(os.path.join(path, IVF_META), "w") as f:
+        json.dump(meta, f)
+    return {
+        "touched": touched,
+        "n_deleted": n_deleted,
         "staleness": ivf_staleness(path),
     }
 

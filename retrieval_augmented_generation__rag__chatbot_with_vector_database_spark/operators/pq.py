@@ -167,6 +167,165 @@ def train_pq_codebooks_residual(
     return _kmeans_books(X, m, k, iters)
 
 
+def train_opq_rotation(
+    index: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int = 65_536,
+) -> list[list[float]]:
+    """Parametric OPQ rotation (Ge et al., *Optimized Product
+    Quantization*, CVPR 2013, §4: PCA + eigenvalue allocation): an
+    orthonormal d×d matrix ``R`` such that quantizing ``x @ R``
+    instead of ``x`` balances the variance the m subspaces must each
+    absorb — PQ's independence assumption costs most when a few
+    subspaces carry most of the energy, which is exactly what
+    correlated (real-embedding-shaped) data does.
+
+    Construction, fully deterministic:
+    1. PCA on the bounded id-hash sample (same sampling contract as
+       codebook training); eigenvectors get a deterministic sign fix
+       (largest-|component| coordinate made positive) so ``eigh``'s
+       sign ambiguity cannot flip runs.
+    2. Eigenvalue allocation: walk eigenvalues in descending order,
+       assigning each eigenvector to the non-full bucket with the
+       smallest current log-eigenvalue sum (ties → lowest bucket id);
+       each bucket holds exactly d/m directions. This balances the
+       per-subspace variance PRODUCT, the quantity §4.2 shows bounds
+       subspace distortion under an independence assumption.
+    3. ``R`` = the permuted eigenvector matrix. Orthonormal, so
+       rotation preserves every L2 distance and inner product —
+       downstream coarse quantizers, ADC, and reranks are unchanged
+       semantically; only the code-budget allocation improves.
+
+    Driver cost is one d×d eigendecomposition of a covariance built
+    from ≤ ``max_train_rows`` rows — O(d²·n + d³), independent of
+    corpus size, same bounded-training story as k-means codebooks.
+    """
+    import numpy as np
+
+    X = _sample_matrix(index, id_col, vec_col, max_train_rows).astype(
+        np.float64
+    )
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < 2:
+        raise ValueError(f"training sample ({n} rows) too small for PCA")
+    C = np.cov(X, rowvar=False)
+    w, U = np.linalg.eigh(C)  # ascending eigenvalues
+    order = np.argsort(w)[::-1]
+    w = w[order]
+    U = U[:, order]
+    for j in range(d):  # deterministic sign
+        i = int(np.abs(U[:, j]).argmax())
+        if U[i, j] < 0:
+            U[:, j] = -U[:, j]
+    sub = d // m
+    log_w = np.log(np.maximum(w, 1e-12))
+    cap = [sub] * m
+    logsum = [0.0] * m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    for idx in range(d):
+        j = min(
+            (jj for jj in range(m) if cap[jj] > 0),
+            key=lambda jj: (logsum[jj], jj),
+        )
+        buckets[j].append(idx)
+        cap[j] -= 1
+        logsum[j] += float(log_w[idx])
+    perm = [i for b in buckets for i in b]
+    R = U[:, perm]
+    return [[float(x) for x in row] for row in R]
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """``out_col`` (default: replace ``vec_col``) = ``x @ R`` as
+    float32 — one Arrow-batched pandas UDF doing a single (batch × d)
+    @ (d × d) BLAS matmul per batch; every other column rides along
+    untouched. Orthonormal R ⇒ distances/inner products preserved."""
+    from pyspark.sql.functions import pandas_udf
+
+    R_payload = json.dumps(rotation)
+    out = out_col or vec_col
+
+    @pandas_udf("array<float>")
+    def _rot(s):
+        import numpy as np
+        import pandas as pd
+
+        R = np.array(json.loads(R_payload), dtype=np.float64)
+        V = np.array(list(s), dtype=np.float64)
+        if V.ndim != 2 or V.shape[1] != R.shape[0]:
+            raise ValueError(
+                f"vector dim {V.shape[-1] if V.ndim == 2 else '?'} != "
+                f"rotation dim {R.shape[0]}"
+            )
+        out_m = (V @ R).astype(np.float32)
+        return pd.Series(list(out_m))
+
+    return df.withColumn(out, _rot(F.col(vec_col)))
+
+
+def pq_reconstruction_sse(
+    index: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-row DataFrame ``(sum_sq_err double, n long)``: total squared
+    reconstruction error of the PQ encoding over the WHOLE index —
+    the distortion objective OPQ minimizes. One ``mapInArrow`` pass
+    emitting per-batch partials (encode + per-subspace gather of the
+    chosen centroid, squared diff summed), then a single 2-number
+    aggregate — no shuffle proportional to rows, holds at any corpus
+    size."""
+    import pyarrow as pa
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books_payload = json.dumps(codebooks)
+    out_schema = "sum_sq_err double, n long"
+
+    def kernel(batches):
+        import numpy as np
+
+        B = [np.array(b, dtype=np.float64) for b in json.loads(books_payload)]
+        for batch in batches:
+            tbl = batch.to_pydict()
+            V = np.array(tbl[vec_col], dtype=np.float64)
+            n = V.shape[0]
+            if n == 0:
+                continue
+            err = 0.0
+            for j in range(m):
+                S = V[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ B[j].T)
+                    + (B[j] ** 2).sum(axis=1)[None, :]
+                )
+                # argmin's achieved distance IS the subspace error
+                err += float(np.maximum(d2.min(axis=1), 0.0).sum())
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "sum_sq_err": pa.array([err], type=pa.float64()),
+                    "n": pa.array([n], type=pa.int64()),
+                }
+            )
+
+    partials = index.select(id_col, vec_col).mapInArrow(kernel, out_schema)
+    return partials.agg(
+        F.coalesce(F.sum("sum_sq_err"), F.lit(0.0)).alias("sum_sq_err"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+    )
+
+
 def pq_encode(
     index: DataFrame,
     codebooks: list[list[list[float]]],
@@ -477,6 +636,8 @@ def write_ivfpq_index(
     normalize: bool = False,
     mips: bool = False,
     store_vectors: bool = True,
+    meta_cols: list[str] | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """FAISS-IVFPQ-shaped layout: rows are assigned to their nearest
     coarse centroid (euclidean — the ADC metric) and PQ-ENCODED, then
@@ -531,6 +692,33 @@ def write_ivfpq_index(
     probe+rerank into a single job (see :func:`ivfpq_topk_rerank`).
     ``False`` keeps the codes-only layout (4·d/m× smaller on disk);
     probes then need the ``index`` frame for the rerank join.
+
+    ``meta_cols`` co-locates METADATA columns with the codes in each
+    bucket file — the layout-side prerequisite for metadata-filtered
+    ANN (the reference's query path takes a Pinecone filter dict next
+    to the vector, `app/services/pinecone_service.py:148-182`): a
+    probe's ``pre_filter`` then evaluates inside the pruned bucket
+    scan (Catalyst pushes the predicate to the parquet reader, under
+    the same PartitionFilters), so qualifying rows compete only among
+    themselves — single-stage filtering, recall independent of filter
+    selectivity. The names are persisted in the sidecar; upsert and
+    retrain carry them through.
+
+    ``rotation`` bakes an OPQ rotation (:func:`train_opq_rotation`)
+    into the layout: vectors are rotated AFTER the metric transform
+    (unit-normalize / MIPS-augment) and before coarse assignment and
+    encoding, so centroids and codebooks must be trained on the same
+    rotated frame. R is orthonormal — every L2 distance and inner
+    product is preserved, so ADC order, metric mapping, and the
+    raw-vector rerank are all unchanged semantically; only the code
+    budget's variance allocation improves (SCALE.md: 0.18× SSE under
+    1000× scale anisotropy; no gain on isotropic data — opt-in, not a
+    default). R is PERSISTED in the sidecar — the probe rotates
+    queries with the layout's own R, upsert encodes new rows in the
+    same rotated frame, retrain re-learns R for the drifted corpus;
+    serving never needs R out-of-band (the same "probing with a
+    different quantizer must be impossible" rule as the
+    centroids/codebooks).
     """
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
         assign_centroids_gemm,
@@ -538,6 +726,15 @@ def write_ivfpq_index(
 
     if normalize and mips:
         raise ValueError("normalize and mips are mutually exclusive")
+    meta_cols = list(meta_cols or [])
+    reserved = {id_col, vec_col, "centroid_id", "codes", "__raw"}
+    for c in meta_cols:
+        if c in reserved:
+            raise ValueError(
+                f"meta_cols entry {c!r} collides with a layout column"
+            )
+        if c not in index.columns:
+            raise ValueError(f"meta_cols entry {c!r} not in the index frame")
     if residual is None:
         residual = mips
     if mips and not residual:
@@ -552,7 +749,7 @@ def write_ivfpq_index(
     # stash the raw vectors before any space transform: the layout
     # stores RAW floats (the rerank metric is defined on them), while
     # assignment + encoding run in the transformed space
-    if store_vectors and (normalize or mips):
+    if store_vectors and (normalize or mips or rotation is not None):
         index = index.withColumn("__raw", F.col(vec_col))
     if normalize:
         index = _unit_normalized(index, vec_col)
@@ -569,6 +766,16 @@ def write_ivfpq_index(
                 "subspace grid)"
             )
         index = mips_augmented(index, vec_col, max_norm, target_dim)
+    if rotation is not None:
+        rd = len(rotation)
+        book_dim = len(codebooks) * len(codebooks[0][0])
+        if rd != book_dim or any(len(r) != rd for r in rotation):
+            raise ValueError(
+                f"rotation must be a {book_dim}×{book_dim} matrix over "
+                f"the layout's (transformed) frame; got {rd}×"
+                f"{len(rotation[0]) if rotation else 0}"
+            )
+        index = rotate_vectors(index, rotation, vec_col)
     assigned = assign_centroids_gemm(index, centroids, "euclidean", vec_col)
     enc_src, enc_col = assigned, vec_col
     if residual:
@@ -578,8 +785,11 @@ def write_ivfpq_index(
     if store_vectors:
         # stored AS-IS (no float cast): the fused rerank must see the
         # exact values a side-table rerank would
-        raw = "__raw" if (normalize or mips) else vec_col
+        raw = (
+            "__raw" if (normalize or mips or rotation is not None) else vec_col
+        )
         keep.append(F.col(raw).alias(vec_col))
+    keep.extend(F.col(c) for c in meta_cols)
     layout = assigned.select(*keep).join(enc, id_col)
     n_parts = len(centroids)
     (
@@ -609,6 +819,8 @@ def write_ivfpq_index(
                 "mips_max_norm": max_norm,
                 "stores_vectors": store_vectors,
                 "vec_col": vec_col if store_vectors else None,
+                "meta_cols": meta_cols,
+                "rotation": rotation,
             },
             f,
         )
@@ -643,13 +855,98 @@ def load_ivfpq_meta(path: str) -> dict:
 
 
 def ivfpq_staleness(path: str) -> float:
-    """Fraction of the layout upserted since the last full build — the
-    retrain trigger for BOTH quantizers (coarse centroids and PQ
-    codebooks drift as the corpus moves; probe correctness is
-    unaffected meanwhile, only recall decays)."""
+    """Fraction of the layout changed (upserted + deleted) since the
+    last full build — the retrain trigger for BOTH quantizers (coarse
+    centroids and PQ codebooks drift as the corpus moves; probe
+    correctness is unaffected meanwhile, only recall decays).
+    Deletions count as drift too: the quantizers were trained on mass
+    that is no longer there."""
     meta = load_ivfpq_meta(path)
     base = max(1, int(meta.get("rows_at_build", 1)))
-    return float(meta.get("upserted_since_build", 0)) / base
+    changed = int(meta.get("upserted_since_build", 0)) + int(
+        meta.get("deleted_since_build", 0)
+    )
+    return float(changed) / base
+
+
+def delete_ivfpq_ids(
+    spark,
+    path: str,
+    ids: DataFrame | list[int],
+    id_col: str = "vec_id",
+) -> dict:
+    """Right-to-be-forgotten / takedown propagation for the IVFPQ
+    layout — the quantized tier's analogue of
+    ``sources.index_table.VectorIndex.delete_ids`` and
+    ``sources.lexical_index.LexicalIndex.delete_docs`` (the
+    reference's takedown surface is index-level,
+    `app/services/pinecone_service.py:184-188`; Pinecone's own API
+    deletes per id, which is what a production layout needs): codes
+    AND co-located raw vectors for the given ids are removed, and only
+    the partition directories that actually HOLD those ids are
+    re-merged and crash-consistently swapped (torn swaps detected
+    before any write; a partition whose survivors are empty is swapped
+    to absent). The rest of the layout — at 100 TB, everything but a
+    handful of bucket dirs — is untouched bytes.
+
+    Deletions are counted into ``deleted_since_build``: they are
+    quantizer drift exactly like upserts (the centroids/codebooks were
+    trained on mass that is no longer there), so
+    :func:`ivfpq_staleness` rises and the retrain policy fires on
+    churn, not only on growth.
+
+    Returns ``{"touched": [...], "n_deleted": int, "staleness": float}``.
+    """
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        check_not_torn,
+        swap_partition_dirs,
+    )
+
+    check_not_torn(path)
+    meta = load_ivfpq_meta(path)
+    if isinstance(ids, list):
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    else:
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+    ids_df = ids_df.distinct().localCheckpoint(eager=True)
+    layout = spark.read.parquet(path)
+    hits = (
+        layout.join(F.broadcast(ids_df), id_col)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    touched = sorted(int(r["centroid_id"]) for r in hits)
+    n_deleted = int(sum(r["n"] for r in hits))
+    if not touched:
+        return {
+            "touched": [],
+            "n_deleted": 0,
+            "staleness": ivfpq_staleness(path),
+        }
+    survivors = layout.filter(F.col("centroid_id").isin(touched)).join(
+        F.broadcast(ids_df), id_col, "left_anti"
+    )
+    tmp = path.rstrip("/") + "._tmp"
+    (
+        survivors.repartition(len(touched), F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    swap_partition_dirs(path, tmp, [f"centroid_id={c}" for c in touched])
+    meta["deleted_since_build"] = (
+        int(meta.get("deleted_since_build", 0)) + n_deleted
+    )
+    with open(os.path.join(path, IVFPQ_META), "w") as f:
+        json.dump(meta, f)
+    return {
+        "touched": touched,
+        "n_deleted": n_deleted,
+        "staleness": ivfpq_staleness(path),
+    }
 
 
 def ivfpq_topk_rerank(
@@ -669,6 +966,8 @@ def ivfpq_topk_rerank(
     metric: str = "euclidean",
     normalized: bool = False,
     mips: bool = False,
+    pre_filter=None,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """The full ANN-at-scale composition: coarse probe (each query's
     ``nprobe`` nearest centroids, chosen driver-side from the already-
@@ -695,7 +994,17 @@ def ivfpq_topk_rerank(
       the augmented dimension (``q' = [q, 0…]`` — scaling a single
       query never changes its own ranking), ADC candidate order ≡
       dot-product order by the MIPS reduction, rerank exact dot
-      product on the RAW frame descending."""
+      product on the RAW frame descending.
+
+    ``pre_filter`` (a Column over layout columns — built-ins or
+    ``meta_cols`` carried by ``write_ivfpq_index``) applies BEFORE the
+    ADC kernel, inside the pruned bucket scan: Catalyst pushes the
+    predicate to the parquet reader under the same PartitionFilters,
+    so non-qualifying rows never enter the candidate pool and the
+    top-k is the filtered corpus's own (single-stage filtering — the
+    semantics of the reference's Pinecone filter argument; recall does
+    not degrade with filter selectivity the way post-filtering a
+    fixed-k result does)."""
     import numpy as np
     import pyarrow as pa
 
@@ -738,6 +1047,16 @@ def ivfpq_topk_rerank(
                 f"query dim {Q.shape[1]} exceeds MIPS layout dim {aug_dim}"
             )
         Q = np.hstack([Q, np.zeros((Q.shape[0], aug_dim - Q.shape[1]))])
+    if rotation is not None:
+        # an OPQ layout's centroids/codes live in the rotated frame;
+        # queries enter it through the SAME persisted R (orthonormal,
+        # so ADC order and the raw-space rerank are unchanged)
+        R = np.array(rotation, dtype=np.float64)
+        if Q.shape[1] != R.shape[0]:
+            raise ValueError(
+                f"query dim {Q.shape[1]} != layout rotation dim {R.shape[0]}"
+            )
+        Q = Q @ R
     m = len(codebooks)
     sub = len(codebooks[0][0])
     if Q.shape[1] != m * sub:
@@ -757,6 +1076,8 @@ def ivfpq_topk_rerank(
     all_probed = sorted({int(c) for row in probed for c in row})
 
     pruned = layout.filter(F.col("centroid_id").isin(all_probed))
+    if pre_filter is not None:
+        pruned = pruned.filter(pre_filter)
 
     q_payload = json.dumps([[float(x) for x in row] for row in Q])
     qraw_payload = json.dumps([[float(x) for x in row] for row in Qraw])
@@ -779,24 +1100,31 @@ def ivfpq_topk_rerank(
         }
         nq = Qm.shape[0]
 
-        def make_lut(target):
-            """LUT[m][k] of partial squared distances for one ADC
-            target vector (the query, or query - bucket centroid)."""
-            out = np.empty((m, B[0].shape[0]), dtype=np.float64)
+        def make_luts(targets):
+            """Stacked LUT tensor (b × m × k) of partial squared
+            distances for ``b`` ADC target vectors (queries, or
+            query − bucket-centroid residual targets) — one small GEMM
+            per subspace for the whole stack, not per target."""
+            out = np.empty((targets.shape[0], m, B[0].shape[0]), dtype=np.float64)
             for j in range(m):
-                t = target[j * sub : (j + 1) * sub]
-                out[j] = (
-                    (t * t).sum() - 2.0 * (B[j] @ t) + (B[j] ** 2).sum(axis=1)
+                T = targets[:, j * sub : (j + 1) * sub]
+                out[:, j, :] = (
+                    (T * T).sum(axis=1)[:, None]
+                    - 2.0 * (T @ B[j].T)
+                    + (B[j] ** 2).sum(axis=1)[None, :]
                 )
             return out
 
         # Invert the probe map once per task: bucket → the (sorted)
-        # query indices probing it, plus ONE stacked LUT tensor
-        # (nq_b × m × k) per bucket so every query scoring a bucket is
-        # a single fancy gather, not a Python loop. For residual
-        # layouts the ADC target is q - c_bucket
+        # query indices probing it; each probed bucket gets ONE
+        # stacked LUT tensor (nq_b × m × k) so every query scoring a
+        # bucket is a single fancy gather, not a Python loop. For
+        # residual layouts the ADC target is q - c_bucket
         # (|q - (c + r)|^2 = |(q - c) - r|^2) so the tensor is built
-        # per bucket; raw layouts share each query's own LUT across
+        # per bucket — LAZILY, on the bucket's first row in THIS task
+        # (a task holds a handful of bucket directories; building all
+        # probed buckets' LUTs in every task is buckets/task-count ×
+        # wasted work). Raw layouts share each query's own LUT across
         # buckets (stack is a view-index into one nq × m × k array).
         bq_lists: dict[int, list[int]] = {}
         for qi in range(nq):
@@ -805,14 +1133,20 @@ def ivfpq_topk_rerank(
         bucket_queries = {
             c: np.array(v, dtype=np.int64) for c, v in bq_lists.items()
         }
-        if residual:
-            bucket_luts = {
-                c: np.stack([make_lut(Qm[qi] - cvec[c]) for qi in qis])
-                for c, qis in bucket_queries.items()
-            }
-        else:
-            raw = np.stack([make_lut(Qm[qi]) for qi in range(nq)])
-            bucket_luts = {c: raw[qis] for c, qis in bucket_queries.items()}
+        raw_luts = None if residual else make_luts(Qm)
+        lut_cache: dict[int, "np.ndarray"] = {}
+
+        def get_lut(cid):
+            hit = lut_cache.get(cid)
+            if hit is None:
+                qis = bucket_queries[cid]
+                hit = (
+                    make_luts(Qm[qis] - cvec[cid][None, :])
+                    if residual
+                    else raw_luts[qis]
+                )
+                lut_cache[cid] = hit
+            return hit
 
         for batch in batches:
             n = batch.num_rows
@@ -855,7 +1189,7 @@ def ivfpq_topk_rerank(
                 # downstream window uses
                 sel = sel[np.argsort(ids[sel], kind="stable")]
                 cs = codes[sel]  # n_sel × m
-                lut = bucket_luts[int(cid)]  # nq_b × m × k
+                lut = get_lut(int(cid))  # nq_b × m × k
                 dist = lut[:, 0, cs[:, 0]]  # nq_b × n_sel
                 for j in range(1, m):
                     dist = dist + lut[:, j, cs[:, j]]
@@ -895,17 +1229,26 @@ def ivfpq_topk_rerank(
 
     def fused_kernel(batches):
         """Single-pass probe: ADC over the batch's probed buckets →
-        per-(query, batch) top-``fetch_k`` cut → EXACT rerank of those
-        candidates against the raw vectors CO-LOCATED in the layout.
-        The rescore reproduces ``functions.vector.similarity_expr``
-        bit-for-bit: float64 everywhere, per-dimension SEQUENTIAL
-        left-fold adds (a Python loop of vectorized adds over dims —
-        not numpy pairwise summation), same zero-denominator NULL for
-        cosine. The candidate set is the union of per-(query, batch)
-        ADC top-``fetch_k`` cuts — a SUPERSET of the join path's
-        global top-``fetch_k`` (recall never lower; identical, hence
+        per-(query, bucket) top-``fetch_k`` ADC cut → per-query ADC
+        top-``fetch_k`` MERGE across all of the task's batches (codes
+        are cheap to compare; carrying every bucket's full cut to the
+        rerank would re-score ~``fetch_k × buckets`` rows per query —
+        at fetch 2000 × 100 probed buckets that is half the corpus
+        again) → ONE exact rerank per task of each query's surviving
+        ``fetch_k`` candidates against the raw vectors CO-LOCATED in
+        the layout. The rescore reproduces
+        ``functions.vector.similarity_expr`` bit-for-bit: float64
+        everywhere, per-dimension SEQUENTIAL left-fold adds (a Python
+        loop of vectorized adds over dims — not numpy pairwise
+        summation), same zero-denominator NULL for cosine. The
+        candidate set is the union of per-(query, task) ADC
+        top-``fetch_k`` cuts — a SUPERSET of the join path's global
+        top-``fetch_k`` (recall never lower; identical, hence
         hash-equal, whenever ``fetch_k`` covers the probed rows, which
-        is how the full-value oracles are constructed)."""
+        is how the full-value oracles are constructed). Every cut
+        breaks ADC ties by ``vec_id`` — the same key as the join
+        path's window — so the candidate set is deterministic given
+        the task's bucket assignment."""
         B = [np.array(b, dtype=np.float64) for b in json.loads(books_payload)]
         Qm = np.array(json.loads(q_payload), dtype=np.float64)
         Qr = np.array(json.loads(qraw_payload), dtype=np.float64)
@@ -918,12 +1261,16 @@ def ivfpq_topk_rerank(
         nq = Qm.shape[0]
         d_raw = Qr.shape[1]
 
-        def make_lut(target):
-            out = np.empty((m, B[0].shape[0]), dtype=np.float64)
+        def make_luts(targets):
+            out = np.empty(
+                (targets.shape[0], m, B[0].shape[0]), dtype=np.float64
+            )
             for j in range(m):
-                t = target[j * sub : (j + 1) * sub]
-                out[j] = (
-                    (t * t).sum() - 2.0 * (B[j] @ t) + (B[j] ** 2).sum(axis=1)
+                T = targets[:, j * sub : (j + 1) * sub]
+                out[:, j, :] = (
+                    (T * T).sum(axis=1)[:, None]
+                    - 2.0 * (T @ B[j].T)
+                    + (B[j] ** 2).sum(axis=1)[None, :]
                 )
             return out
 
@@ -955,14 +1302,51 @@ def ivfpq_topk_rerank(
         bucket_queries = {
             c: np.array(v, dtype=np.int64) for c, v in bq_lists.items()
         }
-        if residual:
-            bucket_luts = {
-                c: np.stack([make_lut(Qm[qi] - cvec[c]) for qi in qis])
-                for c, qis in bucket_queries.items()
-            }
-        else:
-            raw_l = np.stack([make_lut(Qm[qi]) for qi in range(nq)])
-            bucket_luts = {c: raw_l[qis] for c, qis in bucket_queries.items()}
+        # lazy per-bucket LUT tensors — built on a bucket's first row
+        # in THIS task only (see the codes-only kernel's rationale)
+        raw_luts = None if residual else make_luts(Qm)
+        lut_cache: dict[int, "np.ndarray"] = {}
+
+        def get_lut(cid):
+            hit = lut_cache.get(cid)
+            if hit is None:
+                qis = bucket_queries[cid]
+                hit = (
+                    make_luts(Qm[qis] - cvec[cid][None, :])
+                    if residual
+                    else raw_luts[qis]
+                )
+                lut_cache[cid] = hit
+            return hit
+
+        # per-query candidate accumulators over the WHOLE task:
+        # parallel lists of (ids, adc, vectors) arrays, compacted to
+        # the ADC top-``fetch_k`` whenever they grow past 4×fetch_k —
+        # bounded memory (≤ 4·fetch_k·d floats per query), one exact
+        # rerank at generator end instead of one per (query, bucket)
+        acc_ids: list[list] = [[] for _ in range(nq)]
+        acc_adc: list[list] = [[] for _ in range(nq)]
+        acc_vec: list[list] = [[] for _ in range(nq)]
+        acc_n = [0] * nq
+
+        def _compact(qi, keep):
+            """Cut query ``qi``'s accumulator to its ADC top-``keep``
+            by (adc asc, vec_id asc) — the join path's window key."""
+            ids_c = np.concatenate(acc_ids[qi])
+            adc_c = np.concatenate(acc_adc[qi])
+            vec_c = np.concatenate(acc_vec[qi])
+            if len(ids_c) > keep:
+                order_c = np.lexsort((ids_c, adc_c))[:keep]
+                ids_c, adc_c, vec_c = (
+                    ids_c[order_c],
+                    adc_c[order_c],
+                    vec_c[order_c],
+                )
+            acc_ids[qi] = [ids_c]
+            acc_adc[qi] = [adc_c]
+            acc_vec[qi] = [vec_c]
+            acc_n[qi] = len(ids_c)
+            return ids_c, adc_c, vec_c
 
         for batch in batches:
             n = batch.num_rows
@@ -988,9 +1372,9 @@ def ivfpq_topk_rerank(
             vcol = batch.column(vec_col)
             voff = np.asarray(vcol.offsets, dtype=np.int64)
             # zero-copy view in the STORED dtype; only the ≤ fetch_k
-            # candidate rows per query are widened to float64 below —
-            # widening the whole batch would copy ~n×d×8 bytes for
-            # rows the rerank never touches
+            # candidate rows per query are copied out below — widening
+            # the whole batch would copy ~n×d×8 bytes for rows the
+            # rerank never touches
             vflat = np.asarray(vcol.values)
             vw = np.diff(voff)
             if not (vw == d_raw).all():
@@ -1003,10 +1387,6 @@ def ivfpq_topk_rerank(
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64, copy=False)
             )
-            out_q: list["np.ndarray"] = []
-            out_v: list["np.ndarray"] = []
-            out_s: list["np.ndarray"] = []
-            out_nul: list["np.ndarray"] = []
             for cid in np.unique(bucket):
                 qis = bucket_queries.get(int(cid))
                 if qis is None:
@@ -1014,7 +1394,7 @@ def ivfpq_topk_rerank(
                 sel = np.nonzero(bucket == cid)[0]
                 sel = sel[np.argsort(ids[sel], kind="stable")]
                 cs = codes[sel]
-                lut = bucket_luts[int(cid)]
+                lut = get_lut(int(cid))
                 dist = lut[:, 0, cs[:, 0]]
                 for j in range(1, m):
                     dist = dist + lut[:, j, cs[:, j]]
@@ -1026,39 +1406,68 @@ def ivfpq_topk_rerank(
                 top = np.argsort(dist, axis=1, kind="stable")[:, :t]
                 for bi, qi in enumerate(qis):
                     rows = sel[top[bi]]
-                    W = V[rows].astype(np.float64)  # exact widening
-                    if metric == "euclidean":
-                        diff = Qr[qi][None, :] - W
-                        s = np.sqrt(seq_sq(diff))
-                        nul = np.zeros(t, dtype=bool)
-                    elif metric == "dotproduct":
-                        s = seq_dot(Qr[qi], W)
-                        nul = np.zeros(t, dtype=bool)
-                    else:  # cosine
-                        denom = q_norms[qi] * np.sqrt(seq_sq(W))
-                        nul = denom == 0.0
-                        s = np.divide(
-                            seq_dot(Qr[qi], W),
-                            np.where(nul, 1.0, denom),
-                        )
-                    out_q.append(np.full(t, qid[qi], dtype=np.int64))
-                    out_v.append(ids[rows])
-                    out_s.append(s)
-                    out_nul.append(nul)
-            if out_q:
-                nul_all = np.concatenate(out_nul)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(out_q), type=pa.int64()),
-                        pa.array(np.concatenate(out_v), type=pa.int64()),
-                        pa.array(
-                            np.concatenate(out_s),
-                            type=pa.float64(),
-                            mask=nul_all if nul_all.any() else None,
-                        ),
-                    ],
-                    names=["query_id", "vec_id", "score"],
+                    acc_ids[qi].append(ids[rows])
+                    acc_adc[qi].append(dist[bi][top[bi]])
+                    # copy out of the Arrow buffer (stored dtype) —
+                    # the batch's memory is released after iteration
+                    acc_vec[qi].append(V[rows].copy())
+                    acc_n[qi] += t
+                    if acc_n[qi] > 4 * fetch_k:
+                        _compact(qi, fetch_k)
+
+        out_q: list["np.ndarray"] = []
+        out_v: list["np.ndarray"] = []
+        out_s: list["np.ndarray"] = []
+        out_nul: list["np.ndarray"] = []
+        for qi in range(nq):
+            if not acc_n[qi]:
+                continue
+            ids_f, _, vec_f = _compact(qi, fetch_k)
+            W = vec_f.astype(np.float64)  # exact widening
+            t = len(ids_f)
+            if metric == "euclidean":
+                diff = Qr[qi][None, :] - W
+                s = np.sqrt(seq_sq(diff))
+                nul = np.zeros(t, dtype=bool)
+            elif metric == "dotproduct":
+                s = seq_dot(Qr[qi], W)
+                nul = np.zeros(t, dtype=bool)
+            else:  # cosine
+                denom = q_norms[qi] * np.sqrt(seq_sq(W))
+                nul = denom == 0.0
+                s = np.divide(
+                    seq_dot(Qr[qi], W),
+                    np.where(nul, 1.0, denom),
                 )
+            # exact scores are FINAL, so only the per-task top-k can
+            # reach the global top-k — emit k rows per (query, task),
+            # not fetch_k (the post-kernel shuffle shrinks fetch_k/k
+            # ×). Order mirrors the downstream window exactly: euclid
+            # (score asc, vec_id asc); cosine/dot (score desc NULLS
+            # LAST, vec_id asc) — nulls mapped past every real score.
+            if t > k:
+                key = s if lead_asc else np.where(nul, np.inf, -s)
+                keep = np.lexsort((ids_f, key))[:k]
+                ids_f, s, nul = ids_f[keep], s[keep], nul[keep]
+                t = k
+            out_q.append(np.full(t, qid[qi], dtype=np.int64))
+            out_v.append(ids_f)
+            out_s.append(s)
+            out_nul.append(nul)
+        if out_q:
+            nul_all = np.concatenate(out_nul)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_v), type=pa.int64()),
+                    pa.array(
+                        np.concatenate(out_s),
+                        type=pa.float64(),
+                        mask=nul_all if nul_all.any() else None,
+                    ),
+                ],
+                names=["query_id", "vec_id", "score"],
+            )
 
     if vec_col in layout.columns:
         # self-contained layout: probe + exact rerank in ONE job over
@@ -1161,6 +1570,15 @@ def retrain_ivfpq_index(
         src = mips_augmented(
             vectors, vec_col, mips_max_norm(vectors, vec_col), m * sub
         )
+    rotation = None
+    if meta.get("rotation"):
+        # an OPQ layout re-learns its rotation for the drifted corpus,
+        # exactly like the coarse centroids and codebooks (all three
+        # are quantizer parameters trained on the same frame)
+        rotation = train_opq_rotation(
+            src, m=m, id_col=id_col, vec_col=vec_col
+        )
+        src = rotate_vectors(src, rotation, vec_col)
     cents = seed_centroids(src, n_cent, id_col, vec_col)
     if lloyd_iters > 0:
         cents = lloyd_refine(src, cents, iters=lloyd_iters, vec_col=vec_col)
@@ -1176,6 +1594,8 @@ def retrain_ivfpq_index(
         vectors, path, cents, books, id_col, vec_col,
         residual=residual, normalize=normalize, mips=mips,
         store_vectors=bool(meta.get("stores_vectors", False)),
+        meta_cols=meta.get("meta_cols") or None,
+        rotation=rotation,
     )
     return {
         "rows": int(load_ivfpq_meta(path)["rows_at_build"]),
@@ -1216,8 +1636,11 @@ def upsert_ivfpq_index(
     codebooks = meta["codebooks"]
     residual = bool(meta.get("residual", False))
     stores_vectors = bool(meta.get("stores_vectors", False))
-    transformed = bool(meta.get("normalize", False)) or bool(
-        meta.get("mips", False)
+    rotation = meta.get("rotation")
+    transformed = (
+        bool(meta.get("normalize", False))
+        or bool(meta.get("mips", False))
+        or rotation is not None
     )
     if stores_vectors and transformed:
         # the layout stores RAW vectors next to the transformed-space
@@ -1239,6 +1662,11 @@ def upsert_ivfpq_index(
             float(meta["mips_max_norm"]),
             int(meta["m"]) * len(codebooks[0][0]),
         )
+    if rotation is not None:
+        # enter the layout's rotated frame with the PERSISTED R —
+        # re-learning on the batch would put new codes in a different
+        # space (same rule as the quantizers)
+        records = rotate_vectors(records, rotation, vec_col)
 
     assigned = assign_centroids_gemm(records, centroids, "euclidean", vec_col)
     # __raw is derived from the same record as the transformed vector,
@@ -1267,6 +1695,16 @@ def upsert_ivfpq_index(
         lcol = meta.get("vec_col") or vec_col
         raw = "__raw" if transformed else vec_col
         keep.append(F.col(raw).alias(lcol))
+    for c in meta.get("meta_cols", []) or []:
+        # the layout carries metadata for filtered probes; an upsert
+        # without it would write NULL-metadata rows that silently
+        # vanish from every filtered search
+        if c not in assigned.columns:
+            raise ValueError(
+                f"layout carries meta_cols {meta.get('meta_cols')}; "
+                f"upsert records are missing {c!r}"
+            )
+        keep.append(F.col(c))
     fresh = assigned.select(*keep).join(enc, id_col)
 
     ids = assigned.select(id_col).distinct()

@@ -158,6 +158,7 @@ def search(
     hof_max_rows: int = DEFAULT_HOF_MAX_ROWS,
     prefer_exact_below: int = 0,
     mips_fetch_floor: float = 0.01,
+    pre_filter=None,
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
     id_col: str = "vec_id",
@@ -179,7 +180,16 @@ def search(
     at least ``mips_fetch_floor × rows_at_build`` (SCALE.md: recall
     0.037 at fetch-100 vs ≥0.9 at ~1% over-fetch on the 500k hard
     case). Only ever raises ``fetch_k``, so full-coverage results are
-    unchanged."""
+    unchanged.
+
+    ``pre_filter``: a static metadata predicate (Column over index/
+    layout columns — compose one from a Pinecone-style dict with
+    ``functions.filter_dsl.filter_dict_to_column``, the reference's
+    query-filter argument). Every strategy applies it BEFORE scoring —
+    exact paths filter the scan, the IVF probe filters inside the
+    pruned buckets, and the IVFPQ probe needs the layout built with
+    ``meta_cols`` carrying the filtered columns (single-stage
+    filtering: the top-k is the filtered corpus's own)."""
     decision = route(
         layout_path, n_rows, metric, parity, hof_max_rows, prefer_exact_below
     )
@@ -220,6 +230,8 @@ def search(
             metric=metric,
             normalized=bool(meta.get("normalize", False)),
             mips=bool(meta.get("mips", False)),
+            pre_filter=pre_filter,
+            rotation=meta.get("rotation"),
         )
     if path == "ivf":
         from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
@@ -240,6 +252,7 @@ def search(
             query_vec_col=query_vec_col,
             id_col=id_col,
             vec_col=vec_col,
+            pre_filter=pre_filter,
         )
     if index is None:
         raise ValueError("exact search needs an index frame")
@@ -257,6 +270,7 @@ def search(
             query_vec_col=query_vec_col,
             id_col=id_col,
             vec_col=vec_col,
+            pre_filter=pre_filter,
         )
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
         topk_search,
@@ -271,4 +285,5 @@ def search(
         query_vec_col=query_vec_col,
         id_col=id_col,
         vec_col=vec_col,
+        pre_filter=pre_filter,
     )

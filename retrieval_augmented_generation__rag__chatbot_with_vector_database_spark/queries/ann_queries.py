@@ -683,3 +683,321 @@ def ann_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "cosine",
         pre_filter=filter_dict_to_column({"label": {"$in": [0, 1, 2, 3, 4]}}),
     )
+
+
+@register(
+    "ann_opq_rerank_recall",
+    f"""
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+)
+def ann_opq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ tier (operators/pq.py::train_opq_rotation, Ge et al. CVPR
+    2013 parametric variant): learn the PCA + eigenvalue-allocation
+    rotation R, quantize the ROTATED corpus (m=16/k=64), ADC
+    over-fetch 100 in rotated space, full-precision rerank, and
+    assert recall@{K} vs the exact euclidean top-{K} on the ORIGINAL
+    vectors >= 0.8 per query. R is orthonormal, so exact euclidean
+    order is identical in both frames — the recall target needs no
+    rotated twin. Codes are k-means-derived, so the oracle pins the
+    CONTRACT (TRUE per query), the `ann_pq_rerank_recall` pattern."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        pq,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    R = pq.train_opq_rotation(emb, m=16)
+    emb_rot = pq.rotate_vectors(emb, R)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    q_rot = pq.rotate_vectors(q, R, vec_col="qvec")
+    books = pq.train_pq_codebooks(emb_rot, m=16, k=64)
+    enc = pq.pq_encode(emb_rot, books)
+    exact = topk_search(q, emb, k=K, metric="euclidean").select(
+        "query_id", "vec_id"
+    )
+    rer = pq.pq_topk_rerank(
+        q_rot, enc, emb_rot, books, k=K, fetch_k=100, metric="euclidean"
+    ).select("query_id", F.col("vec_id").alias("r_vec_id"))
+    hits = exact.join(
+        rer,
+        (exact["query_id"] == rer["query_id"])
+        & (exact["vec_id"] == rer["r_vec_id"]),
+        "left",
+    ).groupBy(exact["query_id"].alias("query_id")).agg(
+        F.count("r_vec_id").alias("n_hits")
+    )
+    return hits.select(
+        "query_id", (F.col("n_hits") >= 0.8 * K).alias("recall_ok")
+    )
+
+
+@register(
+    "ann_opq_quantization_gain",
+    "SELECT 8 AS m, 16 AS k, TRUE AS gain_ok",
+)
+def ann_opq_quantization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The claim OPQ exists to make, measured end to end on the
+    engine's own kernels: under SCALE ANISOTROPY (per-dimension
+    variance spread — the shape real learned embeddings have after
+    whitening-free training), rotating with the learned eigenvalue
+    allocation more than HALVES total squared quantization error vs
+    plain PQ at the same m=8/k=16 code budget (measured ratio 0.18 at
+    both fixture scales; 0.5 is the contract floor). The anisotropic
+    frame is a deterministic per-dimension rescale of the fixture
+    (dim j x 10^(j/21), ~1000x spread) so every engine sees the same
+    data; SSE comes from `pq_reconstruction_sse` (one mapInArrow pass
+    emitting 2-number partials — corpus-size-independent driver
+    state). Both quantizers are k-means-derived, so the oracle pins
+    the CONTRACT row, not the data-dependent SSE values."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        pq,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    aniso = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "cast(x * pow(10.0, i / 21.0) as float))"
+        ).alias("embedding"),
+    )
+    books_pq = pq.train_pq_codebooks(aniso, m=8, k=16)
+    sse_pq = pq.pq_reconstruction_sse(aniso, books_pq).collect()[0]
+    R = pq.train_opq_rotation(aniso, m=8)
+    rot = pq.rotate_vectors(aniso, R)
+    books_opq = pq.train_pq_codebooks(rot, m=8, k=16)
+    sse_opq = pq.pq_reconstruction_sse(rot, books_opq).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                8,
+                16,
+                bool(
+                    sse_opq["sum_sq_err"] <= 0.5 * sse_pq["sum_sq_err"]
+                    and sse_opq["n"] == sse_pq["n"]
+                ),
+            )
+        ],
+        "m int, k int, gain_ok boolean",
+    )
+
+
+_IVFPQ_FILTERED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label IN (1, 3, 5, 7)
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+@register("ann_ivfpq_filtered", _IVFPQ_FILTERED_ORACLE)
+def ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED cosine over the IVFPQ tier — the reference's
+    query shape (Pinecone filter dict next to the vector,
+    `app/services/pinecone_service.py:148-182` / the filter-DSL of
+    P2) on the engine's cheapest layout. The layout is built with
+    ``meta_cols=["label"]`` so the label rides in every bucket file
+    next to the codes; the dispatcher's ``pre_filter`` (compiled from
+    the Pinecone-style dict by ``filter_dict_to_column``) evaluates
+    INSIDE the pruned bucket scan — Catalyst pushes it to the parquet
+    reader under the same PartitionFilters — so non-qualifying rows
+    never enter the ADC pool and the top-{K} is the filtered corpus's
+    own (single-stage filtering: recall is independent of filter
+    selectivity, unlike post-filtering a fixed-k result).
+
+    FULL-VALUE oracle (`ann_ivfpq_cosine` pattern): all buckets probed
+    + 100-candidate over-fetch provably contains the filtered exact
+    top-{K} at fixture scale, so the output hash-equals the exact
+    cosine top-k over ``label IN (1,3,5,7)``."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.filter_dsl import (
+        filter_dict_to_column,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    emb_n = pq._unit_normalized(emb, "embedding")
+    books = pq.train_pq_codebooks(emb_n, m=16, k=64)
+    cents = ann.seed_centroids(emb_n, N_CENTROIDS)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivfpq_filt"
+        pq.write_ivfpq_index(
+            emb, path, cents, books, normalize=True, meta_cols=["label"]
+        )
+        out = search(
+            q,
+            emb,
+            k=K,
+            metric="cosine",
+            layout_path=path,
+            nprobe=N_CENTROIDS,
+            fetch_k=100,
+            pre_filter=filter_dict_to_column({"label": {"$in": [1, 3, 5, 7]}}),
+        ).select(
+            "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+        )
+        # materialize before the tempdir disappears (N_QUERIES x K rows)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+_IVFPQ_DELETE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id % 9 <> 0
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+@register("ann_ivfpq_delete", _IVFPQ_DELETE_ORACLE)
+def ann_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown end-to-end on the QUANTIZED serving layout
+    (`pq.delete_ivfpq_ids`): a normalized IVFPQ layout is built, every
+    9th vec_id is deleted — only the centroid partitions holding those
+    ids are re-merged under the marker-fenced swap; codes AND the
+    co-located raw rerank vectors go together, so a deleted id cannot
+    resurface at ANY stage of the probe — and the dispatched cosine
+    probe over the post-delete layout must hash-equal the exact cosine
+    top-{K} over the surviving corpus (full probe + over-fetch, the
+    `ann_ivfpq_cosine` exactness construction). Deletions also bump
+    ``deleted_since_build`` so the staleness-triggered retrain fires
+    on churn (`tests/test_takedown.py` pins counters and
+    untouched-partition byte identity)."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    emb_n = pq._unit_normalized(emb, "embedding")
+    books = pq.train_pq_codebooks(emb_n, m=16, k=64)
+    cents = ann.seed_centroids(emb_n, N_CENTROIDS)
+    doomed = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivfpq_del"
+        pq.write_ivfpq_index(emb, path, cents, books, normalize=True)
+        pq.delete_ivfpq_ids(spark, path, doomed)
+        out = search(
+            q,
+            None,
+            k=K,
+            metric="cosine",
+            layout_path=path,
+            nprobe=N_CENTROIDS,
+            fetch_k=100,
+        ).select(
+            "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+        )
+        # materialize before the tempdir disappears (N_QUERIES x K rows)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+_IVFPQ_OPQ_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(q.qvec, e.embedding::DOUBLE[]) AS s
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(s, 6) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+@register("ann_ivfpq_opq", _IVFPQ_OPQ_ORACLE)
+def ann_ivfpq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ as a FIRST-CLASS layout option, served end to end: the
+    learned rotation (`train_opq_rotation`, Ge et al. CVPR 2013) is
+    baked into the IVFPQ layout — corpus rotated after the metric
+    transform, centroids/codebooks trained in the rotated frame, R
+    PERSISTED in the sidecar — and the dispatcher probe rotates
+    queries with the layout's own R (serving never needs R
+    out-of-band, the same impossibility rule as the quantizers).
+    R is orthonormal, so ADC order and the co-located raw-vector
+    rerank are semantically unchanged; only the code budget's variance
+    allocation improves (SCALE.md: 0.18x SSE under scale anisotropy).
+
+    FULL-VALUE oracle (`ann_ivfpq_cosine` construction): all buckets
+    probed + 100-candidate over-fetch provably contains the exact
+    euclidean top-{K}, so the dispatched output hash-equals the exact
+    scan — on the ORIGINAL vectors; the rotated frame is invisible to
+    the caller."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    R = pq.train_opq_rotation(emb, m=16)
+    rot = pq.rotate_vectors(emb, R)
+    books = pq.train_pq_codebooks(rot, m=16, k=64)
+    cents = ann.seed_centroids(rot, N_CENTROIDS)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivfpq_opq"
+        pq.write_ivfpq_index(emb, path, cents, books, rotation=R)
+        out = search(
+            q,
+            None,
+            k=K,
+            metric="euclidean",
+            layout_path=path,
+            nprobe=N_CENTROIDS,
+            fetch_k=100,
+        ).select(
+            "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+        )
+        # materialize before the tempdir disappears (N_QUERIES x K rows)
+        return spark.createDataFrame(out.collect(), out.schema)

@@ -175,3 +175,31 @@ def test_ivfpq_cosine_dispatch_keeps_partition_pruning(spark, emb, tmp_path):
         layout_path=path, nprobe=2, fetch_k=25,
     )
     assert has_partition_filter(out, "centroid_id")
+
+
+def test_ivfpq_filtered_pushes_filter_into_pruned_scan(spark, emb, tmp_path):
+    """Metadata-filtered IVFPQ (meta_cols layout + dispatcher
+    pre_filter): the label predicate and the centroid prune land in
+    the SAME bucket scan — PushedFilters beside PartitionFilters, so
+    non-qualifying rows never reach the ADC kernel."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+
+    emb_n = pq._unit_normalized(emb, "embedding")
+    books = pq.train_pq_codebooks(emb_n, m=8, k=16)
+    cents = ann.seed_centroids(emb_n, 8)
+    path = str(tmp_path / "ivfpq_filt_plan")
+    pq.write_ivfpq_index(
+        emb, path, cents, books, normalize=True, meta_cols=["label"]
+    )
+    out = search(
+        _queries(emb), emb, k=5, metric="cosine",
+        layout_path=path, nprobe=2, fetch_k=25,
+        pre_filter=F.col("label").isin(0, 1, 2),
+    )
+    assert has_partition_filter(out, "centroid_id")
+    assert has_pushed_filter(out, "label")

@@ -336,3 +336,302 @@ def test_residual_upsert_equals_rebuild(spark, emb, tmp_path):
         ).collect()
     }
     assert probe(inc) == probe(full)
+
+
+def test_opq_rotation_is_orthonormal_and_deterministic(spark, emb):
+    import numpy as np
+
+    R1 = np.array(pq.train_opq_rotation(emb.repartition(3), m=8))
+    R2 = np.array(pq.train_opq_rotation(emb.repartition(11), m=8))
+    assert np.allclose(R1, R2)  # partitioning-independent
+    assert R1.shape == (64, 64)
+    assert np.allclose(R1 @ R1.T, np.eye(64), atol=1e-9)
+
+
+def test_opq_rotation_preserves_distances_and_products(spark, emb):
+    """Orthonormal R: |xR - yR| = |x - y| and <xR, yR> = <x, y> — the
+    invariant that lets every downstream metric path run unchanged in
+    the rotated frame."""
+    import numpy as np
+
+    R = np.array(pq.train_opq_rotation(emb, m=8))
+    rows = emb.filter(F.col("vec_id") < 20).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    XR = X @ R
+    assert np.allclose(
+        np.linalg.norm(X[:, None] - X[None, :], axis=2),
+        np.linalg.norm(XR[:, None] - XR[None, :], axis=2),
+    )
+    assert np.allclose(X @ X.T, XR @ XR.T)
+
+
+def test_opq_allocation_balances_eigenvalue_products(spark, emb):
+    """Under scale anisotropy the greedy allocation must spread the
+    big-eigenvalue directions across subspaces: the max/min per-bucket
+    log-eigenvalue-sum gap must be far below the unrotated grouping's
+    gap (which concentrates whole scale tiers in single buckets)."""
+    import numpy as np
+
+    aniso = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "cast(x * pow(10.0, i / 21.0) as float))"
+        ).alias("embedding"),
+    )
+    X = np.array(
+        [r["embedding"] for r in aniso.collect()], dtype=np.float64
+    )
+    m, d = 8, X.shape[1]
+    sub = d // m
+    R = np.array(pq.train_opq_rotation(aniso, m=m))
+    w_nat = X.var(axis=0)
+    w_rot = (X @ R).var(axis=0)
+
+    def spread(w):
+        sums = [
+            np.log(np.maximum(w[j * sub : (j + 1) * sub], 1e-12)).sum()
+            for j in range(m)
+        ]
+        return max(sums) - min(sums)
+
+    assert spread(w_rot) < 0.25 * spread(w_nat)
+
+
+def test_rotate_vectors_matches_numpy_and_keeps_columns(spark, emb):
+    import numpy as np
+
+    R = pq.train_opq_rotation(emb, m=8)
+    out = pq.rotate_vectors(emb.filter(F.col("vec_id") < 5), R)
+    assert set(out.columns) == set(emb.columns)
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in out.collect()}
+    raw = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    for vid, v in raw.items():
+        assert np.allclose(rows[vid], (v @ np.array(R)).astype(np.float32))
+
+
+def test_pq_reconstruction_sse_matches_driver_numpy(spark, emb):
+    import numpy as np
+
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    got = pq.pq_reconstruction_sse(emb, books).collect()[0]
+    X = np.array(
+        [r["embedding"] for r in emb.collect()], dtype=np.float64
+    )
+    B = [np.array(b) for b in books]
+    sub = B[0].shape[1]
+    want = 0.0
+    for j in range(len(B)):
+        S = X[:, j * sub : (j + 1) * sub]
+        d2 = (
+            (S * S).sum(axis=1)[:, None]
+            - 2.0 * (S @ B[j].T)
+            + (B[j] ** 2).sum(axis=1)[None, :]
+        )
+        want += np.maximum(d2.min(axis=1), 0.0).sum()
+    assert got["n"] == X.shape[0]
+    assert abs(got["sum_sq_err"] - want) < 1e-6 * max(want, 1.0)
+
+
+def test_opq_halves_sse_under_scale_anisotropy(spark, emb):
+    """The gain contract behind `ann_opq_quantization_gain`, asserted
+    at operator level: on the 1000x-spread anisotropic frame, OPQ's
+    rotated quantizer must at least halve total squared error at the
+    same m=8/k=16 budget (measured ~0.18x)."""
+    aniso = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "cast(x * pow(10.0, i / 21.0) as float))"
+        ).alias("embedding"),
+    )
+    books_pq = pq.train_pq_codebooks(aniso, m=8, k=16)
+    sse_pq = pq.pq_reconstruction_sse(aniso, books_pq).collect()[0]["sum_sq_err"]
+    R = pq.train_opq_rotation(aniso, m=8)
+    rot = pq.rotate_vectors(aniso, R)
+    books_opq = pq.train_pq_codebooks(rot, m=8, k=16)
+    sse_opq = pq.pq_reconstruction_sse(rot, books_opq).collect()[0]["sum_sq_err"]
+    assert sse_opq <= 0.5 * sse_pq
+
+
+def test_ivfpq_filtered_matches_exact_filtered(spark, emb, tmp_path):
+    """Metadata-filtered IVFPQ probe (meta_cols layout + pre_filter
+    through the dispatcher) at full probe + ample over-fetch must
+    equal the exact cosine top-k over the PRE-FILTERED corpus —
+    single-stage filtering semantics, not post-filtering a fixed-k
+    result."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        topk_search,
+    )
+
+    flt = F.col("label").isin(1, 3, 5, 7)
+    emb_n = pq._unit_normalized(emb, "embedding")
+    books = pq.train_pq_codebooks(emb_n, m=8, k=16)
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+
+    cents = ann.seed_centroids(emb_n, 8)
+    path = str(tmp_path / "ivfpq_filt")
+    pq.write_ivfpq_index(
+        emb, path, cents, books, normalize=True, meta_cols=["label"]
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in search(
+            _queries(emb), emb, k=5, metric="cosine",
+            layout_path=path, nprobe=8, fetch_k=200, pre_filter=flt,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in topk_search(
+            _queries(emb), emb, k=5, metric="cosine", pre_filter=flt
+        ).collect()
+    }
+    assert got == want
+    # every hit satisfies the filter (the corpus has labels outside it)
+    labels = {
+        r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()
+    }
+    assert all(labels[v] in (1, 3, 5, 7) for v, _ in got.values())
+
+
+def test_ivfpq_meta_cols_validation(spark, emb, tmp_path):
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+
+    cents = ann.seed_centroids(emb, 8)
+    with pytest.raises(ValueError, match="collides"):
+        pq.write_ivfpq_index(
+            emb, str(tmp_path / "x1"), cents, books, meta_cols=["codes"]
+        )
+    with pytest.raises(ValueError, match="not in the index frame"):
+        pq.write_ivfpq_index(
+            emb, str(tmp_path / "x2"), cents, books, meta_cols=["nope"]
+        )
+
+
+def test_ivfpq_meta_cols_upsert_carries_metadata(spark, emb, tmp_path):
+    """Upsert into a meta_cols layout writes the metadata next to the
+    fresh codes (a filtered probe must see new rows), and an upsert
+    batch MISSING the column raises instead of writing NULL-metadata
+    rows that silently vanish from every filtered search."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    cents = ann.seed_centroids(emb, 8)
+    path = str(tmp_path / "ivfpq_meta_up")
+    pq.write_ivfpq_index(emb, path, cents, books, meta_cols=["label"])
+    fresh = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        F.lit(42).alias("label"),
+    )
+    stats = pq.upsert_ivfpq_index(spark, path, fresh)
+    assert stats["n_upserted"] == 3
+    got = (
+        spark.read.parquet(path)
+        .filter(F.col("vec_id") >= 1_000_000)
+        .select("vec_id", "label")
+        .collect()
+    )
+    assert len(got) == 3 and all(r["label"] == 42 for r in got)
+    with pytest.raises(ValueError, match="missing 'label'"):
+        pq.upsert_ivfpq_index(spark, path, fresh.drop("label"))
+
+
+def test_ivfpq_rotation_layout_serves_exact_topk(spark, emb, tmp_path):
+    """An OPQ-rotated IVFPQ layout (rotation persisted in the sidecar,
+    queries rotated probe-side with the layout's own R) at full probe
+    + ample over-fetch must hash-equal the exact euclidean top-k on
+    the ORIGINAL vectors — orthonormal R preserves L2, and the rerank
+    runs on the co-located RAW floats."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        topk_search,
+    )
+
+    R = pq.train_opq_rotation(emb, m=8)
+    rot = pq.rotate_vectors(emb, R)
+    books = pq.train_pq_codebooks(rot, m=8, k=16)
+    cents = ann.seed_centroids(rot, 8)
+    path = str(tmp_path / "ivfpq_opq")
+    pq.write_ivfpq_index(emb, path, cents, books, rotation=R)
+    assert pq.load_ivfpq_meta(path)["rotation"] == R  # sidecar roundtrip
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in search(
+            _queries(emb), None, k=5, metric="euclidean",
+            layout_path=path, nprobe=8, fetch_k=200,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in topk_search(
+            _queries(emb), emb, k=5, metric="euclidean"
+        ).collect()
+    }
+    assert got == want
+    # the layout's stored vectors are the RAW (unrotated) floats
+    import numpy as np
+
+    raw = {r["vec_id"]: r["embedding"] for r in emb.limit(50).collect()}
+    stored = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("vec_id").isin(*raw.keys()))
+        .collect()
+    }
+    for vid, v in stored.items():
+        assert np.allclose(v, raw[vid])
+
+
+def test_ivfpq_rotation_upsert_matches_rebuild(spark, emb, tmp_path):
+    """Upserting into an OPQ layout encodes through the PERSISTED R:
+    the incremental layout's probe output equals a full rebuild over
+    the same corpus (same quantizers, same rotation)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+
+    old = emb.filter(F.col("vec_id") >= 20)
+    fresh = emb.filter(F.col("vec_id") < 20)
+    R = pq.train_opq_rotation(old, m=8)
+    rot_old = pq.rotate_vectors(old, R)
+    books = pq.train_pq_codebooks(rot_old, m=8, k=16)
+    cents = ann.seed_centroids(rot_old, 8)
+    inc_path = str(tmp_path / "opq_inc")
+    full_path = str(tmp_path / "opq_full")
+    pq.write_ivfpq_index(old, inc_path, cents, books, rotation=R)
+    stats = pq.upsert_ivfpq_index(spark, inc_path, fresh)
+    assert stats["n_upserted"] == 20
+    pq.write_ivfpq_index(emb, full_path, cents, books, rotation=R)
+    q = _queries(emb)
+
+    def probe(path):
+        layout = spark.read.parquet(path)
+        return {
+            (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+            for r in pq.ivfpq_topk_rerank(
+                q, layout, None, cents, books, k=5, nprobe=8,
+                fetch_k=200, rotation=R,
+            ).collect()
+        }
+
+    assert probe(inc_path) == probe(full_path)

@@ -135,3 +135,101 @@ def test_cross_layout_takedown_composes(spark, tmp_path):
     lex.delete_docs([1])
     assert vec.read().filter(F.col("id") == "1").count() == 0
     assert lex.doc_store().filter(F.col("id") == 1).count() == 0
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_ivf_delete_ids_touched_partitions_only(spark, tmp_path):
+    """Float-IVF layout takedown: targets gone, survivors intact,
+    untouched centroid partitions byte-identical (mtime), deletions
+    counted as staleness drift, absent ids a no-op."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf-del")
+    cents = ann.seed_centroids(emb, 8)
+    ann.write_ivf_index(emb, path, cents, metric="cosine")
+    n0 = spark.read.parquet(path).count()
+    victim_parts = {
+        r["centroid_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("vec_id").isin(3, 7))
+        .select("centroid_id")
+        .collect()
+    }
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(path, "centroid_id=*", "*.parquet"))
+    }
+    stats = ann.delete_ivf_ids(spark, path, [3, 7])
+    assert stats["n_deleted"] == 2
+    assert set(stats["touched"]) == victim_parts
+    left = spark.read.parquet(path)
+    assert left.count() == n0 - 2
+    assert left.filter(F.col("vec_id").isin(3, 7)).count() == 0
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(path, "centroid_id=*", "*.parquet"))
+    }
+    for p, t in after.items():
+        c = int(p.split("centroid_id=")[1].split(os.sep)[0])
+        if c not in victim_parts:
+            assert p in before and before[p] == t, f"untouched {p} rewritten"
+    # churn drives staleness: 2 deleted / n0 built
+    assert abs(ann.ivf_staleness(path) - 2 / n0) < 1e-12
+    # absent ids: no-op, no partition touched
+    assert ann.delete_ivf_ids(spark, path, [999_999])["n_deleted"] == 0
+    # idempotent: already-deleted ids are absent now
+    assert ann.delete_ivf_ids(spark, path, [3, 7])["n_deleted"] == 0
+
+
+def test_ivfpq_delete_ids_probe_consistency(spark, tmp_path):
+    """IVFPQ layout takedown: deleted ids never reappear in a probe
+    (codes AND co-located raw vectors removed in one swap), the
+    remaining top-k equals the exact top-k over the surviving corpus,
+    and the sidecar counts deletions into staleness."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        topk_search,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivfpq-del")
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    cents = ann.seed_centroids(emb, 8)
+    pq.write_ivfpq_index(emb, path, cents, books)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    # the self-match (vec_id == query_id) is rank-1 for euclidean, so
+    # deleting the query ids must change every query's results
+    victims = [0, 1, 2, 3]
+    stats = pq.delete_ivfpq_ids(spark, path, victims)
+    assert stats["n_deleted"] == 4
+    n0 = int(pq.load_ivfpq_meta(path)["rows_at_build"])
+    assert abs(stats["staleness"] - 4 / n0) < 1e-12
+    layout = spark.read.parquet(path)
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in pq.ivfpq_topk_rerank(
+            q, layout, None, cents, books, k=5, nprobe=8, fetch_k=200
+        ).collect()
+    }
+    assert not any(v in victims for v in got.values())
+    want = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in topk_search(
+            q,
+            emb.filter(~F.col("vec_id").isin(victims)),
+            k=5,
+            metric="euclidean",
+        ).collect()
+    }
+    assert got == want

@@ -7,8 +7,14 @@ For each metric: build the matching transformed layout
 probe, and measure recall@K of the rerank output vs the exact GEMM
 top-k under the same metric.
 
-Usage: python tools/scale_check_ivfpq_metrics.py [N] [n_centroids] [nprobe] [fetch_k]
-Defaults: 500_000 vectors, 128 centroids, probe 8, fetch_k 100.
+Usage: python tools/scale_check_ivfpq_metrics.py [N] [n_centroids] [nprobe] [fetch_k] [n_queries]
+Defaults: 500_000 vectors, 128 centroids, probe 8, fetch_k 100, 16 queries.
+``n_queries`` is the crossover dial: a probe's partition-pruning
+advantage is proportional to 1 - coverage(n_queries x nprobe of
+n_centroids buckets) — at 16 queries x nprobe 16 essentially every
+bucket is probed and the probe scans what the exact scan scans; at 1-2
+queries (the reference's per-request serving shape) the probe reads
+nprobe/n_centroids of the layout.
 """
 
 from __future__ import annotations
@@ -46,6 +52,7 @@ def main() -> None:
     n_cent = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     fetch_k = int(sys.argv[4]) if len(sys.argv) > 4 else 100
+    n_queries = int(sys.argv[5]) if len(sys.argv) > 5 else N_QUERIES
 
     spark = get_spark(
         "scale_check_ivfpq_metrics", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -83,7 +90,7 @@ def main() -> None:
 
     spark.range(256).repartition(32).mapInPandas(_noop, "n long").count()
 
-    queries = emb.filter(F.col("vec_id") % (n // N_QUERIES) == 0).select(
+    queries = emb.filter(F.col("vec_id") % (n // n_queries) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
 
@@ -146,6 +153,26 @@ def main() -> None:
         t_disk, _ = best_of(
             lambda: topk_search_gemm(queries, disk, k=K, metric=metric).collect()
         )
+        import numpy as np
+        qrows = queries.collect()
+        Qx = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+        meta = pq.load_ivfpq_meta(path)
+        cids = np.array([c for c, _ in meta["centroids"]], dtype=np.int64)
+        Cx = np.array([v for _, v in meta["centroids"]], dtype=np.float64)
+        if metric == "cosine":
+            nrm = np.linalg.norm(Qx, axis=1, keepdims=True)
+            Qx = np.where(nrm > 0, Qx / np.where(nrm == 0, 1.0, nrm), Qx)
+        if metric == "dotproduct":
+            Qx = np.hstack(
+                [Qx, np.zeros((Qx.shape[0], Cx.shape[1] - Qx.shape[1]))]
+            )
+        d2x = (
+            (Qx * Qx).sum(axis=1)[:, None]
+            - 2.0 * (Qx @ Cx.T)
+            + (Cx * Cx).sum(axis=1)[None, :]
+        )
+        orderx = np.lexsort((cids[None, :].repeat(len(Qx), 0), d2x), axis=1)
+        probedx = {int(c) for row in cids[orderx[:, :nprobe]] for c in row}
         ex = {(r["query_id"], r["vec_id"]) for r in exact}
         ap = {(r["query_id"], r["vec_id"]) for r in got}
         recall = len(ex & ap) / max(len(ex), 1)
@@ -154,11 +181,19 @@ def main() -> None:
             f"(nprobe {nprobe}/{n_cent}, fetch_k {fetch_k}) | "
             f"exact GEMM ram {t_exact:5.2f}s disk {t_disk:5.2f}s | "
             f"recall@{K} {recall:.3f} | speedup x{t_exact / t_probe:.1f} "
-            f"(disk x{t_disk / t_probe:.1f})"
+            f"(disk x{t_disk / t_probe:.1f}) | "
+            f"buckets probed {len(probedx)}/{n_cent}"
         )
 
+    metrics = tuple(
+        m
+        for m in ("euclidean", "cosine", "dotproduct")
+        if m in os.environ.get(
+            "SCALE_METRICS", "euclidean,cosine,dotproduct"
+        ).split(",")
+    )
     with tempfile.TemporaryDirectory() as tmp:
-        for metric in ("euclidean", "cosine", "dotproduct"):
+        for metric in metrics:
             run_metric(metric, tmp)
 
 
