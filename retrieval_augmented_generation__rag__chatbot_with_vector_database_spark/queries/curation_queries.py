@@ -1001,3 +1001,124 @@ def corpus_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.filter(F.col("doc_id") % _NB_MOD == 0)
     scored = nb_classify(train, test, return_scores=True)
     return ovr_auc(scored)
+
+
+_DSIR_MOD = 11  # doc_id % 11 == 0 stands in for the small target corpus
+_DSIR_N = 200
+
+_DSIR_CTE = f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, substring(md5(g), 1, 2) AS bucket FROM (
+    SELECT doc_id, unnest(arr) AS g FROM toks
+    UNION ALL
+    SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g
+    FROM toks, unnest(range(1, greatest(len(arr), 1))) t(i)
+    WHERE len(arr) >= 2
+  )
+),
+cr AS (
+  SELECT bucket, count(*) AS cr FROM grams
+  WHERE doc_id % {_DSIR_MOD} <> 0 GROUP BY bucket
+),
+ct AS (
+  SELECT bucket, count(*) AS ct FROM grams
+  WHERE doc_id % {_DSIR_MOD} = 0 GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT coalesce(sum(cr), 0) FROM cr) AS tr,
+         (SELECT coalesce(sum(ct), 0) FROM ct) AS tt
+),
+lam AS (
+  SELECT bucket,
+         round(ln((coalesce(ct, 0) + 0.5) / (tt + 0.5 * 256))
+             - ln((coalesce(cr, 0) + 0.5) / (tr + 0.5 * 256)),
+               6)::DECIMAL(24,6) AS lam
+  FROM cr FULL JOIN ct USING (bucket) CROSS JOIN tot
+),
+per_bucket AS (
+  SELECT doc_id, bucket, count(*) AS n_b FROM grams
+  WHERE doc_id % {_DSIR_MOD} <> 0 GROUP BY doc_id, bucket
+),
+per_doc AS (
+  SELECT doc_id, sum(n_b) AS n_grams, sum(n_b * lam) AS log_w
+  FROM per_bucket JOIN lam USING (bucket) GROUP BY doc_id
+),
+weights AS (
+  SELECT d.doc_id,
+         coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+         p.log_w::DOUBLE AS log_w
+  FROM (SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id % {_DSIR_MOD} <> 0) d
+  LEFT JOIN per_doc p USING (doc_id)
+)
+"""
+
+_DSIR_WEIGHTS_ORACLE = f"WITH {_DSIR_CTE} SELECT doc_id, n_grams, log_w FROM weights"
+
+
+@register("corpus_dsir_weights", _DSIR_WEIGHTS_ORACLE)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. NeurIPS 2023,
+    `operators/dsir.py`): every raw doc's log importance weight under
+    hashed unigram+bigram bag models of a small target slice
+    (doc_id % {mod} == 0 stands in for the 'looks like Wikipedia'
+    corpus) vs the raw pool. 256 md5-prefix buckets, add-0.5
+    smoothing, per-bucket log-ratios rounded to 6 dp and summed as
+    DECIMAL — the FULL-VALUE oracle re-derives both histograms, the
+    ratio table, and every doc's weight digit for digit. The model is
+    two 256-row aggregates (mergeable partials — corpus-size-free
+    driver state); scoring is one broadcast join + one groupBy.""".format(
+        mod=_DSIR_MOD
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dsir import (
+        dsir_log_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % _DSIR_MOD == 0)
+    raw = docs.filter(F.col("doc_id") % _DSIR_MOD != 0)
+    return dsir_log_weights(raw, target)
+
+
+_DSIR_SAMPLE_ORACLE = f"""
+WITH {_DSIR_CTE},
+keyed AS (
+  SELECT doc_id, n_grams, log_w,
+         round(log_w + -ln(-ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+                               / 4294967296)), 6) AS gumbel_key
+  FROM weights WHERE log_w IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, n_grams, log_w, gumbel_key,
+         row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT doc_id, n_grams, log_w, gumbel_key, rank::INT AS rank
+FROM ranked WHERE rank <= {_DSIR_N}
+"""
+
+
+@register("corpus_dsir_sample", _DSIR_SAMPLE_ORACLE)
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resampling (the paper's selection rule):
+    key = log_w + Gumbel(u) with u the deterministic Knuth uniform of
+    the doc id — a pure function of the key, so the selected set is
+    identical across runs, partial re-runs, and engines (the oracle
+    replays weight AND noise). The ranking is a distributed
+    orderBy().limit() (TakeOrderedAndProject — no global sort); the
+    result is the {n}-doc importance-resampled training slice.""".format(
+        n=_DSIR_N
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dsir import (
+        dsir_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % _DSIR_MOD == 0)
+    raw = docs.filter(F.col("doc_id") % _DSIR_MOD != 0)
+    return dsir_sample(raw, target, n=_DSIR_N)
