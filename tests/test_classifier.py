@@ -213,3 +213,49 @@ def test_tie_breaks_by_class_name(spark):
     )
     out = nb_classify(train, test).collect()
     assert out[0]["pred_lang"] == "a"
+
+
+def test_ovr_auc_hand_derived_with_ties(spark):
+    """AUC from first principles on a 6-row class: scores
+    pos=[0.9, 0.5], neg=[0.1, 0.5, 0.5, 0.2]. Ascending midranks:
+    0.1->1, 0.2->2, 0.5 three-way tie -> (3+4+5)/3 = 4, 0.9->6.
+    pos rank sum = 6 + 4 = 10; AUC = (10 - 2*3/2) / (2*4) = 0.875
+    (one clean win pair x4, plus two half-credit tie pairs over 8)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+        ovr_auc,
+    )
+
+    rows = [
+        (1, "a", "a", 0.9),
+        (2, "a", "a", 0.5),
+        (3, "b", "a", 0.1),
+        (4, "b", "a", 0.5),
+        (5, "b", "a", 0.5),
+        (6, "b", "a", 0.2),
+    ]
+    scores = spark.createDataFrame(
+        rows, "doc_id long, lang string, k string, score double"
+    )
+    got = ovr_auc(scores).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["class"], r["n_pos"], r["n_neg"], r["auc"]) == ("a", 2, 4, 0.875)
+
+
+def test_ovr_auc_perfect_and_degenerate_classes(spark):
+    """A perfectly-separating class scores 1.0; a class with no
+    positives (or no negatives) is dropped — AUC undefined."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+        ovr_auc,
+    )
+
+    rows = (
+        [(i, "a", "a", 1.0 + i) for i in range(3)]
+        + [(10 + i, "b", "a", 0.1 * i) for i in range(3)]
+        + [(20 + i, "b", "zz", 0.5) for i in range(3)]  # no positives for zz
+    )
+    scores = spark.createDataFrame(
+        rows, "doc_id long, lang string, k string, score double"
+    )
+    got = {r["class"]: r["auc"] for r in ovr_auc(scores).collect()}
+    assert got == {"a": 1.0}
