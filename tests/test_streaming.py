@@ -1032,3 +1032,100 @@ def test_scd2_enrich_stream_matches_batch_interval_join(spark, tmp_path):
     }
     assert streamed == batch
     assert streamed == {1: "v1", 2: None, 3: "v2", 4: "v1"}
+
+
+def test_takedown_stream_propagates_across_all_layouts(spark, tmp_path):
+    """Deletion requests streamed in two micro-batches remove the ids
+    from the flat vector index, the lexical index, and both ANN
+    layouts; a checkpoint replay (at-least-once delivery) changes
+    nothing because every hook is idempotent."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        VectorIndex,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.lexical_index import (
+        LexicalIndex,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.takedown import (
+        layout_hooks,
+        start_takedown_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    # flat vector index (string ids "v<id>")
+    vec = VectorIndex(spark, str(tmp_path), "td-idx").create(dimension=64)
+    vec.upsert(
+        emb.filter(F.col("vec_id") < 40).select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+            "embedding",
+            F.concat(F.lit("t"), F.col("vec_id")).alias("text"),
+            F.lit("s").alias("source"),
+            F.lit(0).alias("chunk_index"),
+        ),
+        batch=1,
+    )
+    # lexical index over the doc slice
+    lex = LexicalIndex(spark, str(tmp_path / "lex"))
+    lex.create(docs, term_buckets=8, doc_buckets=4)
+    # both ANN layouts
+    ivf_path = str(tmp_path / "td-ivf")
+    cents = ann.seed_centroids(emb, 8)
+    ann.write_ivf_index(emb, ivf_path, cents, metric="cosine")
+    ivfpq_path = str(tmp_path / "td-ivfpq")
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    pq.write_ivfpq_index(emb, ivfpq_path, cents, books)
+
+    hooks = layout_hooks(
+        vector_index=vec,
+        lexical_index=lex,
+        ivf_path=ivf_path,
+        ivfpq_path=ivfpq_path,
+        vector_id_prefix="v",
+    )
+    landing = tmp_path / "td_landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "td_ckpt")
+
+    spark.createDataFrame([(3,), (7,)], "doc_id long").write.parquet(
+        str(landing / "b1")
+    )
+    _drain(start_takedown_stream(spark, str(landing) + "/*", ckpt, hooks))
+    spark.createDataFrame([(11,), (999_999,)], "doc_id long").write.parquet(
+        str(landing / "b2")
+    )
+    _drain(start_takedown_stream(spark, str(landing) + "/*", ckpt, hooks))
+    # replay: no new batches, nothing changes (idempotent hooks)
+    _drain(start_takedown_stream(spark, str(landing) + "/*", ckpt, hooks))
+
+    gone = [3, 7, 11]
+    assert vec.read().filter(
+        F.col("id").isin([f"v{i}" for i in gone])
+    ).count() == 0
+    assert vec.read().count() == 40 - 3
+    assert lex.doc_store().filter(F.col("id").isin(gone)).count() == 0
+    for p in (ivf_path, ivfpq_path):
+        left = spark.read.parquet(p)
+        assert left.filter(F.col("vec_id").isin(gone)).count() == 0
+        assert left.count() == emb.count() - 3
+    # audit counters reached the sidecars
+    assert pq.load_ivfpq_meta(ivfpq_path)["deleted_since_build"] == 3
+    assert ann.ivf_meta(ivf_path)["deleted_since_build"] == 3
+
+
+def test_takedown_hooks_validation(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.takedown import (
+        layout_hooks,
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no layouts"):
+        layout_hooks()
