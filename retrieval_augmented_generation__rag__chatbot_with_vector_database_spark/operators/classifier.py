@@ -410,3 +410,77 @@ def ovr_auc(
             6,
         ).alias("auc"),
     )
+
+
+def threshold_at_precision(
+    scores: DataFrame,
+    min_precision: float,
+    label_col: str = "lang",
+    class_col: str = "k",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-class operating point for the learned gate: the LOWEST
+    score threshold whose held-out precision is >= ``min_precision``
+    (lowest = maximal recall subject to the precision floor — the
+    standard deployment rule for a curation gate: "keep everything we
+    can while staying this clean"). Input is the
+    ``nb_classify(return_scores=True)`` frame.
+
+    Mechanics: per class, order by score DESC; cumulative tp and n use
+    RANGE frames so every member of a score tie sees the whole tie
+    group (a threshold admits ALL rows at that score — row-frame
+    cumulatives would split ties and overstate precision). Candidate
+    thresholds are the distinct scores; among candidates with
+    precision >= target, take the minimum score (window + one
+    aggregate per class — |classes| partitions of |test| rows, no
+    pairwise work, the ovr_auc shuffle shape). Classes with NO
+    qualifying threshold are dropped — deploying them at the target
+    precision is impossible on this evidence, and that absence is the
+    honest answer.
+
+    Returns (class, threshold, precision, recall, n_kept) with
+    precision/recall rounded to 6 — pure ratios of exact counts, so a
+    SQL oracle reproduces them digit for digit."""
+    if not 0.0 < min_precision <= 1.0:
+        raise ValueError(
+            f"min_precision must be in (0, 1], got {min_precision}"
+        )
+    cum_w = (
+        Window.partitionBy(class_col)
+        .orderBy(F.col(score_col).desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(class_col)
+    ranked = scores.select(
+        F.col(class_col).alias("class"),
+        F.col(score_col).alias("threshold"),
+        F.sum(
+            F.when(F.col(label_col) == F.col(class_col), 1).otherwise(0)
+        )
+        .over(cum_w)
+        .alias("tp"),
+        F.count(F.lit(1)).over(cum_w).alias("n_kept"),
+        F.sum(
+            F.when(F.col(label_col) == F.col(class_col), 1).otherwise(0)
+        )
+        .over(tot_w)
+        .alias("n_pos"),
+    )
+    qualifying = ranked.filter(
+        (F.col("n_pos") > 0)
+        & (F.col("tp") / F.col("n_kept") >= F.lit(min_precision))
+    )
+    # lowest qualifying threshold per class; its (tp, n_kept) ride
+    # along via min_by on the threshold (ties share identical
+    # cumulative counts by the RANGE frame, so min_by is unambiguous)
+    best = qualifying.groupBy("class").agg(
+        F.min("threshold").alias("threshold"),
+        F.min_by(F.struct("tp", "n_kept", "n_pos"), "threshold").alias("s"),
+    )
+    return best.select(
+        "class",
+        "threshold",
+        F.round(F.col("s.tp") / F.col("s.n_kept"), 6).alias("precision"),
+        F.round(F.col("s.tp") / F.col("s.n_pos"), 6).alias("recall"),
+        F.col("s.n_kept").alias("n_kept"),
+    )

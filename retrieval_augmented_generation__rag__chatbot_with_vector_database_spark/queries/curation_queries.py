@@ -1122,3 +1122,65 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(F.col("doc_id") % _DSIR_MOD == 0)
     raw = docs.filter(F.col("doc_id") % _DSIR_MOD != 0)
     return dsir_sample(raw, target, n=_DSIR_N)
+
+
+_NB_PREC = 0.8
+
+_NB_THRESHOLD_ORACLE = f"""
+WITH {{cte}},
+sc AS (SELECT doc_id, lang, k, round(score, 6) AS score FROM final),
+ranked AS (
+  SELECT k AS class, score AS threshold,
+         sum(CASE WHEN lang = k THEN 1 ELSE 0 END)
+           OVER (PARTITION BY k ORDER BY score DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         count(*)
+           OVER (PARTITION BY k ORDER BY score DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_kept,
+         sum(CASE WHEN lang = k THEN 1 ELSE 0 END)
+           OVER (PARTITION BY k) AS n_pos
+  FROM sc
+),
+q AS (
+  SELECT * FROM ranked
+  WHERE n_pos > 0 AND tp * 1.0 / n_kept >= {_NB_PREC}
+),
+best AS (
+  SELECT class, min(threshold) AS threshold,
+         min_by(tp, threshold) AS tp,
+         min_by(n_kept, threshold) AS n_kept,
+         min_by(n_pos, threshold) AS n_pos
+  FROM q GROUP BY class
+)
+SELECT class, threshold,
+       round(tp * 1.0 / n_kept, 6) AS precision,
+       round(tp * 1.0 / n_pos, 6) AS recall,
+       n_kept::BIGINT AS n_kept
+FROM best
+""".format(cte=_NB_CTE)
+
+
+@register("corpus_nb_threshold", _NB_THRESHOLD_ORACLE)
+def corpus_nb_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point calibration for the learned NB gate
+    (`classifier.threshold_at_precision`): per class, the LOWEST score
+    threshold whose held-out precision is >= {p} — maximal recall
+    subject to the precision floor, the rule a deployed curation gate
+    actually runs under (AUC says the ranking is good; THIS says where
+    to cut it). RANGE-frame cumulatives make every score tie see its
+    whole group, so a threshold admits exactly the rows a >= filter
+    would. Classes that cannot reach the floor are dropped — an honest
+    'not deployable at this precision'. Full-value oracle re-derives
+    the model, the cumulative curves, and the picked points.""".format(
+        p=_NB_PREC
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+        nb_classify,
+        threshold_at_precision,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _NB_MOD != 0)
+    test = docs.filter(F.col("doc_id") % _NB_MOD == 0)
+    scored = nb_classify(train, test, return_scores=True)
+    return threshold_at_precision(scored, _NB_PREC)

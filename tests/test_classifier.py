@@ -259,3 +259,58 @@ def test_ovr_auc_perfect_and_degenerate_classes(spark):
     )
     got = {r["class"]: r["auc"] for r in ovr_auc(scores).collect()}
     assert got == {"a": 1.0}
+
+
+def test_threshold_at_precision_hand_derived(spark):
+    """Class 'a': scores desc pos=1.0, neg=0.8, pos=0.6, pos=0.5,
+    neg=0.4. Cumulative precision: 1/1, 1/2, 2/3, 3/4, 3/5. At floor
+    0.75 the qualifying thresholds are 1.0 (1.0) and 0.5 (0.75);
+    lowest = 0.5 → precision 0.75, recall 3/3 = 1.0, n_kept 4."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+        threshold_at_precision,
+    )
+
+    rows = [
+        (1, "a", "a", 1.0),
+        (2, "b", "a", 0.8),
+        (3, "a", "a", 0.6),
+        (4, "a", "a", 0.5),
+        (5, "b", "a", 0.4),
+    ]
+    scores = spark.createDataFrame(
+        rows, "doc_id long, lang string, k string, score double"
+    )
+    got = threshold_at_precision(scores, 0.75).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["class"], r["threshold"], r["precision"], r["recall"], r["n_kept"]) == (
+        "a", 0.5, 0.75, 1.0, 4,
+    )
+
+
+def test_threshold_ties_share_cumulatives_and_impossible_class_dropped(spark):
+    """A tie at the candidate threshold admits the WHOLE tie group
+    (RANGE frame): pos=0.9, then neg=0.5 and pos=0.5 tied — at t=0.5
+    precision is 2/3, not 2/2. With floor 0.7 only t=0.9 qualifies.
+    Class 'z' (all negatives) is dropped."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+        threshold_at_precision,
+    )
+
+    rows = [
+        (1, "a", "a", 0.9),
+        (2, "b", "a", 0.5),
+        (3, "a", "a", 0.5),
+        (10, "b", "z", 0.7),
+        (11, "b", "z", 0.2),
+    ]
+    scores = spark.createDataFrame(
+        rows, "doc_id long, lang string, k string, score double"
+    )
+    got = {r["class"]: r for r in threshold_at_precision(scores, 0.7).collect()}
+    assert set(got) == {"a"}
+    assert got["a"]["threshold"] == 0.9 and got["a"]["n_kept"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_precision"):
+        threshold_at_precision(scores, 0.0)
