@@ -203,3 +203,18 @@ def test_ivfpq_filtered_pushes_filter_into_pruned_scan(spark, emb, tmp_path):
     )
     assert has_partition_filter(out, "centroid_id")
     assert has_pushed_filter(out, "label")
+
+
+def test_dsir_weights_model_is_broadcast(spark):
+    """DSIR scoring joins the ≤256-row λ table by BROADCAST — the
+    corpus never shuffles against the model; the only exchanges are
+    the bounded histogram aggregates and the per-doc weight groupBy."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        dsir,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 11 == 0)
+    raw = docs.filter(F.col("doc_id") % 11 != 0)
+    out = dsir.dsir_log_weights(raw, target)
+    assert broadcast_join_count(out) >= 1

@@ -635,3 +635,42 @@ def test_ivfpq_rotation_upsert_matches_rebuild(spark, emb, tmp_path):
         }
 
     assert probe(inc_path) == probe(full_path)
+
+
+def test_ivfpq_rotation_composes_with_cosine_layout(spark, emb, tmp_path):
+    """rotation= composes with normalize=: vectors are unit-normalized
+    THEN rotated (orthonormal R preserves norms, so the frame stays on
+    the unit sphere and ADC order ≡ cosine order still holds); the
+    dispatched cosine probe at full coverage hash-equals the exact
+    cosine top-k."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        topk_search,
+    )
+
+    emb_n = pq._unit_normalized(emb, "embedding")
+    R = pq.train_opq_rotation(emb_n, m=8)
+    rot = pq.rotate_vectors(emb_n, R)
+    books = pq.train_pq_codebooks(rot, m=8, k=16)
+    cents = ann.seed_centroids(rot, 8)
+    path = str(tmp_path / "ivfpq_opq_cos")
+    pq.write_ivfpq_index(emb, path, cents, books, normalize=True, rotation=R)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in search(
+            _queries(emb), None, k=5, metric="cosine",
+            layout_path=path, nprobe=8, fetch_k=200,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in topk_search(
+            _queries(emb), emb, k=5, metric="cosine"
+        ).collect()
+    }
+    assert got == want
