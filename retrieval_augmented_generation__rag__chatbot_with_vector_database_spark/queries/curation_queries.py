@@ -1184,3 +1184,165 @@ def corpus_nb_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.filter(F.col("doc_id") % _NB_MOD == 0)
     scored = nb_classify(train, test, return_scores=True)
     return threshold_at_precision(scored, _NB_PREC)
+
+
+_DSIR_PIPE_N = 150
+
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.text_queries import (  # noqa: E402
+    _CUR_HEAD,
+)
+
+_DSIR_PIPE_ORACLE = rf"""
+WITH {_CUR_HEAD}, rtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr
+  FROM documents
+), bi AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
+  FROM rtoks, unnest(range(1, greatest(len(arr), 1))) t(i) WHERE len(arr) >= 2
+), bcnt AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram),
+rep AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS share FROM bcnt GROUP BY doc_id),
+flags AS (
+  SELECT s.doc_id, s.dl, s.fp,
+         s.quality >= 0.9 AS q_ok,
+         coalesce(r.share, 0.0) <= 0.1 AS rep_ok
+  FROM s LEFT JOIN rep r USING (doc_id)
+), clean AS (
+  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS survivor
+  FROM flags WHERE q_ok AND rep_ok
+), surv AS (SELECT doc_id, dl FROM clean WHERE survivor),
+grams AS (
+  SELECT t.doc_id, substring(md5(g), 1, 2) AS bucket FROM (
+    SELECT doc_id, unnest(arr) AS g FROM rtoks
+    UNION ALL
+    SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g
+    FROM rtoks, unnest(range(1, greatest(len(arr), 1))) t(i)
+    WHERE len(arr) >= 2
+  ) t
+),
+cr AS (
+  SELECT bucket, count(*) AS cr FROM grams JOIN surv USING (doc_id)
+  GROUP BY bucket
+),
+ct AS (
+  SELECT bucket, count(*) AS ct FROM grams
+  WHERE doc_id % {_DSIR_MOD} = 0 GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT coalesce(sum(cr), 0) FROM cr) AS tr,
+         (SELECT coalesce(sum(ct), 0) FROM ct) AS tt
+),
+lam AS (
+  SELECT bucket,
+         round(ln((coalesce(ct, 0) + 0.5) / (tt + 0.5 * 256))
+             - ln((coalesce(cr, 0) + 0.5) / (tr + 0.5 * 256)),
+               6)::DECIMAL(24,6) AS lam
+  FROM cr FULL JOIN ct USING (bucket) CROSS JOIN tot
+),
+per_bucket AS (
+  SELECT g.doc_id, g.bucket, count(*) AS n_b
+  FROM grams g JOIN surv USING (doc_id) GROUP BY g.doc_id, g.bucket
+),
+per_doc AS (
+  SELECT doc_id, sum(n_b * lam) AS log_w
+  FROM per_bucket JOIN lam USING (bucket) GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id,
+         round(log_w::DOUBLE + -ln(-ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+                                       / 4294967296)), 6) AS gumbel_key
+  FROM per_doc WHERE log_w IS NOT NULL
+),
+sel AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC) AS rn
+    FROM keyed
+  ) WHERE rn <= {_DSIR_PIPE_N}
+)
+SELECT flags.dl AS lang,
+       count(*) AS n_input,
+       sum(q_ok::int)::BIGINT AS n_quality,
+       sum((q_ok AND rep_ok)::int)::BIGINT AS n_clean,
+       (SELECT count(*) FROM surv c WHERE c.dl = flags.dl) AS n_unique,
+       (SELECT count(*) FROM sel JOIN surv USING (doc_id)
+        WHERE surv.dl = flags.dl) AS n_kept
+FROM flags GROUP BY flags.dl
+"""
+
+
+@register("corpus_curation_pipeline_dsir", _DSIR_PIPE_ORACLE)
+def corpus_curation_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel with DSIR as the SELECTION stage: language
+    ID -> quality gate -> repetition gate -> exact-dedup survivors ->
+    DSIR Gumbel-top-{n} toward the target slice (doc_id % {mod} == 0),
+    replacing the fixed per-language mod-sampling of the base funnel
+    with learned importance resampling — 'keep what looks like the
+    target', the data-recipe form actually used for domain-matched
+    pretraining mixes. One DAG; the DSIR model is two 256-row
+    histograms (target grams over the raw corpus slice, pool grams
+    over the survivors); per-language stage counts are full-value
+    oracle-pinned end to end including the selected set.""".format(
+        n=_DSIR_PIPE_N, mod=_DSIR_MOD
+    )
+    from pyspark.sql import Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        textstats,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dsir import (
+        dsir_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        textstats.detect_language("text").alias("dl"),
+        textstats.quality_score("text").alias("quality"),
+        textstats.fingerprint("text").alias("fp"),
+    )
+    rep = textstats.repetition_stats(docs).select(
+        F.col("id").alias("doc_id"), "top_bigram_share"
+    )
+    flags = feats.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "dl",
+        "fp",
+        (F.col("quality") >= 0.9).alias("q_ok"),
+        (F.coalesce("top_bigram_share", F.lit(0.0)) <= 0.1).alias("rep_ok"),
+    )
+    clean = flags.filter("q_ok AND rep_ok").withColumn(
+        "survivor",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")),
+    )
+    survivors = clean.filter("survivor").select("doc_id", "dl")
+    pool = docs.join(survivors.select("doc_id"), "doc_id")
+    target = docs.filter(F.col("doc_id") % _DSIR_MOD == 0)
+    sel = dsir_sample(pool, target, n=_DSIR_PIPE_N).select("doc_id")
+    base = flags.groupBy(F.col("dl").alias("lang")).agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("q_ok").cast("int")).cast("bigint").alias("n_quality"),
+        F.sum((F.col("q_ok") & F.col("rep_ok")).cast("int"))
+        .cast("bigint")
+        .alias("n_clean"),
+    )
+    n_uniq = survivors.groupBy(F.col("dl").alias("lang")).agg(
+        F.count("*").alias("n_unique")
+    )
+    n_kept = (
+        survivors.join(sel, "doc_id")
+        .groupBy(F.col("dl").alias("lang"))
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        base.join(n_uniq, "lang", "left")
+        .join(n_kept, "lang", "left")
+        .select(
+            "lang",
+            "n_input",
+            "n_quality",
+            "n_clean",
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
