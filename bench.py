@@ -79,6 +79,8 @@ HEADLINE = [
     # round 9: metadata-filtered probe on the quantized layout
     # (new key — no history)
     "ann_ivfpq_filtered",
+    # round 9: DSIR-selected curation funnel (new key — no history)
+    "corpus_curation_pipeline_dsir",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round
