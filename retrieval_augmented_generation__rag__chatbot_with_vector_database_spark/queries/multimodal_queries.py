@@ -141,3 +141,58 @@ def multimodal_feature_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("matched_id"),
         (F.col("query_id") == F.col("vec_id")).alias("is_self"),
     )
+
+
+_DEDUP_SEED_MOD = 97
+
+_MM_DEDUP_ORACLE = f"""
+WITH seeds AS (
+  SELECT doc_id, doc_id % {_DEDUP_SEED_MOD} AS seed FROM documents
+),
+groups AS (
+  SELECT seed, min(doc_id) AS survivor_id, count(*) AS n_copies
+  FROM seeds GROUP BY seed
+)
+SELECT survivor_id, n_copies,
+       ['image','audio','video'][(seed % 3) + 1] AS kind
+FROM groups
+"""
+
+
+@register("multimodal_dedup_exact", _MM_DEDUP_ORACLE)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-level exact dedup — the media-pipeline twin of
+    `dedup_exact`: items whose BINARY payloads are byte-identical
+    collapse to one survivor (min item id) with a copy count, via
+    ``md5(content)`` computed JVM-side inside one hash-groupBy — the
+    single-shuffle shape that holds at 100 TB of media because only
+    (16-byte digest, id) pairs shuffle, never the blobs themselves.
+    Duplicates are constructed by seeding payload synthesis with
+    ``doc_id % {_DEDUP_SEED_MOD}`` (every seed's payload is a pure
+    function of the seed), so the oracle re-derives every group, its
+    survivor, and its modality WITHOUT the bytes — equal seeds ⟺
+    equal payloads by construction, and `multimodal_decode_roundtrip`
+    separately proves the bytes are faithful."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        multimodal as _mm,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    seeds = docs.select(
+        F.col("doc_id").alias("item_id"),
+        (F.col("doc_id") % _DEDUP_SEED_MOD).alias("media_id"),
+    )
+    media = _mm.attach_fake_media(
+        seeds.select("media_id").distinct(), id_col="media_id"
+    )
+    items = seeds.join(media.select("media_id", "kind", "content"), "media_id")
+    return (
+        items.groupBy(F.md5(F.col("content")).alias("__h"))
+        .agg(
+            F.min("item_id").alias("survivor_id"),
+            F.count("*").alias("n_copies"),
+            F.any_value("kind").alias("kind"),
+        )
+        .drop("__h")
+        .select("survivor_id", "n_copies", "kind")
+    )
