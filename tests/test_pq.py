@@ -674,3 +674,45 @@ def test_ivfpq_rotation_composes_with_cosine_layout(spark, emb, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_ivfpq_rotation_composes_with_mips_layout(spark, emb, tmp_path):
+    """rotation= composes with mips=: the corpus is MIPS-augmented
+    (dim 64 -> 72) THEN rotated; queries are zero-padded to 72 and
+    rotated with the layout's persisted R probe-side. Orthonormal R
+    preserves the augmented-space L2 order, so the dispatched
+    dotproduct result at full coverage hash-equals the exact
+    dot-product top-k on the ORIGINAL vectors."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.topk import (
+        topk_search,
+    )
+
+    M = pq.mips_max_norm(emb, "embedding")
+    aug = pq.mips_augmented(emb, "embedding", M, 72)
+    R = pq.train_opq_rotation(aug, m=9)
+    rot = pq.rotate_vectors(aug, R)
+    cents = ann.seed_centroids(rot, 8)
+    books = pq.train_pq_codebooks_residual(rot, cents, m=9, k=16)
+    path = str(tmp_path / "ivfpq_opq_mips")
+    pq.write_ivfpq_index(emb, path, cents, books, mips=True, rotation=R)
+    n = emb.count()
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in search(
+            _queries(emb), None, k=5, metric="dotproduct",
+            layout_path=path, nprobe=8, fetch_k=n,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in topk_search(
+            _queries(emb), emb, k=5, metric="dotproduct"
+        ).collect()
+    }
+    assert got == want
