@@ -974,3 +974,118 @@ def embedding_neardup_pairs_jl(
                 )
 
     return pairs.mapInPandas(kernel, "id_a long, id_b long, cosine double")
+
+
+def scrub_eval_spans(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 40,
+    stride: int = 1,
+    marker: str = "",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Span-level contamination REMOVAL — the surgical complement of
+    :func:`eval_overlap`'s doc-level flag: every ``span_len``-char
+    window of a corpus doc whose hash appears anywhere in the eval set
+    is cut out of the text (overlapping matches merge into one
+    excision; ``marker`` is spliced in per excision, e.g. ``" … "``),
+    keeping the rest of the document for training instead of dropping
+    it — the Lee et al. ExactSubstr treatment applied to benchmark
+    decontamination. ``stride=1`` removes every contaminated char of
+    any shared span >= ``span_len``; larger strides sample (cheaper,
+    may leave ragged edges).
+
+    Everything after the window explode is JVM-side: matched
+    positions aggregate per doc (a doc's own window list — bounded by
+    its length, the same bound as the doc text itself), interval
+    merge and text surgery are HOF ``aggregate`` folds, and the eval
+    hash set is broadcast (no corpus shuffle beyond the per-doc
+    position groupBy). Returns the corpus frame with ``text_col``
+    scrubbed plus ``n_scrubbed_spans`` / ``n_scrubbed_chars`` audit
+    columns (0 for untouched docs).
+    """
+    if span_len <= 0 or stride <= 0:
+        raise ValueError(f"span_len/stride must be positive, got {span_len}/{stride}")
+    L = span_len
+
+    def windows(df: DataFrame) -> DataFrame:
+        t = F.col(text_col)
+        return (
+            df.filter(F.length(t) >= L)
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    F.sequence(F.lit(1), F.length(t) - F.lit(L - 1), F.lit(stride))
+                ).alias("pos"),
+                t.alias("__t"),
+            )
+            .select(
+                "id",
+                "pos",
+                F.md5(F.col("__t").substr(F.col("pos"), F.lit(L)).cast("binary")).alias("h"),
+            )
+        )
+
+    ev = windows(evalset).select("h").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (
+        windows(corpus)
+        .join(ev, "h")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__pp"))
+    )
+    # merge sorted start positions into disjoint [s, e) islands: fold
+    # appending or extending the last island (all JVM, no UDF)
+    islands = F.aggregate(
+        F.col("__pp"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) == 0) | (p > F.element_at(acc, -1)["e"]),
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + L).alias("e")))),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(F.element_at(acc, -1)["e"], p + L).alias("e"),
+                    )
+                ),
+            )
+        ),
+    )
+    joined = corpus.join(
+        hits.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("__isl", F.when(F.col("__pp").isNotNull(), islands))
+    t = F.col(text_col)
+    # splice: walk the islands left-to-right, copying the clean text
+    # between cursor and each island start, then jumping the cursor
+    rebuilt = F.aggregate(
+        F.col("__isl"),
+        F.struct(F.lit(1).alias("cur"), F.lit("").alias("out")),
+        lambda acc, isl: F.struct(
+            isl["e"].alias("cur"),
+            F.concat(
+                acc["out"],
+                t.substr(acc["cur"], F.greatest(isl["s"] - acc["cur"], F.lit(0))),
+                F.lit(marker),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"], t.substr(acc["cur"], F.length(t) - acc["cur"] + 1)
+        ),
+    )
+    n_chars = F.aggregate(
+        F.col("__isl"),
+        F.lit(0),
+        lambda acc, isl: acc + (isl["e"] - isl["s"]),
+    )
+    return joined.select(
+        *[c for c in corpus.columns if c != text_col],
+        F.when(F.col("__isl").isNotNull(), rebuilt).otherwise(t).alias(text_col),
+        F.coalesce(F.size("__isl"), F.lit(0)).alias("n_scrubbed_spans"),
+        F.coalesce(n_chars, F.lit(0)).alias("n_scrubbed_chars"),
+    )

@@ -233,3 +233,66 @@ def test_ivfpq_delete_ids_probe_consistency(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_scrub_eval_spans_removes_exact_contamination(spark):
+    """A corpus doc embedding an eval passage loses EXACTLY that
+    passage at stride=1 (prefix+suffix survive, marker spliced);
+    clean docs pass through byte-identical with zero audit counts."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        scrub_eval_spans,
+    )
+
+    passage = "x" * 10 + "SECRET EVAL PASSAGE CONTENT HERE!!" + "y" * 10  # 54 chars
+    corpus = spark.createDataFrame(
+        [
+            (1, "clean prefix " + passage + " clean suffix"),
+            (2, "totally unrelated document body with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "eval head " + passage + " eval tail")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in scrub_eval_spans(
+            corpus, evalset, span_len=40, stride=1, marker="[SCRUBBED]"
+        ).collect()
+    }
+    assert got[2]["text"] == "totally unrelated document body with no overlap at all"
+    assert got[2]["n_scrubbed_spans"] == 0 and got[2]["n_scrubbed_chars"] == 0
+    s = got[1]["text"]
+    assert "SECRET" not in s and "[SCRUBBED]" in s
+    assert got[1]["n_scrubbed_spans"] == 1
+    # the excision is the passage PLUS both boundary spaces — the
+    # space-adjacent windows are genuinely shared 40-char content
+    # (both docs have ' '+passage-prefix and passage-suffix+' ')
+    assert s == "clean prefix[SCRUBBED]clean suffix"
+    assert got[1]["n_scrubbed_chars"] == len(passage) + 2
+
+
+def test_scrub_eval_spans_merges_overlaps_and_multiple_islands(spark):
+    """Two separated eval passages in one doc produce two islands;
+    overlapping window hits inside each merge into one excision."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        scrub_eval_spans,
+    )
+
+    p1 = "A" * 45
+    p2 = "B" * 45
+    corpus = spark.createDataFrame(
+        [(1, "start " + p1 + " middle-middle-middle " + p2 + " end")],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(9, p1), (10, p2)], "doc_id long, text string"
+    )
+    r = scrub_eval_spans(corpus, evalset, span_len=40, stride=1, marker="|").collect()[0]
+    assert r["n_scrubbed_spans"] == 2
+    assert "A" not in r["text"] and "B" not in r["text"]
+    assert r["text"] == "start | middle-middle-middle | end"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="span_len"):
+        scrub_eval_spans(corpus, evalset, span_len=0)
