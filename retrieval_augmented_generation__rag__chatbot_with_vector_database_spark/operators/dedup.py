@@ -594,6 +594,97 @@ def duplicate_groups(
     )
 
 
+#: raw packed-corpus bytes (n·dim·8 after the double cast) above which
+#: the block-pair grid switches from broadcast to shuffle replication.
+#: The budget is far below any real heap on purpose: a broadcast of
+#: ``collect_list(struct(id, array<double>))`` rows expands ~10-40× in
+#: JVM object form (measured: 50k×512-d ≈ 205 MB raw overflowed an 8g
+#: single-JVM heap), so 32 MB raw ≈ ≤ ~1.3 GB resident worst-case.
+BROADCAST_BUDGET_BYTES = 32 << 20
+
+#: row count above which ``route="auto"`` abandons the exact O(N²)
+#: blocked GEMM for the sub-quadratic IVF intra-bucket route. At 2M
+#: rows the exact pair space is 2×10¹² — a FLOPs wall no shuffle
+#: strategy fixes; beyond it only bucketing bounds the work.
+IVF_ROUTE_ABOVE_ROWS = 2_000_000
+
+
+def _corpus_shape(df: DataFrame, vec_col: str) -> tuple[int, int]:
+    """(n_rows, dim) in two cheap jobs: parquet-metadata count + a
+    1-row peek for the dimension (0 if the corpus is empty)."""
+    n = df.count()
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return n, int(first["d"]) if first is not None else 0
+
+
+def _auto_blocks(n: int, rows_per_block: int) -> int:
+    b_par = min(-(-n // 1000), 32)  # spread small/mid inputs
+    b_mem = -(-n // rows_per_block)  # bound (N/B)² task memory
+    return max(1, b_par, b_mem)
+
+
+def _pack_blocks(
+    df: DataFrame, id_col: str, vec_col: str, n_blocks: int
+) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+        # consumed twice (both sides of the block-pair join) — eager
+        # materialization beats re-running the pack per consumer
+        .localCheckpoint()
+    )
+
+
+def _block_pair_tasks(
+    packed: DataFrame, n_blocks: int, broadcast_corpus: bool
+) -> DataFrame:
+    """One row per block pair (i ≤ j): (blk_a, blk_b, ia, ib).
+
+    ``broadcast_corpus=True`` ships the whole packed table to every
+    task via broadcast — cheapest when the corpus fits the budget.
+    ``False`` NEVER broadcasts anything: each block explodes into its
+    pair assignments map-side (block i emits an a-side row for every
+    j ≥ i and a b-side row for every i ≤ j), both sides are
+    hash-partitioned by the (blk_a, blk_b) pair key at one partition
+    per task, and a sort-merge join (pinned by hint so Catalyst can't
+    promote a side to broadcast) zips the exactly-one-row-per-side
+    keys back together. One shuffle per side, ×B per-block
+    replication through it — the price of exact all-pairs without a
+    corpus broadcast — and the join's output partitioning IS the task
+    grid, so no second repartition shuffle is needed."""
+    n_tasks = n_blocks * (n_blocks + 1) // 2
+    if broadcast_corpus:
+        return (
+            packed.alias("a")
+            .crossJoin(F.broadcast(packed.alias("b")))
+            .filter(F.col("a.blk") <= F.col("b.blk"))
+            .select(
+                F.col("a.blk").alias("blk_a"),
+                F.col("b.blk").alias("blk_b"),
+                F.col("a.items").alias("ia"),
+                F.col("b.items").alias("ib"),
+            )
+            .repartition(n_tasks)
+        )
+    a_ex = packed.select(
+        F.col("blk").alias("blk_a"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("blk_b"),
+        F.col("items").alias("ia"),
+    ).repartition(n_tasks, "blk_a", "blk_b")
+    b_ex = packed.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("blk_a"),
+        F.col("blk").alias("blk_b"),
+        F.col("items").alias("ib"),
+    ).repartition(n_tasks, "blk_a", "blk_b")
+    return a_ex.join(b_ex.hint("shuffle_merge"), ["blk_a", "blk_b"]).select(
+        "blk_a", "blk_b", "ia", "ib"
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -601,6 +692,10 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     n_blocks: int | None = None,
     rows_per_block: int = 8_000,
+    route: str = "auto",
+    broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES,
+    ivf_above_rows: int = IVF_ROUTE_ABOVE_ROWS,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (id_a < id_b, round(sim,6) ≥ t) by
     blocked matrix multiply.
@@ -618,42 +713,63 @@ def embedding_neardup_pairs(
     (≥ ⌈N/1000⌉ up to 32), and per-task score matrices bounded to
     ~(rows_per_block)² doubles so a task never allocates a huge
     fresh buffer (large first-touch allocations are the observed
-    hot spot — page-fault cost, not FLOPs). At 100 TB bound the
-    pair space with ``operators.ann`` IVF first and run this within
-    buckets (pass ``n_blocks`` explicitly). Heap note: the packed
-    block table is broadcast (~n·dim·8 bytes after the double cast) —
-    at 512-d, 50k vectors already need more than an 8g single-JVM
-    heap (SCALE.md); budget executor memory to the broadcast, or
-    pre-bucket so each call sees a slice."""
+    hot spot — page-fault cost, not FLOPs).
+
+    Routing contract (``route``):
+
+    - ``"exact"`` — always the exact blocked GEMM. The packed corpus
+      is broadcast only while its raw bytes (n·dim·8) fit
+      ``broadcast_budget_bytes``; above that the block-pair grid is
+      built by shuffle replication with NO full-corpus broadcast
+      (see ``_block_pair_tasks``) — output pairs are byte-identical
+      either way, only the join strategy changes.
+    - ``"ivf"`` — sub-quadratic: pre-bucket on nearest centroid and
+      emit intra-bucket pairs only (``embedding_neardup_pairs_ivf``).
+      Approximate by contract — cross-bucket pairs are missed.
+      ``centroids=None`` trains k = ⌈n/rows_per_block⌉ (min 16)
+      seeds with one Lloyd refinement.
+    - ``"auto"`` (default) — exact below ``ivf_above_rows`` rows,
+      IVF above (with a ``RuntimeWarning`` naming the switch), since
+      past ~2M rows the O(N²) FLOPs — not memory — are the wall.
+    """
     import pandas as pd
 
-    if n_blocks is None:
-        n = df.count()
-        b_par = min(-(-n // 1000), 32)  # spread small/mid inputs
-        b_mem = -(-n // rows_per_block)  # bound (N/B)² task memory
-        n_blocks = max(1, b_par, b_mem)
+    if route not in ("auto", "exact", "ivf"):
+        raise ValueError(f"unknown route {route!r}")
+    n, dim = _corpus_shape(df, vec_col)
+    if route == "ivf" or (route == "auto" and n > ivf_above_rows):
+        if route == "auto":
+            warnings.warn(
+                f"embedding_neardup_pairs: n={n} exceeds ivf_above_rows="
+                f"{ivf_above_rows}; auto-routing to the sub-quadratic IVF "
+                "intra-bucket pairs (cross-bucket pairs are missed — pass "
+                "route='exact' to force the O(N²) blocked GEMM)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        if centroids is None:
+            from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+                lloyd_refine,
+                seed_centroids,
+            )
 
-    packed = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-        .withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
-        # consumed twice (both sides of the block-pair join) — eager
-        # materialization beats re-running the pack per consumer
-        .localCheckpoint()
-    )
-    pairs = (
-        packed.alias("a")
-        .crossJoin(F.broadcast(packed.alias("b")))
-        .filter(F.col("a.blk") <= F.col("b.blk"))
-        .select(
-            F.col("a.blk").alias("blk_a"),
-            F.col("b.blk").alias("blk_b"),
-            F.col("a.items").alias("ia"),
-            F.col("b.items").alias("ib"),
+            k = max(16, -(-n // rows_per_block))
+            centroids = lloyd_refine(
+                df,
+                seed_centroids(df, k, id_col=id_col, vec_col=vec_col),
+                iters=1,
+                metric="cosine",
+                vec_col=vec_col,
+            )
+        return embedding_neardup_pairs_ivf(
+            df, centroids, id_col=id_col, vec_col=vec_col, threshold=threshold
         )
-        .repartition(n_blocks * (n_blocks + 1) // 2)
-    )
+
+    if n_blocks is None:
+        n_blocks = _auto_blocks(n, rows_per_block)
+    broadcast_corpus = n * dim * 8 <= broadcast_budget_bytes
+    packed = _pack_blocks(df, id_col, vec_col, n_blocks)
+    pairs = _block_pair_tasks(packed, n_blocks, broadcast_corpus)
 
     def kernel(batches):
         import numpy as np
@@ -833,6 +949,7 @@ def embedding_neardup_pairs_jl(
     seed: int = 7919,
     n_blocks: int | None = None,
     rows_per_block: int = 8_000,
+    broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     """``embedding_neardup_pairs`` with a Johnson–Lindenstrauss
     pre-filter inside each block-pair task: the (N/B)² score matrix is
@@ -855,34 +972,20 @@ def embedding_neardup_pairs_jl(
     Identity with the exact operator's output: emitted (id_a, id_b,
     cosine) rows carry the full-precision score, so on any pair the
     filter keeps, the row is byte-identical to the exact path's.
+
+    Join strategy follows the same budget rule as the exact twin: the
+    packed corpus is broadcast only below ``broadcast_budget_bytes``
+    raw bytes; above it the block-pair grid is shuffle-replicated
+    with no full-corpus broadcast (output unchanged either way).
     """
     import pandas as pd
 
+    n, dim = _corpus_shape(df, vec_col)
     if n_blocks is None:
-        n = df.count()
-        b_par = min(-(-n // 1000), 32)
-        b_mem = -(-n // rows_per_block)
-        n_blocks = max(1, b_par, b_mem)
-
-    packed = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-        .withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
-        .localCheckpoint()
-    )
-    pairs = (
-        packed.alias("a")
-        .crossJoin(F.broadcast(packed.alias("b")))
-        .filter(F.col("a.blk") <= F.col("b.blk"))
-        .select(
-            F.col("a.blk").alias("blk_a"),
-            F.col("b.blk").alias("blk_b"),
-            F.col("a.items").alias("ia"),
-            F.col("b.items").alias("ib"),
-        )
-        .repartition(n_blocks * (n_blocks + 1) // 2)
-    )
+        n_blocks = _auto_blocks(n, rows_per_block)
+    broadcast_corpus = n * dim * 8 <= broadcast_budget_bytes
+    packed = _pack_blocks(df, id_col, vec_col, n_blocks)
+    pairs = _block_pair_tasks(packed, n_blocks, broadcast_corpus)
     d2_bound = slack * 2.0 * (1.0 - threshold)
 
     def kernel(batches):

@@ -161,6 +161,78 @@ def test_substring_span_pairs_df_cap_drops_boilerplate(spark):
     assert capped.count() == 0  # boilerplate hash df=6 > 3 -> no pairs
 
 
+def test_neardup_shuffle_route_matches_broadcast_no_corpus_broadcast(spark):
+    """Above the broadcast budget the block-pair grid is built by
+    shuffle replication: pairs byte-identical to the broadcast path,
+    and the physical plan has NO BroadcastExchange at all — the
+    corpus zips through a pair-keyed sort-merge join."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_jl,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+        load,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    kw = dict(threshold=0.45, route="exact")
+    bcast = embedding_neardup_pairs(emb, broadcast_budget_bytes=1 << 30, **kw)
+    shuf = embedding_neardup_pairs(emb, broadcast_budget_bytes=0, **kw)
+    rows_b = sorted(map(tuple, bcast.collect()))
+    rows_s = sorted(map(tuple, shuf.collect()))
+    assert rows_b == rows_s and len(rows_b) > 0
+    # AQE toString appends the pre-adaptive "Initial Plan" — grade the
+    # final plan only
+    plan = (
+        shuf._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan  # pinned off broadcast by hint
+    # the JL twin follows the same budget rule
+    jl_s = embedding_neardup_pairs_jl(
+        emb, threshold=0.45, slack=1e9, broadcast_budget_bytes=0
+    )
+    assert sorted(map(tuple, jl_s.collect())) == rows_b
+    jl_plan = (
+        jl_s._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastExchange" not in jl_plan
+
+
+def test_neardup_auto_routes_to_ivf_above_rows_budget(spark):
+    """route='auto' above ivf_above_rows warns and returns the
+    intra-bucket IVF pairs (a subset of exact, same scores)."""
+    import warnings as _w
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+        load,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, threshold=0.45, route="exact").collect()
+    }
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        ivf = embedding_neardup_pairs(
+            emb, threshold=0.45, route="auto", ivf_above_rows=100
+        )
+        got = {(r["id_a"], r["id_b"]): r["cosine"] for r in ivf.collect()}
+    assert any("auto-routing" in str(w.message) for w in caught)
+    assert set(got) <= set(exact)
+    assert all(exact[k] == v for k, v in got.items())
+
+
 def test_jl_pairs_subset_of_exact_with_identical_scores(spark):
     """JL-prefiltered pairs ⊆ exact pairs, with byte-identical scores
     on every emitted pair (precision exact by construction); at a
