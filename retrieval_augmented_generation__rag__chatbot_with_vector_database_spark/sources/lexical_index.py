@@ -206,6 +206,7 @@ class LexicalIndex:
             json.dump(
                 {"term_buckets": term_buckets, "doc_buckets": doc_buckets}, f
             )
+        self.refresh_stats()
         return self
 
     # -- reads --------------------------------------------------------
@@ -233,16 +234,50 @@ class LexicalIndex:
         )
 
     def corpus_stats(self) -> DataFrame:
-        """1-row (n, avgdl). N resolves from parquet footer row counts;
-        avgdl scans one slim column of the doc store (~0.01% of corpus
-        bytes) — cheap relative to any probe, and always consistent
-        with the data (no separately-maintained counter to drift).
-        Token-free docs count toward N but not avgdl, matching the raw
-        operators (``doc_term_freqs`` never emits a dl=0 row)."""
+        """1-row (n, avgdl), from the sidecar when present: every
+        mutation (:meth:`create` / :meth:`upsert` / :meth:`delete_docs`)
+        recomputes the pair from the merged layout and persists it in
+        ``_lexical_properties.json``, so a probe pays a local-relation
+        lookup instead of a per-search doc-store scan job (VERDICT r9
+        item #2 — this was ``hybrid_rrf_topk_indexed``'s avoidable
+        job). Recompute-at-mutation rather than increment-in-place
+        keeps the counter self-healing: a crash between a partition
+        swap and the sidecar write leaves stats one batch stale, and
+        the next mutation overwrites them with exact values.
+
+        Layouts written before the sidecar carried stats fall back to
+        the original scan: N from parquet footer row counts, avgdl
+        over one slim column. Token-free docs count toward N but not
+        avgdl, matching the raw operators (``doc_term_freqs`` never
+        emits a dl=0 row)."""
+        props = self.properties()
+        if "n" in props:
+            avgdl = props.get("avgdl")
+            return self.spark.createDataFrame(
+                [(int(props["n"]), None if avgdl is None else float(avgdl))],
+                "n long, avgdl double",
+            )
+        return self._scan_stats()
+
+    def _scan_stats(self) -> DataFrame:
         return self.doc_store().agg(
             F.count("*").alias("n"),
             F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
         )
+
+    def refresh_stats(self) -> None:
+        """Recompute (n, avgdl) from the persisted doc store and write
+        them into the sidecar (atomic tmp+rename). Spark's ``avg`` of
+        a long is the double sum/count quotient, so the cached value is
+        bit-identical to what the fallback scan would return."""
+        row = self._scan_stats().first()
+        props = self.properties()
+        props["n"] = int(row["n"])
+        props["avgdl"] = None if row["avgdl"] is None else float(row["avgdl"])
+        tmp = self._props_path + "._tmp"
+        with open(tmp, "w") as f:
+            json.dump(props, f)
+        os.replace(tmp, self._props_path)
 
     # -- incremental upsert ------------------------------------------
     def upsert(
@@ -324,6 +359,7 @@ class LexicalIndex:
         swap_partition_dirs(
             self._docs_path, tmp_d, [f"{DBUCKET}={b}" for b in dbuckets]
         )
+        self.refresh_stats()
 
     # -- takedown: per-doc delete ------------------------------------
     def delete_docs(self, ids: DataFrame | list[int]) -> None:
@@ -394,6 +430,7 @@ class LexicalIndex:
         swap_partition_dirs(
             self._docs_path, tmp_d, [f"{DBUCKET}={b}" for b in dbuckets]
         )
+        self.refresh_stats()
 
     # -- probes -------------------------------------------------------
     def _pruned_candidates(

@@ -85,6 +85,44 @@ def test_corpus_stats_count_tokenfree_docs(spark, index):
     assert row["avgdl"] == pytest.approx(sum(dls) / len(dls))
 
 
+def test_corpus_stats_cached_in_sidecar_and_maintained(spark, index):
+    """(n, avgdl) live in the sidecar: corpus_stats is a local relation
+    (no doc-store scan in the probe plan) and every mutation refreshes
+    it to exactly what the fallback scan would compute."""
+    props = index.properties()
+    assert props["n"] == len(DOCS)
+    plan = index.corpus_stats()._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower() and "HashAggregate" not in plan
+
+    def stats_pair(idx):
+        cached = idx.corpus_stats().first()
+        scanned = idx._scan_stats().first()
+        return (cached["n"], cached["avgdl"]), (scanned["n"], scanned["avgdl"])
+
+    c, s = stats_pair(index)
+    assert c == s
+    # upsert: replace one doc, add one
+    index.upsert(
+        _docs_df(spark, [(0, "short new text"), (9, "a brand new doc")]),
+        batch=1,
+    )
+    c, s = stats_pair(index)
+    assert c == s and c[0] == len(DOCS) + 1
+    # takedown shrinks stats
+    index.delete_docs([0, 9, 2])
+    c, s = stats_pair(index)
+    assert c == s and c[0] == len(DOCS) - 2
+    # pre-stats layouts (older sidecar) fall back to the scan
+    stale = dict(index.properties())
+    stale.pop("n"), stale.pop("avgdl")
+    import json as _json
+
+    with open(index._props_path, "w") as f:
+        _json.dump(stale, f)
+    legacy = index.corpus_stats().first()
+    assert (legacy["n"], legacy["avgdl"]) == s
+
+
 def test_upsert_equals_rebuild(spark, tmp_path):
     base = DOCS[:6]
     batch = [
