@@ -968,6 +968,7 @@ def ivfpq_topk_rerank(
     mips: bool = False,
     pre_filter=None,
     rotation: list[list[float]] | None = None,
+    adaptive_fetch: bool = False,
 ) -> DataFrame:
     """The full ANN-at-scale composition: coarse probe (each query's
     ``nprobe`` nearest centroids, chosen driver-side from the already-
@@ -1004,7 +1005,20 @@ def ivfpq_topk_rerank(
     top-k is the filtered corpus's own (single-stage filtering — the
     semantics of the reference's Pinecone filter argument; recall does
     not degrade with filter selectivity the way post-filtering a
-    fixed-k result does)."""
+    fixed-k result does).
+
+    ``adaptive_fetch``: with a ``pre_filter``, scale ``fetch_k`` by
+    the MEASURED selectivity of the probed scan — two cheap jobs
+    (a footer-only count of the probed buckets and a pushed-filter
+    count over the same buckets' slim metadata columns), then
+    ``fetch_k ← max(k, ⌈fetch_k × surviving/probed⌉)``. ``fetch_k``
+    is an over-fetch against quantization error sized relative to the
+    candidate pool; when the filter shrinks the pool, an unscaled
+    fetch makes the per-bucket ADC cut, the cross-bucket merge, and
+    the full-precision rerank all pay the UNfiltered budget. The
+    floor at ``k`` is always preserved and the value only ever
+    shrinks (never raises recall pressure beyond the caller's own
+    fetch_k)."""
     import numpy as np
     import pyarrow as pa
 
@@ -1077,7 +1091,24 @@ def ivfpq_topk_rerank(
 
     pruned = layout.filter(F.col("centroid_id").isin(all_probed))
     if pre_filter is not None:
+        if adaptive_fetch:
+            probed_rows = pruned.count()  # footer-only (partition prune)
         pruned = pruned.filter(pre_filter)
+        if adaptive_fetch and probed_rows > 0:
+            import math
+
+            surviving = pruned.count()  # pushed filter, slim meta cols
+            # proportional scaling keeps the caller's over-fetch RATIO
+            # constant; the 4·k absolute floor keeps an error margin
+            # that does NOT shrink with the pool (quantization noise
+            # near the top-k boundary is independent of selectivity)
+            fetch_k = max(
+                k,
+                min(
+                    fetch_k,
+                    max(4 * k, math.ceil(fetch_k * surviving / probed_rows)),
+                ),
+            )
 
     q_payload = json.dumps([[float(x) for x in row] for row in Q])
     qraw_payload = json.dumps([[float(x) for x in row] for row in Qraw])

@@ -159,6 +159,7 @@ def search(
     prefer_exact_below: int = 0,
     mips_fetch_floor: float = 0.01,
     pre_filter=None,
+    adaptive_fetch: bool = False,
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
     id_col: str = "vec_id",
@@ -189,7 +190,12 @@ def search(
     exact paths filter the scan, the IVF probe filters inside the
     pruned buckets, and the IVFPQ probe needs the layout built with
     ``meta_cols`` carrying the filtered columns (single-stage
-    filtering: the top-k is the filtered corpus's own)."""
+    filtering: the top-k is the filtered corpus's own).
+
+    ``adaptive_fetch`` (IVFPQ path only): scale ``fetch_k`` by the
+    measured selectivity of the filtered probed scan, floored at
+    ``k`` — see ``operators.pq.ivfpq_topk_rerank``. Off by default so
+    hand-tuned fetch budgets stay byte-stable."""
     decision = route(
         layout_path, n_rows, metric, parity, hof_max_rows, prefer_exact_below
     )
@@ -232,6 +238,7 @@ def search(
             mips=bool(meta.get("mips", False)),
             pre_filter=pre_filter,
             rotation=meta.get("rotation"),
+            adaptive_fetch=adaptive_fetch,
         )
     if path == "ivf":
         from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (

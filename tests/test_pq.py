@@ -501,6 +501,17 @@ def test_ivfpq_filtered_matches_exact_filtered(spark, emb, tmp_path):
         r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()
     }
     assert all(labels[v] in (1, 3, 5, 7) for v, _ in got.values())
+    # adaptive fetch (fetch_k scaled by measured ~0.5 selectivity)
+    # changes the budget, not the answer
+    adaptive = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in search(
+            _queries(emb), emb, k=5, metric="cosine",
+            layout_path=path, nprobe=8, fetch_k=200, pre_filter=flt,
+            adaptive_fetch=True,
+        ).collect()
+    }
+    assert adaptive == want
 
 
 def test_ivfpq_meta_cols_validation(spark, emb, tmp_path):
