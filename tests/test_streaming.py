@@ -2,6 +2,8 @@
 end state via checkpoint + content-addressed idempotent upsert
 (SURVEY.md §2k; reference upload path app/api/routes.py:314-334)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1118,6 +1120,111 @@ def test_takedown_stream_propagates_across_all_layouts(spark, tmp_path):
     # audit counters reached the sidecars
     assert pq.load_ivfpq_meta(ivfpq_path)["deleted_since_build"] == 3
     assert ann.ivf_meta(ivf_path)["deleted_since_build"] == 3
+
+
+def test_takedown_churn_keeps_file_counts_bounded(spark, tmp_path):
+    """Sustained takedown churn (6 micro-batches) never grows the
+    per-partition-dir parquet file count in ANY of the four layouts:
+    every mutation is a wholesale touched-dir rewrite under the
+    marker-fenced swap — one writer task per bucket — so the layouts
+    are self-compacting (no separate compaction pass exists to
+    forget). Probes stay exact throughout."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        VectorIndex,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.lexical_index import (
+        LexicalIndex,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.takedown import (
+        layout_hooks,
+        start_takedown_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vec = VectorIndex(spark, str(tmp_path), "churn-idx").create(dimension=64)
+    vec.upsert(
+        emb.select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("id"),
+            "embedding",
+            F.concat(F.lit("t"), F.col("vec_id")).alias("text"),
+            F.lit("s").alias("source"),
+            F.lit(0).alias("chunk_index"),
+        ),
+        batch=1,
+    )
+    lex = LexicalIndex(spark, str(tmp_path / "lex"))
+    lex.create(docs, term_buckets=8, doc_buckets=4)
+    ivf_path = str(tmp_path / "churn-ivf")
+    cents = ann.seed_centroids(emb, 8)
+    ann.write_ivf_index(emb, ivf_path, cents, metric="cosine")
+    ivfpq_path = str(tmp_path / "churn-ivfpq")
+    books = pq.train_pq_codebooks(emb, m=8, k=16)
+    pq.write_ivfpq_index(emb, ivfpq_path, cents, books)
+
+    layout_dirs = {
+        "vector": vec._data_path,
+        "lexical_postings": lex._postings_path,
+        "lexical_docs": lex._docs_path,
+        "ivf": ivf_path,
+        "ivfpq": ivfpq_path,
+    }
+
+    def per_dir_counts(root):
+        out = {}
+        for d in _glob.glob(os.path.join(root, "*=*")):
+            out[os.path.basename(d)] = len(
+                [f for f in os.listdir(d) if f.endswith(".parquet")]
+            )
+        return out
+
+    build_counts = {k: per_dir_counts(p) for k, p in layout_dirs.items()}
+    hooks = layout_hooks(
+        vector_index=vec,
+        lexical_index=lex,
+        ivf_path=ivf_path,
+        ivfpq_path=ivfpq_path,
+        vector_id_prefix="v",
+    )
+    landing = tmp_path / "churn_landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "churn_ckpt")
+    gone = []
+    for b in range(6):
+        ids = [10 * b + 1, 10 * b + 3]
+        gone += ids
+        spark.createDataFrame([(i,) for i in ids], "doc_id long").write.parquet(
+            str(landing / f"b{b}")
+        )
+        _drain(start_takedown_stream(spark, str(landing) + "/*", ckpt, hooks))
+
+    for name, root in layout_dirs.items():
+        after = per_dir_counts(root)
+        before = build_counts[name]
+        for part, n_files in after.items():
+            assert n_files <= max(before.get(part, 1), 1), (
+                f"{name}/{part}: {n_files} files after churn vs "
+                f"{before.get(part)} at build — small files accumulating"
+            )
+    # probes stay exact: deleted ids gone everywhere, survivors intact
+    assert vec.read().filter(
+        F.col("id").isin([f"v{i}" for i in gone])
+    ).count() == 0
+    assert lex.doc_store().filter(F.col("id").isin(gone)).count() == 0
+    n_emb = emb.count()
+    n_emb_gone = emb.filter(F.col("vec_id").isin(gone)).count()
+    for p in (ivf_path, ivfpq_path):
+        left = spark.read.parquet(p)
+        assert left.filter(F.col("vec_id").isin(gone)).count() == 0
+        assert left.count() == n_emb - n_emb_gone
 
 
 def test_takedown_hooks_validation(spark):
