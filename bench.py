@@ -81,6 +81,9 @@ HEADLINE = [
     "ann_ivfpq_filtered",
     # round 9: DSIR-selected curation funnel (new key — no history)
     "corpus_curation_pipeline_dsir",
+    # round 10: chat-history chain on the IVFPQ serving layout
+    # (new key — no history)
+    "rag_chat_ann_e2e",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round

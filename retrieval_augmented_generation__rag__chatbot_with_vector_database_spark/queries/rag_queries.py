@@ -366,9 +366,10 @@ qv AS (
 
 
 
-@register(
-    "rag_chat_e2e",
-    f"""
+# shared by rag_chat_e2e (exact scan) and rag_chat_ann_e2e (IVFPQ
+# layout): the layout changes the physical plan, not one byte of the
+# answer, so both hash against the same SQL
+_CHAT_E2E_ORACLE = f"""
 WITH {_HIST_VALUES},
 {_REWRITE_EMBED_CTES},
 scored AS (
@@ -408,8 +409,10 @@ SELECT q.session_id AS query_id, q.question, q.rewritten,
             THEN 'I couldn''t find any relevant information to answer your question.'
             ELSE substr(coalesce(c.context, ''), 1, 160) END AS answer
 FROM qv q LEFT JOIN ctx c ON q.session_id = c.query_id
-""",
-)
+"""
+
+
+@register("rag_chat_e2e", _CHAT_E2E_ORACLE)
 def rag_chat_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry point 2 fused (SURVEY.md §3; app/rag/chain.py:126-154):
     history rewrite → embed the REWRITTEN string → top-3 retrieval →
@@ -576,6 +579,72 @@ def rag_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rag.assemble_answers(q_named, ctx).select(
         "query_id", "question", "sources", "n_matches", "answer"
+    )
+
+
+@register("rag_chat_ann_e2e", _CHAT_E2E_ORACLE)
+def rag_chat_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chat chain on the SERVING layout (VERDICT r9 item #6):
+    history rewrite (`app/rag/chain.py:126-154`) → hash-embed the
+    REWRITTEN string → retrieval through the size-aware dispatcher
+    over a self-contained IVFPQ layout (coarse probe → partition-
+    pruned ADC → fused full-precision rerank) → context → echo
+    answer. Composes ``rag_chat_e2e``'s conversation semantics with
+    ``rag_ann_e2e``'s physical serving path; with every bucket probed
+    and full over-fetch the fixture-scale top-3 is provably exact, so
+    the output hash-MATCHES ``rag_chat_e2e``'s oracle byte for byte —
+    the layout changes the physical plan, not the answer."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        rewrite_with_history,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.vector import (
+        hash_embed,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
+        ann,
+        pq,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
+        search,
+    )
+
+    sess = chat_sessions(spark)
+    q = sess.select(
+        F.col("session_id").alias("query_id"),
+        "question",
+        rewrite_with_history("question", "history").alias("rewritten"),
+    ).withColumn("qvec", hash_embed("rewritten", dim=64, seed=42))
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    emb_n = pq._unit_normalized(emb, "embedding")
+    books = pq.train_pq_codebooks(emb_n, m=16, k=64)
+    cents = ann.seed_centroids(emb_n, 16)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivfpq_chat"
+        pq.write_ivfpq_index(emb, path, cents, books, normalize=True)
+        hits = search(
+            q.select("query_id", "qvec"),
+            None,  # self-contained layout
+            k=3,
+            metric="cosine",
+            layout_path=path,
+            nprobe=16,
+            fetch_k=100,
+        ).withColumn("score", F.round("score", 6))
+        # materialize before the tempdir disappears (4 x 3 rows)
+        hits = spark.createDataFrame(hits.collect(), hits.schema)
+    m = rag.project_matches(
+        hits.join(docs, hits.vec_id == docs.doc_id, "left").select(
+            "query_id", "vec_id", "score", "rank", "text", "source"
+        )
+    ).withColumn("text", F.substring("text", 1, 80))
+    ctx = rag.build_context(m)
+    out = rag.assemble_answers(q.select("query_id", "question"), ctx)
+    return out.join(q.select("query_id", "rewritten"), "query_id").select(
+        "query_id", "question", "rewritten", "sources", "n_matches", "answer"
     )
 
 
