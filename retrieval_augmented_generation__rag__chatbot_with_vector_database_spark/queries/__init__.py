@@ -93,6 +93,74 @@ def all_oracles() -> dict[str, str]:
     return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
 
 
+#: The driver's correctness gate oracle-checks the FIRST 50 registry
+#: entries at sf0.01 (the full 154 run in the local dual-scale
+#: sweeps). This list pins the scale-critical families — dedup, ANN,
+#: hybrid-indexed, index mutations, multimodal, curation, e2e — into
+#: that window (VERDICT r9 item #8); everything not named keeps its
+#: module registration order behind them.
+DRIVER_WINDOW_PRIORITY = [
+    "topk_cosine",
+    "topk_cosine_dispatched",
+    "topk_filtered_dsl",
+    "index_upsert_lww",
+    "index_upsert_bucketed",
+    "index_delete_ids",
+    "index_stats",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_candidates",
+    "dedup_simhash_groups",
+    "dedup_signal_agreement",
+    "dedup_embedding_pairs",
+    "dedup_embedding_pairs_ivf",
+    "dedup_embedding_pairs_jl",
+    "dedup_embedding_pairs_jl_512",
+    "dedup_duplicate_groups",
+    "dedup_duplicate_groups_star",
+    "dedup_substring_spans",
+    "dedup_semantic_keep",
+    "corpus_dedup_cascade",
+    "decontaminate_eval_overlap",
+    "corpus_leakage_safe_split",
+    "ann_ivf_topk_gemm",
+    "ann_ivf_topk_gemm_int8",
+    "ann_ivf_topk_rerank",
+    "ann_ivf_upsert_probe",
+    "ann_ivf_recall",
+    "ann_ivf_topk_filtered",
+    "ann_ivfpq_cosine",
+    "ann_ivfpq_dotproduct",
+    "ann_ivfpq_filtered",
+    "ann_ivfpq_delete",
+    "ann_ivfpq_opq",
+    "ann_opq_rerank_recall",
+    "hybrid_bm25_topk_indexed",
+    "hybrid_rrf_topk_indexed",
+    "hybrid_rrf_topk_ivf",
+    "rag_e2e_echo",
+    "rag_ann_e2e",
+    "rag_chat_e2e",
+    "rag_chat_ann_e2e",
+    "multimodal_manifest",
+    "multimodal_dedup_exact",
+    "multimodal_feature_selfmatch",
+    "corpus_curation_pipeline_dsir",
+    "corpus_nb_auc",
+    "events_asof_bucketed",
+]
+
+
+def _prioritize() -> None:
+    front = [n for n in DRIVER_WINDOW_PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(front)]
+    ordered = {n: REGISTRY[n] for n in front + rest}
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
 def _import_all() -> None:
     # import for side effect: each module registers its queries
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (  # noqa: F401
@@ -109,3 +177,5 @@ def _import_all() -> None:
         curation_queries,
         bpe_queries,
     )
+
+    _prioritize()
