@@ -956,7 +956,10 @@ def embedding_neardup_pairs_jl(
     computed on ``out_dim``-d projections (``out_dim``/dim of the
     FLOPs — 4× at 16/64), and only pairs whose PROJECTED squared
     distance clears ``slack × 2(1-threshold)`` get the exact full-d
-    cosine (a sparse gather, not a second GEMM). Precision is exact by
+    cosine (a sparse gather below 5% survivor density, a chunked
+    full-d GEMM above it — dense survivor sets mean the prefilter
+    isn't buying anything, and gathering them costs more than the
+    GEMM it was avoiding). Precision is exact by
     construction (every emitted pair is verified at full precision);
     recall is probabilistic in ``slack`` — the projection is the same
     deterministic Rademacher matrix as
@@ -1038,22 +1041,42 @@ def embedding_neardup_pairs_jl(
                 # executors; chunking caps temporaries at
                 # chunk x (N/B) regardless of block size
                 chunk = 2048
-                ii_parts, jj_parts = [], []
+                ii_parts, jj_parts, sel_parts = [], [], []
                 for s0 in range(0, Pa.shape[0], chunk):
                     pa = Pa[s0 : s0 + chunk]
                     d2 = na2[s0 : s0 + chunk, None] + nb2 - 2.0 * (pa @ Pb.T)
                     ci, cj = np.where(d2 <= d2_bound)
-                    if len(ci):
-                        ii_parts.append(ci + s0)
-                        jj_parts.append(cj)
+                    if not len(ci):
+                        continue
+                    # adaptive exact verification at full dimension.
+                    # The gather-einsum path copies the survivor rows
+                    # (2 x k x dim doubles) — at 15 µs/pair for dense
+                    # survivor sets its allocations dwarf every GEMM
+                    # in the operator AND wander 3x with host memory
+                    # pressure (the round-7..10 bench-drift root
+                    # cause: at threshold 0.45 / slack 2.5 the d²
+                    # bound is 2.75 while unrelated pairs sit at
+                    # ~2.0, so ~85% of the fixture's pairs "survive"
+                    # the prefilter). Past 5% density a full-d BLAS
+                    # GEMM on the chunk (no gather, one bounded
+                    # chunk x nb temporary) is ~300x cheaper; below
+                    # it the sparse gather wins. Same dot products
+                    # either way — output rows are unchanged.
+                    if len(ci) > 0.05 * d2.size:
+                        S = An[s0 : s0 + chunk] @ Bn.T
+                        sel = np.round(S[ci, cj], 6)
+                    else:
+                        sel = np.round(
+                            np.einsum("ij,ij->i", An[ci + s0], Bn[cj]), 6
+                        )
+                    ii_parts.append(ci + s0)
+                    jj_parts.append(cj)
+                    sel_parts.append(sel)
                 if not ii_parts:
                     continue
                 ii = np.concatenate(ii_parts)
                 jj = np.concatenate(jj_parts)
-                # sparse exact verification at full dimension
-                sel = np.round(
-                    np.einsum("ij,ij->i", An[ii], Bn[jj]), 6
-                )
+                sel = np.concatenate(sel_parts)
                 ok = sel >= threshold
                 ii, jj, sel = ii[ok], jj[ok], sel[ok]
                 lo, hi = ida[ii], idb[jj]

@@ -269,6 +269,41 @@ def test_jl_pairs_subset_of_exact_with_identical_scores(spark):
     assert jl_all == exact
 
 
+def test_jl_sparse_and_dense_verification_agree(spark):
+    """The kernel's exact verification is adaptive per chunk: survivor
+    density > 5% takes a full-d chunk GEMM, below it a sparse gather.
+    Pin the SPARSE branch to the exact twin's rows (the dense branch
+    is forced by the loose bound of
+    test_jl_pairs_subset_of_exact_with_identical_scores): slack 0.8 →
+    bound 0.88, measured survivor density 3.9% on the sf0.001 fixture
+    (deterministic — fixed fixture, fixed md5-Rademacher seed), with
+    exactly one true pair surviving the tight filter, so the branch
+    both runs and emits."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_jl,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+        load,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    sparse = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs_jl(
+            emb, threshold=0.45, out_dim=16, slack=0.8
+        ).collect()
+    }
+    assert len(sparse) == 1  # measured: 1 of 7 true pairs inside 0.88
+    assert set(sparse) <= set(exact)
+    for k, v in sparse.items():
+        assert v == exact[k]
+
+
 def test_gopher_repetition_stats_hand_values(spark):
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.textstats import (
         gopher_repetition_stats,
