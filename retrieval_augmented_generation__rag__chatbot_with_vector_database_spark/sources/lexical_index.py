@@ -68,8 +68,15 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sou
 )
 
 PROPS_FILE = "_lexical_properties.json"
-TERM_BUCKETS = 64  # defaults for NEWLY CREATED indexes (persisted)
-DOC_BUCKETS = 32
+#: bucket-count clamps for the CORPUS-SCALED default (``create(...,
+#: term_buckets=None)``): one term bucket per ~256 docs, one doc
+#: bucket per ~512, so a fixture-scale build isn't 96 near-empty
+#: writer tasks and a billion-doc corpus still lands at the cap where
+#: one bucket ≈ an executor working set. Explicit counts always win —
+#: the count is persisted in the sidecar either way, so probes and
+#: upserts never depend on the default.
+TERM_BUCKETS_MIN, TERM_BUCKETS_MAX = 16, 4096
+DOC_BUCKETS_MIN, DOC_BUCKETS_MAX = 8, 1024
 TBUCKET = "tbucket"
 DBUCKET = "dbucket"
 # driver-collect bound for the probe's touched-bucket discovery: one
@@ -172,36 +179,62 @@ class LexicalIndex:
         docs: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
-        term_buckets: int = TERM_BUCKETS,
-        doc_buckets: int = DOC_BUCKETS,
+        term_buckets: int | None = None,
+        doc_buckets: int | None = None,
     ) -> "LexicalIndex":
         """Build the layout from scratch (idempotent: existing index is
-        left untouched — use :meth:`upsert` to change it)."""
+        left untouched — use :meth:`upsert` to change it).
+
+        ``term_buckets`` / ``doc_buckets`` default to corpus-scaled
+        counts (one cheap ``docs.count()`` — parquet footers for a raw
+        table scan): ~256 docs per term bucket and ~512 per doc
+        bucket, clamped to [16, 4096] / [8, 1024]. Pass
+        explicit counts to pin a layout shape (tests do; a 100 TB
+        deployment sizing buckets to its executor working set
+        should)."""
         if self.exists():
             return self
+        if term_buckets is None or doc_buckets is None:
+            n_docs = docs.count()
+            if term_buckets is None:
+                term_buckets = max(
+                    TERM_BUCKETS_MIN, min(TERM_BUCKETS_MAX, -(-n_docs // 256))
+                )
+            if doc_buckets is None:
+                doc_buckets = max(
+                    DOC_BUCKETS_MIN, min(DOC_BUCKETS_MAX, -(-n_docs // 512))
+                )
         if term_buckets < 1 or doc_buckets < 1:
             raise ValueError("bucket counts must be >= 1")
         os.makedirs(self.path, exist_ok=True)
-        side = _doc_side(docs, id_col, text_col)
-        postings = side.select(
-            "term", "id", "tf", "dl",
-            _tbucket_of("term", term_buckets).alias(TBUCKET),
-        )
-        dstore = (
-            _doc_rows(docs, side, id_col)
-            .withColumn("_batch", F.lit(0).cast("long"))
-            .withColumn(DBUCKET, _dbucket_of("id", doc_buckets))
-        )
-        (
-            postings.repartition(term_buckets, F.col(TBUCKET))
-            .write.mode("overwrite").partitionBy(TBUCKET)
-            .parquet(self._postings_path)
-        )
-        (
-            dstore.repartition(doc_buckets, F.col(DBUCKET))
-            .write.mode("overwrite").partitionBy(DBUCKET)
-            .parquet(self._docs_path)
-        )
+        # consumed by BOTH writes below — persist so the tokenize →
+        # tf → dl pipeline (two shuffles over every token) executes
+        # once, not once per write. persist (lazy) over localCheckpoint
+        # (eager): the postings write is the materializing action, so
+        # no extra job is spent on the cache itself.
+        side = _doc_side(docs, id_col, text_col).persist()
+        try:
+            postings = side.select(
+                "term", "id", "tf", "dl",
+                _tbucket_of("term", term_buckets).alias(TBUCKET),
+            )
+            dstore = (
+                _doc_rows(docs, side, id_col)
+                .withColumn("_batch", F.lit(0).cast("long"))
+                .withColumn(DBUCKET, _dbucket_of("id", doc_buckets))
+            )
+            (
+                postings.repartition(term_buckets, F.col(TBUCKET))
+                .write.mode("overwrite").partitionBy(TBUCKET)
+                .parquet(self._postings_path)
+            )
+            (
+                dstore.repartition(doc_buckets, F.col(DBUCKET))
+                .write.mode("overwrite").partitionBy(DBUCKET)
+                .parquet(self._docs_path)
+            )
+        finally:
+            side.unpersist()
         with open(self._props_path, "w") as f:
             json.dump(
                 {"term_buckets": term_buckets, "doc_buckets": doc_buckets}, f
