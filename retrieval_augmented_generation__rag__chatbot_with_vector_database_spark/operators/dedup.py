@@ -596,11 +596,13 @@ def duplicate_groups(
 
 #: raw packed-corpus bytes (n·dim·8 after the double cast) above which
 #: the block-pair grid switches from broadcast to shuffle replication.
-#: The budget is far below any real heap on purpose: a broadcast of
-#: ``collect_list(struct(id, array<double>))`` rows expands ~10-40× in
-#: JVM object form (measured: 50k×512-d ≈ 205 MB raw overflowed an 8g
-#: single-JVM heap), so 32 MB raw ≈ ≤ ~1.3 GB resident worst-case.
-BROADCAST_BUDGET_BYTES = 32 << 20
+#: Blocks are packed as FLAT primitive arrays (see ``_pack_blocks``),
+#: so a broadcast is resident at ~raw size shared once per executor —
+#: not the 10-40× object-tree expansion the old struct-per-vector
+#: packing paid (205 MB raw overflowed an 8 g heap then; the same
+#: bytes fit comfortably now). 64 MB raw keeps the broadcast itself
+#: cheap to ship and leaves the heap to the kernels' score matrices.
+BROADCAST_BUDGET_BYTES = 64 << 20
 
 #: row count above which ``route="auto"`` abandons the exact O(N²)
 #: blocked GEMM for the sub-quadratic IVF intra-bucket route. At 2M
@@ -617,15 +619,41 @@ def _corpus_shape(df: DataFrame, vec_col: str) -> tuple[int, int]:
     return n, int(first["d"]) if first is not None else 0
 
 
-def _auto_blocks(n: int, rows_per_block: int) -> int:
+#: cap on one packed block's vector payload. Blocking is purely
+#: physical (every (i<j) pair is scored exactly once whatever the
+#: block count), so this only shapes rows flowing through the
+#: shuffle: 2 MB rows keep ~48 concurrent sort/join tasks inside a
+#: 256 MB-per-slot execution budget (8 g / 32 threads — measured:
+#: 4 MB rows from 8000×64-d blocks OOM that heap in the explode
+#: stages), and bound the kernel's (N/B)² score matrix to ~128 MB.
+#: The price is shuffle volume — the grid moves B·N·dim bytes, so
+#: halving block size doubles replication; 2 MB is the measured
+#: balance point, not a hard ceiling.
+BLOCK_PAYLOAD_BYTES = 2 << 20
+
+
+def _auto_blocks(n: int, rows_per_block: int, dim: int) -> int:
     b_par = min(-(-n // 1000), 32)  # spread small/mid inputs
     b_mem = -(-n // rows_per_block)  # bound (N/B)² task memory
-    return max(1, b_par, b_mem)
+    payload_rows = max(512, BLOCK_PAYLOAD_BYTES // (max(dim, 1) * 8))
+    b_pay = -(-n // payload_rows)  # bound shuffle-row bytes
+    return max(1, b_par, b_mem, b_pay)
 
 
 def _pack_blocks(
     df: DataFrame, id_col: str, vec_col: str, n_blocks: int
 ) -> DataFrame:
+    """(blk, ids array<long>, vecs array<double>) — one row per block,
+    vectors FLATTENED row-major into a single primitive array.
+
+    Flat arrays, not ``collect_list(struct(id, v))``: a struct per
+    vector costs a JVM object tree per element (8000 structs × boxed
+    rows per block), which is what blew an 8 g heap at 500k×64-d once
+    the blocks flowed through localCheckpoint + a sort-merge join.
+    Two primitive arrays per block store the same bytes at ~raw size
+    (UnsafeArrayData), and Arrow hands the kernel one contiguous
+    numpy array per cell — ``reshape`` instead of a 8000-element
+    python ``vstack``."""
     return (
         df.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -633,6 +661,11 @@ def _pack_blocks(
         .withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
         .groupBy("blk")
         .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+        .select(
+            "blk",
+            F.transform("items", lambda x: x["id"]).alias("ids"),
+            F.flatten(F.transform("items", lambda x: x["v"])).alias("vecs"),
+        )
         # consumed twice (both sides of the block-pair join) — eager
         # materialization beats re-running the pack per consumer
         .localCheckpoint()
@@ -642,7 +675,8 @@ def _pack_blocks(
 def _block_pair_tasks(
     packed: DataFrame, n_blocks: int, broadcast_corpus: bool
 ) -> DataFrame:
-    """One row per block pair (i ≤ j): (blk_a, blk_b, ia, ib).
+    """One row per block pair (i ≤ j):
+    (blk_a, blk_b, ids_a, vecs_a, ids_b, vecs_b).
 
     ``broadcast_corpus=True`` ships the whole packed table to every
     task via broadcast — cheapest when the corpus fits the budget.
@@ -665,23 +699,27 @@ def _block_pair_tasks(
             .select(
                 F.col("a.blk").alias("blk_a"),
                 F.col("b.blk").alias("blk_b"),
-                F.col("a.items").alias("ia"),
-                F.col("b.items").alias("ib"),
+                F.col("a.ids").alias("ids_a"),
+                F.col("a.vecs").alias("vecs_a"),
+                F.col("b.ids").alias("ids_b"),
+                F.col("b.vecs").alias("vecs_b"),
             )
             .repartition(n_tasks)
         )
     a_ex = packed.select(
         F.col("blk").alias("blk_a"),
         F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("blk_b"),
-        F.col("items").alias("ia"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
     ).repartition(n_tasks, "blk_a", "blk_b")
     b_ex = packed.select(
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("blk_a"),
         F.col("blk").alias("blk_b"),
-        F.col("items").alias("ib"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
     ).repartition(n_tasks, "blk_a", "blk_b")
     return a_ex.join(b_ex.hint("shuffle_merge"), ["blk_a", "blk_b"]).select(
-        "blk_a", "blk_b", "ia", "ib"
+        "blk_a", "blk_b", "ids_a", "vecs_a", "ids_b", "vecs_b"
     )
 
 
@@ -766,7 +804,7 @@ def embedding_neardup_pairs(
         )
 
     if n_blocks is None:
-        n_blocks = _auto_blocks(n, rows_per_block)
+        n_blocks = _auto_blocks(n, rows_per_block, dim)
     broadcast_corpus = n * dim * 8 <= broadcast_budget_bytes
     packed = _pack_blocks(df, id_col, vec_col, n_blocks)
     pairs = _block_pair_tasks(packed, n_blocks, broadcast_corpus)
@@ -776,17 +814,14 @@ def embedding_neardup_pairs(
 
         for pdf in batches:
             out_a, out_b, out_s = [], [], []
-            for blk_a, blk_b, ia, ib in zip(
-                pdf["blk_a"], pdf["blk_b"], pdf["ia"], pdf["ib"]
+            for blk_a, blk_b, ia, va, ib, vb in zip(
+                pdf["blk_a"], pdf["blk_b"],
+                pdf["ids_a"], pdf["vecs_a"], pdf["ids_b"], pdf["vecs_b"],
             ):
-                ida = np.fromiter((r["id"] for r in ia), dtype=np.int64, count=len(ia))
-                A = np.vstack([np.asarray(r["v"]) for r in ia]).astype(
-                    np.float64, copy=False
-                )
-                idb = np.fromiter((r["id"] for r in ib), dtype=np.int64, count=len(ib))
-                B = np.vstack([np.asarray(r["v"]) for r in ib]).astype(
-                    np.float64, copy=False
-                )
+                ida = np.asarray(ia, dtype=np.int64)
+                A = np.asarray(va, dtype=np.float64).reshape(len(ida), -1)
+                idb = np.asarray(ib, dtype=np.int64)
+                B = np.asarray(vb, dtype=np.float64).reshape(len(idb), -1)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     An = A / np.linalg.norm(A, axis=1, keepdims=True)
                     Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
@@ -985,7 +1020,7 @@ def embedding_neardup_pairs_jl(
 
     n, dim = _corpus_shape(df, vec_col)
     if n_blocks is None:
-        n_blocks = _auto_blocks(n, rows_per_block)
+        n_blocks = _auto_blocks(n, rows_per_block, dim)
     broadcast_corpus = n * dim * 8 <= broadcast_budget_bytes
     packed = _pack_blocks(df, id_col, vec_col, n_blocks)
     pairs = _block_pair_tasks(packed, n_blocks, broadcast_corpus)
@@ -997,17 +1032,14 @@ def embedding_neardup_pairs_jl(
         signs = None
         for pdf in batches:
             out_a, out_b, out_s = [], [], []
-            for blk_a, blk_b, ia, ib in zip(
-                pdf["blk_a"], pdf["blk_b"], pdf["ia"], pdf["ib"]
+            for blk_a, blk_b, ia, va, ib, vb in zip(
+                pdf["blk_a"], pdf["blk_b"],
+                pdf["ids_a"], pdf["vecs_a"], pdf["ids_b"], pdf["vecs_b"],
             ):
-                ida = np.fromiter((r["id"] for r in ia), dtype=np.int64, count=len(ia))
-                A = np.vstack([np.asarray(r["v"]) for r in ia]).astype(
-                    np.float64, copy=False
-                )
-                idb = np.fromiter((r["id"] for r in ib), dtype=np.int64, count=len(ib))
-                B = np.vstack([np.asarray(r["v"]) for r in ib]).astype(
-                    np.float64, copy=False
-                )
+                ida = np.asarray(ia, dtype=np.int64)
+                A = np.asarray(va, dtype=np.float64).reshape(len(ida), -1)
+                idb = np.asarray(ib, dtype=np.int64)
+                B = np.asarray(vb, dtype=np.float64).reshape(len(idb), -1)
                 if signs is None:
                     import hashlib
 

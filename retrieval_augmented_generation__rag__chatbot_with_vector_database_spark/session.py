@@ -28,6 +28,18 @@ def get_spark(app_name: str = "rag_spark", cpus: str | None = None) -> SparkSess
         # vectorized reader rejects; read as long and convert in load()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # vector workloads allocate many multi-MB primitive arrays
+        # (packed embedding blocks, Arrow batches); G1's default
+        # region at an 8g heap is 4 MB, so those become "humongous"
+        # allocations — region-sized, contiguous, GCLocker-prone —
+        # and 32 concurrent tasks OOM a heap that is mostly free.
+        # 32 MB regions make them ordinary allocations.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS", "-XX:G1HeapRegionSize=32m"
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
