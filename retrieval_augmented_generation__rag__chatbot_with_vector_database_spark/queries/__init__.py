@@ -176,6 +176,7 @@ def _import_all() -> None:
         hybrid_queries,
         curation_queries,
         bpe_queries,
+        pii_queries,
     )
 
     _prioritize()

@@ -1,0 +1,153 @@
+"""PII scrub queries (operators.pii) over ``documents``.
+
+The synthetic corpus is PII-free word salad, so each query PLANTS
+deterministic identifiers (email / IPv4 always; SSN, phone, card on
+doc_id residue classes) into the text on BOTH engines — the planted
+frame is the fixture, the scrub is what's under test. Regexes and
+replacement order come from ``operators.pii.PII_PATTERNS``; the oracle
+SQL is GENERATED from that same list so both engines execute the
+identical automaton in the identical order (the ``text_queries``
+marker-list convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.pii import (
+    PII_PATTERNS,
+    scrub_documents,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries import (
+    load,
+    register,
+)
+
+
+def _planted(docs: DataFrame) -> DataFrame:
+    """documents + deterministic planted PII. Twin of ``_PLANTED_SQL``."""
+    did = F.col("doc_id")
+    pad4 = F.lpad((did % 10000).cast("string"), 4, "0")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com from 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        ((did * 7) % 256).cast("string"),
+        F.when(did % 3 == 0, F.concat(F.lit(" ssn 123-45-"), pad4)).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 5 == 0, F.concat(F.lit(" call 415-555-"), pad4)).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 7 == 0, F.concat(F.lit(" card 4111-1111-1111-"), pad4)
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", planted.alias("text"))
+
+
+_PLANTED_SQL = """
+SELECT doc_id,
+       text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+       AS text
+FROM documents
+"""
+
+
+def _count_sql() -> str:
+    return ",\n         ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{cat}"
+        for cat, pat, _ in PII_PATTERNS
+    )
+
+
+def _scrub_sql() -> str:
+    expr = "text"
+    for _, pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
+_CATS = [cat for cat, _, _ in PII_PATTERNS]
+_N_PII_SQL = " + ".join(f"n_{c}" for c in _CATS)
+
+_SCRUB_ORACLE = f"""
+WITH planted AS ({_PLANTED_SQL}),
+s AS (
+  SELECT doc_id,
+         {_count_sql()},
+         {_scrub_sql()} AS scrubbed
+  FROM planted
+)
+SELECT doc_id, {", ".join(f"n_{c}" for c in _CATS)},
+       {_N_PII_SQL} AS n_pii,
+       md5(scrubbed) AS scrub_md5,
+       length(scrubbed) AS n_chars
+FROM s
+"""
+
+
+@register("text_pii_scrub", _SCRUB_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub: category counts + md5 of the scrubbed
+    text (full-value proof that every planted identifier was replaced
+    and nothing else changed). Pure narrow map — zero shuffles at any
+    corpus size."""
+    out = scrub_documents(_planted(load(spark, sf_dir, "documents")))
+    return out.select(
+        "doc_id",
+        *[f"n_{c}" for c in _CATS],
+        "n_pii",
+        F.md5(F.col("text_scrubbed").cast("binary")).alias("scrub_md5"),
+        F.length("text_scrubbed").cast("long").alias("n_chars"),
+    )
+
+
+_PROFILE_ORACLE = f"""
+WITH planted AS ({_PLANTED_SQL}),
+s AS (
+  SELECT doc_id,
+         {_count_sql()},
+         {_scrub_sql()} AS scrubbed,
+         text
+  FROM planted
+)
+SELECT {", ".join(f"CAST(SUM(n_{c}) AS BIGINT) AS total_{c}" for c in _CATS)},
+       CAST(SUM({_N_PII_SQL}) AS BIGINT) AS total_pii,
+       COUNT(*) FILTER (WHERE {_N_PII_SQL} > 0) AS docs_with_pii,
+       COUNT(*) AS docs,
+       CAST(SUM(length(text) - length(scrubbed)) AS BIGINT) AS chars_removed
+FROM s
+"""
+
+
+@register("text_pii_profile", _PROFILE_ORACLE)
+def text_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII exposure profile: per-category totals, docs
+    touched, bytes removed. One partial-aggregated pass (map-side
+    combine into a single global row)."""
+    out = scrub_documents(_planted(load(spark, sf_dir, "documents")))
+    return out.agg(
+        *[F.sum(f"n_{c}").cast("long").alias(f"total_{c}") for c in _CATS],
+        F.sum("n_pii").cast("long").alias("total_pii"),
+        F.sum((F.col("n_pii") > 0).cast("long")).alias("docs_with_pii"),
+        F.count("*").alias("docs"),
+        F.sum(F.length("text") - F.length("text_scrubbed"))
+        .cast("long")
+        .alias("chars_removed"),
+    )
