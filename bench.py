@@ -84,6 +84,8 @@ HEADLINE = [
     # round 10: chat-history chain on the IVFPQ serving layout
     # (new key — no history)
     "rag_chat_ann_e2e",
+    # round 10: PII scrub over documents (new key — no history)
+    "text_pii_scrub",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round
