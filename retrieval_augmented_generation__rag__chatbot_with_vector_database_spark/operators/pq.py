@@ -331,46 +331,75 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes): ``codes[j]`` = argmin-distance codebook entry of
-    subspace ``j`` (ties → lowest code, numpy argmin). One
-    ``mapInArrow`` pass, m small GEMMs per batch."""
-    import pyarrow as pa
+    """(id, codes, *carry_cols): ``codes[j]`` = argmin-distance
+    codebook entry of subspace ``j`` (ties → lowest code, numpy
+    argmin). One ``mapInArrow`` pass, m small GEMMs per batch.
 
+    ``carry_cols`` pass through the kernel zero-copy (the Arrow
+    arrays are re-emitted untouched). The layout writers carry
+    ``centroid_id`` / raw vectors / metadata through the encode
+    instead of self-joining the assigned frame on id afterwards —
+    which recomputed the whole assignment GEMM for the second branch
+    AND shuffled the full corpus once more."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    carry_cols = list(carry_cols or [])
     m = len(codebooks)
     sub = len(codebooks[0][0])
     books_payload = json.dumps(codebooks)
-    # array<int>, not tinyint: Spark 4.1's ArrowColumnVector has no
-    # byte accessor for list elements; parquet bit-packs the 4-bit
-    # code values regardless, so the layout stays compact
-    out_schema = f"{id_col} long, codes array<int>"
+    in_cols = [id_col, vec_col] + [
+        c for c in carry_cols if c not in (id_col, vec_col)
+    ]
+    src = index.select(*in_cols)
+    carried_fields = [src.schema[c] for c in carry_cols]
+    # codes as array<int>, not tinyint: Spark 4.1's ArrowColumnVector
+    # has no byte accessor for list elements; parquet bit-packs the
+    # 4-bit code values regardless, so the layout stays compact
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("codes", ArrayType(IntegerType())),
+            *[StructField(f.name, f.dataType, f.nullable) for f in carried_fields],
+        ]
+    )
 
     def kernel(batches):
         import numpy as np
 
         B = [np.array(b, dtype=np.float64) for b in json.loads(books_payload)]
         for batch in batches:
-            tbl = batch.to_pydict()
-            ids = tbl[id_col]
-            V = np.array(tbl[vec_col], dtype=np.float64)
+            names = batch.schema.names
+            ids = batch.column(names.index(id_col)).to_pylist()
+            V = np.array(
+                batch.column(names.index(vec_col)).to_pylist(), dtype=np.float64
+            )
             codes = np.empty((len(ids), m), dtype=np.int32)
             for j in range(m):
                 S = V[:, j * sub : (j + 1) * sub]
                 # |s - c|^2 = |s|^2 - 2 s·c + |c|^2; |s|^2 constant per row
                 d2 = -2.0 * (S @ B[j].T) + (B[j] ** 2).sum(axis=1)[None, :]
                 codes[:, j] = d2.argmin(axis=1).astype(np.int32)
-            # explicit Arrow types: from_pydict would infer list<int64>
+            # explicit Arrow types: inference would give list<int64>
             # and Spark's reader rejects the child-type mismatch
-            yield pa.RecordBatch.from_pydict(
-                {
-                    id_col: pa.array([int(x) for x in ids], type=pa.int64()),
-                    "codes": pa.array(
-                        codes.tolist(), type=pa.list_(pa.int32())
-                    ),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([int(x) for x in ids], type=pa.int64()),
+                    pa.array(codes.tolist(), type=pa.list_(pa.int32())),
+                    *[batch.column(names.index(c)) for c in carry_cols],
+                ],
+                names=[id_col, "codes", *carry_cols],
             )
 
-    return index.select(id_col, vec_col).mapInArrow(kernel, out_schema)
+    return src.mapInArrow(kernel, out_schema)
 
 
 def write_pq_index(
@@ -780,17 +809,24 @@ def write_ivfpq_index(
     enc_src, enc_col = assigned, vec_col
     if residual:
         enc_src, enc_col = _with_residual(assigned, centroids, vec_col)
-    enc = pq_encode(enc_src, codebooks, id_col, enc_col)
+    # carry layout columns THROUGH the encode kernel (zero-copy Arrow
+    # passthrough) instead of self-joining the assigned frame on id:
+    # the join recomputed the assignment GEMM for its second branch
+    # and shuffled the full corpus once more — pure waste at 100 TB
+    raw = "__raw" if (normalize or mips or rotation is not None) else vec_col
+    carry = ["centroid_id"]
+    if store_vectors:
+        carry.append(raw)
+    carry.extend(meta_cols)
+    enc = pq_encode(enc_src, codebooks, id_col, enc_col, carry_cols=carry)
     keep = [F.col(id_col), F.col("centroid_id")]
     if store_vectors:
         # stored AS-IS (no float cast): the fused rerank must see the
         # exact values a side-table rerank would
-        raw = (
-            "__raw" if (normalize or mips or rotation is not None) else vec_col
-        )
         keep.append(F.col(raw).alias(vec_col))
     keep.extend(F.col(c) for c in meta_cols)
-    layout = assigned.select(*keep).join(enc, id_col)
+    keep.append(F.col("codes"))
+    layout = enc.select(*keep)
     n_parts = len(centroids)
     (
         layout.repartition(n_parts, F.col("centroid_id"))
