@@ -248,3 +248,151 @@ def media_features(media: DataFrame, dim: int = 64) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         kernel, "media_id long, feature array<float>"
     )
+
+
+# -- perceptual hashing ------------------------------------------------
+
+#: body bytes that determine the decoded pixels; everything after is
+#: container metadata (EXIF-like) a real decoder ignores. This is the
+#: hook that makes byte-level dedup (md5 over the whole payload) and
+#: perceptual dedup observably DIFFERENT operators: re-encoded or
+#: metadata-tweaked copies share pixels but not bytes.
+PHASH_PIXEL_SEED_BYTES = 32
+
+
+def _fake_pixels(content: bytes, side: int) -> "np.ndarray":
+    """Stub pixel decode: a deterministic side×side grayscale matrix
+    from the md5 chain of the body's first PHASH_PIXEL_SEED_BYTES.
+    Production swaps this for a real image decode + grayscale +
+    resize; everything downstream (DCT, thresholding, banding) is the
+    real algorithm."""
+    body = bytes(content)[HEADER_LEN:]
+    seed = body[:PHASH_PIXEL_SEED_BYTES]
+    need = side * side
+    buf = b""
+    block = hashlib.md5(seed).digest()
+    while len(buf) < need:
+        buf += block
+        block = hashlib.md5(block).digest()
+    return (
+        np.frombuffer(buf[:need], dtype=np.uint8)
+        .astype(np.float64)
+        .reshape(side, side)
+    )
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis (type-II, norm='ortho')."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    i = np.arange(n)[None, :].astype(np.float64)
+    D = np.cos(np.pi * (2.0 * i + 1.0) * k / (2.0 * n))
+    D[0] *= np.sqrt(1.0 / n)
+    D[1:] *= np.sqrt(2.0 / n)
+    return D
+
+
+def phash_from_pixels(img: "np.ndarray", hash_size: int = 8) -> int:
+    """Classic pHash (Zauner 2010 / imagehash): 2-D DCT of the
+    grayscale image, keep the top-left ``hash_size²`` low-frequency
+    block, threshold each coefficient against the block median →
+    64 bits, packed big-endian into a SIGNED int64 (Spark ``long``).
+    Robust to noise/re-encode because low frequencies carry the
+    image's structure; brightness shifts move only the DC term."""
+    n = img.shape[0]
+    D = _dct_matrix(n)
+    low = (D @ img @ D.T)[:hash_size, :hash_size].flatten()
+    bits = low > np.median(low)
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def phash_media(
+    media: DataFrame, hash_size: int = 8, img_side: int = 32
+) -> DataFrame:
+    """(media_id, phash) for every IMAGE row — one ``mapInPandas``
+    pass (the kind filter pushes down; audio/video payloads never
+    reach the kernel). The hash is 8 bytes per image whatever the
+    blob size, so downstream dedup shuffles hashes, never pixels."""
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "content")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                phash_from_pixels(_fake_pixels(c, img_side), hash_size)
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    return imgs.mapInPandas(kernel, "media_id long, phash long")
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join — the
+    MinHash-LSH shape on 64-bit perceptual hashes: split each hash
+    into ``bands`` equal bit-bands, equi-join on (band index, band
+    value), verify candidates with an exact popcount. By pigeonhole
+    any pair within ``max_hamming`` bit flips shares at least one
+    untouched band when ``bands > max_hamming`` (enforced), so the
+    banding is exact, not probabilistic — candidates it skips are
+    provably above the threshold.
+
+    At 100 TB: the join shuffles (band, 8-byte value, id) rows only —
+    sub-quadratic as long as band values spread. Flat-image corpora
+    concentrate band values (the all-zero band is the classic
+    hotspot); raising ``bands``' width (fewer bands, down to
+    ``max_hamming + 1``) sharpens buckets at the same guarantee.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming}: the "
+            "pigeonhole guarantee needs one band no flip can touch"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    bvals = F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), b * width).bitwiseAND(
+                F.lit(mask)
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.posexplode(bvals).alias("band", "bval"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()  # a pair sharing k bands appears k times
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -196,3 +196,45 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__h")
         .select("survivor_id", "n_copies", "kind")
     )
+
+
+_PHASH_TWIN_OFFSET = 10_000_000
+
+_MM_PHASH_ORACLE = f"""
+SELECT doc_id AS id_a, doc_id + {_PHASH_TWIN_OFFSET} AS id_b, 0 AS hamming
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+@register("multimodal_phash_neardup", _MM_PHASH_ORACLE)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over images: pHash (DCT low-frequency
+    signature) + banded Hamming join — catches the copies byte-level
+    dedup (`multimodal_dedup_exact`) provably misses. Every image
+    gets a planted twin whose payload differs in trailing
+    container-metadata bytes (EXIF-tweak model: md5 differs, pixels
+    don't), so the expected pairs — and nothing else, checked
+    full-value — are exactly (id, id + {_PHASH_TWIN_OFFSET}) at
+    Hamming 0. The banding is exact by pigeonhole (bands >
+    max_hamming), so the oracle needs no approximation slack."""
+    docs = load(spark, sf_dir, "documents")
+    base = (
+        _media(spark, sf_dir)
+        .filter(F.col("kind") == "image")
+        .select("media_id", "content")
+    )
+    twins = base.select(
+        (F.col("media_id") + _PHASH_TWIN_OFFSET).alias("media_id"),
+        F.concat(
+            "content",
+            F.encode(
+                F.concat(F.lit("exif:"), F.col("media_id").cast("string")),
+                "utf-8",
+            ),
+        ).alias("content"),
+    )
+    items = base.unionByName(twins).withColumn("kind", F.lit("image"))
+    hashes = mm.phash_media(items)
+    return mm.phash_neardup_pairs(hashes, max_hamming=4).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

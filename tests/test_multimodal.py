@@ -73,3 +73,53 @@ def test_real_decode_stub_raises(spark):
     df = spark.createDataFrame([(1, bytearray(b"\x89PNG fake"))], "media_id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|codec|FAKE"):
         mm.decode_media(df).collect()
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_noise_robust_and_discriminative():
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 32) * 255
+    h0 = mm.phash_from_pixels(img)
+    # small pixel noise (re-encode model) flips few bits
+    for _ in range(10):
+        assert _ham(h0, mm.phash_from_pixels(img + rng.randn(32, 32))) <= 6
+    # brightness shift moves only the DC term
+    assert _ham(h0, mm.phash_from_pixels(img + 40.0)) <= 2
+    # distinct images are far
+    for _ in range(20):
+        assert _ham(h0, mm.phash_from_pixels(rng.rand(32, 32) * 255)) >= 12
+
+
+def test_phash_metadata_twin_pixels_equal():
+    p = mm._build_payload(0)
+    assert (mm._fake_pixels(p, 32) == mm._fake_pixels(p + b"EXIF", 32)).all()
+
+
+def test_phash_neardup_finds_twins_only(spark, media):
+    import pyspark.sql.functions as F
+
+    base = media.filter(F.col("kind") == "image").select("media_id", "content")
+    twins = base.select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        F.concat("content", F.lit(b"meta")).alias("content"),
+    )
+    items = base.unionByName(twins).withColumn("kind", F.lit("image"))
+    pairs = mm.phash_neardup_pairs(mm.phash_media(items), max_hamming=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    want = {(r["media_id"], r["media_id"] + 1000) for r in base.collect()}
+    assert set(got) == want
+    assert all(h == 0 for h in got.values())
+
+
+def test_phash_banding_pigeonhole_guard():
+    import pyspark.sql.functions as F  # noqa: F401
+
+    with pytest.raises(ValueError, match="pigeonhole|exceed"):
+        mm.phash_neardup_pairs(None, max_hamming=8, bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        mm.phash_neardup_pairs(None, max_hamming=4, bands=7)
