@@ -86,6 +86,8 @@ HEADLINE = [
     "rag_chat_ann_e2e",
     # round 10: PII scrub over documents (new key — no history)
     "text_pii_scrub",
+    # round 10: perceptual image near-dup (new key — no history)
+    "multimodal_phash_neardup",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round
