@@ -349,25 +349,30 @@ def phash_neardup_pairs(
     banding is exact, not probabilistic — candidates it skips are
     provably above the threshold.
 
-    At 100 TB: the join shuffles (band, 8-byte value, id) rows only —
-    sub-quadratic as long as band values spread. Flat-image corpora
-    concentrate band values (the all-zero band is the classic
-    hotspot); raising ``bands``' width (fewer bands, down to
-    ``max_hamming + 1``) sharpens buckets at the same guarantee.
+    At 100 TB: the join shuffles (band, value, id) rows only —
+    sub-quadratic as long as band values spread. Candidate volume is
+    the knob: narrow bands (many) collide quadratically on large
+    corpora (8-bit buckets at 1M uniform hashes already hold ~4k
+    items each), so production sizes ``bands`` DOWN toward the
+    guarantee floor ``max_hamming + 1`` — widths need not divide 64
+    evenly (13/13/13/13/12 at bands=5). The popcount verify runs
+    BEFORE the pair dedup, so the big candidate stream is filtered by
+    codegen'd xor+bit_count and only surviving near-dups pay the
+    distinct's shuffle.
     """
-    if bands <= max_hamming:
+    if not (max_hamming < bands <= 64):
         raise ValueError(
-            f"bands={bands} must exceed max_hamming={max_hamming}: the "
-            "pigeonhole guarantee needs one band no flip can touch"
+            f"bands={bands} must exceed max_hamming={max_hamming} (the "
+            "pigeonhole guarantee needs one band no flip can touch) "
+            "and fit in 64 bits"
         )
-    if 64 % bands != 0:
-        raise ValueError(f"bands={bands} must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
+    base_w, rem = divmod(64, bands)
+    widths = [base_w + 1] * rem + [base_w] * (bands - rem)
+    offsets = [sum(widths[:b]) for b in range(bands)]
     bvals = F.array(
         *[
-            F.shiftrightunsigned(F.col(hash_col), b * width).bitwiseAND(
-                F.lit(mask)
+            F.shiftrightunsigned(F.col(hash_col), offsets[b]).bitwiseAND(
+                F.lit((1 << widths[b]) - 1)
             )
             for b in range(bands)
         ]
@@ -378,21 +383,16 @@ def phash_neardup_pairs(
         F.posexplode(bvals).alias("band", "bval"),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
+    return (
         a.join(b, ["band", "bval"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.h").alias("h_a"),
-            F.col("b.h").alias("h_b"),
-        )
-        .distinct()  # a pair sharing k bands appears k times
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()  # a pair sharing k untouched bands appears k times
     )

@@ -117,9 +117,31 @@ def test_phash_neardup_finds_twins_only(spark, media):
 
 
 def test_phash_banding_pigeonhole_guard():
-    import pyspark.sql.functions as F  # noqa: F401
-
     with pytest.raises(ValueError, match="pigeonhole|exceed"):
         mm.phash_neardup_pairs(None, max_hamming=8, bands=8)
-    with pytest.raises(ValueError, match="divide"):
-        mm.phash_neardup_pairs(None, max_hamming=4, bands=7)
+    with pytest.raises(ValueError, match="pigeonhole|exceed"):
+        mm.phash_neardup_pairs(None, max_hamming=4, bands=65)
+
+
+def test_phash_unequal_bands_still_exact(spark):
+    # bands=5 (widths 13/13/13/13/12): a planted pair at EXACTLY
+    # max_hamming flips must survive whatever bands the flips land in
+    import pyspark.sql.functions as F
+
+    base = spark.range(200).select(
+        F.col("id").alias("media_id"), F.xxhash64("id").alias("phash")
+    )
+    twins = spark.range(200).select(
+        (F.col("id") + 1000).alias("media_id"),
+        # flip 4 bits spread across the word: bits 0, 13, 26, 39 —
+        # one per band boundary region
+        F.xxhash64("id")
+        .bitwiseXOR(F.lit((1 << 0) | (1 << 13) | (1 << 26) | (1 << 39)))
+        .alias("phash"),
+    )
+    pairs = mm.phash_neardup_pairs(
+        base.unionByName(twins), max_hamming=4, bands=5
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert {(i, i + 1000) for i in range(200)} <= set(got)
+    assert all(got[(i, i + 1000)] == 4 for i in range(200))
