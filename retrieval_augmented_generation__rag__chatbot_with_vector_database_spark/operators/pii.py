@@ -39,18 +39,35 @@ def _col(text: Column | str) -> Column:
     return F.col(text) if isinstance(text, str) else text
 
 
-def pii_counts(text: Column | str) -> dict[str, Column]:
-    """Per-category match counts on the given text column."""
+def pii_counts(
+    text: Column | str,
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> dict[str, Column]:
+    """Per-category match counts on the ORIGINAL text column — valid
+    as independent counts because the default patterns are mutually
+    non-overlapping. For pattern sets where one class can swallow
+    another's span (e.g. a greedy phone run inside an email),
+    count SHIELDED instead: ``operators.textstats.pii_counts`` counts
+    class k after classes < k are replaced."""
     t = _col(text)
-    return {cat: F.regexp_count(t, F.lit(pat)) for cat, pat, _ in PII_PATTERNS}
+    return {
+        cat: F.regexp_count(t, F.lit(pat))
+        for cat, pat, _ in (patterns or PII_PATTERNS)
+    }
 
 
-def pii_scrub(text: Column | str) -> Column:
-    """Replace every PII match with its category token. Idempotent:
+def pii_scrub(
+    text: Column | str,
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> Column:
+    """Replace every PII match with its category token — the one
+    sequential regexp_replace fold both pattern dialects share
+    (``operators.textstats.redact_pii`` delegates here with its
+    legacy shielded pattern list). Idempotent for the default set:
     no replacement token matches any pattern, so scrub(scrub(x)) ==
     scrub(x)."""
     out = _col(text)
-    for _, pat, token in PII_PATTERNS:
+    for _, pat, token in patterns or PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
 

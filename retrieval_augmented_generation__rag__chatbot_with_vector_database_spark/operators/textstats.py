@@ -281,17 +281,22 @@ def redact_pii(text: Column | str) -> Column:
     JVM-side ``regexp_replace`` chain, no Python in the path. The
     replacement is applied in ``PII_PATTERNS`` order on the running
     result, so earlier classes shield their spans from later, greedier
-    patterns (an email's digits never re-match as a phone).
+    patterns (an email's digits never re-match as a phone). The fold
+    itself is ``operators.pii.pii_scrub`` — this list is the
+    shielded/greedy dialect (broad phone runs), that module's default
+    list is the non-overlapping dialect with per-doc count columns,
+    queries, and the streaming scrub.
 
     This is a pattern scrubber, not an NER system: it removes the
     mechanically-identifiable classes (the pass corpus releases run at
     minimum); names/addresses need a model-based pass through the
     same column-transform seam.
     """
-    col = F.col(text) if isinstance(text, str) else text
-    for _, pat, token in PII_PATTERNS:
-        col = F.regexp_replace(col, F.lit(pat), F.lit(token))
-    return col
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.pii import (
+        pii_scrub,
+    )
+
+    return pii_scrub(text, patterns=PII_PATTERNS)
 
 
 def pii_counts(text: Column | str) -> dict[str, Column]:
