@@ -706,18 +706,24 @@ def _block_pair_tasks(
             )
             .repartition(n_tasks)
         )
+    # 4× over-partitioning: hashing n_tasks pair keys into exactly
+    # n_tasks partitions is balls-in-bins at load factor 1 — ~1/e of
+    # partitions land empty while stragglers carry 2-4 sequential
+    # GEMMs. At load factor 1/4 the max load is almost surely 1; AQE
+    # coalesces the empties so the extra partitions cost nothing.
+    n_parts = n_tasks * 4
     a_ex = packed.select(
         F.col("blk").alias("blk_a"),
         F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("blk_b"),
         F.col("ids").alias("ids_a"),
         F.col("vecs").alias("vecs_a"),
-    ).repartition(n_tasks, "blk_a", "blk_b")
+    ).repartition(n_parts, "blk_a", "blk_b")
     b_ex = packed.select(
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("blk_a"),
         F.col("blk").alias("blk_b"),
         F.col("ids").alias("ids_b"),
         F.col("vecs").alias("vecs_b"),
-    ).repartition(n_tasks, "blk_a", "blk_b")
+    ).repartition(n_parts, "blk_a", "blk_b")
     return a_ex.join(b_ex.hint("shuffle_merge"), ["blk_a", "blk_b"]).select(
         "blk_a", "blk_b", "ids_a", "vecs_a", "ids_b", "vecs_b"
     )
@@ -774,6 +780,11 @@ def embedding_neardup_pairs(
 
     if route not in ("auto", "exact", "ivf"):
         raise ValueError(f"unknown route {route!r}")
+    if route == "ivf" and centroids is not None:
+        # nothing below needs the corpus shape — skip the count job
+        return embedding_neardup_pairs_ivf(
+            df, centroids, id_col=id_col, vec_col=vec_col, threshold=threshold
+        )
     n, dim = _corpus_shape(df, vec_col)
     if route == "ivf" or (route == "auto" and n > ivf_above_rows):
         if route == "auto":

@@ -12,11 +12,12 @@ Pattern dialect: every regex below is valid and equivalent in BOTH
 Java (Spark) and RE2 (DuckDB oracle) — no backrefs, no lookaround —
 so the oracle executes the identical automaton.
 
-Categories are mutually non-overlapping by construction (an SSN
-``ddd-dd-dddd`` cannot match the phone ``ddd-ddd-dddd``; an IPv4 needs
-three dots where a phone has two), so per-category counts are
-independent of scrub order and counting on the ORIGINAL text equals
-counting interleaved with replacement.
+Counting is SHIELDED (class k is counted after classes < k are
+replaced, same sequence as the scrub), so the per-category counts sum
+to exactly the number of placeholder tokens the scrub emits — even in
+adversarial text where one class's span contains another's shape
+(e.g. a phone-shaped email local part ``123-456-7890@x.com``: one
+[EMAIL], zero [PHONE]).
 """
 
 from __future__ import annotations
@@ -43,17 +44,20 @@ def pii_counts(
     text: Column | str,
     patterns: list[tuple[str, str, str]] | None = None,
 ) -> dict[str, Column]:
-    """Per-category match counts on the ORIGINAL text column — valid
-    as independent counts because the default patterns are mutually
-    non-overlapping. For pattern sets where one class can swallow
-    another's span (e.g. a greedy phone run inside an email),
-    count SHIELDED instead: ``operators.textstats.pii_counts`` counts
-    class k after classes < k are replaced."""
-    t = _col(text)
-    return {
-        cat: F.regexp_count(t, F.lit(pat))
-        for cat, pat, _ in (patterns or PII_PATTERNS)
-    }
+    """Per-category SHIELDED match counts: class k is counted on the
+    text with classes < k already replaced — the same sequence
+    ``pii_scrub`` walks — so the counts sum to exactly the number of
+    placeholders the scrub emits. (Counting every class on the raw
+    text instead would double-count spans that match two shapes, e.g.
+    a phone-shaped email local part.)"""
+    if patterns is None:
+        patterns = PII_PATTERNS
+    cur = _col(text)
+    out: dict[str, Column] = {}
+    for cat, pat, token in patterns:
+        out[cat] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    return out
 
 
 def pii_scrub(
@@ -66,8 +70,10 @@ def pii_scrub(
     legacy shielded pattern list). Idempotent for the default set:
     no replacement token matches any pattern, so scrub(scrub(x)) ==
     scrub(x)."""
+    if patterns is None:
+        patterns = PII_PATTERNS
     out = _col(text)
-    for _, pat, token in patterns or PII_PATTERNS:
+    for _, pat, token in patterns:
         out = F.regexp_replace(out, pat, token)
     return out
 

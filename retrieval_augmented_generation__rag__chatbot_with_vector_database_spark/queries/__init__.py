@@ -106,7 +106,6 @@ DRIVER_WINDOW_PRIORITY = [
     "index_upsert_lww",
     "index_upsert_bucketed",
     "index_delete_ids",
-    "index_stats",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_signatures",
@@ -146,7 +145,8 @@ DRIVER_WINDOW_PRIORITY = [
     "rag_chat_ann_e2e",
     "multimodal_manifest",
     "multimodal_dedup_exact",
-    "multimodal_feature_selfmatch",
+    "multimodal_phash_neardup",
+    "text_pii_scrub",
     "corpus_curation_pipeline_dsir",
     "corpus_nb_auc",
     "events_asof_bucketed",

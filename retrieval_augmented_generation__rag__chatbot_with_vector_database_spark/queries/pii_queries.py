@@ -70,10 +70,13 @@ FROM documents
 
 
 def _count_sql() -> str:
-    return ",\n         ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{cat}"
-        for cat, pat, _ in PII_PATTERNS
-    )
+    # shielded, like the operator: class k counts on the text with
+    # classes < k already replaced
+    exprs, cur = [], "text"
+    for cat, pat, token in PII_PATTERNS:
+        exprs.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{cat}")
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    return ",\n         ".join(exprs)
 
 
 def _scrub_sql() -> str:

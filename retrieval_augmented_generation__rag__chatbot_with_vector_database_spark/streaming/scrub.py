@@ -44,9 +44,12 @@ def start_scrub_stream(
     """Landing dir -> scrubbed parquet sink. ``availableNow`` drains
     what's present and stops (the ingest-stream convention here);
     restart with the same checkpoint to pick up new files
-    exactly-once."""
+    exactly-once. ``text_col`` names the landing schema's text column
+    (the other two fields are fixed: doc_id, source)."""
     stream = (
-        spark.readStream.schema(SCRUB_STREAM_SCHEMA)
+        spark.readStream.schema(
+            f"doc_id long, source string, {text_col} string"
+        )
         .parquet(landing_dir)
     )
     scrubbed = scrub_documents(stream, text_col=text_col, keep_text=False)

@@ -39,6 +39,26 @@ def test_scrub_and_counts(spark):
         assert out[i]["n_pii"] == n, i
 
 
+def test_shielded_counts_match_scrub_emissions(spark):
+    # adversarial: a phone-shaped email local part must count as ONE
+    # email and ZERO phones — counts equal the placeholders emitted
+    df = spark.createDataFrame(
+        [
+            (0, "reach me at 123-456-7890@example.com now"),
+            (1, "10.0.0.7@sub.example.com pinged"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_documents(df).collect()}
+    assert rows[0]["n_email"] == 1 and rows[0]["n_phone"] == 0
+    assert rows[0]["text_scrubbed"] == "reach me at [EMAIL] now"
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ipv4"] == 0
+    assert rows[1]["text_scrubbed"] == "[EMAIL] pinged"
+    for r in rows.values():
+        emitted = sum(r["text_scrubbed"].count(t) for _, _, t in PII_PATTERNS)
+        assert r["n_pii"] == emitted
+
+
 def test_idempotent(spark):
     once = _df(spark).select("doc_id", pii_scrub("text").alias("text"))
     twice = once.select("doc_id", pii_scrub("text").alias("text"))

@@ -4,7 +4,7 @@ done-criterion; the JL leg also exercises the sparse-gather branch of
 the adaptive verification at scale).
 
 At 500k x 64-d the packed corpus is 256 MB raw (n*dim*8) -- far past
-BROADCAST_BUDGET_BYTES (32 MB) -- so ``embedding_neardup_pairs`` must
+BROADCAST_BUDGET_BYTES (64 MB) -- so ``embedding_neardup_pairs`` must
 pick the shuffle-replicated block-pair grid. The check:
 
 1. builds 500k synthetic vectors JVM-side (id-seeded, no driver data),
