@@ -711,7 +711,14 @@ def _block_pair_tasks(
     # partitions land empty while stragglers carry 2-4 sequential
     # GEMMs. At load factor 1/4 the max load is almost surely 1; AQE
     # coalesces the empties so the extra partitions cost nothing.
-    n_parts = n_tasks * 4
+    # The low-load argument only matters while the grid is SMALL
+    # relative to the cluster — once n_tasks ≫ slots, per-partition
+    # task counts average out and more partitions just add scheduler
+    # and shuffle-file pressure (B~490 near the 2M exact ceiling
+    # would mean ~480k partitions uncapped) — so cap at a multiple
+    # of cluster parallelism.
+    spark_par = packed.sparkSession.sparkContext.defaultParallelism
+    n_parts = min(n_tasks * 4, max(8 * spark_par, 256))
     a_ex = packed.select(
         F.col("blk").alias("blk_a"),
         F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("blk_b"),
@@ -736,7 +743,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     n_blocks: int | None = None,
     rows_per_block: int = 8_000,
-    route: str = "auto",
+    route: str = "exact",
     broadcast_budget_bytes: int = BROADCAST_BUDGET_BYTES,
     ivf_above_rows: int = IVF_ROUTE_ABOVE_ROWS,
     centroids: list[tuple[int, list[float]]] | None = None,
@@ -761,20 +768,27 @@ def embedding_neardup_pairs(
 
     Routing contract (``route``):
 
-    - ``"exact"`` — always the exact blocked GEMM. The packed corpus
-      is broadcast only while its raw bytes (n·dim·8) fit
+    - ``"exact"`` (default) — the exact blocked GEMM. The packed
+      corpus is broadcast only while its raw bytes (n·dim·8) fit
       ``broadcast_budget_bytes``; above that the block-pair grid is
       built by shuffle replication with NO full-corpus broadcast
       (see ``_block_pair_tasks``) — output pairs are byte-identical
-      either way, only the join strategy changes.
+      either way, only the join strategy changes. Above
+      ``ivf_above_rows`` rows (the O(N²) FLOPs wall, not a memory
+      limit) this route RAISES rather than silently degrading:
+      callers must explicitly pick ``route="ivf"`` (sub-quadratic,
+      approximate) or raise ``ivf_above_rows`` to force the exact
+      quadratic run.
     - ``"ivf"`` — sub-quadratic: pre-bucket on nearest centroid and
       emit intra-bucket pairs only (``embedding_neardup_pairs_ivf``).
       Approximate by contract — cross-bucket pairs are missed.
       ``centroids=None`` trains k = ⌈n/rows_per_block⌉ (min 16)
       seeds with one Lloyd refinement.
-    - ``"auto"`` (default) — exact below ``ivf_above_rows`` rows,
-      IVF above (with a ``RuntimeWarning`` naming the switch), since
-      past ~2M rows the O(N²) FLOPs — not memory — are the wall.
+    - ``"auto"`` — explicit opt-in to size-adaptive routing: exact
+      below ``ivf_above_rows``, IVF above (with a ``RuntimeWarning``
+      naming the switch). Not the default precisely because the
+      switch changes result completeness with corpus size; pipelines
+      that opt in accept that and should surface the warning.
     """
     import pandas as pd
 
@@ -786,6 +800,16 @@ def embedding_neardup_pairs(
             df, centroids, id_col=id_col, vec_col=vec_col, threshold=threshold
         )
     n, dim = _corpus_shape(df, vec_col)
+    if route == "exact" and n > ivf_above_rows:
+        raise RuntimeError(
+            f"embedding_neardup_pairs: n={n} exceeds ivf_above_rows="
+            f"{ivf_above_rows} — the exact route is O(N²·dim) FLOPs and "
+            "past this wall the quadratic cost, not memory, dominates. "
+            "Pass route='ivf' for the sub-quadratic intra-bucket pairs "
+            "(approximate: cross-bucket pairs are missed), raise "
+            "ivf_above_rows to force the exact quadratic run, or "
+            "route='auto' to opt in to size-adaptive switching."
+        )
     if route == "ivf" or (route == "auto" and n > ivf_above_rows):
         if route == "auto":
             warnings.warn(

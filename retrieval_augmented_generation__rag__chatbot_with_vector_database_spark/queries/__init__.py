@@ -154,6 +154,14 @@ DRIVER_WINDOW_PRIORITY = [
 
 
 def _prioritize() -> None:
+    missing = [n for n in DRIVER_WINDOW_PRIORITY if n not in REGISTRY]
+    if missing:
+        # A renamed/removed query must not silently un-pin a
+        # scale-critical family from the driver's 50-entry window.
+        raise RuntimeError(
+            "DRIVER_WINDOW_PRIORITY names missing from REGISTRY "
+            f"(rename the pin or restore the query): {missing}"
+        )
     front = [n for n in DRIVER_WINDOW_PRIORITY if n in REGISTRY]
     rest = [n for n in REGISTRY if n not in set(front)]
     ordered = {n: REGISTRY[n] for n in front + rest}
