@@ -25,13 +25,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: (category, regex, replacement token) — ordered, though order is
-#: immaterial for these non-overlapping patterns (see module doc).
+#: (category, regex, replacement token) — ordered (earlier classes
+#: shield later ones, see module doc). Exact covered formats:
+#:
+#: - email: ``local@domain.tld`` (RFC-ish local part charset)
+#: - ssn:   ``\d{3} SEP \d{2} SEP \d{4}`` with SEP ∈ {-, space}
+#:          (``123-45-6789``, ``123 45 6789``); bare 9-digit runs are
+#:          NOT matched (too many false positives on ordinary ids)
+#: - card:  four 4-digit groups, separators ∈ {-, space} or none
+#:          (``4111-1111-1111-1111``, ``4111 1111 1111 1111``,
+#:          ``4111111111111111``); runs of ≠16 digits never match
+#:          (the trailing ``\b`` kills 17+-digit runs)
+#: - phone: NANP 10-digit with area code either parenthesized
+#:          (``(415) 555-0134``, optional space after the paren) or
+#:          bare with separators ∈ {-, ., space}
+#:          (``415-555-0134``, ``415.555.0134``, ``415 555 0134``);
+#:          bare 10-digit runs are NOT matched
+#: - ipv4:  dotted quads of 1-3 digits (documented over-capture:
+#:          3-dot version strings match; out-of-range octets match)
+#:
+#: Callers relying on ``keep_text=False`` as a scrub gate should
+#: treat anything outside these shapes (international phone formats,
+#: IBANs, passport numbers, free-text names/addresses) as UNCOVERED.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
-    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "[CARD]"),
-    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ssn", r"\b\d{3}[- ]\d{2}[- ]\d{4}\b", "[SSN]"),
+    ("card", r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b", "[CARD]"),
+    ("phone", r"(?:\(\d{3}\) ?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b", "[PHONE]"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IPV4]"),
 ]
 

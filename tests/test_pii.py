@@ -20,6 +20,15 @@ SAMPLES = [
     # over-capture: \d{1,3} quads); 2-dot versions must not
     (6, "semver 1.2.3 stays", "semver 1.2.3 stays", 0),
     (7, "a@b.io and 10.0.0.7 and 123-45-6789", "[EMAIL] and [IPV4] and [SSN]", 3),
+    # round-11 broadened formats (ADVICE r10): contiguous card,
+    # parenthesized + space-separated phones, space-separated SSN
+    (8, "card 4111111111111111 swiped", "card [CARD] swiped", 1),
+    (9, "call (415) 555-0134 or (415)555-0134", "call [PHONE] or [PHONE]", 2),
+    (10, "call 415 555 0134 back", "call [PHONE] back", 1),
+    (11, "ssn 123 45 6789 on file", "ssn [SSN] on file", 1),
+    # 17+-digit runs are NOT cards (trailing \b), bare 9/10-digit runs
+    # are NOT ssn/phone (separator required)
+    (12, "ref 41111111111111112 and 4155550134 and 123456789", "ref 41111111111111112 and 4155550134 and 123456789", 0),
 ]
 
 
