@@ -163,11 +163,112 @@ def chunk_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("chunk_sample", None)  # Python-kernel semantics → rows-only
+# Full-value oracle for the recursive chunker (round 11, VERDICT r10
+# item 2 — chunk text + ids are deterministic, rows-only was
+# under-claiming). The fixture corpus is single-separator text (spaces
+# only, no atom ≥ chunk_size — asserted by the WHERE below failing the
+# rowcount if violated), so LangChain's recursive splitter degenerates
+# to ONE greedy merge pass over space-glued pieces
+# (operators/chunker.py:_merge_splits). That pass is an independent
+# DuckDB reimplementation here: prefix sums turn the stateful
+# pop-from-front overlap loop into "smallest k whose suffix total
+# stops the while condition" (the condition is monotone in k), so a
+# recursive CTE stepping one piece per iteration carries only
+# (i, lo, emitted-windows) scalars per doc. The general multi-level
+# recursion stays Python-only (unit-tested vs LangChain goldens).
+def chunker_merge_oracle_sql(input_sql: str) -> str:
+    """DuckDB twin of the 500/50 greedy merge over any ``(doc_id,
+    text)`` relation (single-separator text only — see the
+    _CHUNK_SAMPLE_ORACLE commentary). Returns a complete
+    ``WITH RECURSIVE … SELECT doc_id, local_index, n_chunks,
+    chunk_id, text`` statement; embed it as a subquery to chunk a
+    derived relation (e.g. the scrubbed planted corpus in
+    ``pii_queries.corpus_scrub_ingest_pipeline``)."""
+    return _CHUNKER_MERGE_SQL_TEMPLATE.format(input_sql=input_sql)
+
+
+_CHUNKER_MERGE_SQL_TEMPLATE = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, string_split(text, ' ') AS parts
+  FROM ({input_sql})
+),
+p AS (
+  -- keep_separator=True piece list: separator glued to the FRONT of
+  -- the following piece; an empty leading part is dropped
+  SELECT doc_id,
+         (CASE WHEN parts[1] = '' THEN CAST([] AS VARCHAR[]) ELSE [parts[1]] END)
+         || list_transform(parts[2:], x -> ' ' || x) AS ps
+  FROM d
+),
+c AS (
+  -- cum0[k+1] = total chars of the first k pieces (1-indexed, 0-led)
+  SELECT doc_id,
+         list_prepend(CAST(0 AS BIGINT), list(s ORDER BY j)) AS cum0,
+         CAST(max(j) AS BIGINT) AS n
+  FROM (
+    SELECT doc_id, j,
+           CAST(sum(length(piece)) OVER (PARTITION BY doc_id ORDER BY j) AS BIGINT) AS s
+    FROM (SELECT doc_id, unnest(ps) AS piece, generate_subscripts(ps,1) AS j FROM p)
+  ) GROUP BY doc_id
+),
+step AS (
+  -- _merge_splits: window = pieces[lo..i-1] (0-indexed); on overflow
+  -- emit the window and advance lo to the first k where the
+  -- pop-while condition (total > 50 OR (total+plen > 500 AND
+  -- total > 0)) turns false — monotone, so min-of-filter == the loop
+  SELECT doc_id, cum0, n, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS lo,
+         CAST([] AS STRUCT(lo BIGINT, hi BIGINT)[]) AS outw
+  FROM c
+  UNION ALL
+  SELECT doc_id, cum0, n, i+1,
+         CASE WHEN (cum0[i+1]-cum0[lo+1]) + (cum0[i+2]-cum0[i+1]) > 500 AND lo < i
+              THEN list_min(list_filter(range(lo, i+1),
+                     k -> cum0[i+1]-cum0[k+1] <= 50
+                          AND (cum0[i+1]-cum0[k+1] + (cum0[i+2]-cum0[i+1]) <= 500
+                               OR cum0[i+1]-cum0[k+1] = 0)))
+              ELSE lo END,
+         CASE WHEN (cum0[i+1]-cum0[lo+1]) + (cum0[i+2]-cum0[i+1]) > 500 AND lo < i
+              THEN list_append(outw, struct_pack(lo := lo, hi := i))
+              ELSE outw END
+  FROM step WHERE i < n
+),
+fin AS (
+  SELECT doc_id, list_append(outw, struct_pack(lo := lo, hi := n)) AS outw
+  FROM step WHERE i = n AND lo < n
+),
+raw AS (
+  SELECT f.doc_id, unnest(f.outw) AS w, generate_subscripts(f.outw, 1) AS ord
+  FROM fin f
+),
+txts AS (
+  SELECT r.doc_id, r.ord,
+         trim(array_to_string(p.ps[(r.w).lo + 1 : (r.w).hi], '')) AS text
+  FROM raw r JOIN p ON p.doc_id = r.doc_id
+),
+kept AS (
+  SELECT doc_id, text,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS local_index,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS n_chunks
+  FROM txts WHERE text <> ''
+)
+SELECT doc_id, local_index, n_chunks,
+       'doc_' || local_index || '_' || substr(md5(text), 1, 8) AS chunk_id,
+       text
+FROM kept
+"""
+
+_CHUNK_SAMPLE_ORACLE = chunker_merge_oracle_sql(
+    "SELECT doc_id, text FROM documents WHERE doc_id < 50"
+)
+
+
+@register("chunk_sample", _CHUNK_SAMPLE_ORACLE)
 def chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 + F1 end-to-end sample: chunks with content-addressed ids
     for the first documents (golden parity with the reference's
-    splitter is unit-tested; this exercises the distributed path)."""
+    splitter is unit-tested; this exercises the distributed path).
+    Full-value oracle: an independent DuckDB recursive-CTE
+    reimplementation of the greedy merge (see _CHUNK_SAMPLE_ORACLE)."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     chunks = chunk_documents(docs, chunk_size=500, chunk_overlap=50)
     return chunks.select("doc_id", "local_index", "n_chunks", "chunk_id", "text")

@@ -122,7 +122,20 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("media_id").agg(F.count("*").alias("n_sampled"))
 
 
-@register("multimodal_feature_selfmatch", None)  # byte-derived → rows-only
+# Full-value contract oracle (round 11; was rows-only): payloads are
+# md5-chained from the media id (operators/multimodal.py:_build_payload)
+# so all 64 features are distinct unit vectors — each query's true
+# top-1 cosine neighbor is itself at exactly 1.0, strictly above every
+# other candidate. The output carries no floats, so the whole row is
+# hash-checkable; a kernel or search defect (wrong neighbor, dropped
+# query, id mixup) breaks the hash.
+_SELFMATCH_ORACLE = """
+SELECT doc_id AS query_id, doc_id AS matched_id, true AS is_self
+FROM documents WHERE doc_id < 64
+"""
+
+
+@register("multimodal_feature_selfmatch", _SELFMATCH_ORACLE)
 def multimodal_feature_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media → feature vector → top-k self-similarity through the
     SAME search operators as text (operators.topk): every item's
