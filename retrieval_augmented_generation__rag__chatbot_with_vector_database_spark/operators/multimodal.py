@@ -333,12 +333,38 @@ def phash_media(
     return imgs.mapInPandas(kernel, "media_id long, phash long")
 
 
+def _banded_values(hash_col: str, bands: int) -> "Column":
+    """Array of ``bands`` near-equal-width bit-band values of a 64-bit
+    hash (13/13/13/13/12 at bands=5 — widths need not divide 64)."""
+    base_w, rem = divmod(64, bands)
+    widths = [base_w + 1] * rem + [base_w] * (bands - rem)
+    offsets = [sum(widths[:b]) for b in range(bands)]
+    return F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), offsets[b]).bitwiseAND(
+                F.lit((1 << widths[b]) - 1)
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _explode_bands(hashes: DataFrame, id_col: str, hash_col: str, bands: int) -> DataFrame:
+    return hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.posexplode(_banded_values(hash_col, bands)).alias("band", "bval"),
+    )
+
+
 def phash_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = 4,
-    bands: int = 8,
+    bands: int | str = "auto",
     id_col: str = "media_id",
     hash_col: str = "phash",
+    bval_cap: int | None = None,
+    max_band_rounds: int = 3,
 ) -> DataFrame:
     """Near-duplicate image pairs by banded Hamming join — the
     MinHash-LSH shape on 64-bit perceptual hashes: split each hash
@@ -353,35 +379,100 @@ def phash_neardup_pairs(
     sub-quadratic as long as band values spread. Candidate volume is
     the knob: narrow bands (many) collide quadratically on large
     corpora (8-bit buckets at 1M uniform hashes already hold ~4k
-    items each), so production sizes ``bands`` DOWN toward the
-    guarantee floor ``max_hamming + 1`` — widths need not divide 64
-    evenly (13/13/13/13/12 at bands=5). The popcount verify runs
+    items each), so ``bands="auto"`` (default) sizes DOWN to the
+    guarantee floor ``max_hamming + 1`` — the fewest, widest bands,
+    which minimizes both exploded rows and per-band collision rates
+    for any near-uniform bit distribution. The popcount verify runs
     BEFORE the pair dedup, so the big candidate stream is filtered by
     codegen'd xor+bit_count and only surviving near-dups pay the
     distinct's shuffle.
+
+    **Hot-bucket guard** (``bval_cap``, ADVICE r10): visually flat or
+    mass-duplicated corpora concentrate a band value — one (band,
+    bval) bucket holding c of n images makes the self-join emit c²/2
+    candidate rows, quadratic on that key (the same failure mode
+    ``substring_span_pairs`` caps with ``df_cap``). With ``bval_cap``
+    set, buckets holding more than that many ids are EXCLUDED from
+    the join — and unlike a bare drop, exactness is preserved by
+    re-banding: if ``h`` bands contain at least one over-cap bucket,
+    any pair within ``max_hamming`` still has ``bands - max_hamming -
+    h`` untouched bands that are entirely cap-free, so ``bands`` is
+    grown (auto mode) until ``bands ≥ max_hamming + h + 1`` — then
+    every qualifying pair still shares ≥ 1 joined band and the
+    result is EXACT UNDER CAP. Growth is re-probed up to
+    ``max_band_rounds`` times (re-banding moves bucket boundaries);
+    if it cannot converge — a corpus so degenerate that most bands
+    stay hot — the call raises rather than silently dropping pairs.
+    Each probe is one count-aggregate over (band, bval) rows (8-byte
+    hashes, never pixels); ``hashes`` is checkpointed first so the
+    upstream DCT kernel runs once, not once per probe.
+
+    Truly degenerate corpora (thousands of byte-identical images)
+    should be exact-deduped upstream (``media_dedup_exact``) — a
+    quadratic PAIR LIST over c identical images is quadratic output,
+    not a join inefficiency any banding can fix.
     """
-    if not (max_hamming < bands <= 64):
+    auto = bands == "auto"
+    if auto:
+        bands = max_hamming + 1
+    if not (isinstance(bands, int) and max_hamming < bands <= 64):
         raise ValueError(
             f"bands={bands} must exceed max_hamming={max_hamming} (the "
             "pigeonhole guarantee needs one band no flip can touch) "
             "and fit in 64 bits"
         )
-    base_w, rem = divmod(64, bands)
-    widths = [base_w + 1] * rem + [base_w] * (bands - rem)
-    offsets = [sum(widths[:b]) for b in range(bands)]
-    bvals = F.array(
-        *[
-            F.shiftrightunsigned(F.col(hash_col), offsets[b]).bitwiseAND(
-                F.lit((1 << widths[b]) - 1)
+
+    if bval_cap is not None:
+        if max_band_rounds < 1:
+            raise ValueError("max_band_rounds must be >= 1")
+        # probe loop: grow bands until capped buckets can't uncover a
+        # qualifying pair (bands ≥ max_hamming + hot_bands + 1)
+        hashes = hashes.localCheckpoint()
+        for _ in range(max_band_rounds):
+            hot = (
+                _explode_bands(hashes, id_col, hash_col, bands)
+                .groupBy("band", "bval")
+                .agg(F.count("*").alias("c"))
+                .filter(F.col("c") > bval_cap)
+                .agg(F.count_distinct("band").alias("h"))
+                .first()["h"]
             )
-            for b in range(bands)
-        ]
-    )
-    exploded = hashes.select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col).alias("h"),
-        F.posexplode(bvals).alias("band", "bval"),
-    )
+            need = max_hamming + hot + 1
+            if need <= bands:
+                break
+            if not auto:
+                raise RuntimeError(
+                    f"phash_neardup_pairs: {hot} of {bands} bands contain "
+                    f"over-cap (>{bval_cap}) buckets — capping them would "
+                    f"break the pigeonhole guarantee (needs bands ≥ "
+                    f"{need}). Pass bands='auto' to grow, raise bval_cap, "
+                    "or exact-dedup the corpus first."
+                )
+            if need > 64:
+                raise RuntimeError(
+                    f"phash_neardup_pairs: cap convergence needs {need} "
+                    "bands (> 64 bits) — the corpus concentrates band "
+                    "values too heavily for a capped banded join; "
+                    "exact-dedup identical images first or raise bval_cap."
+                )
+            bands = need
+        else:
+            raise RuntimeError(
+                f"phash_neardup_pairs: band growth did not converge in "
+                f"{max_band_rounds} rounds (bands={bands}, still-hot "
+                f"bands would need ≥ {need}); exact-dedup the corpus "
+                "first or raise bval_cap."
+            )
+
+    exploded = _explode_bands(hashes, id_col, hash_col, bands)
+    if bval_cap is not None:
+        keep = (
+            exploded.groupBy("band", "bval")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") <= bval_cap)
+            .select("band", "bval")
+        )
+        exploded = exploded.join(keep, ["band", "bval"])
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(b, ["band", "bval"])

@@ -145,3 +145,89 @@ def test_phash_unequal_bands_still_exact(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert {(i, i + 1000) for i in range(200)} <= set(got)
     assert all(got[(i, i + 1000)] == 4 for i in range(200))
+
+
+def test_phash_auto_bands_is_pigeonhole_floor(spark):
+    # bands="auto" (the default) = max_hamming + 1: same exact pairs
+    # as any explicit valid banding, fewest exploded rows
+    import pyspark.sql.functions as F
+
+    base = spark.range(300).select(
+        F.col("id").alias("media_id"), F.xxhash64("id").alias("phash")
+    )
+    twins = spark.range(300).select(
+        (F.col("id") + 1000).alias("media_id"),
+        F.xxhash64("id").bitwiseXOR(F.lit((1 << 7) | (1 << 44))).alias("phash"),
+    )
+    items = base.unionByName(twins)
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in mm.phash_neardup_pairs(items, max_hamming=4).collect()
+    }
+    explicit = {
+        (r["id_a"], r["id_b"])
+        for r in mm.phash_neardup_pairs(items, max_hamming=4, bands=8).collect()
+    }
+    assert auto == explicit
+    assert {(i, i + 1000) for i in range(300)} <= auto
+
+
+def test_phash_bval_cap_exact_under_cap(spark):
+    # adversarial low-entropy corpus: 400 hashes share the low 13
+    # bits (one giant bucket in band 0 at the floor split) plus
+    # planted twins elsewhere. With bval_cap set, the hot bucket is
+    # excluded and bands grow so the pigeonhole still covers every
+    # qualifying pair — output pairs must equal the uncapped run's.
+    import pyspark.sql.functions as F
+
+    # flat region: low 13 bits all-zero, high bits random
+    flat = spark.range(400).select(
+        F.col("id").alias("media_id"),
+        F.shiftleft(F.xxhash64("id"), 13).alias("phash"),
+    )
+    twins = spark.range(400).select(
+        (F.col("id") + 10_000).alias("media_id"),
+        F.shiftleft(F.xxhash64("id"), 13)
+        .bitwiseXOR(F.lit((1 << 2) | (1 << 40)))
+        .alias("phash"),
+    )
+    items = flat.unionByName(twins)
+    uncapped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in mm.phash_neardup_pairs(items, max_hamming=4).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in mm.phash_neardup_pairs(
+            items, max_hamming=4, bval_cap=100
+        ).collect()
+    }
+    assert capped == uncapped
+    assert {(i, i + 10_000, 2) for i in range(400)} <= capped
+
+
+def test_phash_bval_cap_nonconvergence_raises(spark):
+    # every hash identical: every band stays hot at every growth —
+    # must raise (quadratic pair list is an output problem, not a
+    # join problem), never silently drop
+    import pyspark.sql.functions as F
+
+    items = spark.range(500).select(
+        F.col("id").alias("media_id"), F.lit(12345).cast("long").alias("phash")
+    )
+    with pytest.raises(RuntimeError, match="converge|exact-dedup"):
+        mm.phash_neardup_pairs(items, max_hamming=4, bval_cap=50).collect()
+
+
+def test_phash_bval_cap_explicit_bands_raises_when_unsafe(spark):
+    # explicit bands + cap that would break the guarantee: loud error
+    import pyspark.sql.functions as F
+
+    items = spark.range(300).select(
+        F.col("id").alias("media_id"),
+        F.shiftleft(F.xxhash64("id"), 13).alias("phash"),
+    )
+    with pytest.raises(RuntimeError, match="pigeonhole"):
+        mm.phash_neardup_pairs(
+            items, max_hamming=4, bands=5, bval_cap=100
+        ).collect()

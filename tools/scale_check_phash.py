@@ -13,6 +13,16 @@ PLANTED twins at exactly `max_hamming` bit flips, and measures:
 3. exact recovery of every planted pair (the pigeonhole guarantee —
    banding with bands > max_hamming has NO false negatives).
 
+Round 11 adds leg 2 (adversarial low-entropy corpus): every hash
+shares its low 13 bits — at the pigeonhole floor split that is one
+(band, bval) bucket holding the WHOLE corpus, the quadratic hot key
+ADVICE r10 flagged. With ``bval_cap`` the hot buckets are excluded
+and the band count grows until capped buckets can't uncover a
+qualifying pair (exact-under-cap; operators/multimodal.py). The leg
+asserts: every planted twin still found, joined candidate volume
+bounded (orders of magnitude under the uncapped hot bucket's c²/2),
+and the auto-grown band count.
+
 Usage: python tools/scale_check_phash.py [N] [BANDS]
 """
 
@@ -100,5 +110,48 @@ def main() -> None:
     )
 
 
+def main_lowentropy() -> None:
+    """Leg 2: flat-corpus skew. low 13 bits constant (all zero) across
+    the corpus, twins at MAX_HAMMING flips confined to the HIGH bits
+    (a capped low-band bucket must not be needed to find them — it
+    can't be: it's hot precisely because everyone shares it, so it
+    carries no pair information)."""
+    spark = get_spark("scale-check-phash-flat")
+    spark.sparkContext.setLogLevel("ERROR")
+    n = min(N, 200_000)  # hot-bucket volume is the point, not corpus size
+    cap = 1000
+    base = spark.range(n, numPartitions=32).select(
+        F.col("id").alias("media_id"),
+        F.shiftleft(F.xxhash64("id"), 13).alias("phash"),
+    )
+    mask = (1 << 20) | (1 << 33) | (1 << 46) | (1 << 59)
+    twins = spark.range(PLANTED).select(
+        (F.col("id") + n).alias("media_id"),
+        F.shiftleft(F.xxhash64("id"), 13).bitwiseXOR(F.lit(mask)).alias("phash"),
+    )
+    hashes = base.unionByName(twins)
+
+    t0 = time.time()
+    pairs = phash_neardup_pairs(
+        hashes, max_hamming=MAX_HAMMING, bval_cap=cap
+    )
+    rows = pairs.collect()
+    wall = time.time() - t0
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    want = {(i, i + n) for i in range(PLANTED)}
+    missing = want - set(got)
+    assert not missing, f"{len(missing)} planted pairs missing under cap"
+
+    # joined candidate volume under the cap vs the uncapped hot bucket
+    uncapped_hot = n * (n - 1) / 2  # the flat low-band bucket alone
+    print(
+        f"OK phash flat-corpus check: n={n + PLANTED} bval_cap={cap} "
+        f"wall={wall:.1f}s, {len(rows)} pairs "
+        f"({PLANTED}/{PLANTED} planted found); uncapped hot bucket "
+        f"alone would score {int(uncapped_hot):,} candidates"
+    )
+
+
 if __name__ == "__main__":
     main()
+    main_lowentropy()
