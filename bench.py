@@ -141,9 +141,65 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     N_PASSES = 5
+
+    # Ingest setup — measured INSIDE the interleaved pass loop below
+    # (round 11): r10's back-to-back best-of-2 block ran OUTSIDE the
+    # grid, so when ingest halved (3,059 → 1,658 chunks/s) on
+    # untouched code there was no anchor to attribute it against. Now
+    # each pass runs ONE ingest attempt, immediately preceded by a
+    # 1024² numpy GEMM canary (healthy host ≈ 140 GFLOPS; observed
+    # noisy-neighbor windows drop it to 0.8-5 — SCALE.md round-10
+    # addendum), so every ingest sample carries its own host-health
+    # reading and the 5 samples are minutes apart like the queries.
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+        HashEmbedder,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        VectorIndex,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
+        docs_to_records,
+    )
+
+    ingest_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "text", "source || '/' || doc_id AS source"
+    )
+
+    def _gemm_canary() -> float:
+        """min-of-3 1024² float64 GEMM, in GFLOPS."""
+        import numpy as np
+
+        a = np.random.default_rng(0).random((1024, 1024))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            a @ a
+            best = min(best, time.time() - t0)
+        return round(2 * 1024**3 / best / 1e9, 1)
+
+    def _ingest_attempt() -> tuple[float, int]:
+        """One fresh-index chunk→embed→index run; (seconds, chunks).
+        Fresh index per attempt: a second upsert into the SAME index
+        would measure the LWW merge, a different workload."""
+        with tempfile.TemporaryDirectory() as tmp:
+            idx = VectorIndex(spark, tmp, "bench-index").create(dimension=64)
+            t0 = time.time()
+            n = idx.upsert(
+                docs_to_records(ingest_docs, HashEmbedder(dimension=64)), batch=0
+            )
+            return time.time() - t0, n
+
     attempts: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
+    ingest_samples: list[float] = []
+    ingest_canaries: list[float] = []
+    n_chunks = 0
     for _ in range(N_PASSES):
+        ingest_canaries.append(_gemm_canary())
+        dt, n_chunks = _ingest_attempt()
+        ingest_samples.append(round(dt, 3))
         for name in HEADLINE:
             qd = REGISTRY[name]
             t0 = time.time()
@@ -171,38 +227,17 @@ def main() -> None:
 
     # ingest throughput (BASELINE.md: reference ~100 chunks/s CPU):
     # full chunk -> content-addressed id -> embed -> parquet-write
-    # pipeline over the documents table
-    import tempfile
-
-    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
-        HashEmbedder,
-    )
-    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
-        VectorIndex,
-    )
-    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
-        docs_to_records,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
-        "text", "source || '/' || doc_id AS source"
-    )
-    # best-of-2, fresh index per attempt (same host-noise rationale
-    # as the query loop; a second upsert into the SAME index would
-    # measure the LWW merge, a different workload)
-    ingest_s, n_chunks = None, 0
-    for _ in range(2):
-        with tempfile.TemporaryDirectory() as tmp:
-            idx = VectorIndex(spark, tmp, "bench-index").create(dimension=64)
-            t0 = time.time()
-            n_chunks = idx.upsert(
-                docs_to_records(docs, HashEmbedder(dimension=64)), batch=0
-            )
-            dt = time.time() - t0
-            ingest_s = dt if ingest_s is None or dt < ingest_s else ingest_s
+    # pipeline, sampled once per interleaved pass above with a GEMM
+    # canary per sample. Headline = min attempt (least-noise); the
+    # canary at that attempt says whether the host was healthy when
+    # the headline number was taken.
+    ingest_s = min(ingest_samples)
+    best_i = ingest_samples.index(ingest_s)
     chunks_per_s = round(n_chunks / ingest_s, 1)
     print(
-        f"# ingest: {n_chunks} chunks in {ingest_s:.2f}s = {chunks_per_s}/s",
+        f"# ingest: {n_chunks} chunks, min {ingest_s:.2f}s = {chunks_per_s}/s "
+        f"(attempts {ingest_samples}, canary GFLOPS {ingest_canaries}, "
+        f"canary@min {ingest_canaries[best_i]})",
         file=sys.stderr,
     )
 
@@ -221,6 +256,8 @@ def main() -> None:
         "sf": sf,
         "ingest_chunks_per_sec": chunks_per_s,
         "ingest_chunks": n_chunks,
+        "ingest_attempts_sec": ingest_samples,
+        "ingest_canary_gflops": ingest_canaries,
     }
     print(json.dumps(record))
 
