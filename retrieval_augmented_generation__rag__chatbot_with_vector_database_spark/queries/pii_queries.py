@@ -154,3 +154,90 @@ def text_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_removed"),
     )
+
+
+# Scrub-ingest funnel oracle: planted PII corpus → scrub (the same
+# generated regex fold) → the 500/50 greedy-merge chunker twin
+# (ingest_queries.chunker_merge_oracle_sql) → content-addressed chunk
+# ids. DISTINCT mirrors the VectorIndex's id-keyed LWW: chunks that
+# collide on id are byte-identical text by construction (the id
+# embeds md5(text) and local_index), so both engines collapse them
+# identically. n_pii_residual re-runs the shielded counts on each
+# CHUNK independently — every chunk is a contiguous span of scrubbed
+# text, so it must be 0; a scrub-after-chunk (or no-scrub) defect
+# breaks both the ids and this column.
+def _scrub_pipe_oracle() -> str:
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.ingest_queries import (
+        chunker_merge_oracle_sql,
+    )
+
+    scrubbed = f"""
+    SELECT doc_id, {_scrub_sql()} AS text
+    FROM ({_PLANTED_SQL.strip()})
+    WHERE doc_id < 50
+    """
+    chunked = chunker_merge_oracle_sql(scrubbed)
+    counts, cur = [], "text"
+    for cat, pat, token in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    residual = " + ".join(counts)
+    return f"""
+SELECT DISTINCT
+       'doc_' || local_index || '_' || substr(md5(text), 1, 8) AS id,
+       CAST(local_index AS INT) AS chunk_index,
+       md5(text) AS chunk_md5,
+       CAST({residual} AS BIGINT) AS n_pii_residual
+FROM ({chunked})
+"""
+
+
+@register("corpus_scrub_ingest_pipeline", _scrub_pipe_oracle())
+def corpus_scrub_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub-before-anything ingest funnel, end to end: planted-PII
+    documents → ``pii_scrub`` → chunk → embed → ``VectorIndex`` LWW
+    upsert → read back. The reference ingests raw user text verbatim
+    (``scripts/ingest_documents.py:42-64``); this pipeline's contract
+    is that raw text never survives past the first stage — chunk ids
+    are content-addressed over the SCRUBBED text (a leak changes every
+    id) and ``n_pii_residual`` re-scans every indexed chunk (must be
+    0). Collected at the fixture slice (≤ ~120 chunks), not index
+    scale; the dataflow under test (``docs_to_records(scrub=True)``)
+    is the same narrow map at any scale."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+        HashEmbedder,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.pii import (
+        pii_counts,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        VectorIndex,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
+        docs_to_records,
+    )
+
+    planted = _planted(load(spark, sf_dir, "documents")).filter(F.col("doc_id") < 50)
+    docs = planted.select(
+        "text",
+        F.concat(F.lit("mem://doc/"), F.col("doc_id").cast("string")).alias(
+            "source"
+        ),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VectorIndex(spark, tmp, "scrub-pipe").create(dimension=64)
+        idx.upsert(
+            docs_to_records(docs, HashEmbedder(dimension=64), scrub=True), batch=0
+        )
+        back = idx.read().select("id", "chunk_index", "text")
+        rows = back.collect()
+    out = spark.createDataFrame(rows, back.schema)
+    residual = sum(pii_counts(F.col("text")).values())
+    return out.select(
+        "id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.md5(F.col("text").cast("binary")).alias("chunk_md5"),
+        residual.cast("long").alias("n_pii_residual"),
+    )

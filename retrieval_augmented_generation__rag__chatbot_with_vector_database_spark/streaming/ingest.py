@@ -50,20 +50,38 @@ def docs_to_records(
     provider: EmbeddingProvider,
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
+    scrub: bool = False,
 ) -> DataFrame:
     """The shared ingest dataflow (batch and per-micro-batch): docs
-    ``(text, source)`` → chunks → embeddings → upsertable records
-    ``(id, embedding, text, source, chunk_index)``.
+    ``(text, source)`` → [PII scrub] → chunks → embeddings →
+    upsertable records ``(id, embedding, text, source, chunk_index)``.
 
     ``doc_id`` is a hash of the source path — stable across re-reads —
     and chunk ids are content-addressed (``functions.text.chunk_id``),
     so the whole map is deterministic w.r.t. file content.
+
+    ``scrub=True`` runs ``operators.pii.pii_scrub`` BEFORE chunking —
+    the scrub-before-anything funnel stage: raw text never reaches
+    the chunker, the embedder, or the sink, and chunk ids are
+    content-addressed over the SCRUBBED text (so a scrubbed and an
+    unscrubbed ingest of the same file produce disjoint ids rather
+    than silently colliding). The reference ingests raw user text
+    verbatim (``scripts/ingest_documents.py:42-64``); a pipeline
+    feeding model training must not.
     """
     base = docs.select(
         F.xxhash64("source").alias("doc_id"),
         "text",
         "source",
     )
+    if scrub:
+        from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.pii import (
+            pii_scrub,
+        )
+
+        base = base.select(
+            "doc_id", pii_scrub("text").alias("text"), "source"
+        )
     chunks = chunk_documents(base, chunk_size, chunk_overlap)
     embedded = embed_text_column(chunks, provider, text_col="text", out_col="embedding")
     return embedded.select(
@@ -101,6 +119,7 @@ def start_ingest_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     lexical_index=None,
+    scrub: bool = False,
 ) -> "StreamingQuery":
     """Start the incremental-ingestion stream on ``landing_dir``.
 
@@ -118,6 +137,12 @@ def start_ingest_stream(
     keys on longs); map back to chunks by hashing the vector index's
     id column the same way. Both upserts are id-idempotent, so a
     replayed micro-batch converges on both layouts.
+
+    ``scrub=True`` applies the PII scrub inside every micro-batch
+    BEFORE chunking (``docs_to_records(scrub=True)``) — the raw
+    landing-file text never reaches either sink, the streaming twin
+    of the batch scrub-ingest funnel
+    (``queries.pii_queries.corpus_scrub_ingest_pipeline``).
     """
     reader = (
         spark.readStream.format("text")
@@ -135,7 +160,7 @@ def start_ingest_stream(
     def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        records = docs_to_records(batch_df, provider)
+        records = docs_to_records(batch_df, provider, scrub=scrub)
         if lexical_index is not None:
             # one execution of the chunk->embed DAG shared by both sinks
             records = records.localCheckpoint(eager=True)

@@ -14,6 +14,7 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sou
     VectorIndex,
 )
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
+    docs_to_records,
     ingest_directory,
     start_ingest_stream,
 )
@@ -1236,3 +1237,50 @@ def test_takedown_hooks_validation(spark):
 
     with _pytest.raises(ValueError, match="no layouts"):
         layout_hooks()
+
+
+def test_scrub_ingest_stream_raw_text_never_reaches_sink(spark, dirs):
+    """Streaming twin of corpus_scrub_ingest_pipeline: with scrub=True
+    every micro-batch scrubs before chunking, so the index never holds
+    a PII match and its rows equal the batch scrub-ingest's."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.pii import (
+        pii_counts,
+    )
+
+    landing, ckpt, root = dirs
+    doc = (
+        "reach me at jane.doe@example.com or 415-555-0134, "
+        "ssn 123-45-6789, host 10.0.0.7. " + "filler words " * 80
+    )
+    (landing / "pii.txt").write_text(doc)
+    provider = HashEmbedder(dimension=64)
+
+    s_idx = VectorIndex(spark, root, "scrub-s").create(dimension=64)
+    _drain(
+        start_ingest_stream(
+            spark, str(landing), s_idx, provider, ckpt, scrub=True
+        )
+    )
+    rows = s_idx.read().select("id", "text", "chunk_index").collect()
+    assert rows
+    residual = (
+        s_idx.read()
+        .select(sum(pii_counts(F.col("text")).values()).alias("r"))
+        .agg(F.sum("r"))
+        .collect()[0][0]
+    )
+    assert residual == 0  # no PII shape survives in any indexed chunk
+    joined = " ".join(r["text"] for r in rows)
+    assert "jane.doe@example.com" not in joined
+    assert "123-45-6789" not in joined
+    # stream == batch: same ids, same scrubbed text
+    b_idx = VectorIndex(spark, root, "scrub-b").create(dimension=64)
+    docs = spark.createDataFrame([(doc, "x")], "text string, source string")
+    b_idx.upsert(docs_to_records(docs, provider, scrub=True), batch=0)
+    s_rows = {(r["id"], r["text"], r["chunk_index"]) for r in rows}
+    b_rows = {
+        (r["id"], r["text"], r["chunk_index"])
+        for r in b_idx.read().select("id", "text", "chunk_index").collect()
+    }
+    assert {x[0] for x in s_rows} == {x[0] for x in b_rows}
+    assert {(x[1], x[2]) for x in s_rows} == {(x[1], x[2]) for x in b_rows}
