@@ -43,10 +43,11 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.ses
     get_spark,
 )
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-BANDS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 PLANTED = 500
 MAX_HAMMING = 4
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+# default = the operator's "auto" floor (max_hamming + 1)
+BANDS = int(sys.argv[2]) if len(sys.argv) > 2 else MAX_HAMMING + 1
 
 
 def main() -> None:
