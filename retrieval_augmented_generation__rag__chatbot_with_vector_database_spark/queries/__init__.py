@@ -94,62 +94,67 @@ def all_oracles() -> dict[str, str]:
 
 
 #: The driver's correctness gate oracle-checks the FIRST 50 registry
-#: entries at sf0.01 (the full 154 run in the local dual-scale
-#: sweeps). This list pins the scale-critical families — dedup, ANN,
-#: hybrid-indexed, index mutations, multimodal, curation, e2e — into
-#: that window (VERDICT r9 item #8); everything not named keeps its
-#: module registration order behind them.
+#: entries at sf0.01 (the full registry runs in the local dual-scale
+#: sweeps). Round-11 rotation: these are exactly the 50 queries never
+#: yet green in any CORRECTNESS_r{N}.json (r10 covered the
+#: dedup/ANN/hybrid-indexed/e2e window; earlier rounds covered the
+#: rest) — after this round every registered query has a driver-green
+#: record. Families here: temporal joins + sketches, hybrid
+#: (non-indexed + PRF), BPE/packing/perplexity, curation (NB, Gopher,
+#: DSIR weights, temperature mixes), ANN recall/quantization-gain
+#: contracts, and this round's additions (scrub-ingest funnel,
+#: chunk_sample + selfmatch full-value promotions).
 DRIVER_WINDOW_PRIORITY = [
-    "topk_cosine",
-    "topk_cosine_dispatched",
-    "topk_filtered_dsl",
-    "index_upsert_lww",
-    "index_upsert_bucketed",
-    "index_delete_ids",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_candidates",
-    "dedup_simhash_groups",
-    "dedup_signal_agreement",
-    "dedup_embedding_pairs",
-    "dedup_embedding_pairs_ivf",
-    "dedup_embedding_pairs_jl",
-    "dedup_embedding_pairs_jl_512",
-    "dedup_duplicate_groups",
-    "dedup_duplicate_groups_star",
-    "dedup_substring_spans",
-    "dedup_semantic_keep",
-    "corpus_dedup_cascade",
-    "decontaminate_eval_overlap",
-    "corpus_leakage_safe_split",
-    "ann_ivf_topk_gemm",
-    "ann_ivf_topk_gemm_int8",
-    "ann_ivf_topk_rerank",
-    "ann_ivf_upsert_probe",
-    "ann_ivf_recall",
-    "ann_ivf_topk_filtered",
-    "ann_ivfpq_cosine",
-    "ann_ivfpq_dotproduct",
-    "ann_ivfpq_filtered",
-    "ann_ivfpq_delete",
-    "ann_ivfpq_opq",
-    "ann_opq_rerank_recall",
-    "hybrid_bm25_topk_indexed",
-    "hybrid_rrf_topk_indexed",
-    "hybrid_rrf_topk_ivf",
-    "rag_e2e_echo",
-    "rag_ann_e2e",
-    "rag_chat_e2e",
-    "rag_chat_ann_e2e",
-    "multimodal_manifest",
-    "multimodal_dedup_exact",
-    "multimodal_phash_neardup",
-    "text_pii_scrub",
-    "corpus_curation_pipeline_dsir",
-    "corpus_nb_auc",
-    "events_asof_bucketed",
+    "corpus_scrub_ingest_pipeline",
+    "chunk_sample",
+    "multimodal_feature_selfmatch",
+    "text_pii_profile",
+    "corpus_curation_pipeline_gopher",
+    "corpus_temperature_mixture",
+    "corpus_temperature_mixture_redist",
+    "rag_context_budget",
+    "ann_ivf_topk_gemm_euclidean",
+    "ann_ivf_topk_gemm_dotproduct",
+    "ann_pq_rerank_recall",
+    "ann_ivfpq_rerank_recall",
+    "ann_opq_quantization_gain",
+    "events_asof_purchase_click",
+    "events_asof_tolerance",
+    "events_range_click_context",
+    "events_value_percentiles",
+    "events_daily_users_hll",
+    "events_session_examples",
+    "events_histogram_rollup",
+    "events_scd2_tier_attribution",
+    "events_audience_overlap_theta",
+    "events_value_quantiles_kll",
+    "hybrid_lexical_topk",
+    "hybrid_rrf_topk",
+    "hybrid_bm25_topk",
+    "rag_hybrid_e2e",
+    "hybrid_prf_terms",
+    "hybrid_prf_topk",
+    "text_bpe_token_counts",
+    "text_bigram_nll",
+    "text_bigram_nll_indexed",
+    "corpus_pack_sequences",
+    "corpus_packing_stats",
+    "corpus_epoch_shuffle",
+    "corpus_nb_quality_scores",
+    "corpus_vocab_stats",
+    "text_token_chunks",
+    "corpus_training_sequences",
+    "corpus_perplexity_buckets",
+    "corpus_curation_pipeline_nb",
+    "corpus_epoch_shards",
+    "corpus_perplexity_buckets_kll",
+    "corpus_nb_quality_scores_indexed",
+    "corpus_dsir_weights",
+    "corpus_dsir_sample",
+    "corpus_nb_threshold",
+    "corpus_bpe_merges",
+    "text_bpe_full_encode",
+    "corpus_pack_sequences_bpe",
 ]
 
 
