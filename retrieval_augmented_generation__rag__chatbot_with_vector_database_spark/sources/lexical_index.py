@@ -15,16 +15,32 @@ Layout (catalog-free parquet + JSON sidecar, same discipline as
     <path>/
       _lexical_properties.json      # {term_buckets, doc_buckets}
       postings/ tbucket=N/          # (term, id, tf, dl)
+      termdf/   tbucket=N/          # (term, df)        — df sidecar
       docs/     dbucket=N/          # (id, dl, terms)   — the doc store
 
 - **postings** are partitioned by ``tbucket = pmod(xxhash64(term),
   term_buckets)``: ALL postings of a term live in exactly one
   partition directory, so a probe prunes the scan to the (few) buckets
   its query terms hash to, and ``df(term)`` is computable exactly from
-  the pruned scan alone — no separately-maintained df table to drift.
+  the pruned scan alone.
   ``dl`` (doc token length) is denormalized into each posting, Lucene
   norms-style, so BM25 needs no join against the doc store at probe
   time.
+- **termdf** (round 11) is the per-term document-frequency sidecar:
+  NOT an independently-maintained counter (those drift) but a pure
+  per-bucket AGGREGATE of postings, regenerated for exactly the term
+  buckets a mutation rewrites — it cannot diverge from a bucket it
+  was derived from. Its job is the df-cap decision BEFORE the
+  postings scan: without it, a stopword-grade query term's postings
+  (the largest in the index) are scanned once just to be df-capped
+  away; with it, the probe reads (term, df) rows for the query terms
+  — bytes proportional to the query, not to the stopword's posting
+  list — and scans only surviving terms. The scan still recomputes
+  exact df for the terms it reads and re-applies the cap, so a
+  sidecar staleness in the allowed direction self-corrects; the
+  blocked direction is covered by the same crash contract as the
+  postings/docs pair below (a crashed mutation must be re-run — the
+  at-least-once streams do).
 - **docs** is the stored-fields side: (id, dl, terms) partitioned by
   id hash. Its job is incremental maintenance — replacing a document
   must delete the OLD version's postings, whose term buckets can only
@@ -85,6 +101,7 @@ DBUCKET = "dbucket"
 MAX_PROBE_TERMS = 65536
 
 POSTINGS_SCHEMA = "term string, id long, tf long, dl long"
+TERMDF_SCHEMA = "term string, df long"
 DOCS_SCHEMA = "id long, dl long, terms array<string>, _batch long"
 
 
@@ -152,6 +169,10 @@ class LexicalIndex:
         return os.path.join(self.path, "postings")
 
     @property
+    def _termdf_path(self) -> str:
+        return os.path.join(self.path, "termdf")
+
+    @property
     def _docs_path(self) -> str:
         return os.path.join(self.path, "docs")
 
@@ -169,7 +190,7 @@ class LexicalIndex:
         return int(self.properties()["doc_buckets"])
 
     def _check_not_torn(self) -> None:
-        for p in (self._postings_path, self._docs_path):
+        for p in (self._postings_path, self._termdf_path, self._docs_path):
             if os.path.exists(p):
                 check_not_torn(p)
 
@@ -228,6 +249,16 @@ class LexicalIndex:
                 .write.mode("overwrite").partitionBy(TBUCKET)
                 .parquet(self._postings_path)
             )
+            # df sidecar: a per-bucket aggregate of the postings just
+            # written (side has one row per (id, term), so count == df)
+            (
+                side.groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .withColumn(TBUCKET, _tbucket_of("term", term_buckets))
+                .repartition(term_buckets, F.col(TBUCKET))
+                .write.mode("overwrite").partitionBy(TBUCKET)
+                .parquet(self._termdf_path)
+            )
             (
                 dstore.repartition(doc_buckets, F.col(DBUCKET))
                 .write.mode("overwrite").partitionBy(DBUCKET)
@@ -258,6 +289,45 @@ class LexicalIndex:
         self._check_not_torn()
         return self._read_or_empty(
             self._postings_path, f"{POSTINGS_SCHEMA}, {TBUCKET} int"
+        )
+
+    def termdf(self) -> DataFrame:
+        self._check_not_torn()
+        return self._read_or_empty(
+            self._termdf_path, f"{TERMDF_SCHEMA}, {TBUCKET} int"
+        )
+
+    def _refresh_termdf(self, tbuckets: list[int]) -> None:
+        """Regenerate the df sidecar for the given term buckets from
+        the (just-swapped) live postings — a pure aggregate of what is
+        on disk, so it cannot drift from the buckets it derives from.
+        Called by every mutation right after its postings swap; the
+        crash window between the two swaps is the SAME contract as the
+        postings/docs pair (re-run the idempotent mutation), and a
+        stale-allowed sidecar self-corrects at probe time anyway
+        (``_pruned_candidates`` re-applies the exact cap on
+        scan-computed df)."""
+        if not tbuckets:
+            return
+        fresh = (
+            self.postings()
+            .filter(F.col(TBUCKET).isin(tbuckets))
+            .groupBy(TBUCKET, "term")
+            .agg(F.count("*").alias("df"))
+            .select("term", "df", TBUCKET)
+        )
+        tmp = self._termdf_path + "._tmp"
+        (
+            fresh.repartition(max(len(tbuckets), 1), F.col(TBUCKET))
+            .write.mode("overwrite").partitionBy(TBUCKET).parquet(tmp)
+        )
+        if not os.path.exists(self._termdf_path):
+            # legacy layout built before the sidecar existed: adopt it
+            # incrementally (missing buckets are treated as
+            # unblocked-by-hint at probe time, which is always safe)
+            os.makedirs(self._termdf_path, exist_ok=True)
+        swap_partition_dirs(
+            self._termdf_path, tmp, [f"{TBUCKET}={b}" for b in tbuckets]
         )
 
     def doc_store(self) -> DataFrame:
@@ -376,6 +446,7 @@ class LexicalIndex:
         swap_partition_dirs(
             self._postings_path, tmp_p, [f"{TBUCKET}={b}" for b in tbuckets]
         )
+        self._refresh_termdf(tbuckets)
 
         # doc store: LWW merge within the touched id buckets
         incoming = new_docs.withColumn(
@@ -453,6 +524,7 @@ class LexicalIndex:
                 self._postings_path, tmp_p,
                 [f"{TBUCKET}={b}" for b in tbuckets],
             )
+            self._refresh_termdf(tbuckets)
 
         kept_docs = old_in_buckets.join(idf, "id", "left_anti")
         tmp_d = self._docs_path + "._tmp"
@@ -479,7 +551,17 @@ class LexicalIndex:
         BEFORE any row-level postings join (a partial-agg scan, never a
         fan-out), so a stopword-grade hot term costs one map-side count
         and is then dropped — the postings join only ever sees the
-        broadcast list of surviving (query term × stats) rows."""
+        broadcast list of surviving (query term × stats) rows.
+
+        The ``termdf`` sidecar is consulted FIRST (round 11): terms it
+        marks over-cap are dropped before the postings scan, so a
+        stopword's posting list — the largest row-proportional read the
+        cap would discard — is never touched. The hint is
+        over-approximate by construction: terms missing from the
+        sidecar (legacy layouts, partially-adopted buckets) stay in
+        the scan, and the scan-computed exact df re-applies the cap,
+        so a stale-allowed hint costs a wasted read, never a wrong
+        result."""
         tb = self.term_buckets()
         terms = qterms.select("term").distinct().limit(MAX_PROBE_TERMS + 1)
         rows = terms.select(
@@ -491,12 +573,32 @@ class LexicalIndex:
                 "touched-bucket list is collected to the driver by design "
                 "(bounded user queries). Split the query batch."
             )
-        buckets = sorted({r["b"] for r in rows})
         empty = self.spark.createDataFrame(
             [],
             "query_id long, term string, id long, tf long, dl long, "
             "df long, n long, avgdl double",
         )
+        if df_cap is not None and df_cap > 0 and os.path.exists(self._termdf_path):
+            all_terms = [r["term"] for r in rows]
+            all_buckets = sorted({r["b"] for r in rows})
+            n_corpus = int(self.corpus_stats().first()["n"])
+            cap_val = (
+                n_corpus * float(df_cap) if df_cap <= 1 else float(df_cap)
+            )
+            blocked = {
+                r["term"]
+                for r in self.termdf()
+                .filter(
+                    F.col(TBUCKET).isin(all_buckets)
+                    & F.col("term").isin(all_terms)
+                )
+                .filter(F.col("df") > cap_val)
+                .select("term")
+                .collect()
+            }
+            if blocked:
+                rows = [r for r in rows if r["term"] not in blocked]
+        buckets = sorted({r["b"] for r in rows})
         if not buckets:
             return empty
         qset = [r["term"] for r in rows]

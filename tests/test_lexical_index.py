@@ -345,3 +345,110 @@ def test_file_count_bounded_under_many_hot_batches(spark, tmp_path):
         )
         idx.upsert(batch, batch=b)
         assert max_files() == 1, f"file growth at batch {b}"
+
+
+# -- round 11: the per-term df sidecar ---------------------------------
+
+def _brute_df(spark, rows):
+    toks = (
+        _docs_df(spark, rows)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return {
+        r["term"]: r["df"]
+        for r in toks.groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+
+
+def _sidecar_df(index):
+    return {r["term"]: r["df"] for r in index.termdf().collect()}
+
+
+def test_termdf_matches_brute_force_after_create(spark, index):
+    assert _sidecar_df(index) == _brute_df(spark, DOCS)
+
+
+def test_termdf_maintained_by_upsert_and_delete(spark, tmp_path):
+    idx = LexicalIndex(spark, str(tmp_path / "lex-df"))
+    idx.create(_docs_df(spark), term_buckets=8, doc_buckets=4)
+    # upsert: replace doc 0 (its old terms' df drop), add doc 8
+    new_rows = [
+        (0, "replacement text entirely new tokens"),
+        (8, "spark appears here too"),
+    ]
+    idx.upsert(_docs_df(spark, new_rows), batch=1)
+    merged = [r for r in DOCS if r[0] != 0] + new_rows
+    assert _sidecar_df(idx) == _brute_df(spark, merged)
+    # delete: docs 1 and 6 vanish from the df counts
+    idx.delete_docs([1, 6])
+    left = [r for r in merged if r[0] not in (1, 6)]
+    assert _sidecar_df(idx) == _brute_df(spark, left)
+
+
+def test_probe_skips_termdf_blocked_terms_with_identical_results(spark, index):
+    # 'spark' appears in 5/9 docs -> over a 0.4 ratio cap; the sidecar
+    # hint drops it BEFORE the postings scan and results must equal
+    # the raw operator's (which drops it after counting)
+    q = _queries_df(spark)
+    raw = lexical_topk(q, _docs_df(spark), k=5, df_cap=0.4)
+    idxed = index.lexical_topk(q, k=5, df_cap=0.4)
+    assert _rows(idxed, "query_id", "lex_rank") == _rows(
+        raw, "query_id", "lex_rank"
+    )
+    bm_raw = bm25_topk(q, _docs_df(spark), k=5, df_cap=0.4)
+    bm_idx = index.bm25_topk(q, k=5, df_cap=0.4)
+    assert _rows(bm_idx, "query_id", "bm25_rank") == _rows(
+        bm_raw, "query_id", "bm25_rank"
+    )
+
+
+def test_stale_allowed_termdf_self_corrects(spark, index):
+    # corrupt the sidecar in the ALLOWED direction (df understated for
+    # an over-cap term): the scan recomputes exact df and re-applies
+    # the cap, so results must stay identical to the raw operator
+    import pyspark.sql.types as T
+
+    fresh = index.termdf().withColumn(
+        "df",
+        F.when(F.col("term") == "spark", F.lit(1)).otherwise(F.col("df")),
+    )
+    rows = fresh.collect()
+    tmpd = index._termdf_path
+    import shutil
+
+    shutil.rmtree(tmpd)
+    spark.createDataFrame(rows, fresh.schema).write.partitionBy(
+        "tbucket"
+    ).parquet(tmpd)
+    q = _queries_df(spark)
+    raw = lexical_topk(q, _docs_df(spark), k=5, df_cap=0.4)
+    idxed = index.lexical_topk(q, k=5, df_cap=0.4)
+    assert _rows(idxed, "query_id", "lex_rank") == _rows(
+        raw, "query_id", "lex_rank"
+    )
+
+
+def test_legacy_layout_without_termdf_still_probes(spark, index):
+    # simulate a pre-round-11 layout: drop the sidecar entirely
+    import shutil
+
+    shutil.rmtree(index._termdf_path)
+    q = _queries_df(spark)
+    raw = lexical_topk(q, _docs_df(spark), k=5, df_cap=0.4)
+    idxed = index.lexical_topk(q, k=5, df_cap=0.4)
+    assert _rows(idxed, "query_id", "lex_rank") == _rows(
+        raw, "query_id", "lex_rank"
+    )
+    # and a mutation adopts the sidecar incrementally (touched buckets)
+    idx_rows = [(9, "spark adoption probe")]
+    index.upsert(_docs_df(spark, idx_rows), batch=2)
+    assert os.path.exists(index._termdf_path)
+    got = _sidecar_df(index)
+    assert got  # only the touched buckets' terms are present
+    full = _brute_df(spark, DOCS + idx_rows)
+    assert all(full[t] == df for t, df in got.items())
