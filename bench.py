@@ -88,6 +88,9 @@ HEADLINE = [
     "text_pii_scrub",
     # round 10: perceptual image near-dup (new key — no history)
     "multimodal_phash_neardup",
+    # round 11: scrub-before-anything ingest funnel (new key — no
+    # history): scrub -> chunk -> embed -> index upsert -> read-back
+    "corpus_scrub_ingest_pipeline",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round
