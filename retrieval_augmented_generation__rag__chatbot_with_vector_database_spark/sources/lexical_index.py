@@ -100,6 +100,15 @@ DBUCKET = "dbucket"
 # malformed query batch, and it fails loudly before collecting.
 MAX_PROBE_TERMS = 65536
 
+#: corpus size below which the probe SKIPS the termdf pre-scan hint:
+#: the hint is one extra (tiny) Spark job, and on a small corpus that
+#: fixed cost exceeds the pruned-postings scan it would save (measured
+#: at sf0.1: hint job ~0.5 s vs a 0.11 s full pruned scan). Above the
+#: threshold a stopword's posting list dwarfs the hint job — the
+#: 100 TB case the sidecar exists for. Same size-aware-routing pattern
+#: as the ANN dispatcher's ``prefer_exact_below``.
+TERMDF_HINT_MIN_DOCS = 250_000
+
 POSTINGS_SCHEMA = "term string, id long, tf long, dl long"
 TERMDF_SCHEMA = "term string, df long"
 DOCS_SCHEMA = "id long, dl long, terms array<string>, _batch long"
@@ -578,7 +587,20 @@ class LexicalIndex:
             "query_id long, term string, id long, tf long, dl long, "
             "df long, n long, avgdl double",
         )
-        if df_cap is not None and df_cap > 0 and os.path.exists(self._termdf_path):
+        use_hint = (
+            df_cap is not None
+            and df_cap > 0
+            and os.path.exists(self._termdf_path)
+        )
+        if use_hint:
+            # size-aware: the hint is only worth its own (small) job
+            # once posting lists outgrow it — n is a free local lookup
+            # when the stats sidecar is present, so prefer it; fall
+            # back to running the hint when only a scan could tell.
+            props = self.properties()
+            n_hint = int(props["n"]) if "n" in props else None
+            use_hint = n_hint is None or n_hint >= TERMDF_HINT_MIN_DOCS
+        if use_hint:
             all_terms = [r["term"] for r in rows]
             all_buckets = sorted({r["b"] for r in rows})
             n_corpus = int(self.corpus_stats().first()["n"])

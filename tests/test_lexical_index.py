@@ -390,10 +390,18 @@ def test_termdf_maintained_by_upsert_and_delete(spark, tmp_path):
     assert _sidecar_df(idx) == _brute_df(spark, left)
 
 
-def test_probe_skips_termdf_blocked_terms_with_identical_results(spark, index):
+def test_probe_skips_termdf_blocked_terms_with_identical_results(
+    spark, index, monkeypatch
+):
     # 'spark' appears in 5/9 docs -> over a 0.4 ratio cap; the sidecar
     # hint drops it BEFORE the postings scan and results must equal
-    # the raw operator's (which drops it after counting)
+    # the raw operator's (which drops it after counting). The hint is
+    # size-gated (fixture corpora skip it) — force it on.
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources import (
+        lexical_index as li,
+    )
+
+    monkeypatch.setattr(li, "TERMDF_HINT_MIN_DOCS", 0)
     q = _queries_df(spark)
     raw = lexical_topk(q, _docs_df(spark), k=5, df_cap=0.4)
     idxed = index.lexical_topk(q, k=5, df_cap=0.4)
@@ -407,11 +415,15 @@ def test_probe_skips_termdf_blocked_terms_with_identical_results(spark, index):
     )
 
 
-def test_stale_allowed_termdf_self_corrects(spark, index):
+def test_stale_allowed_termdf_self_corrects(spark, index, monkeypatch):
     # corrupt the sidecar in the ALLOWED direction (df understated for
     # an over-cap term): the scan recomputes exact df and re-applies
     # the cap, so results must stay identical to the raw operator
-    import pyspark.sql.types as T
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources import (
+        lexical_index as li,
+    )
+
+    monkeypatch.setattr(li, "TERMDF_HINT_MIN_DOCS", 0)
 
     fresh = index.termdf().withColumn(
         "df",
