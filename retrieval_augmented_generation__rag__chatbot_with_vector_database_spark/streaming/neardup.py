@@ -216,3 +216,72 @@ def start_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def delete_bucket_table_ids(
+    spark: SparkSession, bucket_dir: str, ids: DataFrame | list[int]
+) -> dict:
+    """Right-to-be-forgotten on the near-dup bucket table: the table
+    persists one (id, signature, band-key) row per (doc, band) — a
+    doc's minhash signature is derived personal data and must be
+    purged with the doc. Rewrites ONLY the ``batch_id=<n>`` partitions
+    holding the victim ids (column-pruned discovery scan, anti-join
+    rewrite, marker-fenced swap — the touched-partition discipline of
+    every other layout). Deleting absent ids is a no-op, so replayed
+    takedown batches converge (idempotent, like all layout hooks).
+
+    Side effect by design: a forgotten id that re-arrives later is no
+    longer suppressed and will re-pair — correct, the engine has no
+    memory of a forgotten document.
+
+    Returns ``{"n_deleted": rows_removed, "touched": [batch_ids]}``.
+    """
+    import os
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        check_not_torn,
+        swap_partition_dirs,
+    )
+
+    if isinstance(ids, (list, tuple)):
+        ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    idf = (
+        ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not os.path.exists(bucket_dir):
+        return {"n_deleted": 0, "touched": []}
+    check_not_torn(bucket_dir)
+    try:
+        t = spark.read.parquet(bucket_dir)
+    except AnalysisException:
+        return {"n_deleted": 0, "touched": []}
+    touched = sorted(
+        r["batch_id"]
+        for r in t.join(F.broadcast(idf), "id")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return {"n_deleted": 0, "touched": []}
+    held = t.filter(F.col("batch_id").isin(touched))
+    n_before = held.count()
+    # one execution of the anti-join feeds both the audit count and
+    # the rewrite (takedown counts are a compliance artifact)
+    kept = held.join(F.broadcast(idf), "id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_kept = kept.count()
+    tmp = bucket_dir.rstrip("/") + "._tmp"
+    (
+        kept.repartition(max(len(touched), 1), F.col("batch_id"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(tmp)
+    )
+    swap_partition_dirs(
+        bucket_dir, tmp, [f"batch_id={b}" for b in touched]
+    )
+    return {"n_deleted": n_before - n_kept, "touched": touched}

@@ -49,13 +49,16 @@ def layout_hooks(
     ivf_path: str | None = None,
     ivfpq_path: str | None = None,
     vector_id_prefix: str = "",
+    neardup_bucket_dir: str | None = None,
 ) -> list[tuple[str, TakedownHook]]:
-    """Standard hook set over the engine's four persisted layouts —
+    """Standard hook set over the engine's persisted per-doc surfaces —
     pass the ones that exist; ids arrive as longs (the corpus doc/vec
     id) and are mapped per layout: the flat ``VectorIndex`` stores
     string ids (optionally ``vector_id_prefix`` + id, matching the
-    ingest pipeline's id scheme), the lexical index and both ANN
-    layouts store the long id directly."""
+    ingest pipeline's id scheme), the lexical index, both ANN layouts,
+    and the near-dup bucket table (minhash signatures are derived
+    personal data — forgetting a doc must forget its signature too)
+    store the long id directly."""
     from pyspark.sql import functions as F
 
     hooks: list[tuple[str, TakedownHook]] = []
@@ -92,6 +95,15 @@ def layout_hooks(
             return delete_ivfpq_ids(spark, _p, ids)
 
         hooks.append(("ivfpq_layout", _ivfpq))
+    if neardup_bucket_dir is not None:
+        def _buckets(spark, ids, _p=neardup_bucket_dir):
+            from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.neardup import (
+                delete_bucket_table_ids,
+            )
+
+            return delete_bucket_table_ids(spark, _p, ids)
+
+        hooks.append(("neardup_bucket_table", _buckets))
     if not hooks:
         raise ValueError("no layouts given — nothing to take down")
     return hooks

@@ -296,3 +296,80 @@ def test_scrub_eval_spans_merges_overlaps_and_multiple_islands(spark):
 
     with _pytest.raises(ValueError, match="span_len"):
         scrub_eval_spans(corpus, evalset, span_len=0)
+
+
+def test_neardup_bucket_table_delete_ids(spark, tmp_path):
+    """The near-dup bucket table holds (id, signature, band-key) rows —
+    derived personal data that a takedown must purge: targets' rows
+    gone everywhere, survivors intact, untouched batch partitions
+    byte-identical, absent ids a no-op, replay idempotent. A forgotten
+    id that re-arrives is no longer suppressed (the engine has no
+    memory of it)."""
+    import datetime as dt
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.neardup import (
+        delete_bucket_table_ids,
+        start_neardup_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    landing = tmp_path / "nd_landing"
+    landing.mkdir()
+    buckets = str(tmp_path / "nd_buckets")
+    pairs_sink = str(tmp_path / "nd_pairs")
+    ckpt = str(tmp_path / "nd_ckpt")
+    ts = dt.datetime(2024, 1, 1)
+    schema = "doc_id long, ts timestamp, text string, source string"
+
+    def drop(docs, name):
+        spark.createDataFrame(
+            [(i, ts, t, "s") for i, t in docs], schema
+        ).write.parquet(str(landing / name))
+        start_neardup_stream(
+            spark, str(landing) + "/*", buckets, pairs_sink, ckpt
+        ).awaitTermination(120)
+
+    drop([(1, base * 4), (2, base * 4 + "tail")], "b1")
+    drop([(3, "unrelated content about query planners and shuffles " * 4)], "b2")
+    t0 = spark.read.parquet(buckets)
+    ids0 = {r["id"] for r in t0.select("id").distinct().collect()}
+    assert ids0 == {1, 2, 3}
+    import glob as _g
+    import os as _os
+
+    before = {
+        p: _os.path.getmtime(p)
+        for p in _g.glob(_os.path.join(buckets, "batch_id=*", "*.parquet"))
+    }
+    victim_parts = {
+        r["batch_id"]
+        for r in t0.filter(F.col("id") == 2).select("batch_id").collect()
+    }
+
+    stats = delete_bucket_table_ids(spark, buckets, [2])
+    assert stats["n_deleted"] > 0
+    assert set(stats["touched"]) == victim_parts
+    t1 = spark.read.parquet(buckets)
+    assert {r["id"] for r in t1.select("id").distinct().collect()} == {1, 3}
+    after = {
+        p: _os.path.getmtime(p)
+        for p in _g.glob(_os.path.join(buckets, "batch_id=*", "*.parquet"))
+    }
+    for p, mt in after.items():
+        b = int(p.split("batch_id=")[1].split(_os.sep)[0])
+        if b not in victim_parts:
+            assert before.get(p) == mt, f"untouched {p} rewritten"
+
+    # absent ids / replay: no-op, idempotent
+    assert delete_bucket_table_ids(spark, buckets, [2])["n_deleted"] == 0
+    assert delete_bucket_table_ids(spark, buckets, [999])["n_deleted"] == 0
+
+    # a forgotten id re-arrives: re-paired (no suppression memory)
+    drop([(2, base * 4 + "tail")], "b3")
+    t2 = spark.read.parquet(buckets)
+    assert {r["id"] for r in t2.select("id").distinct().collect()} == {1, 2, 3}
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_sink).collect()
+    }
+    assert (1, 2) in pairs
