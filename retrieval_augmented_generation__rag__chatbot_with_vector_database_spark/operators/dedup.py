@@ -673,7 +673,11 @@ def _pack_blocks(
 
 
 def _block_pair_tasks(
-    packed: DataFrame, n_blocks: int, broadcast_corpus: bool
+    packed: DataFrame,
+    n_blocks: int,
+    broadcast_corpus: bool,
+    n_rows: int,
+    dim: int,
 ) -> DataFrame:
     """One row per block pair (i ≤ j):
     (blk_a, blk_b, ids_a, vecs_a, ids_b, vecs_b).
@@ -715,10 +719,19 @@ def _block_pair_tasks(
     # relative to the cluster — once n_tasks ≫ slots, per-partition
     # task counts average out and more partitions just add scheduler
     # and shuffle-file pressure (B~490 near the 2M exact ceiling
-    # would mean ~480k partitions uncapped) — so cap at a multiple
-    # of cluster parallelism.
+    # would mean ~480k partitions uncapped) — so cap at a multiple of
+    # cluster parallelism, BUT never below the byte floor: each pair
+    # row carries TWO packed blocks (~2·(n/B)·dim·8 bytes), and a
+    # partition's rows are buffered through the sort-merge join and
+    # the Arrow hand-off, so packing many pairs into one partition
+    # multiplies the per-task working set (observed: 500k×64-d OOM'd
+    # an 8g heap at 8 pairs/partition where 1 pair/partition ran in
+    # ~300 MB). Budget ~32 MB of pair payload per partition.
     spark_par = packed.sparkSession.sparkContext.defaultParallelism
-    n_parts = min(n_tasks * 4, max(8 * spark_par, 256))
+    pair_bytes = max(1, 2 * (n_rows // max(n_blocks, 1)) * dim * 8)
+    tasks_per_part = max(1, (32 << 20) // pair_bytes)
+    byte_floor = -(-n_tasks // tasks_per_part)  # ceil
+    n_parts = min(n_tasks * 4, max(byte_floor, 8 * spark_par, 256))
     a_ex = packed.select(
         F.col("blk").alias("blk_a"),
         F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("blk_b"),
@@ -842,7 +855,7 @@ def embedding_neardup_pairs(
         n_blocks = _auto_blocks(n, rows_per_block, dim)
     broadcast_corpus = n * dim * 8 <= broadcast_budget_bytes
     packed = _pack_blocks(df, id_col, vec_col, n_blocks)
-    pairs = _block_pair_tasks(packed, n_blocks, broadcast_corpus)
+    pairs = _block_pair_tasks(packed, n_blocks, broadcast_corpus, n, dim)
 
     def kernel(batches):
         import numpy as np
@@ -1058,7 +1071,7 @@ def embedding_neardup_pairs_jl(
         n_blocks = _auto_blocks(n, rows_per_block, dim)
     broadcast_corpus = n * dim * 8 <= broadcast_budget_bytes
     packed = _pack_blocks(df, id_col, vec_col, n_blocks)
-    pairs = _block_pair_tasks(packed, n_blocks, broadcast_corpus)
+    pairs = _block_pair_tasks(packed, n_blocks, broadcast_corpus, n, dim)
     d2_bound = slack * 2.0 * (1.0 - threshold)
 
     def kernel(batches):
