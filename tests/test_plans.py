@@ -218,3 +218,23 @@ def test_dsir_weights_model_is_broadcast(spark):
     raw = docs.filter(F.col("doc_id") % 11 != 0)
     out = dsir.dsir_log_weights(raw, target)
     assert broadcast_join_count(out) >= 1
+
+
+def test_scrub_ingest_records_are_shuffle_free(spark):
+    """The scrub-before-anything funnel (scrub -> chunk -> embed) is a
+    pure narrow-map chain: zero exchanges until the index's bucketed
+    merge repartition. At 100 TB the funnel streams at scan bandwidth;
+    any Exchange appearing here means a stage regression."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+        HashEmbedder,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
+        docs_to_records,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("text", "source || '/' || doc_id AS source")
+    )
+    records = docs_to_records(docs, HashEmbedder(dimension=16), scrub=True)
+    assert shuffle_count(records) == 0
