@@ -164,3 +164,50 @@ def quality_features(text: Column | str) -> dict[str, Column]:
         "upper_ratio": _ratio(r"[^A-Z]"),
         "stopword_ratio": F.when(toks > 0, stop_hits / toks).otherwise(F.lit(0.0)),
     }
+
+
+#: HTML → text strip steps, ordered; every pattern is valid and
+#: equivalent in BOTH Java (Spark) and RE2 (DuckDB) — flags are
+#: inline ((?is)), no lookaround/backrefs — so the oracle replays the
+#: identical automaton (the ``operators.pii.PII_PATTERNS`` discipline).
+#: Scope: the tag/entity strip a WARC ingest needs (boilerplate
+#: removal — readability-style main-content extraction — is a
+#: downstream curation concern, not this primitive's).
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    # non-content containers go first, with their contents
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # every remaining tag becomes a separator (never concatenates
+    # adjacent text nodes)
+    (r"(?is)<[a-z!/][^>]*>", " "),
+    # minimal entity decode (the high-frequency named set + nbsp)
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),  # last: &amp;lt; must NOT become <
+    # collapse whitespace
+    (r"\s+", " "),
+]
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Visible text of an HTML payload as ONE codegen'd
+    regexp_replace fold (no Python in the hot path — at 100 TB the
+    WARC→text stage is scan-bandwidth-bound like the PII scrub)."""
+    out = _c(html)
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def html_strip_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`html_to_text` over a SQL expression,
+    generated from the same step list."""
+    for pat, rep in HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"

@@ -801,3 +801,62 @@ def corpus_temperature_mixture_redist(spark: SparkSession, sf_dir: str) -> DataF
         total=4000,
         redistribute=True,
     )
+
+
+# WARC-ingest HTML extraction (round 11, sources/warc.py): plant a
+# deterministic HTML wrapper (title/style/script/entities/comment)
+# around each document's text on BOTH engines, strip with the SHARED
+# step list (functions.text.HTML_STRIP_STEPS — the oracle SQL is
+# generated from it, the PII_PATTERNS discipline), compare md5 +
+# length full-value. Proves the codegen'd fold that warc_documents
+# runs over every captured page.
+_HTML_PLANT_SQL = """
+SELECT doc_id,
+       '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+       || '</title><style>p{color:red}</style></head><body><h1>H'
+       || CAST(doc_id % 7 AS VARCHAR) || '</h1><p>' || text
+       || '</p><script>var x = "<p>ignore</p>";</script><!-- c --><p>tail &amp; fin</p></body></html>'
+       AS html
+FROM documents
+"""
+
+
+def _html_extract_oracle() -> str:
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        html_strip_sql,
+    )
+
+    return f"""
+WITH planted AS ({_HTML_PLANT_SQL})
+SELECT doc_id, md5({html_strip_sql("html")}) AS text_md5,
+       CAST(length({html_strip_sql("html")}) AS BIGINT) AS n_chars
+FROM planted
+"""
+
+
+@register("text_html_extract", _html_extract_oracle())
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible text over the whole corpus: the WARC ingest's
+    extraction stage (``warc_documents``) as a standalone oracle-
+    checked operator — one codegen'd regexp fold, zero shuffles, scan
+    bandwidth at 100 TB."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        html_to_text,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did.cast("string"),
+        F.lit('</title><style>p{color:red}</style></head><body><h1>H'),
+        (did % 7).cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><script>var x = "<p>ignore</p>";</script><!-- c --><p>tail &amp; fin</p></body></html>'),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(html_to_text(html).cast("binary")).alias("text_md5"),
+        F.length(html_to_text(html)).cast("long").alias("n_chars"),
+    )

@@ -191,3 +191,4 @@ def load_jsonl_documents(spark: SparkSession, data_dir: str) -> JsonlScan:
         ).alias("_corrupt_record"),
     )
     return JsonlScan(clean, quarantined, raw)
+

@@ -1,0 +1,202 @@
+"""WARC web-archive source (SURVEY.md §2a extension) — the Common
+Crawl container format, THE bulk source a 100 TB training-data
+pipeline actually ingests. The reference loads only local txt/pdf
+files (``scripts/ingest_documents.py:42-64``); web-scale corpora
+arrive as ``.warc`` / ``.warc.gz`` segments of HTTP captures.
+
+Spark shape: ``binaryFile`` scan (one row per segment file — Spark
+parallelizes by file, which is exactly how Common Crawl shards:
+~1 GB/segment, ~64k segments per crawl) → a pure-Python record
+parser in ``mapInPandas`` (Arrow-batched; no external warc library —
+the ISO 28500 framing is ~40 lines) → typed record rows. The
+HTML→text strip is NOT here: records carry the raw payload and
+``functions.text.html_to_text`` handles extraction as codegen'd SQL,
+so the only Python in the pipeline is the container framing itself.
+
+Per-record gzip members (the standard ``.warc.gz`` layout) are
+decompressed with a zlib member loop — each member is one record, so
+a segment streams without ever materializing more than one record's
+bytes beyond the batch.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("record_index", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+class WarcRecord(NamedTuple):
+    warc_type: str
+    url: str | None
+    date: str | None
+    content_type: str | None
+    http_status: int | None
+    http_content_type: str | None
+    body: bytes
+    n_bytes: int
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the .warc.gz layout)."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        if not d.eof:  # truncated member: stop at what we have
+            break
+        data = d.unused_data
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:  # line 0 = version / status
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1", "replace"
+            )
+    return headers
+
+
+def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """HTTP-response payloads carry status line + headers + body;
+    anything that doesn't parse as HTTP is returned whole."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head, sep, body = payload.partition(b"\r\n\r\n")
+    if not sep:
+        return None, None, payload
+    status_line = head.split(b"\r\n", 1)[0].split(b" ")
+    status = int(status_line[1]) if len(status_line) > 1 and status_line[1].isdigit() else None
+    ctype = _parse_headers(head).get("content-type")
+    return status, ctype, body
+
+
+def parse_warc_records(data: bytes) -> list[WarcRecord]:
+    """Parse one WARC segment (plain or per-record-gzip) into records
+    — ISO 28500 framing: ``WARC/1.x`` + headers, CRLFCRLF,
+    Content-Length payload bytes, CRLFCRLF separator."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: list[WarcRecord] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record padding
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        if not data[pos : pos + 5] == b"WARC/":
+            raise ValueError(
+                f"malformed WARC segment: expected record header at byte "
+                f"{pos}, found {data[pos:pos + 16]!r}"
+            )
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("malformed WARC segment: unterminated header")
+        headers = _parse_headers(data[pos:hdr_end])
+        length = int(headers.get("content-length", "0"))
+        body_start = hdr_end + 4
+        payload = data[body_start : body_start + length]
+        if len(payload) < length:
+            raise ValueError("malformed WARC segment: truncated payload")
+        status, http_ctype, body = _split_http(payload)
+        records.append(
+            WarcRecord(
+                warc_type=headers.get("warc-type", "unknown"),
+                url=headers.get("warc-target-uri"),
+                date=headers.get("warc-date"),
+                content_type=headers.get("content-type"),
+                http_status=status,
+                http_content_type=http_ctype,
+                body=body,
+                n_bytes=len(body),
+            )
+        )
+        pos = body_start + length
+    return records
+
+
+def load_warc_records(
+    spark: SparkSession, data_dir: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """One row per WARC record across every segment under
+    ``data_dir`` (request/response/metadata/warcinfo all surfaced —
+    filter on ``warc_type``). Parallelism = segment files, the Common
+    Crawl sharding unit."""
+    import pandas as pd
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", True)
+        .option("pathGlobFilter", glob)
+        .load(data_dir)
+        .select("path", "content")
+    )
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for i, r in enumerate(parse_warc_records(bytes(content))):
+                    rows.append(
+                        {
+                            "source": path,
+                            "record_index": i,
+                            **r._asdict(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return bin_df.mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)
+
+
+def warc_documents(
+    records: DataFrame, min_status: int = 200, max_status: int = 299
+) -> DataFrame:
+    """Successful HTML responses → the engine's document shape
+    ``(text, source, page)``: body decoded as UTF-8 (lossy), tags
+    stripped by the codegen'd ``html_to_text`` fold — everything past
+    the container parse stays JVM-side. ``source`` is
+    ``url#record_index`` (stable across re-reads of the same capture,
+    so chunk ids are idempotent like every other ingest path)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        html_to_text,
+    )
+
+    html = records.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(min_status, max_status)
+        & F.col("http_content_type").startswith("text/html")
+    )
+    return html.select(
+        html_to_text(F.decode(F.col("body"), "UTF-8")).alias("text"),
+        F.concat_ws(
+            "#", F.col("url"), F.col("record_index").cast("string")
+        ).alias("source"),
+        F.lit(None).cast("int").alias("page"),
+    )

@@ -1,0 +1,114 @@
+"""WARC source (sources/warc.py): ISO 28500 framing (plain +
+per-record gzip), HTTP payload split, document extraction through the
+codegen'd HTML strip, malformed-segment errors."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+    load_warc_records,
+    parse_warc_records,
+    warc_documents,
+)
+
+
+def _record(warc_type: str, url: str, payload: bytes, extra: str = "") -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"WARC-Record-ID: <urn:uuid:{warc_type}-{len(payload)}>\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"{extra}"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, status: int = 200, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+HTML_A = b"<html><body><h1>Title A</h1><p>alpha beta</p><script>x=1</script></body></html>"
+HTML_B = b"<html><body><p>gamma &amp; delta</p></body></html>"
+
+
+def _segment() -> bytes:
+    return (
+        _record("warcinfo", "urn:none", b"software: test\r\n")
+        + _record("request", "http://a.example/", b"GET / HTTP/1.1\r\n\r\n")
+        + _record("response", "http://a.example/", _http(HTML_A))
+        + _record("response", "http://b.example/", _http(HTML_B))
+        + _record("response", "http://c.example/", _http(b"{}", ctype="application/json"))
+        + _record("response", "http://d.example/", _http(b"gone", status=404))
+    )
+
+
+def test_parse_plain_segment():
+    recs = parse_warc_records(_segment())
+    assert [r.warc_type for r in recs] == [
+        "warcinfo", "request", "response", "response", "response", "response",
+    ]
+    resp = [r for r in recs if r.warc_type == "response"]
+    assert resp[0].url == "http://a.example/"
+    assert resp[0].http_status == 200
+    assert resp[0].http_content_type == "text/html"
+    assert resp[0].body == HTML_A
+    assert resp[3].http_status == 404
+
+
+def test_parse_gzip_members_segment():
+    # per-record gzip members (the standard .warc.gz layout)
+    seg = _segment()
+    parts = [
+        _record("warcinfo", "urn:none", b"software: test\r\n"),
+        _record("request", "http://a.example/", b"GET / HTTP/1.1\r\n\r\n"),
+        _record("response", "http://a.example/", _http(HTML_A)),
+        _record("response", "http://b.example/", _http(HTML_B)),
+    ]
+    assert seg.startswith(b"".join(parts[:1]))
+    gz = b"".join(gzip.compress(p) for p in parts)
+    recs = parse_warc_records(gz)
+    assert len(recs) == 4
+    assert recs[2].body == HTML_A
+
+
+def test_malformed_segment_raises():
+    with pytest.raises(ValueError, match="malformed"):
+        parse_warc_records(b"NOT A WARC")
+    truncated = _record("response", "http://a/", _http(HTML_A))[:-20]
+    with pytest.raises(ValueError, match="truncated|malformed"):
+        parse_warc_records(truncated)
+
+
+def test_load_and_extract_documents(spark, tmp_path):
+    (tmp_path / "seg1.warc").write_bytes(_segment())
+    (tmp_path / "seg2.warc.gz").write_bytes(
+        gzip.compress(_record("response", "http://e.example/", _http(HTML_B)))
+    )
+    recs = load_warc_records(spark, str(tmp_path))
+    by_type = {
+        r["warc_type"]: r["n"]
+        for r in recs.groupBy("warc_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {"warcinfo": 1, "request": 1, "response": 5}
+
+    docs = warc_documents(recs)
+    rows = {r["source"]: r["text"] for r in docs.collect()}
+    # only 2xx text/html responses survive: a, b (seg1) + e (seg2)
+    assert set(rows) == {
+        "http://a.example/#2",
+        "http://b.example/#3",
+        "http://e.example/#0",
+    }
+    assert rows["http://a.example/#2"] == "Title A alpha beta"
+    assert rows["http://b.example/#3"] == "gamma & delta"
+    # document shape plugs straight into the ingest funnel
+    assert docs.columns == ["text", "source", "page"]
+
