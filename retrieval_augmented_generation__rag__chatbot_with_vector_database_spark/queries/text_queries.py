@@ -860,3 +860,123 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(html_to_text(html).cast("binary")).alias("text_md5"),
         F.length(html_to_text(html)).cast("long").alias("n_chars"),
     )
+
+
+# URL-canonical dedup (round 11, the web-crawl dedup key): URLs are
+# planted from doc_id arithmetic with every mess the canonicalizer
+# must collapse — case variants, default ports, fragments, utm/gclid
+# params, param order, trailing slashes — and both engines reduce
+# them to the documented canonical form (functions/url.py contract)
+# before a min-survivor group-by. Full value: survivor id, canonical
+# url, copy count.
+_URL_PLANT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+       || '://WWW.Example' || CAST(doc_id % 40 AS VARCHAR) || '.COM'
+       || CASE WHEN doc_id % 4 = 0 THEN
+               CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+          ELSE '' END
+       || '/Docs/' || CAST(doc_id % 160 AS VARCHAR)
+       || CASE WHEN doc_id % 8 = 0 THEN '/' ELSE '' END
+       || CASE doc_id % 3
+            WHEN 0 THEN '?utm_source=feed&b=2&a=1&gclid=Z'
+            WHEN 1 THEN '?a=1&b=2'
+            ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+       AS url
+FROM documents
+"""
+
+_URL_CANON_SQL = """
+  WITH parts AS (
+    SELECT doc_id,
+           regexp_replace(url, '#.*$', '') AS u
+    FROM planted
+  ), split3 AS (
+    SELECT doc_id,
+           lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+           regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+    FROM parts
+  ), norm AS (
+    SELECT doc_id, scheme,
+           CASE WHEN scheme = 'http'  AND auth0 LIKE '%:80'
+                THEN substr(auth0, 1, length(auth0) - 3)
+                WHEN scheme = 'https' AND auth0 LIKE '%:443'
+                THEN substr(auth0, 1, length(auth0) - 4)
+                ELSE auth0 END AS auth,
+           CASE WHEN coalesce(regexp_extract(rest, '^([^?]*)', 1), '') = ''
+                THEN '/'
+                ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path0,
+           -- DuckDB regexp_extract is NULL on no match (Spark: '')
+           coalesce(regexp_extract(rest, '\\?(.*)$', 1), '') AS query
+    FROM split3
+  ), canon AS (
+    SELECT doc_id,
+           scheme || '://' || auth
+           || CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+                   THEN substr(path0, 1, length(path0) - 1) ELSE path0 END
+           || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS curl
+    FROM (
+      SELECT *,
+             -- DuckDB array_to_string([]) is NULL (Spark array_join: '')
+             coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+               p -> p <> '' AND p NOT LIKE 'utm\\_%' ESCAPE '\\'
+                    AND NOT list_contains(
+                          ['fbclid','gclid','msclkid','ref_src','mc_eid'],
+                          string_split(p, '=')[1]))), '&'), '') AS cq
+      FROM norm
+    )
+  )
+"""
+
+
+@register(
+    "web_url_dedup",
+    f"""
+WITH planted AS ({_URL_PLANT_SQL}),
+c AS ({_URL_CANON_SQL} SELECT doc_id, curl FROM canon)
+SELECT min(doc_id) AS survivor_id, curl AS canonical_url,
+       count(*) AS n_copies
+FROM c GROUP BY curl
+""",
+)
+def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl URL dedup: canonicalize (case, default ports,
+    fragments, tracking params, param order, trailing slashes) then
+    keep one survivor per canonical URL — the key a crawl dedups on
+    BEFORE any content hashing. One hash-groupBy shuffle; the
+    canonicalizer is a codegen'd expression tree
+    (``functions/url.py``)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        canonicalize_url,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Example"),
+        (did % 40).cast("string"),
+        F.lit(".COM"),
+        F.when(
+            did % 4 == 0,
+            F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        ).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (did % 160).cast("string"),
+        F.when(did % 8 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("?utm_source=feed&b=2&a=1&gclid=Z"))
+        .when(did % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("survivor_id", "canonical_url", "n_copies")
+    )

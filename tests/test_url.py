@@ -1,0 +1,50 @@
+"""URL canonicalization (functions/url.py) — the web-crawl dedup key."""
+
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+    canonicalize_url,
+    url_host,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Example.COM:80/A/b?b=2&a=1#frag", "http://www.example.com/A/b?a=1&b=2"),
+    ("https://x.org:443/", "https://x.org/"),
+    ("https://x.org:8443/p", "https://x.org:8443/p"),  # non-default port kept
+    ("http://x.org/a/", "http://x.org/a"),  # trailing slash off non-root
+    ("http://x.org/", "http://x.org/"),  # root slash kept
+    ("http://x.org", "http://x.org/"),  # empty path -> root
+    ("http://x.org/p?utm_source=a&utm_medium=b", "http://x.org/p"),
+    ("http://x.org/p?gclid=Z&keep=1&fbclid=Q", "http://x.org/p?keep=1"),
+    ("http://x.org/CaseSensitive/Path", "http://x.org/CaseSensitive/Path"),
+    ("http://x.org/p?z=1&a=2&m=3", "http://x.org/p?a=2&m=3&z=1"),  # sorted
+]
+
+
+def test_canonicalize_url(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [(0, "HTTPS://Sub.Example.COM:8080/p?q=1")], "i long, url string"
+    )
+    assert df.select(url_host("url").alias("h")).first()["h"] == "sub.example.com"
+
+
+def test_canonical_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, url string"
+    )
+    once = df.select("i", canonicalize_url("url").alias("u"))
+    twice = once.select("i", canonicalize_url("u").alias("u"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
