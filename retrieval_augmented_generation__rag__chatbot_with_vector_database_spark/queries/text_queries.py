@@ -980,3 +980,75 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("survivor_id", "canonical_url", "n_copies")
     )
+
+
+@register(
+    "corpus_host_cap",
+    f"""
+WITH planted AS ({_URL_PLANT_SQL}),
+h AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS host
+  FROM planted
+),
+r AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk,
+         count(*) OVER (PARTITION BY host) AS host_docs
+  FROM h
+)
+SELECT host, CAST(host_docs AS BIGINT) AS host_docs,
+       CAST(count(*) AS BIGINT) AS kept,
+       CAST(min(doc_id) AS BIGINT) AS first_kept,
+       CAST(max(doc_id) AS BIGINT) AS last_kept
+FROM r WHERE rk <= 8 GROUP BY host, host_docs
+""",
+)
+def corpus_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap — the anti-domination stage of a crawl
+    curation recipe (no single site should dominate the training
+    mix): keep the first ``cap`` docs per host by a deterministic
+    order, report per-host kept/total. One window shuffle on the host
+    key; at 100 TB hot hosts are exactly the skewed keys AQE's
+    skew-join handling splits, and the cap bounds what any of them
+    contributes downstream."""
+    from pyspark.sql import Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        url_host,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Example"),
+        (did % 40).cast("string"),
+        F.lit(".COM"),
+        F.when(
+            did % 4 == 0,
+            F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        ).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (did % 160).cast("string"),
+        F.when(did % 8 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("?utm_source=feed&b=2&a=1&gclid=Z"))
+        .when(did % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    hosts = docs.select("doc_id", url_host(url).alias("host"))
+    w = Window.partitionBy("host").orderBy("doc_id")
+    wc = Window.partitionBy("host")
+    return (
+        hosts.withColumn("rk", F.row_number().over(w))
+        .withColumn("host_docs", F.count("*").over(wc))
+        .filter(F.col("rk") <= 8)
+        .groupBy("host", F.col("host_docs").cast("long").alias("host_docs"))
+        .agg(
+            F.count("*").alias("kept"),
+            F.min("doc_id").alias("first_kept"),
+            F.max("doc_id").alias("last_kept"),
+        )
+    )
