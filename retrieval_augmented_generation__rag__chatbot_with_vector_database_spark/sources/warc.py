@@ -82,7 +82,14 @@ def _parse_headers(block: bytes) -> dict[str, str]:
 
 def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     """HTTP-response payloads carry status line + headers + body;
-    anything that doesn't parse as HTTP is returned whole."""
+    anything that doesn't parse as HTTP is returned whole.
+
+    Scope notes (documented, not silent): header line folding
+    (obsolete RFC 7230 obs-fold) is not unfolded, and bodies captured
+    with ``Transfer-Encoding: chunked`` keep their chunk framing —
+    the HTML tag strip downstream is robust to the interleaved length
+    lines for text extraction; byte-exact body use cases should
+    dechunk first."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
     head, sep, body = payload.partition(b"\r\n\r\n")
