@@ -91,6 +91,10 @@ HEADLINE = [
     # round 11: scrub-before-anything ingest funnel (new key — no
     # history): scrub -> chunk -> embed -> index upsert -> read-back
     "corpus_scrub_ingest_pipeline",
+    # round 11: web-ingest primitives (new keys — no history):
+    # codegen'd HTML extraction and canonical-URL dedup
+    "text_html_extract",
+    "web_url_dedup",
 ]
 
 # Queries whose code is untouched since round 3 — the cross-round

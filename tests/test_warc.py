@@ -112,3 +112,43 @@ def test_load_and_extract_documents(spark, tmp_path):
     # document shape plugs straight into the ingest funnel
     assert docs.columns == ["text", "source", "page"]
 
+
+
+def test_warc_to_index_end_to_end(spark, tmp_path):
+    """The full web-ingest funnel: WARC segments -> HTML extraction ->
+    PII scrub -> chunk -> embed -> VectorIndex. Raw markup and PII
+    never reach the index; ids are content-addressed over the
+    scrubbed, extracted text."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+        HashEmbedder,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        VectorIndex,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
+        docs_to_records,
+    )
+
+    page = (
+        b"<html><body><h1>Contact</h1><p>mail jane@example.com or call "
+        b"415-555-0134; office net 10.0.0.7</p><p>"
+        + b"useful words " * 120
+        + b"</p></body></html>"
+    )
+    (tmp_path / "seg.warc").write_bytes(
+        _record("response", "http://site.example/page", _http(page))
+    )
+    docs = warc_documents(load_warc_records(spark, str(tmp_path))).select(
+        "text", "source"
+    )
+    idx = VectorIndex(spark, str(tmp_path / "idx"), "warc-idx").create(dimension=32)
+    n = idx.upsert(
+        docs_to_records(docs, HashEmbedder(dimension=32), scrub=True), batch=0
+    )
+    assert n > 1  # long page -> multiple chunks
+    joined = " ".join(r["text"] for r in idx.read().select("text").collect())
+    assert "<" not in joined and "jane@example.com" not in joined
+    assert "415-555-0134" not in joined and "10.0.0.7" not in joined
+    assert "[EMAIL]" in joined and "useful words" in joined
+    srcs = {r["source"] for r in idx.read().select("source").collect()}
+    assert srcs == {"http://site.example/page#0"}
