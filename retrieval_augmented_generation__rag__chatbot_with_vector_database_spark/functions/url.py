@@ -71,13 +71,18 @@ def canonicalize_url(url: Column | str) -> Column:
         & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS),
     )
     canon_q = F.array_join(F.array_sort(params), "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         auth,
         path,
         F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
     )
+    # best-effort contract: anything that isn't an absolute URL
+    # (no scheme://) passes through unchanged rather than collapsing
+    # to a '://...' artifact — relative refs and junk rows stay
+    # distinct instead of colliding into one dedup group
+    return F.when(scheme == "", _c(url)).otherwise(canon)
 
 
 def url_host(url: Column | str) -> Column:

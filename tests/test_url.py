@@ -19,6 +19,8 @@ CASES = [
     ("http://x.org/p?gclid=Z&keep=1&fbclid=Q", "http://x.org/p?keep=1"),
     ("http://x.org/CaseSensitive/Path", "http://x.org/CaseSensitive/Path"),
     ("http://x.org/p?z=1&a=2&m=3", "http://x.org/p?a=2&m=3&z=1"),  # sorted
+    ("/relative/path?x=1", "/relative/path?x=1"),  # no scheme: passthrough
+    ("not a url at all", "not a url at all"),
 ]
 
 
