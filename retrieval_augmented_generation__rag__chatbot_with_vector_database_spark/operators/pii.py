@@ -44,6 +44,17 @@ from pyspark.sql import functions as F
 #: - ipv4:  dotted quads of 1-3 digits (documented over-capture:
 #:          3-dot version strings match; out-of-range octets match)
 #:
+#: Documented over-capture beyond ipv4 (the space-separator cost):
+#: the space-SEP ssn and phone alternatives also match ordinary
+#: digit-group runs — tabular numbers like ``100 200 3000`` scrub to
+#: ``[PHONE]`` and ``123 45 6789``-shaped quantity columns to
+#: ``[SSN]``. This is the chosen trade-off: space-separated is how
+#: real SSNs/phones appear in prose, and a training-corpus scrub
+#: prefers false positives over leaks. Profiling callers
+#: (``pii_counts``-based dashboards) should expect inflated
+#: ssn/phone counts on digit-dense text; scrub-gate callers lose
+#: only the digit groups, never surrounding text.
+#:
 #: Callers relying on ``keep_text=False`` as a scrub gate should
 #: treat anything outside these shapes (international phone formats,
 #: IBANs, passport numbers, free-text names/addresses) as UNCOVERED.

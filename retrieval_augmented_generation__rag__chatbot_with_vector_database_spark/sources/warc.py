@@ -57,15 +57,68 @@ class WarcRecord(NamedTuple):
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the .warc.gz layout)."""
+    """Decompress concatenated gzip members (the .warc.gz layout).
+
+    A truncated final member raises — the same loud-ValueError
+    discipline as the plain-WARC framing below. Stopping silently at
+    the partial prefix could drop the rest of a segment's records
+    whenever the truncation happens to align with a record boundary.
+    """
     out = []
     while data:
         d = zlib.decompressobj(wbits=31)
         out.append(d.decompress(data))
         out.append(d.flush())
-        if not d.eof:  # truncated member: stop at what we have
-            break
+        if not d.eof:
+            raise ValueError(
+                "malformed .warc.gz segment: truncated gzip member after "
+                f"{sum(len(o) for o in out)} decompressed bytes"
+            )
         data = d.unused_data
+    return b"".join(out)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 ``Transfer-Encoding: chunked`` framing:
+    ``<hex-size>[;ext]CRLF <size bytes> CRLF`` repeated, terminated by
+    a 0-size chunk (trailers ignored). Two deliberate edges:
+
+    - if the body does NOT start with a valid chunk-size line, it is
+      returned unchanged — some capture proxies dechunk the body but
+      keep the header, and re-dechunking plain HTML would corrupt it;
+    - a body that starts with valid framing but truncates mid-chunk
+      raises (loud, like the rest of the parser) rather than
+      returning a partial prefix.
+    """
+    first_eol = body.find(b"\r\n", 0, 18)
+    if first_eol <= 0:
+        return body
+    size_tok = body[:first_eol].split(b";", 1)[0].strip()
+    try:
+        int(size_tok, 16)
+    except ValueError:
+        return body  # header lied: body is already dechunked
+    out = []
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("malformed chunked body: missing size line")
+        tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(tok, 16)
+        except ValueError as e:
+            raise ValueError(
+                f"malformed chunked body: bad chunk size {tok[:16]!r}"
+            ) from e
+        if size == 0:
+            break  # trailers (if any) ignored
+        start = eol + 2
+        if start + size > n:
+            raise ValueError("malformed chunked body: truncated chunk data")
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip the chunk's trailing CRLF
     return b"".join(out)
 
 
@@ -84,12 +137,11 @@ def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     """HTTP-response payloads carry status line + headers + body;
     anything that doesn't parse as HTTP is returned whole.
 
-    Scope notes (documented, not silent): header line folding
-    (obsolete RFC 7230 obs-fold) is not unfolded, and bodies captured
-    with ``Transfer-Encoding: chunked`` keep their chunk framing —
-    the HTML tag strip downstream is robust to the interleaved length
-    lines for text extraction; byte-exact body use cases should
-    dechunk first."""
+    Bodies captured with ``Transfer-Encoding: chunked`` are dechunked
+    (``_dechunk``) so the returned body is byte-exact — exact-dedup
+    hashing downstream needs content bytes, not framing bytes. Scope
+    note (documented, not silent): header line folding (obsolete
+    RFC 7230 obs-fold) is not unfolded."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
     head, sep, body = payload.partition(b"\r\n\r\n")
@@ -97,8 +149,10 @@ def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
         return None, None, payload
     status_line = head.split(b"\r\n", 1)[0].split(b" ")
     status = int(status_line[1]) if len(status_line) > 1 and status_line[1].isdigit() else None
-    ctype = _parse_headers(head).get("content-type")
-    return status, ctype, body
+    headers = _parse_headers(head)
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    return status, headers.get("content-type"), body
 
 
 def parse_warc_records(data: bytes) -> list[WarcRecord]:
@@ -186,22 +240,37 @@ def warc_documents(
     records: DataFrame, min_status: int = 200, max_status: int = 299
 ) -> DataFrame:
     """Successful HTML responses → the engine's document shape
-    ``(text, source, page)``: body decoded as UTF-8 (lossy), tags
-    stripped by the codegen'd ``html_to_text`` fold — everything past
-    the container parse stays JVM-side. ``source`` is
+    ``(text, source, page)``: body decoded per the Content-Type
+    charset, tags stripped by the codegen'd ``html_to_text`` fold —
+    everything past the container parse stays JVM-side. ``source`` is
     ``url#record_index`` (stable across re-reads of the same capture,
-    so chunk ids are idempotent like every other ingest path)."""
+    so chunk ids are idempotent like every other ingest path).
+
+    Content-Type matching is case-insensitive (real crawls carry
+    ``Text/HTML``). Charset scope: a declared latin-1-family charset
+    (iso-8859-1 / latin1 / windows-1252 — the cp1252 C1 range is
+    approximated by latin-1's control slots, which the tag strip
+    discards anyway) decodes as ISO-8859-1; everything else —
+    utf-8, ascii, absent, or unknown — decodes as lossy UTF-8
+    (``make_valid_utf8``: invalid sequences become U+FFFD instead of
+    failing the scan, the only sane default at crawl scale)."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
         html_to_text,
     )
 
+    ctype = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
     html = records.filter(
         (F.col("warc_type") == "response")
         & F.col("http_status").between(min_status, max_status)
-        & F.col("http_content_type").startswith("text/html")
+        & ctype.startswith("text/html")
     )
+    charset = F.regexp_extract(ctype, r"charset\s*=\s*\"?([a-z0-9_.:-]+)", 1)
+    decoded = F.when(
+        charset.isin("iso-8859-1", "latin-1", "latin1", "windows-1252", "cp1252"),
+        F.decode(F.col("body"), "ISO-8859-1"),
+    ).otherwise(F.expr("make_valid_utf8(body)"))
     return html.select(
-        html_to_text(F.decode(F.col("body"), "UTF-8")).alias("text"),
+        html_to_text(decoded).alias("text"),
         F.concat_ws(
             "#", F.col("url"), F.col("record_index").cast("string")
         ).alias("source"),

@@ -87,6 +87,69 @@ def test_malformed_segment_raises():
         parse_warc_records(truncated)
 
 
+def test_truncated_gzip_member_raises():
+    gz = gzip.compress(_record("response", "http://a/", _http(HTML_A)))
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        parse_warc_records(gz[:-10])
+
+
+def test_chunked_transfer_encoding_dechunked():
+    # body split across three chunks (with a chunk extension) + trailer
+    chunked = (
+        b"19;ext=1\r\n<html><body><p>alpha beta\r\n"
+        b"11\r\n gamma</p></body>\r\n"
+        b"7\r\n</html>\r\n"
+        b"0\r\nX-Trailer: t\r\n\r\n"
+    )
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    recs = parse_warc_records(_record("response", "http://c.example/x", payload))
+    assert recs[0].body == b"<html><body><p>alpha beta gamma</p></body></html>"
+    # truncated mid-chunk fails loudly
+    bad = payload[: payload.find(b"0\r\nX-Trailer") - 4]
+    bad_rec = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: http://c/\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(bad)}\r\n\r\n"
+    ).encode() + bad + b"\r\n\r\n"
+    with pytest.raises(ValueError, match="chunked"):
+        parse_warc_records(bad_rec)
+    # a proxy that dechunked the body but kept the header: pass-through
+    lied = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"<html>plain already</html>"
+    )
+    recs = parse_warc_records(_record("response", "http://d.example/", lied))
+    assert recs[0].body == b"<html>plain already</html>"
+
+
+def test_content_type_case_and_charset(spark, tmp_path):
+    latin = "<p>café résumé</p>".encode("iso-8859-1")
+    bad_utf8 = b"<p>ok " + bytes([0xE9]) + b" end</p>"  # invalid UTF-8 byte
+    seg = (
+        _record(
+            "response",
+            "http://u.example/",
+            _http(b"<p>upper ctype</p>", ctype="Text/HTML; Charset=UTF-8"),
+        )
+        + _record(
+            "response",
+            "http://l.example/",
+            _http(latin, ctype='text/html; charset="ISO-8859-1"'),
+        )
+        + _record("response", "http://m.example/", _http(bad_utf8))
+    )
+    (tmp_path / "seg.warc").write_bytes(seg)
+    docs = warc_documents(load_warc_records(spark, str(tmp_path)))
+    rows = {r["source"].split("#")[0]: r["text"] for r in docs.collect()}
+    assert rows["http://u.example/"] == "upper ctype"  # Text/HTML not dropped
+    assert rows["http://l.example/"] == "café résumé"
+    assert rows["http://m.example/"] == "ok � end"  # lossy, never raises
+
+
 def test_load_and_extract_documents(spark, tmp_path):
     (tmp_path / "seg1.warc").write_bytes(_segment())
     (tmp_path / "seg2.warc.gz").write_bytes(
