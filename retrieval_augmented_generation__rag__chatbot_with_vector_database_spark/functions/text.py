@@ -211,3 +211,120 @@ def html_strip_sql(expr: str) -> str:
         r = rep.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
     return f"trim({expr})"
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-aware main-content extraction (jusText/trafilatura-style
+# link-density gating, expressed as a shared-constant expression tree
+# so the DuckDB oracle replays the identical automaton).
+#
+# Method: after removing script/style/comments, the page is segmented
+# into BLOCKS at block-level tag boundaries; each block's visible text
+# and anchor-text length are measured, and a block survives iff it has
+# at least MIN_BLOCK_CHARS visible characters AND its link density
+# (anchor chars / visible chars) is at most MAX_LINK_DENSITY. Nav
+# bars, sidebars, breadcrumbs, and footer link farms are ~all-anchor
+# (density ~1.0) and die; prose paragraphs with occasional links
+# survive. This is the public jusText recipe's core gate (its stopword
+# density refinement is language-bound and out of scope). Scope: a
+# heuristic — short link-free boilerplate ("All rights reserved")
+# below MIN_BLOCK_CHARS drops, longer link-free boilerplate survives.
+
+#: tags that terminate a text block (jusText's segmentation set)
+_BLOCK_TAGS = (
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|caption"
+    "|section|article|header|footer|nav|aside|main|figure|figcaption"
+    "|blockquote|pre|form|fieldset|select|option|br|hr|title"
+)
+BLOCK_TAG_PATTERN = rf"(?is)</?(?:{_BLOCK_TAGS})\b[^>]*>"
+#: anchor inner HTML (group 1); \b keeps <abbr>/<article> out
+ANCHOR_PATTERN = r"(?is)<a\b[^>]*>(.*?)</a>"
+#: U+001E RECORD SEPARATOR — never appears in real page text
+BLOCK_SEP = "\x1e"
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 0.33
+
+#: the per-block visible-text fold = HTML_STRIP_STEPS minus the
+#: script/style/comment removals (those run page-level, before
+#: segmentation, so their contents can't straddle block boundaries)
+_PAGE_PRE_STEPS = HTML_STRIP_STEPS[:3]
+_INLINE_STEPS = HTML_STRIP_STEPS[3:]
+
+
+def _visible(col: Column) -> Column:
+    for pat, rep in _INLINE_STEPS:
+        col = F.regexp_replace(col, pat, rep)
+    return F.trim(col)
+
+
+def html_main_content(html: Column | str) -> Column:
+    """Main-content text of an HTML payload — the block-segmented,
+    link-density-gated variant of :func:`html_to_text` (module
+    commentary above). One codegen'd expression tree (regexp folds +
+    array lambdas), zero Python, zero shuffles — runs at scan
+    bandwidth next to the WARC record parse."""
+    out = _c(html)
+    for pat, rep in _PAGE_PRE_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    blocks = F.split(F.regexp_replace(out, BLOCK_TAG_PATTERN, BLOCK_SEP), BLOCK_SEP)
+    measured = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _visible(b).alias("vis"),
+            F.aggregate(
+                F.transform(
+                    F.regexp_extract_all(b, F.lit(ANCHOR_PATTERN), F.lit(1)),
+                    lambda a: F.length(_visible(a)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("alen"),
+        ),
+    )
+    kept = F.filter(
+        measured,
+        lambda s: (F.length(s["vis"]) >= MIN_BLOCK_CHARS)
+        & (s["alen"] <= MAX_LINK_DENSITY * F.length(s["vis"])),
+    )
+    joined = F.array_join(F.transform(kept, lambda s: s["vis"]), " ")
+    return F.trim(F.regexp_replace(joined, r"\s+", " "))
+
+
+def _visible_sql(expr: str) -> str:
+    for pat, rep in _INLINE_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
+
+
+def html_main_content_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`html_main_content`, generated from
+    the same constants (pattern lists, thresholds) so both engines
+    gate identical blocks."""
+    for pat, rep in _PAGE_PRE_STEPS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    block_pat = BLOCK_TAG_PATTERN.replace("'", "''")
+    anchor_pat = ANCHOR_PATTERN.replace("'", "''")
+    blocks = f"string_split(regexp_replace({expr}, '{block_pat}', chr(30), 'g'), chr(30))"
+    alen = (
+        "coalesce(list_sum(list_transform("
+        f"regexp_extract_all(b, '{anchor_pat}', 1), "
+        f"a -> length({_visible_sql('a')}))), 0)"
+    )
+    measured = (
+        f"list_transform({blocks}, "
+        f"b -> struct_pack(vis := {_visible_sql('b')}, alen := {alen}))"
+    )
+    kept = (
+        f"list_filter({measured}, s -> "
+        f"length(struct_extract(s, 'vis')) >= {MIN_BLOCK_CHARS} "
+        f"AND struct_extract(s, 'alen') "
+        f"<= {MAX_LINK_DENSITY} * length(struct_extract(s, 'vis')))"
+    )
+    joined = (
+        "coalesce(array_to_string("
+        f"list_transform({kept}, s -> struct_extract(s, 'vis')), ' '), '')"
+    )
+    return f"trim(regexp_replace({joined}, '\\s+', ' ', 'g'))"

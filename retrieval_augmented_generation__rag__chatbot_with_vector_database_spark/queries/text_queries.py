@@ -1052,3 +1052,87 @@ def corpus_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_kept"),
         )
     )
+
+
+# Boilerplate-aware main-content extraction (round 12): plant a
+# nav-heavy page around each document's text — header nav, a
+# breadcrumb, a "see also" prose paragraph with one low-density link,
+# an all-link sidebar, a short footer — on BOTH engines, then gate
+# blocks with the SHARED link-density constants
+# (functions.text.html_main_content / html_main_content_sql: same
+# pattern lists + MIN_BLOCK_CHARS/MAX_LINK_DENSITY). The title, nav,
+# breadcrumb, sidebar, and footer must all die (short or ~all-anchor);
+# the heading, body, and see-also paragraphs survive — full value via
+# md5 + length of the extracted content.
+_MAIN_PLANT_SQL = """
+SELECT doc_id,
+       '<html><head><title>T' || CAST(doc_id AS VARCHAR)
+       || '</title></head><body><nav><a href="/">Home</a> <a href="/s'
+       || CAST(doc_id % 7 AS VARCHAR)
+       || '">Section</a> <a href="/about">About</a></nav>'
+       || '<div class="crumb"><a href="/">Home</a> &gt; <a href="/c">Cat</a> &gt; now</div>'
+       || '<h1>Document ' || CAST(doc_id AS VARCHAR)
+       || ' heading with enough words to pass the gate</h1><p>' || text
+       || '</p><p>See also <a href="/d' || CAST(doc_id % 11 AS VARCHAR)
+       || '">related doc ' || CAST(doc_id % 11 AS VARCHAR)
+       || '</a> plus surrounding prose keeping the link density of this paragraph low.</p>'
+       || '<aside><a href="/x">Link one here</a> <a href="/y">Link two here</a>'
+       || ' <a href="/z">Link three here</a></aside>'
+       || '<footer>&#39;24 <a href="/tos">Terms</a> <a href="/p">Privacy</a></footer>'
+       || '</body></html>' AS html
+FROM documents
+"""
+
+
+def _main_content_oracle() -> str:
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        html_main_content_sql,
+    )
+
+    return f"""
+WITH planted AS ({_MAIN_PLANT_SQL})
+SELECT doc_id, md5({html_main_content_sql("html")}) AS content_md5,
+       CAST(length({html_main_content_sql("html")}) AS BIGINT) AS n_chars
+FROM planted
+"""
+
+
+@register("text_html_main_content", _main_content_oracle())
+def text_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction over the whole corpus: the
+    link-density block gate a crawl curation pipeline runs so Gopher
+    quality gates score article text, not navigation chrome (public
+    jusText-style recipe). One codegen'd expression tree, zero
+    shuffles — scan bandwidth at 100 TB."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        html_main_content,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><title>T'),
+        did.cast("string"),
+        F.lit('</title></head><body><nav><a href="/">Home</a> <a href="/s'),
+        (did % 7).cast("string"),
+        F.lit('">Section</a> <a href="/about">About</a></nav>'),
+        F.lit('<div class="crumb"><a href="/">Home</a> &gt; <a href="/c">Cat</a> &gt; now</div>'),
+        F.lit("<h1>Document "),
+        did.cast("string"),
+        F.lit(" heading with enough words to pass the gate</h1><p>"),
+        F.col("text"),
+        F.lit('</p><p>See also <a href="/d'),
+        (did % 11).cast("string"),
+        F.lit('">related doc '),
+        (did % 11).cast("string"),
+        F.lit("</a> plus surrounding prose keeping the link density of this paragraph low.</p>"),
+        F.lit('<aside><a href="/x">Link one here</a> <a href="/y">Link two here</a>'),
+        F.lit(' <a href="/z">Link three here</a></aside>'),
+        F.lit('<footer>&#39;24 <a href="/tos">Terms</a> <a href="/p">Privacy</a></footer>'),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(html_main_content(html).cast("binary")).alias("content_md5"),
+        F.length(html_main_content(html)).cast("long").alias("n_chars"),
+    )

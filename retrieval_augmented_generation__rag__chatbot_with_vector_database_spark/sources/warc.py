@@ -237,7 +237,10 @@ def load_warc_records(
 
 
 def warc_documents(
-    records: DataFrame, min_status: int = 200, max_status: int = 299
+    records: DataFrame,
+    min_status: int = 200,
+    max_status: int = 299,
+    main_content: bool = False,
 ) -> DataFrame:
     """Successful HTML responses → the engine's document shape
     ``(text, source, page)``: body decoded per the Content-Type
@@ -253,8 +256,14 @@ def warc_documents(
     discards anyway) decodes as ISO-8859-1; everything else —
     utf-8, ascii, absent, or unknown — decodes as lossy UTF-8
     (``make_valid_utf8``: invalid sequences become U+FFFD instead of
-    failing the scan, the only sane default at crawl scale)."""
+    failing the scan, the only sane default at crawl scale).
+
+    ``main_content=True`` swaps the plain tag strip for the
+    link-density block gate (``functions.text.html_main_content``) —
+    navigation chrome, sidebars, and footer link farms are dropped
+    before the text reaches quality gates or the chunker."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        html_main_content,
         html_to_text,
     )
 
@@ -269,8 +278,9 @@ def warc_documents(
         charset.isin("iso-8859-1", "latin-1", "latin1", "windows-1252", "cp1252"),
         F.decode(F.col("body"), "ISO-8859-1"),
     ).otherwise(F.expr("make_valid_utf8(body)"))
+    extract = html_main_content if main_content else html_to_text
     return html.select(
-        html_to_text(decoded).alias("text"),
+        extract(decoded).alias("text"),
         F.concat_ws(
             "#", F.col("url"), F.col("record_index").cast("string")
         ).alias("source"),
