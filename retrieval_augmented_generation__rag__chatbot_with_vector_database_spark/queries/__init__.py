@@ -190,6 +190,7 @@ def _import_all() -> None:
         curation_queries,
         bpe_queries,
         pii_queries,
+        web_queries,
     )
 
     _prioritize()

@@ -236,32 +236,28 @@ def load_warc_records(
     return bin_df.mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)
 
 
-def warc_documents(
+def _extracted_pages(
     records: DataFrame,
-    min_status: int = 200,
-    max_status: int = 299,
-    main_content: bool = False,
+    min_status: int,
+    max_status: int,
+    main_content: bool,
 ) -> DataFrame:
-    """Successful HTML responses → the engine's document shape
-    ``(text, source, page)``: body decoded per the Content-Type
-    charset, tags stripped by the codegen'd ``html_to_text`` fold —
-    everything past the container parse stays JVM-side. ``source`` is
-    ``url#record_index`` (stable across re-reads of the same capture,
-    so chunk ids are idempotent like every other ingest path).
-
-    Content-Type matching is case-insensitive (real crawls carry
-    ``Text/HTML``). Charset scope: a declared latin-1-family charset
-    (iso-8859-1 / latin1 / windows-1252 — the cp1252 C1 range is
-    approximated by latin-1's control slots, which the tag strip
-    discards anyway) decodes as ISO-8859-1; everything else —
-    utf-8, ascii, absent, or unknown — decodes as lossy UTF-8
+    """Successful HTML responses → extracted visible text, keeping
+    the crawl keys ``(url, segment, record_index)`` for the curation
+    stages. Content-Type matching is case-insensitive (real crawls
+    carry ``Text/HTML``). Charset scope: a declared latin-1-family
+    charset (iso-8859-1 / latin1 / windows-1252 — the cp1252 C1 range
+    is approximated by latin-1's control slots, which the tag strip
+    discards anyway) decodes as ISO-8859-1; everything else — utf-8,
+    ascii, absent, or unknown — decodes as lossy UTF-8
     (``make_valid_utf8``: invalid sequences become U+FFFD instead of
     failing the scan, the only sane default at crawl scale).
 
     ``main_content=True`` swaps the plain tag strip for the
     link-density block gate (``functions.text.html_main_content``) —
     navigation chrome, sidebars, and footer link farms are dropped
-    before the text reaches quality gates or the chunker."""
+    before the text reaches quality gates or the chunker. Everything
+    past the container parse is a narrow codegen'd map."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
         html_main_content,
         html_to_text,
@@ -281,6 +277,87 @@ def warc_documents(
     extract = html_main_content if main_content else html_to_text
     return html.select(
         extract(decoded).alias("text"),
+        F.col("url"),
+        F.col("source").alias("segment"),
+        F.col("record_index"),
+    )
+
+
+def warc_documents(
+    records: DataFrame,
+    min_status: int = 200,
+    max_status: int = 299,
+    main_content: bool = False,
+) -> DataFrame:
+    """Successful HTML responses → the engine's document shape
+    ``(text, source, page)`` (decode/extract semantics documented on
+    ``_extracted_pages``). ``source`` is ``url#record_index`` (stable
+    across re-reads of the same capture, so chunk ids are idempotent
+    like every other ingest path)."""
+    pages = _extracted_pages(records, min_status, max_status, main_content)
+    return pages.select(
+        "text",
+        F.concat_ws(
+            "#", F.col("url"), F.col("record_index").cast("string")
+        ).alias("source"),
+        F.lit(None).cast("int").alias("page"),
+    )
+
+
+def web_crawl_documents(
+    records: DataFrame,
+    min_status: int = 200,
+    max_status: int = 299,
+    main_content: bool = True,
+    host_cap: int | None = None,
+) -> DataFrame:
+    """The crawl-curation front end of a 100 TB web ingest, as one
+    declarative plan: extracted pages → canonical-URL dedup → per-host
+    cap → the engine's document shape ``(text, source, page)``.
+
+    - **URL dedup**: the same page is captured under syntactically
+      different URLs; the FIRST capture per canonical form
+      (``functions.url.canonicalize_url``) survives, "first" =
+      smallest ``(segment, record_index)`` — deterministic across
+      re-runs and segment orderings. One hash groupBy with map-side
+      ``min_by`` partial aggregation (no window sort): the natural
+      shape when canonical URLs are near-unique, as in a real crawl.
+    - **Host cap** (``host_cap=N``): at most N pages per host, first
+      captures win — the anti-domination gate (no single site should
+      dominate the training mix). One window shuffle on the host key;
+      hot hosts are exactly the skewed keys AQE's skew handling
+      splits, and the cap bounds what they contribute downstream.
+
+    Everything before the dedup groupBy is shuffle-free (binaryFile
+    scan → Arrow-batched framing → codegen'd extract/filter), pinned
+    by a plan contract in ``tests/test_plans.py``."""
+    from pyspark.sql import Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        canonicalize_url,
+        url_host,
+    )
+
+    pages = _extracted_pages(records, min_status, max_status, main_content)
+    order = F.struct(F.col("segment"), F.col("record_index"))
+    payload = F.struct(
+        F.col("text"), F.col("url"), F.col("segment"), F.col("record_index")
+    )
+    first = (
+        pages.withColumn("canonical_url", canonicalize_url("url"))
+        .groupBy("canonical_url")
+        .agg(F.min_by(payload, order).alias("s"))
+        .select("canonical_url", "s.*")
+    )
+    if host_cap is not None:
+        w = Window.partitionBy(url_host("url")).orderBy("segment", "record_index")
+        first = (
+            first.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= host_cap)
+            .drop("_rk")
+        )
+    return first.select(
+        "text",
         F.concat_ws(
             "#", F.col("url"), F.col("record_index").cast("string")
         ).alias("source"),

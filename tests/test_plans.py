@@ -238,3 +238,34 @@ def test_scrub_ingest_records_are_shuffle_free(spark):
     )
     records = docs_to_records(docs, HashEmbedder(dimension=16), scrub=True)
     assert shuffle_count(records) == 0
+
+
+def test_web_crawl_funnel_shuffle_free_until_url_dedup(spark, tmp_path):
+    """The web-crawl curation front end (WARC parse -> extract ->
+    canonical-URL dedup -> host cap): exactly two exchanges — the
+    dedup groupBy (hash on canonical_url, with map-side min_by
+    partial agg) and the host-cap window — and nothing upstream of
+    the groupBy shuffles. At 100 TB everything before the dedup runs
+    at scan bandwidth over the segment files."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.web_queries import (
+        _warc_segment,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+        load_warc_records,
+        web_crawl_documents,
+    )
+
+    (tmp_path / "seg.warc.gz").write_bytes(
+        _warc_segment([(d, "word salad " * 30) for d in range(12)])
+    )
+    records = load_warc_records(spark, str(tmp_path))
+    deduped = web_crawl_documents(records, host_cap=None)
+    assert shuffle_count(deduped) == 1  # the dedup groupBy only
+    capped = web_crawl_documents(records, host_cap=2)
+    assert shuffle_count(capped) == 2  # + the host-cap window
+    # partial aggregation happens map-side before the exchange (plan
+    # text is indented child-below-parent, so the partial agg printing
+    # AFTER the exchange line means it executes before it)
+    plan = physical_plan(deduped)
+    assert "partial_min_by" in plan
+    assert plan.index("Exchange hashpartitioning") < plan.index("partial_min_by")

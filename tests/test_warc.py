@@ -215,3 +215,40 @@ def test_warc_to_index_end_to_end(spark, tmp_path):
     assert "[EMAIL]" in joined and "useful words" in joined
     srcs = {r["source"] for r in idx.read().select("source").collect()}
     assert srcs == {"http://site.example/page#0"}
+
+
+def test_web_crawl_documents_dedup_and_host_cap(spark, tmp_path):
+    """canonical-URL dedup keeps the FIRST capture; host cap bounds
+    per-host contribution with first-captures winning."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+        web_crawl_documents,
+    )
+
+    def page(marker):
+        return _http(
+            ("<p>body of capture " + marker + " with enough words</p>").encode()
+        )
+
+    seg = (
+        # same page, three URL spellings -> one survivor (the first)
+        _record("response", "HTTP://A.example/x?utm_source=f&k=1", page("first"))
+        + _record("response", "http://a.example:80/x?k=1", page("second"))
+        + _record("response", "http://a.example/x/?k=1", page("third"))
+        # host b: three distinct pages, cap=2 keeps the first two
+        + _record("response", "http://b.example/1", page("b1"))
+        + _record("response", "http://b.example/2", page("b2"))
+        + _record("response", "http://b.example/3", page("b3"))
+    )
+    (tmp_path / "seg.warc").write_bytes(seg)
+    docs = web_crawl_documents(
+        load_warc_records(spark, str(tmp_path)), main_content=False, host_cap=2
+    )
+    rows = {r["source"]: r["text"] for r in docs.collect()}
+    assert set(rows) == {
+        "HTTP://A.example/x?utm_source=f&k=1#0",  # survivor keeps its raw URL
+        "http://b.example/1#3",
+        "http://b.example/2#4",
+    }
+    assert rows["HTTP://A.example/x?utm_source=f&k=1#0"].startswith(
+        "body of capture first"
+    )
