@@ -95,66 +95,75 @@ def all_oracles() -> dict[str, str]:
 
 #: The driver's correctness gate oracle-checks the FIRST 50 registry
 #: entries at sf0.01 (the full registry runs in the local dual-scale
-#: sweeps). Round-11 rotation: these are exactly the 50 queries never
-#: yet green in any CORRECTNESS_r{N}.json (r10 covered the
-#: dedup/ANN/hybrid-indexed/e2e window; earlier rounds covered the
-#: rest) — after this round every registered query has a driver-green
-#: record. Families here: temporal joins + sketches, hybrid
-#: (non-indexed + PRF), BPE/packing/perplexity, curation (NB, Gopher,
-#: DSIR weights, temperature mixes), ANN recall/quantization-gain
-#: contracts, and this round's additions (scrub-ingest funnel,
-#: chunk_sample + selfmatch full-value promotions).
+#: sweeps). Round-12 rotation, completing the cycle: the union of
+#: r1–r11 windows left exactly 3 queries with no driver-green record
+#: (the round-11 web primitives, registered after that window was
+#: pinned) — they go FIRST, followed by this round's 2 new queries
+#: (main-content gate, web ingest funnel); after r12 every registered
+#: query has a driver-green record. The remaining 45 slots re-pin the
+#: families that would hurt most at scale — dedup, ANN/quantization,
+#: top-k, hybrid-indexed, e2e composites, index maintenance, and the
+#: skew/scrub/phash scale guards — so the driver re-verifies them
+#: every round from here on.
 DRIVER_WINDOW_PRIORITY = [
-    "corpus_scrub_ingest_pipeline",
-    "chunk_sample",
-    "multimodal_feature_selfmatch",
-    "text_pii_profile",
-    "corpus_curation_pipeline_gopher",
-    "corpus_temperature_mixture",
-    "corpus_temperature_mixture_redist",
-    "rag_context_budget",
-    "ann_ivf_topk_gemm_euclidean",
-    "ann_ivf_topk_gemm_dotproduct",
-    "ann_pq_rerank_recall",
-    "ann_ivfpq_rerank_recall",
-    "ann_opq_quantization_gain",
-    "events_asof_purchase_click",
-    "events_asof_tolerance",
-    "events_range_click_context",
-    "events_value_percentiles",
-    "events_daily_users_hll",
-    "events_session_examples",
-    "events_histogram_rollup",
-    "events_scd2_tier_attribution",
-    "events_audience_overlap_theta",
-    "events_value_quantiles_kll",
-    "hybrid_lexical_topk",
-    "hybrid_rrf_topk",
-    "hybrid_bm25_topk",
+    # never driver-checked (r11 additions post-rotation + r12 additions)
+    "text_html_extract",
+    "web_url_dedup",
+    "corpus_host_cap",
+    "text_html_main_content",
+    "corpus_web_ingest_funnel",
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_candidates",
+    "dedup_simhash_groups",
+    "dedup_embedding_pairs",
+    "dedup_embedding_pairs_ivf",
+    "dedup_embedding_pairs_jl",
+    "dedup_embedding_pairs_jl_512",
+    "dedup_duplicate_groups_star",
+    "corpus_dedup_cascade",
+    "dedup_substring_spans",
+    # ANN / quantization
+    "ann_ivf_topk",
+    "ann_ivf_topk_gemm",
+    "ann_ivf_topk_gemm_int8",
+    "ann_ivf_topk_filtered",
+    "ann_ivf_topk_rerank",
+    "ann_ivf_recall",
+    "ann_ivf_upsert_probe",
+    "ann_ivfpq_cosine",
+    "ann_ivfpq_dotproduct",
+    "ann_ivfpq_filtered",
+    "ann_ivfpq_delete",
+    "ann_ivfpq_opq",
+    # top-k core
+    "topk_cosine",
+    "topk_cosine_gemm",
+    "topk_cosine_dispatched",
+    "topk_filtered",
+    "topk_mmr",
+    "topk_rerank_crossencoder",
+    # hybrid (persisted-index paths)
+    "hybrid_rrf_topk_indexed",
+    "hybrid_bm25_topk_indexed",
+    "hybrid_rrf_topk_ivf",
+    # end-to-end composites
+    "rag_e2e_echo",
+    "rag_ann_e2e",
+    "rag_chat_e2e",
+    "rag_chat_ann_e2e",
     "rag_hybrid_e2e",
-    "hybrid_prf_terms",
-    "hybrid_prf_topk",
-    "text_bpe_token_counts",
-    "text_bigram_nll",
-    "text_bigram_nll_indexed",
-    "corpus_pack_sequences",
-    "corpus_packing_stats",
-    "corpus_epoch_shuffle",
-    "corpus_nb_quality_scores",
-    "corpus_vocab_stats",
-    "text_token_chunks",
-    "corpus_training_sequences",
-    "corpus_perplexity_buckets",
-    "corpus_curation_pipeline_nb",
-    "corpus_epoch_shards",
-    "corpus_perplexity_buckets_kll",
-    "corpus_nb_quality_scores_indexed",
-    "corpus_dsir_weights",
-    "corpus_dsir_sample",
-    "corpus_nb_threshold",
-    "corpus_bpe_merges",
-    "text_bpe_full_encode",
-    "corpus_pack_sequences_bpe",
+    # index maintenance
+    "index_upsert_lww",
+    "index_upsert_bucketed",
+    "index_delete_ids",
+    "index_stats",
+    # scale guards
+    "corpus_scrub_ingest_pipeline",
+    "multimodal_phash_neardup",
+    "events_top_values_per_type_salted",
 ]
 
 

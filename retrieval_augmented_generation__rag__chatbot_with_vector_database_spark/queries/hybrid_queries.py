@@ -247,13 +247,17 @@ def _with_lexical_index(spark: SparkSession, sf_dir: str, probe):
     ann_ivf_topk_gemm)."""
     import tempfile
 
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.bench_hooks import (
+        stage,
+    )
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.lexical_index import (
         LexicalIndex,
     )
 
     docs = load(spark, sf_dir, "documents")
     with tempfile.TemporaryDirectory() as tmp:
-        idx = LexicalIndex(spark, f"{tmp}/lex").create(docs)
+        with stage("build"):
+            idx = LexicalIndex(spark, f"{tmp}/lex").create(docs)
         out = probe(idx)
         return spark.createDataFrame(out.collect(), out.schema)
 

@@ -551,12 +551,18 @@ def rag_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
     )
-    emb_n = pq._unit_normalized(emb, "embedding")
-    books = pq.train_pq_codebooks(emb_n, m=16, k=64)
-    cents = ann.seed_centroids(emb_n, 16)
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.bench_hooks import (
+        stage,
+    )
+
+    with stage("build"):
+        emb_n = pq._unit_normalized(emb, "embedding")
+        books = pq.train_pq_codebooks(emb_n, m=16, k=64)
+        cents = ann.seed_centroids(emb_n, 16)
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/ivfpq_rag"
-        pq.write_ivfpq_index(emb, path, cents, books, normalize=True)
+        with stage("build"):
+            pq.write_ivfpq_index(emb, path, cents, books, normalize=True)
         hits = search(
             queries,
             None,  # self-contained layout: no side index frame
@@ -617,14 +623,20 @@ def rag_chat_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         rewrite_with_history("question", "history").alias("rewritten"),
     ).withColumn("qvec", hash_embed("rewritten", dim=64, seed=42))
 
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.bench_hooks import (
+        stage,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    emb_n = pq._unit_normalized(emb, "embedding")
-    books = pq.train_pq_codebooks(emb_n, m=16, k=64)
-    cents = ann.seed_centroids(emb_n, 16)
+    with stage("build"):
+        emb_n = pq._unit_normalized(emb, "embedding")
+        books = pq.train_pq_codebooks(emb_n, m=16, k=64)
+        cents = ann.seed_centroids(emb_n, 16)
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/ivfpq_chat"
-        pq.write_ivfpq_index(emb, path, cents, books, normalize=True)
+        with stage("build"):
+            pq.write_ivfpq_index(emb, path, cents, books, normalize=True)
         hits = search(
             q.select("query_id", "qvec"),
             None,  # self-contained layout

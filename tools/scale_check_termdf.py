@@ -1,0 +1,106 @@
+"""Scale check (round 12): does the termdf sidecar hint actually help
+ABOVE its size gate?
+
+``TERMDF_HINT_MIN_DOCS = 250_000`` was set in round 11 from
+fixture-scale evidence that the hint's extra Spark job costs more
+than it saves on a small corpus — but there was no measurement that
+it helps above the gate. This builds the persisted lexical layout at
+N synthetic Zipf-ish docs (stopword-grade terms present by
+construction) and measures the BM25 probe with the hint enabled
+(default path at this corpus size) vs force-disabled
+(``TERMDF_HINT_MIN_DOCS`` monkeypatched above N), interleaved
+min-of-K with a GEMM canary per pass.
+
+What the hint buys: a blocked (over-cap) query term is dropped BEFORE
+the postings scan, so its posting list — the largest row-proportional
+read the df-cap would discard anyway — is never touched. Without the
+hint the stopword's full postings are scanned and aggregated just to
+be dropped by the cap.
+
+Usage: python tools/scale_check_termdf.py [n_docs] [n_queries] [passes]
+Defaults: 500_000 docs, 8 queries, 3 passes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.session import (
+    get_spark,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources import (
+    lexical_index,
+)
+from tools.scale_check_lexical import synth_docs
+
+
+def _gemm_canary() -> float:
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1024, 1024))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        a @ a
+        best = min(best, time.time() - t0)
+    return round(2 * 1024**3 / best / 1e9, 1)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    spark = get_spark("scale_termdf")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = synth_docs(spark, n).localCheckpoint(eager=True)
+    queries = (
+        docs.filter(F.col("doc_id") < nq)
+        .select(F.col("doc_id").alias("query_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+
+    gate = lexical_index.TERMDF_HINT_MIN_DOCS
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.time()
+        idx = lexical_index.LexicalIndex(spark, f"{tmp}/lex").create(
+            docs, term_buckets=64, doc_buckets=32
+        )
+        t_build = time.time() - t0
+
+        def probe() -> tuple[float, int]:
+            t0 = time.time()
+            c = idx.bm25_topk(queries, k=10).count()
+            return time.time() - t0, c
+
+        probe()  # warm
+        hint_t, nohint_t, canaries = [], [], []
+        for _ in range(passes):
+            canaries.append(_gemm_canary())
+            lexical_index.TERMDF_HINT_MIN_DOCS = gate
+            dt, c_hint = probe()
+            hint_t.append(round(dt, 2))
+            lexical_index.TERMDF_HINT_MIN_DOCS = 10**18  # force off
+            dt, c_no = probe()
+            nohint_t.append(round(dt, 2))
+        lexical_index.TERMDF_HINT_MIN_DOCS = gate
+        assert c_hint == c_no, (c_hint, c_no)  # hint never changes results
+
+    h, nh = min(hint_t), min(nohint_t)
+    print(f"n_docs={n} n_queries={nq} passes={passes} gate={gate}")
+    print(f"canary_gflops={canaries} (results equal: {c_hint} rows)")
+    print(f"layout build (once):    {t_build:8.2f} s")
+    print(f"probe WITH termdf hint: {h:8.2f} s   (attempts {hint_t})")
+    print(f"probe WITHOUT hint:     {nh:8.2f} s   (attempts {nohint_t})")
+    print(f"hint speedup:           {nh / h:8.2f}x")
+
+
+if __name__ == "__main__":
+    main()
