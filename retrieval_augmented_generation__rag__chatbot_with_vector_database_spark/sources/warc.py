@@ -201,22 +201,12 @@ def parse_warc_records(data: bytes) -> list[WarcRecord]:
     return records
 
 
-def load_warc_records(
-    spark: SparkSession, data_dir: str, glob: str = "*.warc*"
-) -> DataFrame:
-    """One row per WARC record across every segment under
-    ``data_dir`` (request/response/metadata/warcinfo all surfaced —
-    filter on ``warc_type``). Parallelism = segment files, the Common
-    Crawl sharding unit."""
+def records_from_binary(bin_df: DataFrame) -> DataFrame:
+    """Segment bytes ``(path, content)`` → one row per WARC record —
+    the Arrow-batched framing shared by the batch reader below and
+    the streaming web ingest (``streaming/web_ingest.py``), which
+    applies it to each micro-batch of newly-landed segment files."""
     import pandas as pd
-
-    bin_df = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", True)
-        .option("pathGlobFilter", glob)
-        .load(data_dir)
-        .select("path", "content")
-    )
 
     def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
@@ -233,7 +223,25 @@ def load_warc_records(
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    return bin_df.mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)
+    return bin_df.select("path", "content").mapInPandas(
+        _parse, schema=WARC_RECORD_SCHEMA
+    )
+
+
+def load_warc_records(
+    spark: SparkSession, data_dir: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """One row per WARC record across every segment under
+    ``data_dir`` (request/response/metadata/warcinfo all surfaced —
+    filter on ``warc_type``). Parallelism = segment files, the Common
+    Crawl sharding unit."""
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", True)
+        .option("pathGlobFilter", glob)
+        .load(data_dir)
+    )
+    return records_from_binary(bin_df)
 
 
 def _extracted_pages(
@@ -358,6 +366,32 @@ def web_crawl_documents(
         )
     return first.select(
         "text",
+        F.concat_ws(
+            "#", F.col("url"), F.col("record_index").cast("string")
+        ).alias("source"),
+        F.lit(None).cast("int").alias("page"),
+    )
+
+
+def wet_documents(records: DataFrame) -> DataFrame:
+    """Common Crawl WET segments → the engine's document shape.
+
+    WET is the SAME ISO 28500 container carrying pre-extracted text:
+    one ``conversion`` record per page (record-level Content-Type
+    ``text/plain``, no HTTP envelope, body = the crawl's own HTML→text
+    output, UTF-8). Pipelines that trust the crawl's extraction start
+    here and skip the HTML stage entirely — everything downstream
+    (URL dedup, host cap, scrub, chunk) is unchanged. Decode is lossy
+    UTF-8 (``make_valid_utf8``), the WARC scope default.
+    """
+    conv = records.filter(
+        (F.col("warc_type") == "conversion")
+        & F.lower(F.coalesce(F.col("content_type"), F.lit(""))).startswith(
+            "text/plain"
+        )
+    )
+    return conv.select(
+        F.expr("make_valid_utf8(body)").alias("text"),
         F.concat_ws(
             "#", F.col("url"), F.col("record_index").cast("string")
         ).alias("source"),

@@ -1,0 +1,165 @@
+"""Streaming web ingest (SURVEY.md §2k × the web funnel): WARC
+segments landing in a directory drive the crawl-curation funnel
+incrementally — parse → extract → canonical-URL dedup against a
+PERSISTED frontier → cross-batch host cap → scrub → chunk → embed →
+``VectorIndex`` upsert.
+
+This is the streaming twin of ``sources.warc.web_crawl_documents`` +
+``corpus_web_ingest_funnel``: a real crawl does not arrive as one
+batch, and URL dedup / host caps must hold ACROSS micro-batches. The
+cross-batch state is a parquet **frontier** table ``(canonical_url,
+host)`` of every page ever kept — the streaming/neardup.py persisted-
+sidecar pattern:
+
+- arriving pages (already first-capture-deduped within the batch)
+  LEFT ANTI join the frontier on ``canonical_url`` — recaptures of
+  an already-ingested page never reach the embedder;
+- the host cap counts the frontier's kept pages per host, so a host
+  that filled its quota in batch 1 admits nothing in batch 9.
+
+Exactly-once end state without transactions, by ORDER of effects per
+micro-batch: (1) index upsert (content-addressed ids — idempotent),
+(2) frontier write, per-batch subdirectory with ``mode=overwrite``
+(replay rewrites the same path — idempotent). A crash between (1)
+and (2) replays the batch: the anti-join still passes (frontier not
+yet written), the upsert re-applies the same ids. A crash after (2)
+replays to an empty batch (anti-join drops everything) — and the
+upsert already happened. Either way the end state converges.
+
+At scale: the frontier is the small table (one 2-string row per KEPT
+page, not per capture); the anti-join broadcasts per-batch pages
+against it or shuffles on ``canonical_url`` — either way bounded by
+kept-page count, never by crawl bytes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+    EmbeddingProvider,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+    canonicalize_url,
+    url_host,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+    VectorIndex,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+    _extracted_pages,
+    records_from_binary,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
+    docs_to_records,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming import StreamingQuery
+
+FRONTIER_SCHEMA = "canonical_url string, host string"
+
+
+def read_frontier(spark: SparkSession, frontier_dir: str) -> DataFrame:
+    """Every (canonical_url, host) ever kept; empty frame if none."""
+    if os.path.isdir(frontier_dir) and any(
+        e.name.startswith("batch=") for e in os.scandir(frontier_dir)
+    ):
+        return spark.read.schema(FRONTIER_SCHEMA).parquet(
+            f"{frontier_dir}/batch=*"
+        )
+    return spark.createDataFrame([], FRONTIER_SCHEMA)
+
+
+def start_web_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index: VectorIndex,
+    provider: EmbeddingProvider,
+    checkpoint_dir: str,
+    frontier_dir: str,
+    host_cap: int | None = None,
+    main_content: bool = True,
+    scrub: bool = True,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    glob: str = "*.warc*",
+) -> "StreamingQuery":
+    """Start the incremental web-crawl ingest on ``landing_dir``
+    (module doc: funnel semantics, frontier state, crash ordering).
+
+    ``available_now=True`` drains the directory then stops; restart
+    with the same ``checkpoint_dir`` + ``frontier_dir`` to continue —
+    segments already processed are skipped by the checkpoint, pages
+    already kept are skipped by the frontier."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile format's fixed schema — streaming file
+        # sources require it stated explicitly
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("recursiveFileLookup", True)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(landing_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pages = _extracted_pages(
+            records_from_binary(batch_df), 200, 299, main_content
+        ).withColumn("canonical_url", canonicalize_url("url"))
+        order = F.struct(F.col("segment"), F.col("record_index"))
+        payload = F.struct(
+            F.col("text"), F.col("url"), F.col("segment"), F.col("record_index")
+        )
+        first = (
+            pages.groupBy("canonical_url")
+            .agg(F.min_by(payload, order).alias("s"))
+            .select("canonical_url", "s.*")
+            .withColumn("host", url_host("url"))
+        )
+        frontier = read_frontier(spark, frontier_dir)
+        fresh = first.join(
+            F.broadcast(frontier.select("canonical_url")), "canonical_url", "left_anti"
+        )
+        if host_cap is not None:
+            taken = frontier.groupBy("host").agg(F.count("*").alias("_taken"))
+            w = Window.partitionBy("host").orderBy("segment", "record_index")
+            fresh = (
+                fresh.withColumn("_rk", F.row_number().over(w))
+                .join(F.broadcast(taken), "host", "left")
+                .filter(
+                    F.col("_rk") + F.coalesce(F.col("_taken"), F.lit(0)) <= host_cap
+                )
+                .drop("_rk", "_taken")
+            )
+        kept = fresh.localCheckpoint(eager=True)  # one computation, two sinks
+        docs = kept.select(
+            "text",
+            F.concat_ws(
+                "#", F.col("url"), F.col("record_index").cast("string")
+            ).alias("source"),
+        )
+        index.upsert(docs_to_records(docs, provider, scrub=scrub), batch=batch_id)
+        # frontier LAST (crash ordering, module doc); overwrite makes
+        # a replayed batch rewrite the same path instead of doubling
+        # host counts
+        kept.select("canonical_url", "host").write.mode("overwrite").parquet(
+            f"{frontier_dir}/batch={batch_id}"
+        )
+
+    writer = stream.writeStream.option("checkpointLocation", checkpoint_dir).foreachBatch(
+        _process
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

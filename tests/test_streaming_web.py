@@ -1,0 +1,147 @@
+"""Streaming web ingest (streaming/web_ingest.py): stream == batch
+funnel parity on one drain; cross-batch canonical-URL frontier and
+host cap; replay idempotence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+    HashEmbedder,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+    VectorIndex,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+    load_warc_records,
+    web_crawl_documents,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
+    docs_to_records,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
+    read_frontier,
+    start_web_ingest_stream,
+)
+
+
+def _http(body: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _record(url: str, marker: str) -> bytes:
+    body = _http(
+        f"<p>page {marker} carrying enough visible words to pass the "
+        f"main-content length gate easily</p>".encode()
+    )
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+SEG1 = (
+    _record("http://a.example/x?utm_source=f", "ax")
+    + _record("http://a.example/y", "ay")
+    + _record("http://b.example/1", "b1")
+)
+# seg2: a recapture of a.example/x under a different spelling, a new
+# page on a (host already at cap 2), and a genuinely new host
+SEG2 = (
+    _record("HTTP://A.EXAMPLE:80/x", "ax-recapture")
+    + _record("http://a.example/z", "az-overcap")
+    + _record("http://c.example/1", "c1")
+)
+
+
+def _drain(spark, landing, tmp, idx, cap=2):
+    q = start_web_ingest_stream(
+        spark,
+        str(landing),
+        idx,
+        HashEmbedder(dimension=16),
+        checkpoint_dir=f"{tmp}/ckpt",
+        frontier_dir=f"{tmp}/frontier",
+        host_cap=cap,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    idx = VectorIndex(spark, str(tmp_path / "idx"), "web-stream").create(dimension=16)
+    return landing, idx
+
+
+def _sources(idx):
+    return {r["source"] for r in idx.read().select("source").distinct().collect()}
+
+
+def test_single_drain_matches_batch_funnel(spark, tmp_path, setup):
+    landing, idx = setup
+    (landing / "seg-0.warc").write_bytes(SEG1)
+    _drain(spark, landing, tmp_path, idx)
+
+    batch_docs = web_crawl_documents(
+        load_warc_records(spark, str(landing)), host_cap=2
+    )
+    bidx = VectorIndex(spark, str(tmp_path / "bidx"), "web-batch").create(dimension=16)
+    bidx.upsert(
+        docs_to_records(
+            batch_docs.select("text", "source"), HashEmbedder(dimension=16), scrub=True
+        ),
+        batch=0,
+    )
+    stream_rows = {
+        (r["id"], r["source"], r["text"])
+        for r in idx.read().select("id", "source", "text").collect()
+    }
+    batch_rows = {
+        (r["id"], r["source"], r["text"])
+        for r in bidx.read().select("id", "source", "text").collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
+
+
+def test_cross_batch_frontier_and_host_cap(spark, tmp_path, setup):
+    landing, idx = setup
+    (landing / "seg-0.warc").write_bytes(SEG1)
+    _drain(spark, landing, tmp_path, idx)
+    n_after_1 = idx.read().count()
+    assert _sources(idx) == {
+        "http://a.example/x?utm_source=f#0",
+        "http://a.example/y#1",
+        "http://b.example/1#2",
+    }
+
+    (landing / "seg-1.warc").write_bytes(SEG2)
+    _drain(spark, landing, tmp_path, idx)
+    # recapture of a/x: frontier-skipped; a/z: host a already at cap 2
+    # from batch 1; only c.example/1 lands
+    assert _sources(idx) == {
+        "http://a.example/x?utm_source=f#0",
+        "http://a.example/y#1",
+        "http://b.example/1#2",
+        "http://c.example/1#2",
+    }
+    assert idx.read().count() > n_after_1
+
+    frontier = read_frontier(spark, f"{tmp_path}/frontier")
+    kept = {
+        (r["canonical_url"], r["host"]) for r in frontier.collect()
+    }
+    assert ("http://a.example/x", "a.example") in kept
+    assert len(kept) == 4  # one frontier row per kept page, no dupes
+
+    # replay with the same checkpoint: nothing new
+    before = idx.read().count()
+    _drain(spark, landing, tmp_path, idx)
+    assert idx.read().count() == before
+    assert read_frontier(spark, f"{tmp_path}/frontier").count() == 4

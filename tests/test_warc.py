@@ -252,3 +252,34 @@ def test_web_crawl_documents_dedup_and_host_cap(spark, tmp_path):
     assert rows["HTTP://A.example/x?utm_source=f&k=1#0"].startswith(
         "body of capture first"
     )
+
+
+def test_wet_documents(spark, tmp_path):
+    """Common Crawl WET segments: conversion records carry the
+    crawl's own extracted text — straight to document shape."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+        wet_documents,
+    )
+
+    def _wet_record(url: str, text: bytes) -> bytes:
+        head = (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(text)}\r\n\r\n"
+        ).encode()
+        return head + text + b"\r\n\r\n"
+
+    seg = (
+        _record("warcinfo", "urn:none", b"software: wet\r\n")
+        + _wet_record("http://a.example/", b"already extracted text a")
+        + _wet_record("http://b.example/", b"pre \xe9 extracted")  # bad utf-8
+    )
+    (tmp_path / "seg.warc.wet").write_bytes(seg)
+    docs = wet_documents(load_warc_records(spark, str(tmp_path), glob="*.wet"))
+    rows = {r["source"]: r["text"] for r in docs.collect()}
+    assert rows == {
+        "http://a.example/#1": "already extracted text a",
+        "http://b.example/#2": "pre � extracted",  # lossy, never raises
+    }
+    assert docs.columns == ["text", "source", "page"]
