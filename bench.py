@@ -99,6 +99,9 @@ HEADLINE = [
     # web-crawl funnel (new keys — no history)
     "text_html_main_content",
     "corpus_web_ingest_funnel",
+    # round 12: robots.txt crawl-permission gate (parse + RFC 9309
+    # longest-match over the planted frontier; new key — no history)
+    "web_robots_filter",
 ]
 
 # Rebuild-per-call composites (honest-accounting convention): their

@@ -1,0 +1,208 @@
+"""Robots Exclusion Protocol (RFC 9309) — crawl-permission filtering.
+
+A polite crawl fetches ``/robots.txt`` once per host and filters every
+candidate URL through its rules BEFORE fetching. This module gives the
+two halves as pure DataFrame transformations:
+
+- :func:`parse_robots_rules` — robots.txt bodies → one rule row per
+  ``(host, agent, allow|disallow, pattern)``, via posexplode + window
+  group assignment (no Python in the loop);
+- :func:`robots_verdicts` — URLs × rules → per-URL allow/deny with the
+  winning rule, via a broadcast join (the rules table is tiny next to
+  the frontier: one robots.txt per host) and RFC longest-match
+  semantics.
+
+Reference lifecycle analog: the reference ingests documents the
+operator already fetched (scripts/ingest_documents.py:108-233); a
+100 TB web ingest needs the permission gate the reference's SaaS
+crawler applies implicitly. Public-spec behavior only (RFC 9309).
+
+Documented scope (mirrored by the DuckDB oracles in
+``queries.web_queries``):
+
+- group selection: groups whose ``User-agent`` token equals our
+  product token (case-insensitive) win; if the host has none, the
+  ``*`` groups apply; a host with neither → allowed (RFC 9309 §2.2.1's
+  longest-token-prefix refinement is collapsed to exact-or-star);
+- rule matching: the target is ``path[?query]`` (fragment never
+  participates); ``*`` in a pattern matches any run of octets, a
+  trailing ``$`` anchors the end; otherwise patterns are
+  prefix-matched. Most octets win; on a length tie ``allow`` wins
+  (RFC 9309 §2.2.2). No matching rule → allowed;
+- rules above the first ``User-agent`` line are ignored (no group);
+  empty-pattern rules (``Disallow:`` = allow-all) match nothing and
+  are dropped at parse;
+- percent-encoding is NOT normalized on either side (pattern and
+  target compare as captured) — the usual crawler simplification.
+
+Scale note: matching compiles one regex per (url × host-rule) row via
+a non-foldable RLIKE. Distinct patterns per host are few (robots.txt
+is human-written); the join is a broadcast, so the frontier side never
+shuffles. At extreme scale you'd pre-bucket by host and reuse compiled
+patterns inside an Arrow kernel, but the expression path keeps the
+whole gate inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: fields of robots.txt this engine interprets (others — Crawl-delay,
+#: Sitemap — pass through parse as ignored lines)
+_FIELDS = ("user-agent", "allow", "disallow")
+
+
+def parse_robots_rules(
+    pages: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """robots.txt bodies → rule rows ``(host, agent, rule, pattern)``.
+
+    Group assembly is the only stateful part of the grammar (one or
+    more ``User-agent`` lines followed by their rules): a group STARTS
+    at a ``User-agent`` line whose previous interpreted line is not
+    one, so a running sum of starts keys each line to its group — one
+    window shuffle on the host, everything else codegen.
+    """
+    line = F.col("line")
+    clean = F.regexp_replace(line, "#.*$", "")
+    field = F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1)))
+    value = F.trim(F.regexp_extract(clean, "^[^:]*:(.*)$", 1))
+    lines = (
+        pages.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("pos", "line"),
+        )
+        .select("host", "pos", field.alias("field"), value.alias("value"))
+        .filter(F.col("field").isin(*_FIELDS))
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    prev = F.lag("field").over(w)
+    start = (F.col("field") == "user-agent") & (
+        prev.isNull() | (prev != "user-agent")
+    )
+    grouped = lines.withColumn("grp", F.sum(start.cast("int")).over(w))
+    agents = grouped.filter(F.col("field") == "user-agent").select(
+        "host", "grp", F.lower(F.col("value")).alias("agent")
+    )
+    rules = grouped.filter(
+        F.col("field").isin("allow", "disallow") & (F.col("value") != "")
+    ).select(
+        "host", "grp", F.col("field").alias("rule"), F.col("value").alias("pattern")
+    )
+    # rules with grp 0 have no preceding user-agent line → inner join
+    # drops them, per the documented scope
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "rule", "pattern"
+    ).distinct()
+
+
+def pattern_regex(pattern: Column | str) -> Column:
+    """RFC 9309 path pattern → anchored Java/RE2-compatible regex
+    (``*`` → ``.*``, trailing ``$`` → end anchor, everything else
+    literal). Stays in the escape subset both Spark (java.util.regex)
+    and DuckDB (RE2) parse identically, so oracles can mirror it."""
+    p = F.col(pattern) if isinstance(pattern, str) else pattern
+    anchored = p.endswith("$")
+    core = F.when(anchored, F.substring(p, F.lit(1), F.length(p) - 1)).otherwise(p)
+    esc = F.regexp_replace(core, r"([.+?()\[\]{}^|$\\])", "\\\\$1")
+    rx = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), rx, F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
+def url_target(url: Column | str) -> Column:
+    """The matching target per RFC 9309: ``path[?query]`` of an
+    absolute URL, fragment dropped, empty path → ``/``."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, "#.*$", "")
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    return F.when(rest == "", F.lit("/")).otherwise(
+        F.when(rest.startswith("?"), F.concat(F.lit("/"), rest)).otherwise(rest)
+    )
+
+
+def robots_verdicts(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+    host_col: str = "host",
+    target_col: str = "target",
+) -> DataFrame:
+    """Per-URL crawl verdict: ``urls`` (+``host``/``target`` columns,
+    derived here if absent from ``url_col``) × parsed ``rules`` →
+    original columns + ``allowed`` (1/0), ``matched_rule``,
+    ``matched_pattern`` (nulls when no rule applied).
+
+    Plan shape: rules collapse to ONE array row per host (a shuffle on
+    the tiny rules side only), broadcast-joined to the frontier; the
+    winner is picked with higher-order array expressions, so the
+    frontier side has NO shuffle and NO row explosion — the whole gate
+    rides the scan. Winner = most pattern octets, ties to ``allow``,
+    then bytewise pattern for determinism (RFC 9309 §2.2.2).
+    """
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        url_host,
+    )
+
+    agent = agent.lower()
+    if host_col not in urls.columns:
+        urls = urls.withColumn(host_col, url_host(F.col(url_col)))
+    if target_col not in urls.columns:
+        urls = urls.withColumn(target_col, url_target(F.col(url_col)))
+
+    # exact-agent groups shadow '*' groups per host
+    wh = Window.partitionBy("host")
+    cand = rules.filter(F.col("agent").isin(agent, "*"))
+    cand = cand.withColumn(
+        "has_exact", F.max((F.col("agent") == agent).cast("int")).over(wh)
+    ).filter(
+        (F.col("agent") == agent)
+        | ((F.col("agent") == "*") & (F.col("has_exact") == 0))
+    )
+    by_host = cand.groupBy(F.col("host").alias("r_host")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("rule").alias("rule"),
+                F.col("pattern").alias("pattern"),
+                pattern_regex("pattern").alias("rx"),
+            )
+        ).alias("_rs")
+    )
+
+    joined = urls.join(
+        F.broadcast(by_host), urls[host_col] == by_host["r_host"], "left"
+    ).drop("r_host")
+    target = F.col(target_col)
+    hits = F.filter(F.col("_rs"), lambda r: F.rlike(target, r["rx"]))
+
+    def better(r, acc):
+        lr, la = F.length(r["pattern"]), F.length(acc["pattern"])
+        return (
+            (lr > la)
+            | ((lr == la) & (r["rule"] < acc["rule"]))
+            | ((lr == la) & (r["rule"] == acc["rule"]) & (r["pattern"] < acc["pattern"]))
+        )
+
+    best = F.aggregate(
+        hits,
+        F.lit(None).cast("struct<rule:string,pattern:string>"),
+        lambda acc, r: F.when(
+            acc.isNull() | better(r, acc),
+            F.struct(r["rule"].alias("rule"), r["pattern"].alias("pattern")),
+        ).otherwise(acc),
+    )
+    out = (
+        joined.withColumn("_best", best)
+        .withColumn(
+            "allowed",
+            F.when(
+                F.col("_best").isNull() | (F.col("_best")["rule"] == "allow"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("matched_rule", F.col("_best")["rule"])
+        .withColumn("matched_pattern", F.col("_best")["pattern"])
+    )
+    keep = [c for c in urls.columns] + ["allowed", "matched_rule", "matched_pattern"]
+    return out.select(*keep)

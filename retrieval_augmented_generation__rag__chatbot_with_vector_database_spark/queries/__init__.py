@@ -98,13 +98,17 @@ def all_oracles() -> dict[str, str]:
 #: sweeps). Round-12 rotation, completing the cycle: the union of
 #: r1–r11 windows left exactly 3 queries with no driver-green record
 #: (the round-11 web primitives, registered after that window was
-#: pinned) — they go FIRST, followed by this round's 2 new queries
-#: (main-content gate, web ingest funnel); after r12 every registered
-#: query has a driver-green record. The remaining 45 slots re-pin the
-#: families that would hurt most at scale — dedup, ANN/quantization,
-#: top-k, hybrid-indexed, e2e composites, index maintenance, and the
-#: skew/scrub/phash scale guards — so the driver re-verifies them
-#: every round from here on.
+#: pinned) — they go FIRST, followed by this round's 4 new queries
+#: (main-content gate, web ingest funnel, robots parse + filter);
+#: after r12 every registered query has a driver-green record. The
+#: remaining slots re-pin the families that would hurt most at scale —
+#: dedup, ANN/quantization, top-k, hybrid-indexed, e2e composites,
+#: index maintenance, and the skew/scrub/phash scale guards — so the
+#: driver re-verifies them every round from here on. (To stay at 50,
+#: two multi-round-green pins — ``index_stats``,
+#: ``dedup_simhash_groups`` — rotated out this round; their siblings
+#: ``index_upsert_*``/``dedup_simhash_candidates`` still guard those
+#: families.)
 DRIVER_WINDOW_PRIORITY = [
     # never driver-checked (r11 additions post-rotation + r12 additions)
     "text_html_extract",
@@ -112,12 +116,13 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_host_cap",
     "text_html_main_content",
     "corpus_web_ingest_funnel",
+    "web_robots_parse",
+    "web_robots_filter",
     # dedup family
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_candidates",
-    "dedup_simhash_groups",
     "dedup_embedding_pairs",
     "dedup_embedding_pairs_ivf",
     "dedup_embedding_pairs_jl",
@@ -159,7 +164,6 @@ DRIVER_WINDOW_PRIORITY = [
     "index_upsert_lww",
     "index_upsert_bucketed",
     "index_delete_ids",
-    "index_stats",
     # scale guards
     "corpus_scrub_ingest_pipeline",
     "multimodal_phash_neardup",

@@ -282,3 +282,240 @@ def corpus_web_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("chunk_md5"),
         residual.cast("long").alias("n_pii_residual"),
     ).distinct()
+
+
+# --- robots.txt exclusion (round 12): the crawl-permission gate ------------
+#
+# Fixture: 8 hosts, 4 robots.txt shapes (exact-agent group that shadows
+# '*', wildcard + '$'-anchored rules with an allow/disallow length
+# race, a block-all with a stray pre-group rule and an allow carve-out,
+# and a rules-free file), frontier URLs planted from doc_id arithmetic
+# over 5 path shapes. The body TEXT is a shared constant (it is the
+# fixture); the parse (posexplode + window grouping) and the RFC 9309
+# longest-match are independently reimplemented in DuckDB SQL.
+
+ROBOTS_AGENT = "sparkbot"
+
+ROBOTS_BODIES = [
+    # mode 0: exact-agent group (mixed-case field/agent) + a '*' group
+    "# policy\n"
+    "User-Agent: SparkBot\n"
+    "Disallow: /p/\n"
+    "Allow: /p/open\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /private/\n",
+    # mode 1: wildcard + anchor, allow-all floor, empty Disallow
+    "User-agent: *\n"
+    "Disallow: /*.json$\n"
+    "Allow: /\n"
+    "Disallow:\n",
+    # mode 2: stray rule before any group (ignored), block-all with a
+    # longer allow carve-out
+    "Disallow: /ignored\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+    "Allow: /p/open\n",
+    # mode 3: no rules at all
+    "# nothing to see\n"
+    "Sitemap: https://example.com/sitemap.xml\n",
+]
+
+N_ROBOTS_HOSTS = 8
+
+
+def _robots_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.col("h")
+    body = F.when(h % 4 == 0, F.lit(ROBOTS_BODIES[0]))
+    for m in (1, 2, 3):
+        body = body.when(h % 4 == m, F.lit(ROBOTS_BODIES[m]))
+    return (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % N_ROBOTS_HOSTS).alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("example"), h.cast("string"), F.lit(".com")).alias(
+                "host"
+            ),
+            body.alias("body"),
+        )
+    )
+
+
+def _robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("/p/"), d.cast("string")))
+        .when(d % 5 == 1, F.concat(F.lit("/p/open"), d.cast("string")))
+        .when(d % 5 == 2, F.concat(F.lit("/private/"), d.cast("string")))
+        .when(d % 5 == 3, F.concat(F.lit("/data/f"), d.cast("string"), F.lit(".json")))
+        .otherwise(F.concat(F.lit("/ok/"), d.cast("string"), F.lit("?q=1#frag")))
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://example"),
+            (d % N_ROBOTS_HOSTS).cast("string"),
+            F.lit(".com"),
+            path,
+        ).alias("url"),
+    )
+
+
+def _robots_bodies_case_sql() -> str:
+    arms = "".join(
+        f" WHEN {m} THEN '{ROBOTS_BODIES[m]}'" for m in range(4)
+    )
+    return f"CASE h % 4{arms} END"
+
+
+_ROBOTS_PAGES_SQL = f"""
+SELECT 'example' || CAST(h AS VARCHAR) || '.com' AS host,
+       {_robots_bodies_case_sql()} AS body
+FROM (SELECT DISTINCT doc_id % {N_ROBOTS_HOSTS} AS h FROM documents)
+"""
+
+# independent DuckDB reimplementation of the parse: parallel unnest for
+# line position, comment strip, field/value split, running-sum group
+# assignment, agents x rules join (pre-group rules fall in grp 0 and
+# drop; empty patterns drop)
+_ROBOTS_PARSE_SQL = f"""
+pages AS ({_ROBOTS_PAGES_SQL}),
+rlines AS (
+  SELECT host,
+         unnest(range(1, len(string_split(body, chr(10))) + 1)) AS pos,
+         unnest(string_split(body, chr(10))) AS raw
+  FROM pages
+),
+fv AS (
+  SELECT host, pos,
+         lower(trim(coalesce(regexp_extract(
+           regexp_replace(raw, '#.*$', ''), '^([^:]+):', 1), ''))) AS field,
+         trim(coalesce(regexp_extract(
+           regexp_replace(raw, '#.*$', ''), '^[^:]*:(.*)$', 1), '')) AS value
+  FROM rlines
+),
+kept AS (
+  SELECT * FROM fv WHERE field IN ('user-agent', 'allow', 'disallow')
+),
+lagged AS (
+  SELECT host, pos, field, value,
+         CASE WHEN field = 'user-agent'
+               AND coalesce(lag(field) OVER (
+                     PARTITION BY host ORDER BY pos), '') <> 'user-agent'
+              THEN 1 ELSE 0 END AS is_start
+  FROM kept
+),
+grouped AS (
+  SELECT host, pos, field, value,
+         sum(is_start) OVER (PARTITION BY host ORDER BY pos) AS grp
+  FROM lagged
+),
+agents AS (
+  SELECT host, grp, lower(value) AS agent FROM grouped
+  WHERE field = 'user-agent'
+),
+rrules AS (
+  SELECT host, grp, field AS rule, value AS pattern FROM grouped
+  WHERE field IN ('allow', 'disallow') AND value <> ''
+),
+parsed AS (
+  SELECT DISTINCT a.host, a.agent, r.rule, r.pattern
+  FROM agents a JOIN rrules r ON a.host = r.host AND a.grp = r.grp
+)
+"""
+
+
+@register(
+    "web_robots_parse",
+    f"WITH {_ROBOTS_PARSE_SQL} SELECT host, agent, rule, pattern FROM parsed",
+)
+def web_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (RFC 9309 grammar subset): bodies → one rule
+    row per (host, agent, allow|disallow, pattern). Group assembly —
+    the only stateful part of the grammar — is a running sum of
+    group-start flags over a per-host window; comments, unknown
+    fields, empty patterns, and rules preceding any ``User-agent``
+    line drop per the documented scope (``functions/robots.py``).
+    One window shuffle on the (tiny) per-host robots table."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        parse_robots_rules,
+    )
+
+    return parse_robots_rules(_robots_pages(spark, sf_dir))
+
+
+@register(
+    "web_robots_filter",
+    f"""
+WITH {_ROBOTS_PARSE_SQL},
+sel AS (
+  SELECT host, rule, pattern FROM (
+    SELECT *, max(CASE WHEN agent = '{ROBOTS_AGENT}' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY host) AS hx
+    FROM parsed WHERE agent IN ('{ROBOTS_AGENT}', '*')
+  ) WHERE CASE WHEN hx = 1 THEN agent = '{ROBOTS_AGENT}' ELSE agent = '*' END
+),
+rx AS (
+  SELECT host, rule, pattern,
+         '^' || replace(regexp_replace(
+             CASE WHEN pattern LIKE '%$'
+                  THEN substr(pattern, 1, length(pattern) - 1)
+                  ELSE pattern END,
+             '([.+?()\\[\\]{{}}^|$\\\\])', '\\\\\\1', 'g'), '*', '.*')
+         || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rxp
+  FROM sel
+),
+frontier AS (
+  SELECT doc_id,
+         'example' || CAST(doc_id % {N_ROBOTS_HOSTS} AS VARCHAR) || '.com' AS host,
+         CASE doc_id % 5
+           WHEN 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/p/open' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/private/' || CAST(doc_id AS VARCHAR)
+           WHEN 3 THEN '/data/f' || CAST(doc_id AS VARCHAR) || '.json'
+           ELSE '/ok/' || CAST(doc_id AS VARCHAR) || '?q=1'
+         END AS target
+  FROM documents
+),
+hits AS (
+  SELECT f.doc_id, r.rule, r.pattern,
+         row_number() OVER (PARTITION BY f.doc_id
+           ORDER BY length(r.pattern) DESC, r.rule, r.pattern) AS rk
+  FROM frontier f JOIN rx r
+    ON f.host = r.host AND regexp_matches(f.target, r.rxp)
+)
+SELECT f.doc_id, f.host, f.target,
+       CAST(CASE WHEN h.rule IS NULL OR h.rule = 'allow'
+                 THEN 1 ELSE 0 END AS BIGINT) AS allowed,
+       h.rule AS matched_rule, h.pattern AS matched_pattern
+FROM frontier f
+LEFT JOIN (SELECT * FROM hits WHERE rk = 1) h ON f.doc_id = h.doc_id
+""",
+)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-permission gate (RFC 9309 longest-match): every frontier
+    URL → allow/deny verdict + the winning rule, for product token
+    ``sparkbot``. Exact-agent groups shadow ``*`` groups; most pattern
+    octets win, ``allow`` wins length ties; no applicable rule →
+    allowed. Plan shape: rules collapse to one array row per host and
+    broadcast; the frontier side has no shuffle and no row explosion
+    (``functions/robots.py:robots_verdicts``) — at 100 TB the gate
+    rides the frontier scan."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        parse_robots_rules,
+        robots_verdicts,
+    )
+
+    rules = parse_robots_rules(_robots_pages(spark, sf_dir))
+    out = robots_verdicts(
+        _robots_frontier(spark, sf_dir), rules, agent=ROBOTS_AGENT
+    )
+    return out.select(
+        "doc_id",
+        "host",
+        "target",
+        F.col("allowed").cast("long").alias("allowed"),
+        "matched_rule",
+        "matched_pattern",
+    )

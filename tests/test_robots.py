@@ -1,0 +1,167 @@
+"""Robots Exclusion Protocol (RFC 9309) — parse + longest-match gate.
+
+Scope contract from ``functions/robots.py``: exact-or-star agent
+groups (exact shadows star), ``*``/``$`` pattern matching with
+most-octets-wins and allow-on-tie, pre-group rules ignored,
+empty-pattern rules dropped, no-rules hosts allowed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+    parse_robots_rules,
+    robots_verdicts,
+    url_target,
+)
+
+BODY = """# policy file
+User-Agent: SparkBot
+Disallow: /docs/
+Allow: /docs/pub/
+
+User-agent: *
+User-agent: other-bot
+Disallow: /private/
+Disallow: /*.json$
+Allow: /private/open*
+Disallow:
+Crawl-delay: 10
+"""
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    pages = spark.createDataFrame(
+        [
+            ("a.com", BODY),
+            ("blocked.com", "Disallow: /stray\nUser-agent: *\nDisallow: /"),
+            ("norules.com", "# empty\nSitemap: https://x/s.xml"),
+        ],
+        "host string, body string",
+    )
+    return parse_robots_rules(pages)
+
+
+def test_parse_groups_and_drops(rules):
+    got = {
+        (r["host"], r["agent"], r["rule"], r["pattern"])
+        for r in rules.collect()
+    }
+    assert got == {
+        # exact group, mixed-case field and agent lowercased
+        ("a.com", "sparkbot", "disallow", "/docs/"),
+        ("a.com", "sparkbot", "allow", "/docs/pub/"),
+        # stacked user-agent lines share one group's rules
+        ("a.com", "*", "disallow", "/private/"),
+        ("a.com", "*", "disallow", "/*.json$"),
+        ("a.com", "*", "allow", "/private/open*"),
+        ("a.com", "other-bot", "disallow", "/private/"),
+        ("a.com", "other-bot", "disallow", "/*.json$"),
+        ("a.com", "other-bot", "allow", "/private/open*"),
+        # the pre-group stray rule is gone; the real group remains
+        ("blocked.com", "*", "disallow", "/"),
+    }
+    # empty Disallow dropped, Crawl-delay/Sitemap ignored, norules.com empty
+    assert rules.filter(F.col("host") == "norules.com").count() == 0
+
+
+def _verdicts(spark, rules, urls, agent):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = robots_verdicts(df, rules, agent=agent)
+    return {
+        r["url"]: (r["allowed"], r["matched_rule"], r["matched_pattern"])
+        for r in out.collect()
+    }
+
+
+def test_exact_agent_shadows_star(spark, rules):
+    v = _verdicts(
+        spark,
+        rules,
+        [
+            "https://a.com/docs/x",  # exact group: blocked
+            "https://a.com/docs/pub/x",  # longer allow wins
+            "https://a.com/private/x",  # star rule does NOT bind sparkbot
+        ],
+        "SparkBot",
+    )
+    assert v["https://a.com/docs/x"] == (0, "disallow", "/docs/")
+    assert v["https://a.com/docs/pub/x"] == (1, "allow", "/docs/pub/")
+    assert v["https://a.com/private/x"] == (1, None, None)
+
+
+def test_star_group_wildcards_and_anchor(spark, rules):
+    v = _verdicts(
+        spark,
+        rules,
+        [
+            "https://a.com/private/x",
+            "https://a.com/private/open-data",  # allow /private/open* (len 14)
+            "https://a.com/d/f.json",  # anchored wildcard
+            "https://a.com/d/f.json5",  # anchor must NOT match
+            "https://a.com/",  # no rule -> allowed
+        ],
+        "fetchbot",
+    )
+    assert v["https://a.com/private/x"] == (0, "disallow", "/private/")
+    assert v["https://a.com/private/open-data"] == (
+        1,
+        "allow",
+        "/private/open*",
+    )
+    assert v["https://a.com/d/f.json"] == (0, "disallow", "/*.json$")
+    assert v["https://a.com/d/f.json5"] == (1, None, None)
+    assert v["https://a.com/"] == (1, None, None)
+
+
+def test_default_allow_and_block_all(spark, rules):
+    v = _verdicts(
+        spark,
+        rules,
+        ["https://norules.com/any", "https://blocked.com/any"],
+        "sparkbot",
+    )
+    assert v["https://norules.com/any"] == (1, None, None)
+    assert v["https://blocked.com/any"] == (0, "disallow", "/")
+
+
+def test_allow_wins_length_tie(spark):
+    pages = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /ab\nAllow: /ab")],
+        "host string, body string",
+    )
+    v = _verdicts(
+        spark, parse_robots_rules(pages), ["https://t.com/abc"], "x"
+    )
+    assert v["https://t.com/abc"] == (1, "allow", "/ab")
+
+
+def test_url_target_shapes(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://h.com/a/b?q=1#frag",),
+            ("https://h.com",),
+            ("https://h.com?q=1",),
+        ],
+        "url string",
+    )
+    got = [r["t"] for r in df.select(url_target("url").alias("t")).collect()]
+    assert got == ["/a/b?q=1", "/", "/?q=1"]
+
+
+def test_regex_specials_in_patterns_stay_literal(spark):
+    pages = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /a(b)+c.d")],
+        "host string, body string",
+    )
+    v = _verdicts(
+        spark,
+        parse_robots_rules(pages),
+        ["https://t.com/a(b)+c.d/e", "https://t.com/abbc.d"],
+        "x",
+    )
+    assert v["https://t.com/a(b)+c.d/e"][0] == 0
+    assert v["https://t.com/abbc.d"][0] == 1
