@@ -4,8 +4,7 @@ The same page is captured under syntactically different URLs (case
 variants, default ports, fragments, tracking params, param order);
 crawl dedup keys on the CANONICAL form before any content hashing.
 All pure SQL expressions (split / filter / array_sort / regexp), zero
-Python — at 100 TB this runs at scan bandwidth next to the WARC
-record parse (``sources.warc``).
+Python.
 
 Canonical form (documented contract, mirrored by the DuckDB oracle in
 ``queries.text_queries.web_url_dedup``):
@@ -20,24 +19,83 @@ Canonical form (documented contract, mirrored by the DuckDB oracle in
 - an emptied query string drops its ``?``;
 - trailing slash stripped from non-root paths (``/a/`` == ``/a``,
   root ``/`` kept).
+
+Two entry points, same contract (round-12 scale check, SCALE.md):
+
+- :func:`canonicalize_url` — a single Column expression (6 regex
+  passes). Composable anywhere a Column fits; measured 1.4 M rows/s
+  on local[32] at 100 M rows.
+- :func:`with_canonical_url` — a staged-projection DataFrame
+  transform, the SCAN-SCALE path: each intermediate (fragment-less
+  url, scheme token, authority, rest, path, query) is aliased across
+  a ``select`` boundary so Catalyst's ``CollapseProject`` keeps it
+  computed ONCE per row instead of inlining a copy of its subtree
+  into every reference. Measured ~2.3× the Column form's throughput
+  (5 M rows: 1.2 s vs 2.8 s). The cautionary middle ground — the same
+  non-regex string ops as ONE inline Column tree — measured 8× SLOWER
+  than the regex form (duplication compounds multiplicatively down a
+  5-deep substring chain); that form is deliberately not offered.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: exact param names treated as tracking (plus every ``utm_`` prefix)
 TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref_src", "mc_eid")
+
+#: scheme charset of an absolute URL (RFC 3986 §3.1)
+_SCHEME_RX = r"^[A-Za-z][A-Za-z0-9+.-]*$"
 
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _strip_default_port(scheme: Column, auth: Column) -> Column:
+    auth = F.when(
+        (scheme == "http") & auth.endswith(":80"),
+        F.substring(auth, 1, F.length(auth) - 3),
+    ).otherwise(auth)
+    return F.when(
+        (scheme == "https") & auth.endswith(":443"),
+        F.substring(auth, 1, F.length(auth) - 4),
+    ).otherwise(auth)
+
+
+def _canon_query(query: Column) -> Column:
+    """Tracking params dropped, survivors sorted bytewise, rejoined."""
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS),
+    )
+    return F.array_join(F.array_sort(params), "&")
+
+
+def _strip_trailing_slash(path: Column) -> Column:
+    return F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+
+
+def _assemble(scheme: Column, auth: Column, path: Column, canon_q: Column) -> Column:
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+
+
 def canonicalize_url(url: Column | str) -> Column:
-    """Canonical URL per the module contract — one codegen'd
-    expression tree (regexp splits + array ops), no UDF."""
+    """Canonical URL per the module contract — one Column expression
+    (regex splits + array ops), no UDF. Composable anywhere; for the
+    scan-scale path prefer :func:`with_canonical_url` (module doc)."""
     u = _c(url)
     # 1. drop the fragment
     u = F.regexp_replace(u, r"#.*$", "")
@@ -46,38 +104,14 @@ def canonicalize_url(url: Column | str) -> Column:
     auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     # 3. strip the scheme's default port
-    auth = F.when(
-        (scheme == "http") & auth.endswith(":80"),
-        F.substring(auth, 1, F.length(auth) - 3),
-    ).otherwise(auth)
-    auth = F.when(
-        (scheme == "https") & auth.endswith(":443"),
-        F.substring(auth, 1, F.length(auth) - 4),
-    ).otherwise(auth)
+    auth = _strip_default_port(scheme, auth)
     # 4. path / query split
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    # trailing slash off non-root paths
-    path = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, 1, F.length(path) - 1),
-    ).otherwise(path)
+    path = _strip_trailing_slash(path)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
     # 5. drop tracking params, sort the rest bytewise
-    params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "")
-        & ~p.startswith("utm_")
-        & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS),
-    )
-    canon_q = F.array_join(F.array_sort(params), "&")
-    canon = F.concat(
-        scheme,
-        F.lit("://"),
-        auth,
-        path,
-        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
-    )
+    canon = _assemble(scheme, auth, path, _canon_query(query))
     # best-effort contract: anything that isn't an absolute URL
     # (no scheme://) passes through unchanged rather than collapsing
     # to a '://...' artifact — relative refs and junk rows stay
@@ -92,3 +126,92 @@ def url_host(url: Column | str) -> Column:
         F.regexp_extract(_c(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     )
     return F.regexp_replace(auth, r":\d+$", "")
+
+
+def with_canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    host_col: str | None = None,
+) -> DataFrame:
+    """Scan-scale canonicalizer: ``df`` + ``out_col`` (and optionally
+    ``host_col``, the lowercased port-stripped host — free here, the
+    authority is already split out). Same contract as
+    :func:`canonicalize_url`, staged so every intermediate is
+    computed once per row (module doc for the measured numbers).
+
+    Non-regex split throughout; the two survivors are one ``rlike``
+    over the short scheme token and one ``regexp_replace`` over the
+    short authority for ``host_col``'s trailing port (kept so IPv6
+    literals like ``[::1]`` survive, vs ``substring_index`` at the
+    first ':').
+    """
+    url = F.col(url_col)
+    tmp = [
+        "_cu_u", "_cu_sr", "_cu_abs", "_cu_scheme", "_cu_after",
+        "_cu_cut", "_cu_auth", "_cu_rest", "_cu_path", "_cu_q",
+    ]
+    for t in tmp:
+        if t in df.columns:  # pragma: no cover - defensive
+            raise ValueError(f"with_canonical_url scratch column {t} exists")
+
+    # 1. fragment off
+    s1 = df.select("*", F.substring_index(url, "#", 1).alias("_cu_u"))
+    # 2. scheme token
+    s2 = s1.select(
+        "*", F.substring_index(F.col("_cu_u"), "://", 1).alias("_cu_sr")
+    )
+    # 3. validity + authority-and-beyond
+    u, sr = F.col("_cu_u"), F.col("_cu_sr")
+    s3 = s2.select(
+        "*",
+        ((F.instr(u, "://") > 0) & F.rlike(sr, F.lit(_SCHEME_RX))).alias(
+            "_cu_abs"
+        ),
+        F.lower(sr).alias("_cu_scheme"),
+        F.substring(u, F.length(sr) + 4, F.length(u)).alias("_cu_after"),
+    )
+    # 4. authority / rest cut point (first '/' or '?')
+    a = F.col("_cu_after")
+    pos_s, pos_q = F.instr(a, "/"), F.instr(a, "?")
+    cut = (
+        F.when((pos_s == 0) & (pos_q == 0), F.length(a) + 1)
+        .when(pos_s == 0, pos_q)
+        .when(pos_q == 0, pos_s)
+        .otherwise(F.least(pos_s, pos_q))
+    )
+    s4 = s3.select("*", cut.alias("_cu_cut"))
+    # 5. authority (default port off) and rest
+    cutc = F.col("_cu_cut")
+    auth = F.lower(F.substring(a, F.lit(1), cutc - 1))
+    s5 = s4.select(
+        "*",
+        _strip_default_port(F.col("_cu_scheme"), auth).alias("_cu_auth"),
+        F.substring(a, cutc, F.length(a)).alias("_cu_rest"),
+    )
+    # 6. path / query split
+    rest = F.col("_cu_rest")
+    path = F.substring_index(rest, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rq = F.instr(rest, "?")
+    s6 = s5.select(
+        "*",
+        path.alias("_cu_path"),
+        F.when(rq > 0, F.substring(rest, rq + 1, F.length(rest)))
+        .otherwise(F.lit(""))
+        .alias("_cu_q"),
+    )
+    # 7. assemble
+    canon = _assemble(
+        F.col("_cu_scheme"),
+        F.col("_cu_auth"),
+        _strip_trailing_slash(F.col("_cu_path")),
+        _canon_query(F.col("_cu_q")),
+    )
+    out = [F.when(F.col("_cu_abs"), canon).otherwise(url).alias(out_col)]
+    if host_col is not None:
+        host = F.regexp_replace(F.col("_cu_auth"), r":\d+$", "")
+        out.append(
+            F.when(F.col("_cu_abs"), host).otherwise(F.lit("")).alias(host_col)
+        )
+    return s6.select("*", *out).drop(*tmp)

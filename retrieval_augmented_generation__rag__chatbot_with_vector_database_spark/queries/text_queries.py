@@ -949,7 +949,7 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer is a codegen'd expression tree
     (``functions/url.py``)."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
-        canonicalize_url,
+        with_canonical_url,
     )
 
     docs = load(spark, sf_dir, "documents")
@@ -972,7 +972,8 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
     return (
-        docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        with_canonical_url(docs.select("doc_id", url.alias("url")))
+        .select("doc_id", "canonical_url")
         .groupBy("canonical_url")
         .agg(
             F.min("doc_id").alias("survivor_id"),

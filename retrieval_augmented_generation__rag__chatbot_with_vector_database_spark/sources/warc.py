@@ -325,7 +325,8 @@ def web_crawl_documents(
 
     - **URL dedup**: the same page is captured under syntactically
       different URLs; the FIRST capture per canonical form
-      (``functions.url.canonicalize_url``) survives, "first" =
+      (``functions.url.with_canonical_url``, the staged scan-scale
+      canonicalizer) survives, "first" =
       smallest ``(segment, record_index)`` — deterministic across
       re-runs and segment orderings. One hash groupBy with map-side
       ``min_by`` partial aggregation (no window sort): the natural
@@ -342,8 +343,8 @@ def web_crawl_documents(
     from pyspark.sql import Window
 
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
-        canonicalize_url,
         url_host,
+        with_canonical_url,
     )
 
     pages = _extracted_pages(records, min_status, max_status, main_content)
@@ -352,7 +353,7 @@ def web_crawl_documents(
         F.col("text"), F.col("url"), F.col("segment"), F.col("record_index")
     )
     first = (
-        pages.withColumn("canonical_url", canonicalize_url("url"))
+        with_canonical_url(pages)  # staged form: the scan-scale path
         .groupBy("canonical_url")
         .agg(F.min_by(payload, order).alias("s"))
         .select("canonical_url", "s.*")

@@ -44,8 +44,8 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.emb
     EmbeddingProvider,
 )
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
-    canonicalize_url,
     url_host,
+    with_canonical_url,
 )
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
     VectorIndex,
@@ -88,6 +88,8 @@ def start_web_ingest_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     glob: str = "*.warc*",
+    robots_rules: DataFrame | None = None,
+    robots_agent: str = "*",
 ) -> "StreamingQuery":
     """Start the incremental web-crawl ingest on ``landing_dir``
     (module doc: funnel semantics, frontier state, crash ordering).
@@ -95,7 +97,15 @@ def start_web_ingest_stream(
     ``available_now=True`` drains the directory then stops; restart
     with the same ``checkpoint_dir`` + ``frontier_dir`` to continue —
     segments already processed are skipped by the checkpoint, pages
-    already kept are skipped by the frontier."""
+    already kept are skipped by the frontier.
+
+    ``robots_rules`` (parsed via ``functions.robots.parse_robots_rules``,
+    one row per (host, agent, rule, pattern)) applies the RFC 9309
+    crawl-permission gate for ``robots_agent`` between canonical dedup
+    and the host cap: disallowed pages never reach the embedder, never
+    enter the frontier, and never consume host quota. A polite crawl
+    filters BEFORE fetch; this gate is the archive-replay equivalent —
+    captures whose current policy forbids them are dropped at ingest."""
     reader = (
         spark.readStream.format("binaryFile")
         # the binaryFile format's fixed schema — streaming file
@@ -114,9 +124,9 @@ def start_web_ingest_stream(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        pages = _extracted_pages(
-            records_from_binary(batch_df), 200, 299, main_content
-        ).withColumn("canonical_url", canonicalize_url("url"))
+        pages = with_canonical_url(
+            _extracted_pages(records_from_binary(batch_df), 200, 299, main_content)
+        )
         order = F.struct(F.col("segment"), F.col("record_index"))
         payload = F.struct(
             F.col("text"), F.col("url"), F.col("segment"), F.col("record_index")
@@ -127,6 +137,16 @@ def start_web_ingest_stream(
             .select("canonical_url", "s.*")
             .withColumn("host", url_host("url"))
         )
+        if robots_rules is not None:
+            from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+                robots_verdicts,
+            )
+
+            first = (
+                robots_verdicts(first, robots_rules, agent=robots_agent)
+                .filter(F.col("allowed") == 1)
+                .drop("allowed", "matched_rule", "matched_pattern", "target")
+            )
         frontier = read_frontier(spark, frontier_dir)
         fresh = first.join(
             F.broadcast(frontier.select("canonical_url")), "canonical_url", "left_anti"

@@ -145,3 +145,46 @@ def test_cross_batch_frontier_and_host_cap(spark, tmp_path, setup):
     _drain(spark, landing, tmp_path, idx)
     assert idx.read().count() == before
     assert read_frontier(spark, f"{tmp_path}/frontier").count() == 4
+
+
+def test_robots_gate_blocks_disallowed(spark, tmp_path, setup):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        parse_robots_rules,
+    )
+
+    landing, idx = setup
+    (landing / "s1.warc").write_bytes(SEG1 + SEG2)
+    pages = spark.createDataFrame(
+        [
+            # blocks /y and /z on a.example; /x allowed
+            ("a.example", "User-agent: *\nDisallow: /y\nDisallow: /z"),
+            # blocks everything on c.example for our agent only
+            ("c.example", "User-agent: testbot\nDisallow: /"),
+        ],
+        "host string, body string",
+    )
+    rules = parse_robots_rules(pages)
+    q = start_web_ingest_stream(
+        spark,
+        str(landing),
+        idx,
+        HashEmbedder(dimension=16),
+        checkpoint_dir=f"{tmp_path}/ckpt",
+        frontier_dir=f"{tmp_path}/frontier",
+        host_cap=2,
+        available_now=True,
+        robots_rules=rules,
+        robots_agent="TestBot",
+    )
+    q.awaitTermination(120)
+    kept_urls = {
+        r["source"].rsplit("#", 1)[0]
+        for r in idx.read().select("source").collect()
+    }
+    # a.example: /x kept (first capture), /y and /z robots-blocked;
+    # b.example unrestricted; c.example blocked for testbot
+    assert kept_urls == {"http://a.example/x?utm_source=f", "http://b.example/1"}
+    # blocked pages never entered the frontier or consumed host quota
+    frontier = read_frontier(spark, f"{tmp_path}/frontier")
+    assert frontier.count() == 2
+    assert frontier.filter(F.col("host") == "c.example").count() == 0

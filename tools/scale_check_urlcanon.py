@@ -9,11 +9,15 @@ synthesize N messy URLs from ``spark.range`` arithmetic (the
 fragments, utm/gclid params, trailing slashes), then time
 
 - baseline: xxhash64-fold over the RAW url (synthesis + scan cost)
-- canon:    xxhash64-fold over ``canonicalize_url(url)``
+- canon:    xxhash64-fold over ``canonicalize_url(url)`` (Column form)
+- staged:   xxhash64-fold over ``with_canonical_url(df)`` (the
+            staged-projection scan-scale form)
 
-so (canon - baseline) isolates the canonicalizer's own cost.
-Interleaved min-of-N with a GEMM canary per pass (SCALE.md round-10
-host-noise protocol).
+so (variant - baseline) isolates each form's own cost. Interleaved
+min-of-N with a GEMM canary per pass (SCALE.md round-10 host-noise
+protocol). The two variants must produce the SAME xxhash fold — the
+tool asserts it, a free 100M-row semantic parity check on top of the
+oracle.
 
 Usage: python tools/scale_check_urlcanon.py [n_rows] [n_passes]
 Defaults: 100_000_000 rows, 3 passes.
@@ -31,6 +35,7 @@ from pyspark.sql import functions as F
 
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
     canonicalize_url,
+    with_canonical_url,
 )
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.session import (
     get_spark,
@@ -76,33 +81,44 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     base = spark.range(n).select(messy_url(F.col("id")).alias("url"))
+    frames = {
+        "raw": base.select(F.col("url").alias("u")),
+        "column": base.select(canonicalize_url("url").alias("u")),
+        "staged": with_canonical_url(base, out_col="u").select("u"),
+    }
 
-    def run(col) -> tuple[float, int]:
+    def run(df) -> tuple[float, int, int]:
         t0 = time.time()
-        r = base.select(col.alias("u")).agg(
+        r = df.agg(
             F.count(F.lit(1)).alias("c"), F.bit_xor(F.xxhash64("u")).alias("h")
         ).first()
-        return time.time() - t0, r["c"]
+        return time.time() - t0, r["c"], r["h"]
 
-    run(F.col("url"))  # warm codegen + JVM
+    run(frames["raw"])  # warm codegen + JVM
 
-    raw_t, canon_t, canaries = [], [], []
+    times: dict[str, list[float]] = {k: [] for k in frames}
+    hashes: dict[str, int] = {}
+    canaries = []
     for _ in range(passes):
         canaries.append(_gemm_canary())
-        dt, c = run(F.col("url"))
-        raw_t.append(round(dt, 2))
-        dt, c2 = run(canonicalize_url("url"))
-        canon_t.append(round(dt, 2))
-        assert c == c2 == n
-    raw, canon = min(raw_t), min(canon_t)
-    delta = canon - raw
+        for k, df in frames.items():
+            dt, c, h = run(df)
+            times[k].append(round(dt, 2))
+            assert c == n
+            hashes[k] = h
+    # 100M-row semantic parity: both forms fold to the same hash
+    assert hashes["column"] == hashes["staged"], hashes
+    raw = min(times["raw"])
     print(f"n_rows={n} passes={passes} canary_gflops={canaries}")
-    print(f"raw synth+hash:    {raw:8.2f} s  ({n / raw / 1e6:.1f} M rows/s)")
-    print(f"canonicalized:     {canon:8.2f} s  ({n / canon / 1e6:.1f} M rows/s)")
-    print(
-        f"canonicalizer own: {delta:8.2f} s  ({n / max(delta, 1e-9) / 1e6:.1f} M rows/s)"
-        f"  [attempts raw={raw_t} canon={canon_t}]"
-    )
+    print(f"raw synth+hash:  {raw:8.2f} s  ({n / raw / 1e6:.1f} M rows/s)")
+    for k in ("column", "staged"):
+        t = min(times[k])
+        delta = max(t - raw, 1e-9)
+        print(
+            f"{k:7s} total:   {t:8.2f} s  ({n / t / 1e6:.1f} M rows/s); "
+            f"own cost {delta:.2f} s ({n / delta / 1e6:.1f} M rows/s)"
+            f"  [attempts {times[k]}]"
+        )
 
 
 if __name__ == "__main__":
