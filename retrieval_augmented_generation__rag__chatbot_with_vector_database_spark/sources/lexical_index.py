@@ -100,14 +100,17 @@ DBUCKET = "dbucket"
 # malformed query batch, and it fails loudly before collecting.
 MAX_PROBE_TERMS = 65536
 
-#: corpus size below which the probe SKIPS the termdf pre-scan hint:
-#: the hint is one extra (tiny) Spark job, and on a small corpus that
-#: fixed cost exceeds the pruned-postings scan it would save (measured
-#: at sf0.1: hint job ~0.5 s vs a 0.11 s full pruned scan). Above the
-#: threshold a stopword's posting list dwarfs the hint job — the
-#: 100 TB case the sidecar exists for. Same size-aware-routing pattern
-#: as the ANN dispatcher's ``prefer_exact_below``.
-TERMDF_HINT_MIN_DOCS = 250_000
+#: corpus size below which the probe SKIPS the termdf pre-scan hint.
+#: Round-12 re-design (SCALE.md): as a Spark job the hint carried
+#: ~1.4 s of fixed scheduling/scan cost and measured a 0.69× SLOWDOWN
+#: at 500k docs — below any realistic crossover. The lookup is now a
+#: DRIVER-SIDE pyarrow read of the (hive-partitioned) sidecar —
+#: partition-pruned to the query terms' buckets, term-filtered, a few
+#: milliseconds at any corpus size, bounded by MAX_PROBE_TERMS like
+#: the terms collect it rides next to — so the gate is 0: always on
+#: when the sidecar exists and a df_cap applies. Kept as a module
+#: knob so scale checks can force the hint off to measure its value.
+TERMDF_HINT_MIN_DOCS = 0
 
 POSTINGS_SCHEMA = "term string, id long, tf long, dl long"
 TERMDF_SCHEMA = "term string, df long"
@@ -547,6 +550,46 @@ class LexicalIndex:
         self.refresh_stats()
 
     # -- probes -------------------------------------------------------
+    def _blocked_terms(
+        self,
+        terms: list[str],
+        buckets: list[int],
+        df_cap: float | int,
+        n_hint: int | None,
+    ) -> set[str]:
+        """Query terms the ``termdf`` sidecar marks over-cap — read
+        DRIVER-SIDE with pyarrow (hive partition pruning on
+        ``tbucket`` + a term filter), not as a Spark job: the lookup
+        is bounded by MAX_PROBE_TERMS rows exactly like the
+        terms-collect it rides next to, and as a job it carried ~1.4 s
+        of fixed cost that measured as a net probe SLOWDOWN at 500k
+        docs (SCALE.md round 12). Over-approximate-safe as before:
+        terms missing from the sidecar stay in the scan and the exact
+        scan-computed df re-applies the cap downstream."""
+        import pyarrow.dataset as pads
+
+        if df_cap <= 1:
+            n_corpus = (
+                n_hint
+                if n_hint is not None
+                else int(self.corpus_stats().first()["n"])
+            )
+            cap_val = n_corpus * float(df_cap)
+        else:
+            cap_val = float(df_cap)
+        dset = pads.dataset(
+            self._termdf_path, format="parquet", partitioning="hive"
+        )
+        tbl = dset.to_table(
+            columns=["term", "df"],
+            filter=(
+                pads.field(TBUCKET).isin(buckets)
+                & pads.field("term").isin(terms)
+                & (pads.field("df") > cap_val)
+            ),
+        )
+        return set(tbl["term"].to_pylist())
+
     def _pruned_candidates(
         self, qterms: DataFrame, df_cap: float | int | None
     ) -> DataFrame:
@@ -593,31 +636,16 @@ class LexicalIndex:
             and os.path.exists(self._termdf_path)
         )
         if use_hint:
-            # size-aware: the hint is only worth its own (small) job
-            # once posting lists outgrow it — n is a free local lookup
-            # when the stats sidecar is present, so prefer it; fall
-            # back to running the hint when only a scan could tell.
             props = self.properties()
             n_hint = int(props["n"]) if "n" in props else None
             use_hint = n_hint is None or n_hint >= TERMDF_HINT_MIN_DOCS
         if use_hint:
-            all_terms = [r["term"] for r in rows]
-            all_buckets = sorted({r["b"] for r in rows})
-            n_corpus = int(self.corpus_stats().first()["n"])
-            cap_val = (
-                n_corpus * float(df_cap) if df_cap <= 1 else float(df_cap)
+            blocked = self._blocked_terms(
+                [r["term"] for r in rows],
+                sorted({r["b"] for r in rows}),
+                df_cap,
+                n_hint,
             )
-            blocked = {
-                r["term"]
-                for r in self.termdf()
-                .filter(
-                    F.col(TBUCKET).isin(all_buckets)
-                    & F.col("term").isin(all_terms)
-                )
-                .filter(F.col("df") > cap_val)
-                .select("term")
-                .collect()
-            }
             if blocked:
                 rows = [r for r in rows if r["term"] not in blocked]
         buckets = sorted({r["b"] for r in rows})

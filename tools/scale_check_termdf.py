@@ -75,26 +75,54 @@ def main() -> None:
         )
         t_build = time.time() - t0
 
+        # a df_cap that actually BLOCKS stopword-grade terms in this
+        # corpus (0.5 blocks nothing here — measured r12; a hint with
+        # an empty blocked set can neither help nor hurt, so the
+        # comparison would be pure noise)
+        df_cap = 0.02
+
         def probe() -> tuple[float, int]:
             t0 = time.time()
-            c = idx.bm25_topk(queries, k=10).count()
+            c = idx.bm25_topk(queries, k=10, df_cap=df_cap).count()
             return time.time() - t0, c
 
+        n_blocked = len(
+            idx._blocked_terms(
+                [r["term"] for r in (
+                    lexical_index._tokens(
+                        queries.select(F.col("query_id").alias("qid"), "text"),
+                        "qid", "text",
+                    ).select("term").distinct().collect()
+                )],
+                list(range(64)),
+                df_cap,
+                n,
+            )
+        )
         probe()  # warm
         hint_t, nohint_t, canaries = [], [], []
-        for _ in range(passes):
+        for i in range(passes):
             canaries.append(_gemm_canary())
-            lexical_index.TERMDF_HINT_MIN_DOCS = gate
-            dt, c_hint = probe()
-            hint_t.append(round(dt, 2))
-            lexical_index.TERMDF_HINT_MIN_DOCS = 10**18  # force off
-            dt, c_no = probe()
-            nohint_t.append(round(dt, 2))
+            # ALTERNATE order per pass: the second probe of a pair
+            # rides the first's OS page cache, which biased the
+            # original fixed-order run by ~0.6 s (SCALE.md round 12)
+            order = (gate, 10**18) if i % 2 == 0 else (10**18, gate)
+            for g in order:
+                lexical_index.TERMDF_HINT_MIN_DOCS = g
+                dt, c = probe()
+                (hint_t if g == gate else nohint_t).append(round(dt, 2))
+                if g == gate:
+                    c_hint = c
+                else:
+                    c_no = c
         lexical_index.TERMDF_HINT_MIN_DOCS = gate
         assert c_hint == c_no, (c_hint, c_no)  # hint never changes results
 
     h, nh = min(hint_t), min(nohint_t)
-    print(f"n_docs={n} n_queries={nq} passes={passes} gate={gate}")
+    print(
+        f"n_docs={n} n_queries={nq} passes={passes} gate={gate} "
+        f"df_cap={df_cap} blocked_query_terms={n_blocked}"
+    )
     print(f"canary_gflops={canaries} (results equal: {c_hint} rows)")
     print(f"layout build (once):    {t_build:8.2f} s")
     print(f"probe WITH termdf hint: {h:8.2f} s   (attempts {hint_t})")
