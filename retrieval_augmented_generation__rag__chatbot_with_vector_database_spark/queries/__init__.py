@@ -105,10 +105,10 @@ def all_oracles() -> dict[str, str]:
 #: dedup, ANN/quantization, top-k, hybrid-indexed, e2e composites,
 #: index maintenance, and the skew/scrub/phash scale guards — so the
 #: driver re-verifies them every round from here on. (To stay at 50,
-#: two multi-round-green pins — ``index_stats``,
-#: ``dedup_simhash_groups`` — rotated out this round; their siblings
-#: ``index_upsert_*``/``dedup_simhash_candidates`` still guard those
-#: families.)
+#: three multi-round-green pins — ``index_stats``,
+#: ``dedup_simhash_groups``, ``rag_chat_e2e`` — rotated out this
+#: round; their siblings ``index_upsert_*``/``dedup_simhash_candidates``/
+#: ``rag_chat_ann_e2e`` still guard those families.)
 DRIVER_WINDOW_PRIORITY = [
     # never driver-checked (r11 additions post-rotation + r12 additions)
     "text_html_extract",
@@ -118,6 +118,7 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_web_ingest_funnel",
     "web_robots_parse",
     "web_robots_filter",
+    "corpus_web_robots_funnel",
     # dedup family
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -157,7 +158,6 @@ DRIVER_WINDOW_PRIORITY = [
     # end-to-end composites
     "rag_e2e_echo",
     "rag_ann_e2e",
-    "rag_chat_e2e",
     "rag_chat_ann_e2e",
     "rag_hybrid_e2e",
     # index maintenance

@@ -519,3 +519,199 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_rule",
         "matched_pattern",
     )
+
+
+# --- robots-gated crawl funnel (round 12) -----------------------------------
+#
+# The permission gate composed INTO the crawl front end: WARC captures
+# → extract → canonical-URL dedup → RFC 9309 robots verdicts on each
+# survivor's captured URL → per-host cap, reported as per-host stage
+# counts. Spark runs the real operators (real .warc.gz bytes, real
+# grammar parse of planted robots bodies, `web_crawl_documents` with
+# robots_rules); the oracle replays canonicalization (shared canon
+# contract SQL), agent selection, longest-match verdicts, and the cap
+# in SQL. Bodies are shared constants (the fixture); the parse grammar
+# itself is independently oracled by `web_robots_parse`, so here the
+# oracle starts from the (host, agent, rule, pattern) table.
+
+ROBOTS_FUNNEL_BODIES = {
+    # mode 0 (host % 3 == 0): '*' group blocking the /p/1 prefix —
+    # catches /p/1 and /p/10..19 era targets, trailing slash included
+    0: "# crawl policy\nUser-agent: *\nDisallow: /p/1\n",
+    # mode 1: exact-agent allow-all shadows a '*' block-all
+    1: "User-agent: sparkbot\nAllow: /\n\nUser-agent: *\nDisallow: /\n",
+    # mode 2: no robots.txt at all (host absent from the rules table)
+}
+
+_FUNNEL_RULES_SQL = """
+rrules(host, agent, rule, pattern) AS (
+  SELECT 'example' || CAST(h AS VARCHAR) || '.com', v.agent, v.rule, v.pattern
+  FROM (SELECT DISTINCT doc_id % 10 AS h FROM documents WHERE doc_id < 60),
+  LATERAL (
+    SELECT * FROM (VALUES
+      (0, '*', 'disallow', '/p/1'),
+      (1, 'sparkbot', 'allow', '/'),
+      (1, '*', 'disallow', '/')
+    ) AS t(mode, agent, rule, pattern)
+    WHERE t.mode = h % 3
+  ) v
+)
+"""
+
+
+def _robots_funnel_oracle() -> str:
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.text_queries import (
+        _URL_CANON_SQL,
+    )
+
+    return f"""
+WITH base AS ({_BASE_SQL}),
+planted AS (SELECT doc_id, url FROM base),
+cu AS ({_URL_CANON_SQL} SELECT doc_id, curl FROM canon),
+surv AS (SELECT min(doc_id) AS doc_id FROM cu GROUP BY curl),
+{_FUNNEL_RULES_SQL},
+rsurv AS (
+  SELECT s.doc_id,
+         regexp_replace(lower(regexp_extract(p.url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS host,
+         CASE WHEN rest = '' THEN '/'
+              WHEN rest LIKE '?%' THEN '/' || rest
+              ELSE rest END AS target
+  FROM surv s JOIN (
+    SELECT doc_id, url,
+           coalesce(regexp_extract(regexp_replace(url, '#.*$', ''),
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '') AS rest
+    FROM planted
+  ) p ON s.doc_id = p.doc_id
+),
+sel AS (
+  SELECT host, rule, pattern FROM (
+    SELECT *, max(CASE WHEN agent = 'sparkbot' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY host) AS hx
+    FROM rrules WHERE agent IN ('sparkbot', '*')
+  ) WHERE CASE WHEN hx = 1 THEN agent = 'sparkbot' ELSE agent = '*' END
+),
+rx AS (
+  SELECT host, rule, pattern,
+         '^' || replace(regexp_replace(
+             CASE WHEN pattern LIKE '%$'
+                  THEN substr(pattern, 1, length(pattern) - 1)
+                  ELSE pattern END,
+             '([.+?()\\[\\]{{}}^|$\\\\])', '\\\\\\1', 'g'), '*', '.*')
+         || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rxp
+  FROM sel
+),
+hits AS (
+  SELECT f.doc_id, r.rule,
+         row_number() OVER (PARTITION BY f.doc_id
+           ORDER BY length(r.pattern) DESC, r.rule, r.pattern) AS rk
+  FROM rsurv f JOIN rx r
+    ON f.host = r.host AND regexp_matches(f.target, r.rxp)
+),
+verdicts AS (
+  SELECT f.doc_id, f.host,
+         CASE WHEN h.rule IS NULL OR h.rule = 'allow' THEN 1 ELSE 0 END AS ok
+  FROM rsurv f
+  LEFT JOIN (SELECT * FROM hits WHERE rk = 1) h ON f.doc_id = h.doc_id
+),
+capped AS (
+  SELECT host, doc_id,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+  FROM verdicts WHERE ok = 1
+)
+SELECT v.host,
+       CAST(count(*) AS BIGINT) AS n_canonical,
+       CAST(sum(v.ok) AS BIGINT) AS n_robots_ok,
+       CAST(coalesce(k.kept, 0) AS BIGINT) AS n_kept
+FROM verdicts v
+LEFT JOIN (
+  SELECT host, count(*) AS kept FROM capped
+  WHERE rk <= {HOST_CAP} GROUP BY host
+) k ON v.host = k.host
+GROUP BY v.host, k.kept
+"""
+
+
+@register("corpus_web_robots_funnel", _robots_funnel_oracle())
+def corpus_web_robots_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front end with the permission gate composed in: real
+    ``.warc.gz`` captures → container parse → main-content extract →
+    canonical-URL dedup → RFC 9309 verdicts (real grammar parse of the
+    planted robots bodies, exact-agent shadowing) → per-host cap; one
+    row per host with canonical / robots-allowed / kept counts. The
+    three funnel runs at the fixture slice exercise the SAME
+    `web_crawl_documents` declarative plan at each stage depth — the
+    shape a 100 TB crawl replay runs once, end to end."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        parse_robots_rules,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        url_host,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+        load_warc_records,
+        web_crawl_documents,
+    )
+
+    planted = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < N_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    rows = sorted((r["doc_id"], r["text"]) for r in planted)
+    pages = spark.createDataFrame(
+        [
+            (f"example{h}.com", ROBOTS_FUNNEL_BODIES[h % 3])
+            for h in range(10)
+            if h % 3 in ROBOTS_FUNNEL_BODIES
+        ],
+        "host string, body string",
+    )
+    rules = parse_robots_rules(pages)
+
+    def _host_counts(docs: DataFrame, name: str) -> DataFrame:
+        return (
+            docs.select(
+                url_host(F.substring_index("source", "#", 1)).alias("host")
+            )
+            .groupBy("host")
+            .agg(F.count("*").alias(name))
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        with open(f"{tmp}/crawl-00000.warc.gz", "wb") as f:
+            f.write(_warc_segment(rows))
+        records = load_warc_records(spark, tmp)
+        canonical = _host_counts(
+            web_crawl_documents(records, main_content=True), "n_canonical"
+        )
+        robots_ok = _host_counts(
+            web_crawl_documents(
+                records, main_content=True,
+                robots_rules=rules, robots_agent="SparkBot",
+            ),
+            "n_robots_ok",
+        )
+        kept = _host_counts(
+            web_crawl_documents(
+                records, main_content=True,
+                robots_rules=rules, robots_agent="SparkBot",
+                host_cap=HOST_CAP,
+            ),
+            "n_kept",
+        )
+        out = (
+            canonical.join(robots_ok, "host", "left")
+            .join(kept, "host", "left")
+            .select(
+                "host",
+                "n_canonical",
+                F.coalesce("n_robots_ok", F.lit(0)).alias("n_robots_ok"),
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            )
+        )
+        collected = out.collect()
+    return spark.createDataFrame(collected, out.schema)

@@ -318,6 +318,8 @@ def web_crawl_documents(
     max_status: int = 299,
     main_content: bool = True,
     host_cap: int | None = None,
+    robots_rules: DataFrame | None = None,
+    robots_agent: str = "*",
 ) -> DataFrame:
     """The crawl-curation front end of a 100 TB web ingest, as one
     declarative plan: extracted pages → canonical-URL dedup → per-host
@@ -331,6 +333,14 @@ def web_crawl_documents(
       re-runs and segment orderings. One hash groupBy with map-side
       ``min_by`` partial aggregation (no window sort): the natural
       shape when canonical URLs are near-unique, as in a real crawl.
+    - **Robots gate** (``robots_rules`` — parsed via
+      ``functions.robots.parse_robots_rules``): RFC 9309 verdicts for
+      ``robots_agent`` on each DEDUP SURVIVOR's captured URL —
+      disallowed pages never reach the host cap (no quota consumed)
+      or the embedder. Broadcast join, no extra shuffle; applied
+      post-dedup so the (cheap) hash groupBy shields the (regex)
+      matcher, mirroring the streaming twin
+      (``streaming.web_ingest``).
     - **Host cap** (``host_cap=N``): at most N pages per host, first
       captures win — the anti-domination gate (no single site should
       dominate the training mix). One window shuffle on the host key;
@@ -358,6 +368,16 @@ def web_crawl_documents(
         .agg(F.min_by(payload, order).alias("s"))
         .select("canonical_url", "s.*")
     )
+    if robots_rules is not None:
+        from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+            robots_verdicts,
+        )
+
+        first = (
+            robots_verdicts(first, robots_rules, agent=robots_agent)
+            .filter(F.col("allowed") == 1)
+            .drop("allowed", "matched_rule", "matched_pattern", "target", "host")
+        )
     if host_cap is not None:
         w = Window.partitionBy(url_host("url")).orderBy("segment", "record_index")
         first = (

@@ -254,6 +254,48 @@ def test_web_crawl_documents_dedup_and_host_cap(spark, tmp_path):
     )
 
 
+def test_web_crawl_documents_robots_gate(spark, tmp_path):
+    """robots_rules gates dedup SURVIVORS before the host cap:
+    disallowed pages are dropped and never consume host quota."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        parse_robots_rules,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+        web_crawl_documents,
+    )
+
+    def page(marker):
+        return _http(
+            ("<p>body of capture " + marker + " with enough words</p>").encode()
+        )
+
+    seg = (
+        _record("response", "http://a.example/blocked/1", page("x1"))
+        + _record("response", "http://a.example/ok/1", page("x2"))
+        + _record("response", "http://a.example/ok/2", page("x3"))
+        + _record("response", "http://a.example/ok/3", page("x4"))
+    )
+    (tmp_path / "seg.warc").write_bytes(seg)
+    rules = parse_robots_rules(
+        spark.createDataFrame(
+            [("a.example", "User-agent: *\nDisallow: /blocked/")],
+            "host string, body string",
+        )
+    )
+    docs = web_crawl_documents(
+        load_warc_records(spark, str(tmp_path)),
+        main_content=False,
+        host_cap=2,
+        robots_rules=rules,
+    )
+    # /blocked/1 is gated out and does NOT consume quota: the first
+    # TWO allowed pages survive the cap
+    assert {r["source"] for r in docs.collect()} == {
+        "http://a.example/ok/1#1",
+        "http://a.example/ok/2#2",
+    }
+
+
 def test_wet_documents(spark, tmp_path):
     """Common Crawl WET segments: conversion records carry the
     crawl's own extracted text — straight to document shape."""
