@@ -53,17 +53,18 @@ from pyspark.sql import functions as F
 _FIELDS = ("user-agent", "allow", "disallow")
 
 
-def parse_robots_rules(
-    pages: DataFrame, host_col: str = "host", body_col: str = "body"
+def _grouped_lines(
+    pages: DataFrame, host_col: str, body_col: str, fields: tuple[str, ...]
 ) -> DataFrame:
-    """robots.txt bodies → rule rows ``(host, agent, rule, pattern)``.
-
-    Group assembly is the only stateful part of the grammar (one or
+    """robots.txt bodies → ``(host, grp, field, value)`` with RFC 9309
+    group assembly — the only stateful part of the grammar (one or
     more ``User-agent`` lines followed by their rules): a group STARTS
     at a ``User-agent`` line whose previous interpreted line is not
     one, so a running sum of starts keys each line to its group — one
-    window shuffle on the host, everything else codegen.
-    """
+    window shuffle on the (tiny) per-host robots table, everything
+    else codegen. Group numbering is independent of which non-UA
+    ``fields`` are kept, so rule parsing and crawl-delay parsing share
+    this helper safely."""
     line = F.col("line")
     clean = F.regexp_replace(line, "#.*$", "")
     field = F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1)))
@@ -74,20 +75,36 @@ def parse_robots_rules(
             F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("pos", "line"),
         )
         .select("host", "pos", field.alias("field"), value.alias("value"))
-        .filter(F.col("field").isin(*_FIELDS))
+        .filter(F.col("field").isin(*fields))
     )
     w = Window.partitionBy("host").orderBy("pos")
     prev = F.lag("field").over(w)
     start = (F.col("field") == "user-agent") & (
         prev.isNull() | (prev != "user-agent")
     )
-    grouped = lines.withColumn("grp", F.sum(start.cast("int")).over(w))
+    return lines.withColumn("grp", F.sum(start.cast("int")).over(w)).select(
+        "host", "grp", "field", "value"
+    )
+
+
+def _select_agent_groups(grouped: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(agents, non-UA lines) halves of the grouped line table."""
     agents = grouped.filter(F.col("field") == "user-agent").select(
         "host", "grp", F.lower(F.col("value")).alias("agent")
     )
-    rules = grouped.filter(
-        F.col("field").isin("allow", "disallow") & (F.col("value") != "")
-    ).select(
+    return agents, grouped.filter(F.col("field") != "user-agent")
+
+
+def parse_robots_rules(
+    pages: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """robots.txt bodies → rule rows ``(host, agent, rule, pattern)``
+    (module doc for the grammar scope; ``_grouped_lines`` for the
+    group assembly)."""
+    agents, rest = _select_agent_groups(
+        _grouped_lines(pages, host_col, body_col, _FIELDS)
+    )
+    rules = rest.filter(F.col("value") != "").select(
         "host", "grp", F.col("field").alias("rule"), F.col("value").alias("pattern")
     )
     # rules with grp 0 have no preceding user-agent line → inner join
@@ -95,6 +112,47 @@ def parse_robots_rules(
     return agents.join(rules, ["host", "grp"]).select(
         "host", "agent", "rule", "pattern"
     ).distinct()
+
+
+def robots_crawl_delays(
+    pages: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Per-host politeness interval for ``agent``: ``(host,
+    crawl_delay)`` from ``Crawl-delay`` lines (the universal
+    non-standard extension every major engine honors). Same group
+    assembly and exact-agent-shadows-``*`` selection as the rule
+    parse; non-numeric values drop; multiple applicable values take
+    the MAX (the conservative politeness choice); hosts with no
+    applicable delay are absent. Feeds a crawl scheduler's per-host
+    token bucket — at 100 TB the fetch frontier is rate-shaped by
+    exactly this table."""
+    agent = agent.lower()
+    agents, rest = _select_agent_groups(
+        _grouped_lines(
+            pages, host_col, body_col, ("user-agent", "crawl-delay")
+        )
+    )
+    delays = rest.select(
+        "host", "grp", F.col("value").try_cast("double").alias("delay")
+    ).filter(F.col("delay").isNotNull())
+    cand = agents.join(delays, ["host", "grp"]).filter(
+        F.col("agent").isin(agent, "*")
+    )
+    wh = Window.partitionBy("host")
+    return (
+        cand.withColumn(
+            "has_exact", F.max((F.col("agent") == agent).cast("int")).over(wh)
+        )
+        .filter(
+            (F.col("agent") == agent)
+            | ((F.col("agent") == "*") & (F.col("has_exact") == 0))
+        )
+        .groupBy("host")
+        .agg(F.max("delay").alias("crawl_delay"))
+    )
 
 
 def pattern_regex(pattern: Column | str) -> Column:

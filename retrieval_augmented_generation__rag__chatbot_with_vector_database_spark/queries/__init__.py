@@ -105,10 +105,12 @@ def all_oracles() -> dict[str, str]:
 #: dedup, ANN/quantization, top-k, hybrid-indexed, e2e composites,
 #: index maintenance, and the skew/scrub/phash scale guards — so the
 #: driver re-verifies them every round from here on. (To stay at 50,
-#: three multi-round-green pins — ``index_stats``,
-#: ``dedup_simhash_groups``, ``rag_chat_e2e`` — rotated out this
-#: round; their siblings ``index_upsert_*``/``dedup_simhash_candidates``/
-#: ``rag_chat_ann_e2e`` still guard those families.)
+#: four multi-round-green pins — ``index_stats``,
+#: ``dedup_simhash_groups``, ``rag_chat_e2e``,
+#: ``dedup_embedding_pairs_jl_512`` — rotated out this round; their
+#: siblings ``index_upsert_*``/``dedup_simhash_candidates``/
+#: ``rag_chat_ann_e2e``/``dedup_embedding_pairs_jl`` still guard those
+#: families.)
 DRIVER_WINDOW_PRIORITY = [
     # never driver-checked (r11 additions post-rotation + r12 additions)
     "text_html_extract",
@@ -119,6 +121,7 @@ DRIVER_WINDOW_PRIORITY = [
     "web_robots_parse",
     "web_robots_filter",
     "corpus_web_robots_funnel",
+    "web_crawl_delay",
     # dedup family
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -127,7 +130,6 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_embedding_pairs",
     "dedup_embedding_pairs_ivf",
     "dedup_embedding_pairs_jl",
-    "dedup_embedding_pairs_jl_512",
     "dedup_duplicate_groups_star",
     "corpus_dedup_cascade",
     "dedup_substring_spans",

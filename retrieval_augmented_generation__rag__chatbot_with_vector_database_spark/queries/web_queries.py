@@ -715,3 +715,107 @@ def corpus_web_robots_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         collected = out.collect()
     return spark.createDataFrame(collected, out.schema)
+
+
+# --- crawl-delay (round 12): the politeness interval -----------------------
+
+DELAY_BODIES = [
+    # mode 0: exact-agent group with its own delay shadows the '*' one
+    "User-agent: sparkbot\nCrawl-delay: 2\nDisallow: /x\n"
+    "\nUser-agent: *\nCrawl-delay: 10\n",
+    # mode 1: '*' delay only
+    "User-agent: *\nCrawl-delay: 10\nDisallow: /tmp/\n",
+    # mode 2: invalid value dropped, max of the valid ones wins
+    "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 0.5\nCrawl-delay: 0.25\n",
+    # mode 3: no delay at all -> host absent from the output
+    "User-agent: *\nDisallow: /private/\n",
+]
+
+
+@register(
+    "web_crawl_delay",
+    f"""
+WITH pages AS (
+  SELECT 'example' || CAST(h AS VARCHAR) || '.com' AS host,
+         CASE h % 4{"".join(f" WHEN {m} THEN '{DELAY_BODIES[m]}'" for m in range(4))} END AS body
+  FROM (SELECT DISTINCT doc_id % {N_ROBOTS_HOSTS} AS h FROM documents)
+),
+rlines AS (
+  SELECT host,
+         unnest(range(1, len(string_split(body, chr(10))) + 1)) AS pos,
+         unnest(string_split(body, chr(10))) AS raw
+  FROM pages
+),
+fv AS (
+  SELECT host, pos,
+         lower(trim(coalesce(regexp_extract(
+           regexp_replace(raw, '#.*$', ''), '^([^:]+):', 1), ''))) AS field,
+         trim(coalesce(regexp_extract(
+           regexp_replace(raw, '#.*$', ''), '^[^:]*:(.*)$', 1), '')) AS value
+  FROM rlines
+),
+kept AS (
+  SELECT * FROM fv WHERE field IN ('user-agent', 'crawl-delay')
+),
+lagged AS (
+  SELECT host, pos, field, value,
+         CASE WHEN field = 'user-agent'
+               AND coalesce(lag(field) OVER (
+                     PARTITION BY host ORDER BY pos), '') <> 'user-agent'
+              THEN 1 ELSE 0 END AS is_start
+  FROM kept
+),
+grouped AS (
+  SELECT host, pos, field, value,
+         sum(is_start) OVER (PARTITION BY host ORDER BY pos) AS grp
+  FROM lagged
+),
+agents AS (
+  SELECT host, grp, lower(value) AS agent FROM grouped
+  WHERE field = 'user-agent'
+),
+delays AS (
+  SELECT host, grp, TRY_CAST(value AS DOUBLE) AS delay FROM grouped
+  WHERE field = 'crawl-delay' AND TRY_CAST(value AS DOUBLE) IS NOT NULL
+),
+cand AS (
+  SELECT a.host, a.agent, d.delay FROM agents a
+  JOIN delays d ON a.host = d.host AND a.grp = d.grp
+  WHERE a.agent IN ('{ROBOTS_AGENT}', '*')
+),
+sel AS (
+  SELECT host, delay FROM (
+    SELECT *, max(CASE WHEN agent = '{ROBOTS_AGENT}' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY host) AS hx
+    FROM cand
+  ) WHERE CASE WHEN hx = 1 THEN agent = '{ROBOTS_AGENT}' ELSE agent = '*' END
+)
+SELECT host, max(delay) AS crawl_delay FROM sel GROUP BY host
+""",
+)
+def web_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host ``Crawl-delay`` for agent ``sparkbot`` — the
+    politeness interval a crawl scheduler's per-host token bucket
+    enforces. Exact-agent groups shadow ``*``; non-numeric values
+    drop; MAX of applicable values (conservative); hosts without a
+    delay are absent (``functions/robots.py:robots_crawl_delays``)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        robots_crawl_delays,
+    )
+
+    h = F.col("h")
+    body = F.when(h % 4 == 0, F.lit(DELAY_BODIES[0]))
+    for m in (1, 2, 3):
+        body = body.when(h % 4 == m, F.lit(DELAY_BODIES[m]))
+    pages = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % N_ROBOTS_HOSTS).alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("example"), h.cast("string"), F.lit(".com")).alias(
+                "host"
+            ),
+            body.alias("body"),
+        )
+    )
+    return robots_crawl_delays(pages, agent=ROBOTS_AGENT)

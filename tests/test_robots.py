@@ -165,3 +165,30 @@ def test_regex_specials_in_patterns_stay_literal(spark):
     )
     assert v["https://t.com/a(b)+c.d/e"][0] == 0
     assert v["https://t.com/abbc.d"][0] == 1
+
+
+def test_crawl_delays(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        robots_crawl_delays,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            # exact group's delay shadows the '*' one
+            (
+                "a.com",
+                "User-agent: SparkBot\nCrawl-delay: 2\n\n"
+                "User-agent: *\nCrawl-delay: 10",
+            ),
+            # invalid dropped, max of valid wins
+            ("b.com", "User-agent: *\nCrawl-delay: x\nCrawl-delay: 0.5\nCrawl-delay: 0.25"),
+            # no delay -> absent
+            ("c.com", "User-agent: *\nDisallow: /"),
+        ],
+        "host string, body string",
+    )
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in robots_crawl_delays(pages, agent="sparkbot").collect()
+    }
+    assert got == {"a.com": 2.0, "b.com": 0.5}
