@@ -48,9 +48,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: fields of robots.txt this engine interprets (others — Crawl-delay,
-#: Sitemap — pass through parse as ignored lines)
+#: rule fields of robots.txt (the RFC 9309 grammar proper)
 _FIELDS = ("user-agent", "allow", "disallow")
+
+#: every field that participates in GROUP ASSEMBLY — group numbering
+#: must be computed over all of these and only then filtered to what a
+#: caller interprets, or a group whose only lines fall outside the
+#: caller's set would merge with the following group and mis-attribute
+#: its rules (e.g. 'User-agent: a / Crawl-delay: 1 / / User-agent: * /
+#: Disallow: /' must NOT hand agent a the disallow). Sitemap is
+#: deliberately absent: it is a standalone record that does not close
+#: a user-agent stack.
+_GROUP_FIELDS = ("user-agent", "allow", "disallow", "crawl-delay")
 
 
 def _grouped_lines(
@@ -62,9 +71,10 @@ def _grouped_lines(
     at a ``User-agent`` line whose previous interpreted line is not
     one, so a running sum of starts keys each line to its group — one
     window shuffle on the (tiny) per-host robots table, everything
-    else codegen. Group numbering is independent of which non-UA
-    ``fields`` are kept, so rule parsing and crawl-delay parsing share
-    this helper safely."""
+    else codegen. Group numbering is computed over ALL of
+    ``_GROUP_FIELDS`` and only then filtered to the caller's
+    ``fields`` — so rule parsing and crawl-delay parsing see identical
+    group boundaries regardless of which lines they interpret."""
     line = F.col("line")
     clean = F.regexp_replace(line, "#.*$", "")
     field = F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1)))
@@ -75,15 +85,17 @@ def _grouped_lines(
             F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("pos", "line"),
         )
         .select("host", "pos", field.alias("field"), value.alias("value"))
-        .filter(F.col("field").isin(*fields))
+        .filter(F.col("field").isin(*_GROUP_FIELDS))
     )
     w = Window.partitionBy("host").orderBy("pos")
     prev = F.lag("field").over(w)
     start = (F.col("field") == "user-agent") & (
         prev.isNull() | (prev != "user-agent")
     )
-    return lines.withColumn("grp", F.sum(start.cast("int")).over(w)).select(
-        "host", "grp", "field", "value"
+    return (
+        lines.withColumn("grp", F.sum(start.cast("int")).over(w))
+        .filter(F.col("field").isin(*fields))
+        .select("host", "grp", "field", "value")
     )
 
 
@@ -100,16 +112,23 @@ def parse_robots_rules(
 ) -> DataFrame:
     """robots.txt bodies → rule rows ``(host, agent, rule, pattern)``
     (module doc for the grammar scope; ``_grouped_lines`` for the
-    group assembly)."""
+    group assembly).
+
+    A group that declares an agent but carries NO rules still emits
+    one row with null ``rule``/``pattern``: group PRESENCE is what
+    drives agent selection downstream — an empty exact-agent group
+    shadows ``*`` and allows everything, so dropping it would hand the
+    agent the ``*`` group's rules."""
     agents, rest = _select_agent_groups(
         _grouped_lines(pages, host_col, body_col, _FIELDS)
     )
     rules = rest.filter(F.col("value") != "").select(
         "host", "grp", F.col("field").alias("rule"), F.col("value").alias("pattern")
     )
-    # rules with grp 0 have no preceding user-agent line → inner join
-    # drops them, per the documented scope
-    return agents.join(rules, ["host", "grp"]).select(
+    # rules with grp 0 have no preceding user-agent line → joining
+    # from the agents side drops them, per the documented scope; the
+    # LEFT join keeps rule-less groups as null-rule rows
+    return agents.join(rules, ["host", "grp"], "left").select(
         "host", "agent", "rule", "pattern"
     ).distinct()
 
@@ -138,7 +157,10 @@ def robots_crawl_delays(
     delays = rest.select(
         "host", "grp", F.col("value").try_cast("double").alias("delay")
     ).filter(F.col("delay").isNotNull())
-    cand = agents.join(delays, ["host", "grp"]).filter(
+    # LEFT join: agent groups without a delay still participate in
+    # selection — an exact group that declares no Crawl-delay means NO
+    # delay for that agent, not a fallback to the '*' group's delay
+    cand = agents.join(delays, ["host", "grp"], "left").filter(
         F.col("agent").isin(agent, "*")
     )
     wh = Window.partitionBy("host")
@@ -152,6 +174,7 @@ def robots_crawl_delays(
         )
         .groupBy("host")
         .agg(F.max("delay").alias("crawl_delay"))
+        .filter(F.col("crawl_delay").isNotNull())
     )
 
 
@@ -209,14 +232,21 @@ def robots_verdicts(
     if target_col not in urls.columns:
         urls = urls.withColumn(target_col, url_target(F.col(url_col)))
 
-    # exact-agent groups shadow '*' groups per host
+    # exact-agent groups shadow '*' groups per host — by group
+    # PRESENCE (null-rule rows from rule-less groups count), so an
+    # empty exact group correctly allows everything rather than
+    # falling back to the '*' rules
     wh = Window.partitionBy("host")
     cand = rules.filter(F.col("agent").isin(agent, "*"))
-    cand = cand.withColumn(
-        "has_exact", F.max((F.col("agent") == agent).cast("int")).over(wh)
-    ).filter(
-        (F.col("agent") == agent)
-        | ((F.col("agent") == "*") & (F.col("has_exact") == 0))
+    cand = (
+        cand.withColumn(
+            "has_exact", F.max((F.col("agent") == agent).cast("int")).over(wh)
+        )
+        .filter(
+            (F.col("agent") == agent)
+            | ((F.col("agent") == "*") & (F.col("has_exact") == 0))
+        )
+        .filter(F.col("pattern").isNotNull())
     )
     by_host = cand.groupBy(F.col("host").alias("r_host")).agg(
         F.collect_list(

@@ -855,10 +855,15 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit('</p><script>var x = "<p>ignore</p>";</script><!-- c --><p>tail &amp; fin</p></body></html>'),
     )
-    return docs.select(
-        "doc_id",
-        F.md5(html_to_text(html).cast("binary")).alias("text_md5"),
-        F.length(html_to_text(html)).cast("long").alias("n_chars"),
+    # staged so the strip fold runs once per row (see
+    # text_html_main_content's note)
+    return (
+        docs.select("doc_id", html_to_text(html).alias("_t"))
+        .select(
+            "doc_id",
+            F.md5(F.col("_t").cast("binary")).alias("text_md5"),
+            F.length("_t").cast("long").alias("n_chars"),
+        )
     )
 
 
@@ -1132,8 +1137,16 @@ def text_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<footer>&#39;24 <a href="/tos">Terms</a> <a href="/p">Privacy</a></footer>'),
         F.lit("</body></html>"),
     )
-    return docs.select(
-        "doc_id",
-        F.md5(html_main_content(html).cast("binary")).alias("content_md5"),
-        F.length(html_main_content(html)).cast("long").alias("n_chars"),
+    # extraction aliased across a select boundary: CollapseProject
+    # will not inline a non-cheap expression into multiple references,
+    # so the block-split + regex-fold tree runs ONCE per row instead
+    # of once per derived column (the functions/url.py staging lesson,
+    # SCALE.md round 12)
+    return (
+        docs.select("doc_id", html_main_content(html).alias("_content"))
+        .select(
+            "doc_id",
+            F.md5(F.col("_content").cast("binary")).alias("content_md5"),
+            F.length("_content").cast("long").alias("n_chars"),
+        )
     )

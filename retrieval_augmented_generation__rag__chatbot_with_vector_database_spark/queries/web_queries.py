@@ -173,12 +173,11 @@ def _funnel_oracle() -> str:
         _URL_CANON_SQL,
     )
 
-    scrub, counts, cur = "text", [], "text"
-    for _, pat, token in PII_PATTERNS:
-        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    counts, cur = [], "text"
     for _, pat, token in PII_PATTERNS:
         counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
         cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    scrub = cur  # the fold's end state IS the fully-scrubbed text
     residual = " + ".join(counts)
     chunked = chunker_merge_oracle_sql("SELECT doc_id, text FROM scrubbed")
     return f"""
@@ -311,11 +310,14 @@ ROBOTS_BODIES = [
     "Allow: /\n"
     "Disallow:\n",
     # mode 2: stray rule before any group (ignored), block-all with a
-    # longer allow carve-out
+    # longer allow carve-out, and a trailing RULE-LESS group (emits a
+    # null-rule parse row; its presence shadows '*' for emptybot)
     "Disallow: /ignored\n"
     "User-agent: *\n"
     "Disallow: /\n"
-    "Allow: /p/open\n",
+    "Allow: /p/open\n"
+    "\n"
+    "User-agent: emptybot\n",
     # mode 3: no rules at all
     "# nothing to see\n"
     "Sitemap: https://example.com/sitemap.xml\n",
@@ -396,7 +398,11 @@ fv AS (
   FROM rlines
 ),
 kept AS (
-  SELECT * FROM fv WHERE field IN ('user-agent', 'allow', 'disallow')
+  -- group assembly runs over ALL interpreted fields (crawl-delay
+  -- included) so a group whose only lines are delays does not merge
+  -- with the next group; rules are filtered AFTER grouping below
+  SELECT * FROM fv
+  WHERE field IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
 ),
 lagged AS (
   SELECT host, pos, field, value,
@@ -420,8 +426,11 @@ rrules AS (
   WHERE field IN ('allow', 'disallow') AND value <> ''
 ),
 parsed AS (
+  -- LEFT JOIN: a rule-less group still emits one null-rule row, so
+  -- agent selection sees group PRESENCE (an empty exact group
+  -- shadows '*' and allows everything)
   SELECT DISTINCT a.host, a.agent, r.rule, r.pattern
-  FROM agents a JOIN rrules r ON a.host = r.host AND a.grp = r.grp
+  FROM agents a LEFT JOIN rrules r ON a.host = r.host AND a.grp = r.grp
 )
 """
 
@@ -464,7 +473,7 @@ rx AS (
                   ELSE pattern END,
              '([.+?()\\[\\]{{}}^|$\\\\])', '\\\\\\1', 'g'), '*', '.*')
          || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rxp
-  FROM sel
+  FROM sel WHERE pattern IS NOT NULL
 ),
 frontier AS (
   SELECT doc_id,
@@ -545,7 +554,7 @@ ROBOTS_FUNNEL_BODIES = {
 
 _FUNNEL_RULES_SQL = """
 rrules(host, agent, rule, pattern) AS (
-  SELECT 'example' || CAST(h AS VARCHAR) || '.com', v.agent, v.rule, v.pattern
+  SELECT 'www.example' || CAST(h AS VARCHAR) || '.com', v.agent, v.rule, v.pattern
   FROM (SELECT DISTINCT doc_id % 10 AS h FROM documents WHERE doc_id < 60),
   LATERAL (
     SELECT * FROM (VALUES
@@ -664,7 +673,10 @@ def corpus_web_robots_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = sorted((r["doc_id"], r["text"]) for r in planted)
     pages = spark.createDataFrame(
         [
-            (f"example{h}.com", ROBOTS_FUNNEL_BODIES[h % 3])
+            # the planted crawl's hosts are WWW.Example{h}.COM ->
+            # url_host = www.example{h}.com; the rules table must key
+            # on exactly that
+            (f"www.example{h}.com", ROBOTS_FUNNEL_BODIES[h % 3])
             for h in range(10)
             if h % 3 in ROBOTS_FUNNEL_BODIES
         ],
@@ -755,7 +767,10 @@ fv AS (
   FROM rlines
 ),
 kept AS (
-  SELECT * FROM fv WHERE field IN ('user-agent', 'crawl-delay')
+  -- same group-assembly field set as the rule parse (all interpreted
+  -- fields), filtered to delays after grouping
+  SELECT * FROM fv
+  WHERE field IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
 ),
 lagged AS (
   SELECT host, pos, field, value,
@@ -779,8 +794,10 @@ delays AS (
   WHERE field = 'crawl-delay' AND TRY_CAST(value AS DOUBLE) IS NOT NULL
 ),
 cand AS (
+  -- LEFT JOIN: delay-less agent groups still drive selection (an
+  -- exact group with no Crawl-delay means NO delay, not '*' fallback)
   SELECT a.host, a.agent, d.delay FROM agents a
-  JOIN delays d ON a.host = d.host AND a.grp = d.grp
+  LEFT JOIN delays d ON a.host = d.host AND a.grp = d.grp
   WHERE a.agent IN ('{ROBOTS_AGENT}', '*')
 ),
 sel AS (
@@ -791,6 +808,7 @@ sel AS (
   ) WHERE CASE WHEN hx = 1 THEN agent = '{ROBOTS_AGENT}' ELSE agent = '*' END
 )
 SELECT host, max(delay) AS crawl_delay FROM sel GROUP BY host
+HAVING max(delay) IS NOT NULL
 """,
 )
 def web_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:

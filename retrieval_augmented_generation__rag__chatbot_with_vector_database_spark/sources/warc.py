@@ -78,6 +78,13 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
+_HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
+
+
+def _is_hex(tok: bytes) -> bool:
+    return bool(tok) and all(c in _HEX_DIGITS for c in tok)
+
+
 def _dechunk(body: bytes) -> bytes:
     """Decode HTTP/1.1 ``Transfer-Encoding: chunked`` framing:
     ``<hex-size>[;ext]CRLF <size bytes> CRLF`` repeated, terminated by
@@ -90,13 +97,15 @@ def _dechunk(body: bytes) -> bytes:
       raises (loud, like the rest of the parser) rather than
       returning a partial prefix.
     """
-    first_eol = body.find(b"\r\n", 0, 18)
+    # sniff window covers a hex size + a long chunk extension (e.g.
+    # streaming-signature extensions run ~80 chars); hex-digit-only —
+    # int(tok, 16) alone would accept '+5'/'-5' and let a negative
+    # size rewind the cursor instead of raising
+    first_eol = body.find(b"\r\n", 0, 1024)
     if first_eol <= 0:
         return body
     size_tok = body[:first_eol].split(b";", 1)[0].strip()
-    try:
-        int(size_tok, 16)
-    except ValueError:
+    if not _is_hex(size_tok):
         return body  # header lied: body is already dechunked
     out = []
     pos = 0
@@ -106,12 +115,11 @@ def _dechunk(body: bytes) -> bytes:
         if eol < 0:
             raise ValueError("malformed chunked body: missing size line")
         tok = body[pos:eol].split(b";", 1)[0].strip()
-        try:
-            size = int(tok, 16)
-        except ValueError as e:
+        if not _is_hex(tok):
             raise ValueError(
                 f"malformed chunked body: bad chunk size {tok[:16]!r}"
-            ) from e
+            )
+        size = int(tok, 16)
         if size == 0:
             break  # trailers (if any) ignored
         start = eol + 2

@@ -19,17 +19,21 @@ sidecar pattern:
 
 Exactly-once end state without transactions, by ORDER of effects per
 micro-batch: (1) index upsert (content-addressed ids — idempotent),
-(2) frontier write, per-batch subdirectory with ``mode=overwrite``
-(replay rewrites the same path — idempotent). A crash between (1)
-and (2) replays the batch: the anti-join still passes (frontier not
-yet written), the upsert re-applies the same ids. A crash after (2)
-replays to an empty batch (anti-join drops everything) — and the
-upsert already happened. Either way the end state converges.
+(2) frontier write, per-batch subdirectory with ``mode=overwrite``.
+The replay reads the frontier EXCLUDING the batch's own subdirectory
+(``read_frontier(exclude_batch=...)``), so from every crash position
+— before (1), between (1) and (2), mid-(2) with a partial dir, after
+(2) — the batch recomputes exactly the original kept set from the
+same inputs: the upsert re-applies the same content-addressed ids and
+the overwrite rewrites the same frontier rows. The end state
+converges without the batch ever seeing (and erasing or shrinking)
+its own partial output.
 
 At scale: the frontier is the small table (one 2-string row per KEPT
-page, not per capture); the anti-join broadcasts per-batch pages
-against it or shuffles on ``canonical_url`` — either way bounded by
-kept-page count, never by crawl bytes.
+page, not per capture) but it GROWS with the crawl, so the anti-join
+carries no broadcast hint — AQE broadcasts it while it is small and
+shuffles on ``canonical_url`` once it is not; either way the cost is
+bounded by kept-page count, never by crawl bytes.
 """
 
 from __future__ import annotations
@@ -64,14 +68,28 @@ if TYPE_CHECKING:  # pragma: no cover
 FRONTIER_SCHEMA = "canonical_url string, host string"
 
 
-def read_frontier(spark: SparkSession, frontier_dir: str) -> DataFrame:
-    """Every (canonical_url, host) ever kept; empty frame if none."""
-    if os.path.isdir(frontier_dir) and any(
-        e.name.startswith("batch=") for e in os.scandir(frontier_dir)
-    ):
-        return spark.read.schema(FRONTIER_SCHEMA).parquet(
-            f"{frontier_dir}/batch=*"
-        )
+def read_frontier(
+    spark: SparkSession, frontier_dir: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """Every (canonical_url, host) ever kept; empty frame if none.
+
+    ``exclude_batch`` skips that batch's own subdirectory — the replay
+    guard: a batch that crashed AFTER its frontier write replays with
+    its own rows visible, which would empty the anti-join and make the
+    ``mode=overwrite`` rewrite erase the batch's frontier state (and a
+    crash MID-write would leave a partial dir that silently shrinks
+    the recomputed set). Excluding batch N's dir makes the replay
+    recompute exactly the original kept set from the same inputs, so
+    the rewrite is idempotent from every crash position."""
+    if os.path.isdir(frontier_dir):
+        dirs = [
+            f"{frontier_dir}/{e.name}"
+            for e in os.scandir(frontier_dir)
+            if e.name.startswith("batch=")
+            and (exclude_batch is None or e.name != f"batch={exclude_batch}")
+        ]
+        if dirs:
+            return spark.read.schema(FRONTIER_SCHEMA).parquet(*dirs)
     return spark.createDataFrame([], FRONTIER_SCHEMA)
 
 
@@ -147,16 +165,21 @@ def start_web_ingest_stream(
                 .filter(F.col("allowed") == 1)
                 .drop("allowed", "matched_rule", "matched_pattern", "target")
             )
-        frontier = read_frontier(spark, frontier_dir)
+        frontier = read_frontier(spark, frontier_dir, exclude_batch=batch_id)
+        # no broadcast hint: the frontier is the GROWING side (every
+        # page ever kept) — forcing it into a broadcast would collect
+        # the whole crawl history to the driver each micro-batch. AQE
+        # broadcasts it while it is small and shuffles on
+        # canonical_url once it is not.
         fresh = first.join(
-            F.broadcast(frontier.select("canonical_url")), "canonical_url", "left_anti"
+            frontier.select("canonical_url"), "canonical_url", "left_anti"
         )
         if host_cap is not None:
             taken = frontier.groupBy("host").agg(F.count("*").alias("_taken"))
             w = Window.partitionBy("host").orderBy("segment", "record_index")
             fresh = (
                 fresh.withColumn("_rk", F.row_number().over(w))
-                .join(F.broadcast(taken), "host", "left")
+                .join(taken, "host", "left")  # grows with hosts: AQE decides
                 .filter(
                     F.col("_rk") + F.coalesce(F.col("_taken"), F.lit(0)) <= host_cap
                 )

@@ -192,3 +192,68 @@ def test_crawl_delays(spark):
         for r in robots_crawl_delays(pages, agent="sparkbot").collect()
     }
     assert got == {"a.com": 2.0, "b.com": 0.5}
+
+
+def test_group_assembly_ignores_uninterpreted_lines(spark):
+    """A group whose only non-UA line is a Crawl-delay must NOT merge
+    with the following group (r12 review regression): agent a's group
+    has no rules, so the '*' disallow does not bind it."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        robots_crawl_delays,
+    )
+
+    pages = spark.createDataFrame(
+        [("m.com", "User-agent: a\nCrawl-delay: 1\n\nUser-agent: *\nDisallow: /")],
+        "host string, body string",
+    )
+    rules = parse_robots_rules(pages)
+    got = {
+        (r["agent"], r["rule"], r["pattern"]) for r in rules.collect()
+    }
+    assert got == {("a", None, None), ("*", "disallow", "/")}
+    v = _verdicts(spark, rules, ["https://m.com/x"], "a")
+    assert v["https://m.com/x"] == (1, None, None)
+    v = _verdicts(spark, rules, ["https://m.com/x"], "b")
+    assert v["https://m.com/x"] == (0, "disallow", "/")
+    # mirror for delays: a's group has no delay; the '*' delay must
+    # not leak to it through group merging either
+    pages2 = spark.createDataFrame(
+        [("m.com", "User-agent: a\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 10")],
+        "host string, body string",
+    )
+    assert robots_crawl_delays(pages2, agent="a").count() == 0
+    got2 = {
+        r["host"]: r["crawl_delay"]
+        for r in robots_crawl_delays(pages2, agent="other").collect()
+    }
+    assert got2 == {"m.com": 10.0}
+
+
+def test_empty_exact_group_shadows_star(spark):
+    """An exact-agent group with NO rules still shadows '*': the agent
+    gets allow-all, not the '*' rules (r12 review regression). Note
+    the empty group must be DELIMITED (here: trailing at EOF) — per
+    RFC 9309 blank lines have no meaning, so UA lines separated only
+    by blanks stack into one group (covered below)."""
+    pages = spark.createDataFrame(
+        [("e.com", "User-agent: *\nDisallow: /\n\nUser-agent: mybot\n")],
+        "host string, body string",
+    )
+    rules = parse_robots_rules(pages)
+    v = _verdicts(spark, rules, ["https://e.com/anything"], "mybot")
+    assert v["https://e.com/anything"] == (1, None, None)
+    v = _verdicts(spark, rules, ["https://e.com/anything"], "otherbot")
+    assert v["https://e.com/anything"] == (0, "disallow", "/")
+
+
+def test_ua_lines_stack_across_blank_lines(spark):
+    """RFC 9309: blank lines carry no meaning — UA lines separated
+    only by blanks head ONE group, so its rules bind both agents."""
+    pages = spark.createDataFrame(
+        [("s.com", "User-agent: mybot\n\nUser-agent: *\nDisallow: /")],
+        "host string, body string",
+    )
+    rules = parse_robots_rules(pages)
+    for agent in ("mybot", "anyone"):
+        v = _verdicts(spark, rules, ["https://s.com/x"], agent)
+        assert v["https://s.com/x"] == (0, "disallow", "/")

@@ -188,3 +188,41 @@ def test_robots_gate_blocks_disallowed(spark, tmp_path, setup):
     frontier = read_frontier(spark, f"{tmp_path}/frontier")
     assert frontier.count() == 2
     assert frontier.filter(F.col("host") == "c.example").count() == 0
+
+
+def test_full_replay_converges(spark, tmp_path, setup):
+    """Crash-replay convergence (r12 review regression): replaying
+    already-processed batches (fresh checkpoint, existing frontier +
+    index) must leave the frontier and index EXACTLY as they were —
+    the replay reads the frontier excluding each batch's own subdir,
+    so mode=overwrite rewrites the same rows instead of erasing them."""
+    import shutil
+
+    landing, idx = setup
+    (landing / "s1.warc").write_bytes(SEG1)
+    _drain(spark, landing, tmp_path, idx)
+    (landing / "s2.warc").write_bytes(SEG2)
+    _drain(spark, landing, tmp_path, idx)
+
+    frontier_before = {
+        (r["canonical_url"], r["host"])
+        for r in read_frontier(spark, f"{tmp_path}/frontier").collect()
+    }
+    index_before = {
+        (r["id"], r["source"]) for r in idx.read().select("id", "source").collect()
+    }
+    assert frontier_before  # sanity: state exists
+
+    # simulate losing the streaming checkpoint: every batch replays
+    shutil.rmtree(f"{tmp_path}/ckpt")
+    _drain(spark, landing, tmp_path, idx)
+
+    frontier_after = {
+        (r["canonical_url"], r["host"])
+        for r in read_frontier(spark, f"{tmp_path}/frontier").collect()
+    }
+    index_after = {
+        (r["id"], r["source"]) for r in idx.read().select("id", "source").collect()
+    }
+    assert frontier_after == frontier_before
+    assert index_after == index_before

@@ -126,6 +126,26 @@ def test_chunked_transfer_encoding_dechunked():
     assert recs[0].body == b"<html>plain already</html>"
 
 
+def test_dechunk_long_extension_and_bad_sizes():
+    """r12 review regressions: a first size line with a long chunk
+    extension (streaming-signature style) must still be recognized as
+    chunked; sign-prefixed sizes are malformed, not int()-accepted."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+        _dechunk,
+    )
+
+    sig = b"chunk-signature=" + b"a" * 64
+    chunked = (
+        b"b;" + sig + b"\r\nhello world\r\n"
+        b"0;" + sig + b"\r\n\r\n"
+    )
+    assert _dechunk(chunked) == b"hello world"
+    with pytest.raises(ValueError, match="bad chunk size"):
+        _dechunk(b"5\r\nhello\r\n-4\r\nxxxx\r\n0\r\n\r\n")
+    # sign-prefixed FIRST line is not valid framing: pass-through
+    assert _dechunk(b"-4\r\nxxxx") == b"-4\r\nxxxx"
+
+
 def test_content_type_case_and_charset(spark, tmp_path):
     latin = "<p>café résumé</p>".encode("iso-8859-1")
     bad_utf8 = b"<p>ok " + bytes([0xE9]) + b" end</p>"  # invalid UTF-8 byte

@@ -41,16 +41,7 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sou
 from tools.scale_check_lexical import synth_docs
 
 
-def _gemm_canary() -> float:
-    import numpy as np
-
-    a = np.random.default_rng(0).random((1024, 1024))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        a @ a
-        best = min(best, time.time() - t0)
-    return round(2 * 1024**3 / best / 1e9, 1)
+from tools.benchutil import gemm_canary as _gemm_canary  # noqa: E402
 
 
 def main() -> None:
