@@ -6,7 +6,9 @@ manual checklist. The reference exposes takedown as an index-level
 endpoint (`app/services/pinecone_service.py:184-188`); a production
 corpus needs per-id deletes arriving continuously (user requests,
 licensing revocations) applied everywhere: flat vector index, lexical
-postings, float-IVF and IVFPQ ANN layouts.
+postings, float-IVF and IVFPQ ANN layouts, the near-dup bucket table,
+and the web-crawl frontier (URL-keyed — requests for web content
+carry the URL alongside the doc id).
 
 Spark shape: one ``foreachBatch`` per micro-batch of ids, invoking the
 layout-specific delete hooks in order. Every hook is an IDEMPOTENT
@@ -50,6 +52,8 @@ def layout_hooks(
     ivfpq_path: str | None = None,
     vector_id_prefix: str = "",
     neardup_bucket_dir: str | None = None,
+    frontier_dir: str | None = None,
+    frontier_url_col: str = "url",
 ) -> list[tuple[str, TakedownHook]]:
     """Standard hook set over the engine's persisted per-doc surfaces —
     pass the ones that exist; ids arrive as longs (the corpus doc/vec
@@ -58,7 +62,14 @@ def layout_hooks(
     ingest pipeline's id scheme), the lexical index, both ANN layouts,
     and the near-dup bucket table (minhash signatures are derived
     personal data — forgetting a doc must forget its signature too)
-    store the long id directly."""
+    store the long id directly.
+
+    ``frontier_dir`` adds the web-crawl frontier
+    (``streaming/web_ingest.py``) — keyed on URL, not id, so the
+    takedown stream's rows must carry a ``frontier_url_col`` column
+    (any spelling; canonicalized inside the hook). The hook raises
+    loudly if the column is absent rather than silently skipping a
+    surface a forget request was owed."""
     from pyspark.sql import functions as F
 
     hooks: list[tuple[str, TakedownHook]] = []
@@ -104,6 +115,23 @@ def layout_hooks(
             return delete_bucket_table_ids(spark, _p, ids)
 
         hooks.append(("neardup_bucket_table", _buckets))
+    if frontier_dir is not None:
+        def _frontier(spark, ids, _p=frontier_dir, _c=frontier_url_col):
+            from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
+                delete_frontier_urls,
+            )
+
+            if _c not in ids.columns:
+                raise ValueError(
+                    f"frontier takedown needs a {_c!r} column on the "
+                    f"request stream (got {ids.columns}) — the frontier "
+                    "is keyed on URL, not doc id"
+                )
+            return delete_frontier_urls(
+                spark, _p, ids.select(_c).filter(F.col(_c).isNotNull())
+            )
+
+        hooks.append(("web_frontier", _frontier))
     if not hooks:
         raise ValueError("no layouts given — nothing to take down")
     return hooks

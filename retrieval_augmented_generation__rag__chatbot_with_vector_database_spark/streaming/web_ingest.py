@@ -19,15 +19,34 @@ sidecar pattern:
 
 Exactly-once end state without transactions, by ORDER of effects per
 micro-batch: (1) index upsert (content-addressed ids — idempotent),
-(2) frontier write, per-batch subdirectory with ``mode=overwrite``.
-The replay reads the frontier EXCLUDING the batch's own subdirectory
-(``read_frontier(exclude_batch=...)``), so from every crash position
-— before (1), between (1) and (2), mid-(2) with a partial dir, after
-(2) — the batch recomputes exactly the original kept set from the
-same inputs: the upsert re-applies the same content-addressed ids and
-the overwrite rewrites the same frontier rows. The end state
-converges without the batch ever seeing (and erasing or shrinking)
-its own partial output.
+(2) frontier write, per-batch ``batch_id=<n>`` subdirectory with
+``mode=overwrite``. The replay reads the frontier EXCLUDING the
+batch's own subdirectory (``read_frontier(exclude_batch=...)``), so
+from every crash position — before (1), between (1) and (2), mid-(2)
+with a partial dir, after (2) — the batch recomputes exactly the
+original kept set from the same inputs: the upsert re-applies the
+same content-addressed ids and the overwrite rewrites the same
+frontier rows. The end state converges without the batch ever seeing
+(and erasing or shrinking) its own partial output.
+
+Frontier maintenance (round 13): the one-dir-per-micro-batch layout
+is replay-correct but accumulates forever — the classic streaming
+small-files problem ``sources.compaction`` already solves for the
+other ``batch_id=<n>`` sinks. :func:`compact_frontier` folds the
+settled batches into one ``batch_id=-1`` dir under the marker-fenced
+swap, and :func:`read_frontier` FENCES every read with
+``check_not_torn`` — a crash mid-compaction is loud, never a silently
+shrunken frontier (which would re-admit already-ingested pages).
+Folded rows stay visible to replays of their original batch via the
+``-1`` dir; because the replayed batch's rows are no longer under its
+own ``batch_id=<n>`` dir, the exclude-own-dir read can't hide them,
+and the anti-join simply keeps the replay a no-op. The one state
+compaction must never touch is a possibly-PARTIAL latest batch (a
+crash mid-(2) leaves a short dir; folding it would freeze the
+truncation into ``-1`` where the replay exclusion can't see past it)
+— hence ``keep_latest >= 1`` is enforced, which under availableNow /
+sequential-trigger semantics covers every batch that can still
+replay.
 
 At scale: the frontier is the small table (one 2-string row per KEPT
 page, not per capture) but it GROWS with the crawl, so the anti-join
@@ -54,6 +73,9 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.fun
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
     VectorIndex,
 )
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+    check_not_torn,
+)
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
     _extracted_pages,
     records_from_binary,
@@ -72,6 +94,9 @@ def read_frontier(
     spark: SparkSession, frontier_dir: str, exclude_batch: int | None = None
 ) -> DataFrame:
     """Every (canonical_url, host) ever kept; empty frame if none.
+    Fenced: raises loudly if a compaction swap died mid-flight
+    (``check_not_torn``) — a torn frontier read would silently shrink
+    the kept set and re-admit already-ingested pages.
 
     ``exclude_batch`` skips that batch's own subdirectory — the replay
     guard: a batch that crashed AFTER its frontier write replays with
@@ -80,17 +105,137 @@ def read_frontier(
     crash MID-write would leave a partial dir that silently shrinks
     the recomputed set). Excluding batch N's dir makes the replay
     recompute exactly the original kept set from the same inputs, so
-    the rewrite is idempotent from every crash position."""
+    the rewrite is idempotent from every crash position. Rows folded
+    into the compacted ``batch_id=-1`` dir are never excluded — see
+    the module doc for why that preserves replay convergence."""
     if os.path.isdir(frontier_dir):
+        check_not_torn(frontier_dir)
         dirs = [
             f"{frontier_dir}/{e.name}"
             for e in os.scandir(frontier_dir)
-            if e.name.startswith("batch=")
-            and (exclude_batch is None or e.name != f"batch={exclude_batch}")
+            if e.name.startswith("batch_id=")
+            and (exclude_batch is None or e.name != f"batch_id={exclude_batch}")
         ]
         if dirs:
             return spark.read.schema(FRONTIER_SCHEMA).parquet(*dirs)
     return spark.createDataFrame([], FRONTIER_SCHEMA)
+
+
+def compact_frontier(
+    spark: SparkSession,
+    frontier_dir: str,
+    keep_latest: int = 1,
+    min_fold: int = 2,
+    target_files: int = 1,
+) -> dict:
+    """Fold the settled ``batch_id=<n>`` frontier dirs into one
+    ``batch_id=-1`` dir (``sources.compaction`` machinery: row-count
+    verified, marker-fenced swap; a crash mid-swap is detected by
+    every subsequent :func:`read_frontier`).
+
+    ``keep_latest`` must stay >= 1: the newest batch is the only one
+    that can be mid-write or replay-pending under availableNow /
+    sequential triggers, and folding a PARTIAL dir would freeze its
+    truncation into ``-1`` (module doc). Callers running concurrent
+    or overlapping triggers should raise it to cover every
+    possibly-uncommitted batch. Run every N micro-batches or from a
+    maintenance schedule; readers need no change."""
+    if keep_latest < 1:
+        raise ValueError(
+            "compact_frontier requires keep_latest >= 1: the newest "
+            "batch may be partial or replay-pending and must never fold"
+        )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.compaction import (
+        compact_batch_partitions,
+    )
+
+    return compact_batch_partitions(
+        spark,
+        frontier_dir,
+        keep_latest=keep_latest,
+        min_fold=min_fold,
+        target_files=target_files,
+    )
+
+
+def delete_frontier_urls(
+    spark: SparkSession, frontier_dir: str, urls: DataFrame | list[str]
+) -> dict:
+    """Right-to-be-forgotten on the crawl frontier: a URL is personal
+    data under the same rationale as the near-dup signature hook
+    (``streaming/neardup.py``) — a forget request that purges a page's
+    vectors and postings must also purge its ``(canonical_url, host)``
+    frontier row, or the engine retains a record that the page was
+    ever crawled. Requests arrive as URLs in ANY spelling; they are
+    canonicalized here with the same contract the ingest used, so the
+    caller doesn't need to know the canonical form.
+
+    Touched-partition discipline (the shape of every layout hook):
+    column-pruned discovery scan finds the ``batch_id=<n>`` dirs
+    holding the victims, an anti-join rewrites ONLY those dirs, and
+    the marker-fenced swap keeps a crash detectable by
+    :func:`read_frontier`'s fence. Deleting absent URLs is a no-op, so
+    replayed takedown batches converge.
+
+    Quota semantics — FREED, by design: the host-cap counts live
+    frontier rows, so forgetting a page returns its slot and a future
+    page on that host (including a re-capture of the forgotten URL
+    itself) can take it. The engine keeps no memory of a forgotten
+    document; a host whose quota must stay burned needs an external
+    blocklist, not a takedown.
+
+    Returns ``{"n_deleted": rows_removed, "touched": [batch_ids]}``.
+    """
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        canonicalize_url,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
+        swap_partition_dirs,
+    )
+
+    if isinstance(urls, (list, tuple)):
+        urls = spark.createDataFrame([(u,) for u in urls], "url string")
+    victims = (
+        urls.select(
+            canonicalize_url(F.col(urls.columns[0])).alias("canonical_url")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not os.path.isdir(frontier_dir) or not any(
+        e.name.startswith("batch_id=") for e in os.scandir(frontier_dir)
+    ):
+        return {"n_deleted": 0, "touched": []}
+    check_not_torn(frontier_dir)
+    # partition-discovery read (vs read_frontier's explicit-dir union):
+    # the rewrite needs each row's batch_id lineage
+    t = spark.read.schema(FRONTIER_SCHEMA).option(
+        "basePath", frontier_dir
+    ).parquet(f"{frontier_dir}/batch_id=*")
+    touched = sorted(
+        r["batch_id"]
+        for r in t.join(F.broadcast(victims), "canonical_url")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return {"n_deleted": 0, "touched": []}
+    held = t.filter(F.col("batch_id").isin(touched))
+    n_before = held.count()
+    kept = held.join(
+        F.broadcast(victims), "canonical_url", "left_anti"
+    ).localCheckpoint(eager=True)
+    n_kept = kept.count()
+    tmp = frontier_dir.rstrip("/") + "._tmp"
+    (
+        kept.repartition(max(len(touched), 1), F.col("batch_id"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(tmp)
+    )
+    swap_partition_dirs(frontier_dir, tmp, [f"batch_id={b}" for b in touched])
+    return {"n_deleted": n_before - n_kept, "touched": touched}
 
 
 def start_web_ingest_stream(
@@ -197,7 +342,7 @@ def start_web_ingest_stream(
         # a replayed batch rewrite the same path instead of doubling
         # host counts
         kept.select("canonical_url", "host").write.mode("overwrite").parquet(
-            f"{frontier_dir}/batch={batch_id}"
+            f"{frontier_dir}/batch_id={batch_id}"
         )
 
     writer = stream.writeStream.option("checkpointLocation", checkpoint_dir).foreachBatch(

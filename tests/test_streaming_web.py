@@ -226,3 +226,124 @@ def test_full_replay_converges(spark, tmp_path, setup):
     }
     assert frontier_after == frontier_before
     assert index_after == index_before
+
+
+SEG3 = (
+    _record("http://d.example/1", "d1")
+    + _record("http://d.example/2", "d2")
+)
+
+
+def test_frontier_compaction_preserves_state_and_replay(spark, tmp_path, setup):
+    """Round-13 frontier maintenance: after 3 micro-batches, compaction
+    folds the settled batch dirs into one batch_id=-1 dir; the read is
+    row-identical, and a full crash-replay (checkpoint lost, every
+    batch re-runs) still converges to the identical frontier + index —
+    folded rows stay visible via -1, so the exclude-own-dir read can't
+    hide them and the replay is a no-op."""
+    import os
+    import shutil
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
+        compact_frontier,
+    )
+
+    landing, idx = setup
+    for name, seg in (("s1.warc", SEG1), ("s2.warc", SEG2), ("s3.warc", SEG3)):
+        (landing / name).write_bytes(seg)
+        _drain(spark, landing, tmp_path, idx)
+    fdir = f"{tmp_path}/frontier"
+    before = {
+        (r["canonical_url"], r["host"])
+        for r in read_frontier(spark, fdir).collect()
+    }
+    index_before = {
+        (r["id"], r["source"]) for r in idx.read().select("id", "source").collect()
+    }
+    assert len(before) == 6  # 4 from SEG1+SEG2 plus d.example/1,2
+
+    stats = compact_frontier(spark, fdir, keep_latest=1)
+    assert stats["folded"] == 2 and stats["rows"] > 0
+    dirs = {e.name for e in os.scandir(fdir) if e.name.startswith("batch_id=")}
+    assert dirs == {"batch_id=-1", "batch_id=2"}
+    after = {
+        (r["canonical_url"], r["host"])
+        for r in read_frontier(spark, fdir).collect()
+    }
+    assert after == before
+
+    # crash-replay over the compacted frontier: state identical
+    shutil.rmtree(f"{tmp_path}/ckpt")
+    _drain(spark, landing, tmp_path, idx)
+    assert {
+        (r["canonical_url"], r["host"])
+        for r in read_frontier(spark, fdir).collect()
+    } == before
+    assert {
+        (r["id"], r["source"]) for r in idx.read().select("id", "source").collect()
+    } == index_before
+
+    # keep_latest=0 is a replay hazard (could fold a partial batch)
+    with pytest.raises(ValueError, match="keep_latest"):
+        compact_frontier(spark, fdir, keep_latest=0)
+
+
+def test_frontier_torn_compaction_is_loud_then_recovers(spark, tmp_path, setup, monkeypatch):
+    """Crash MID-compaction (marker still on disk): every frontier
+    read — and therefore the ingest stream itself — fails loudly
+    instead of serving a shrunken frontier; after the documented
+    recovery (swap finished, delete the marker) the state is exactly
+    the pre-crash frontier and a replay converges."""
+    import shutil
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources import layout
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
+        compact_frontier,
+    )
+
+    landing, idx = setup
+    for name, seg in (("s1.warc", SEG1), ("s2.warc", SEG2), ("s3.warc", SEG3)):
+        (landing / name).write_bytes(seg)
+        _drain(spark, landing, tmp_path, idx)
+    fdir = f"{tmp_path}/frontier"
+    before = {
+        (r["canonical_url"], r["host"])
+        for r in read_frontier(spark, fdir).collect()
+    }
+
+    # crash at the final marker delete: swap complete, fence left up
+    real_remove = layout.os.remove
+
+    def crash_on_marker(path):
+        if path.endswith(layout.SWAP_MARKER):
+            raise OSError("simulated crash before marker delete")
+        return real_remove(path)
+
+    monkeypatch.setattr(layout.os, "remove", crash_on_marker)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_frontier(spark, fdir, keep_latest=1)
+    monkeypatch.setattr(layout.os, "remove", real_remove)
+
+    with pytest.raises(RuntimeError, match="torn"):
+        read_frontier(spark, fdir)
+    # the stream refuses to run over a torn frontier too
+    (landing / "s4.warc").write_bytes(_record("http://e.example/1", "e1"))
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        _drain(spark, landing, tmp_path, idx)
+
+    # recovery: this crash position is AFTER the swap completed, so
+    # the fix is to delete the marker (layout.py's documented protocol)
+    real_remove(layout.marker_path_for(fdir))
+    assert {
+        (r["canonical_url"], r["host"])
+        for r in read_frontier(spark, fdir).collect()
+    } == before
+    shutil.rmtree(f"{tmp_path}/ckpt")
+    _drain(spark, landing, tmp_path, idx)
+    got = {
+        (r["canonical_url"], r["host"])
+        for r in read_frontier(spark, fdir).collect()
+    }
+    assert got == before | {("http://e.example/1", "e.example")}

@@ -373,3 +373,135 @@ def test_neardup_bucket_table_delete_ids(spark, tmp_path):
         for r in spark.read.parquet(pairs_sink).collect()
     }
     assert (1, 2) in pairs
+
+
+def _write_frontier(spark, fdir):
+    """A frontier as the web-ingest stream lays it out: one
+    batch_id=<n> parquet dir of (canonical_url, host) per micro-batch."""
+    batches = {
+        0: [("http://a.example/x", "a.example"), ("http://a.example/y", "a.example")],
+        1: [("http://b.example/1", "b.example")],
+        2: [("http://c.example/1", "c.example"), ("http://a.example/z", "a.example")],
+    }
+    for b, rows in batches.items():
+        spark.createDataFrame(
+            rows, "canonical_url string, host string"
+        ).coalesce(1).write.parquet(f"{fdir}/batch_id={b}")
+    return batches
+
+
+def test_frontier_delete_urls_touched_partitions_only(spark, tmp_path):
+    """Web-frontier takedown (r13): requests arrive in ANY URL
+    spelling and are canonicalized; only the batch dirs holding
+    victims are rewritten; absent URLs are a no-op and the delete is
+    idempotent; the freed host-quota semantics are observable (the
+    host's live count drops)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
+        delete_frontier_urls,
+        read_frontier,
+    )
+
+    fdir = str(tmp_path / "frontier")
+    _write_frontier(spark, fdir)
+    before_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(fdir, "batch_id=*", "*.parquet"))
+    }
+    # non-canonical spellings of a/x (batch 0) and c/1 (batch 2)
+    stats = delete_frontier_urls(
+        spark,
+        fdir,
+        ["HTTP://A.EXAMPLE:80/x?utm_source=f#frag", "http://c.example/1"],
+    )
+    assert stats["n_deleted"] == 2
+    assert stats["touched"] == [0, 2]
+    left = {
+        (r["canonical_url"], r["host"])
+        for r in read_frontier(spark, fdir).collect()
+    }
+    assert left == {
+        ("http://a.example/y", "a.example"),
+        ("http://b.example/1", "b.example"),
+        ("http://a.example/z", "a.example"),
+    }
+    # quota freed: host a drops 2 -> 2... (was 3: x,y,z) -> now 2
+    hosts = read_frontier(spark, fdir).groupBy("host").count().collect()
+    assert {r["host"]: r["count"] for r in hosts}["a.example"] == 2
+    # untouched batch 1 byte-identical
+    after_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(fdir, "batch_id=*", "*.parquet"))
+    }
+    for p, t in after_files.items():
+        if "batch_id=1" in p:
+            assert before_files.get(p) == t, f"untouched {p} rewritten"
+    # absent / replayed: no-op, idempotent
+    assert delete_frontier_urls(spark, fdir, ["http://c.example/1"])["n_deleted"] == 0
+    assert delete_frontier_urls(spark, fdir, ["http://nope.example/"])["n_deleted"] == 0
+    # missing frontier: graceful no-op
+    assert delete_frontier_urls(spark, str(tmp_path / "nofrontier"), ["http://x/"]) == {
+        "n_deleted": 0,
+        "touched": [],
+    }
+
+
+def test_frontier_delete_works_on_compacted_dir(spark, tmp_path):
+    """Takedown reaches rows already folded into batch_id=-1."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.compaction import (
+        compact_batch_partitions,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
+        delete_frontier_urls,
+        read_frontier,
+    )
+
+    fdir = str(tmp_path / "frontier")
+    _write_frontier(spark, fdir)
+    assert compact_batch_partitions(spark, fdir, keep_latest=1)["folded"] == 2
+    stats = delete_frontier_urls(spark, fdir, ["http://a.example/y"])
+    assert stats["n_deleted"] == 1 and stats["touched"] == [-1]
+    assert read_frontier(spark, fdir).count() == 4
+
+
+def test_takedown_stream_reaches_frontier(spark, tmp_path):
+    """The streaming takedown hook set: a request batch carrying
+    (doc_id, url) purges the vector index by id AND the frontier by
+    URL in one drain; a url-less stream fails loudly instead of
+    silently skipping the frontier surface."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.takedown import (
+        layout_hooks,
+        start_takedown_stream,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
+        read_frontier,
+    )
+
+    fdir = str(tmp_path / "frontier")
+    _write_frontier(spark, fdir)
+    vec = _vec_index(spark, tmp_path / "vec", n=4)
+
+    landing = tmp_path / "requests"
+    landing.mkdir()
+    spark.createDataFrame(
+        [(2, "http://a.example/x"), (3, None)], "doc_id long, url string"
+    ).write.parquet(str(landing / "r1"))
+    hooks = layout_hooks(
+        vector_index=vec, vector_id_prefix="id", frontier_dir=fdir
+    )
+    assert [n for n, _ in hooks] == ["vector_index", "web_frontier"]
+    q = start_takedown_stream(
+        spark,
+        str(landing) + "/*",
+        str(tmp_path / "ckpt"),
+        hooks,
+        schema="doc_id long, url string",
+    )
+    q.awaitTermination(120)
+    assert {r["id"] for r in vec.read().select("id").collect()} == {"id0", "id1"}
+    left = {r["canonical_url"] for r in read_frontier(spark, fdir).collect()}
+    assert "http://a.example/x" not in left and len(left) == 4
+
+    # a stream without the url column: the frontier hook raises
+    ids_only = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="frontier takedown needs"):
+        hooks[1][1](spark, ids_only)
