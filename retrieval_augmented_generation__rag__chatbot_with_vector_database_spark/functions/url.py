@@ -97,8 +97,11 @@ def canonicalize_url(url: Column | str) -> Column:
     (regex splits + array ops), no UDF. Composable anywhere; for the
     scan-scale path prefer :func:`with_canonical_url` (module doc)."""
     u = _c(url)
-    # 1. drop the fragment
-    u = F.regexp_replace(u, r"#.*$", "")
+    # 1. drop the fragment — substring_index, the SAME op the staged
+    # form uses, so the two entry points agree on every input
+    # (a regex '#.*$' would keep a fragment containing '\n': Java '.'
+    # does not cross newlines)
+    u = F.substring_index(u, "#", 1)
     # 2. split: scheme :// authority rest
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
@@ -154,6 +157,15 @@ def with_canonical_url(
     for t in tmp:
         if t in df.columns:  # pragma: no cover - defensive
             raise ValueError(f"with_canonical_url scratch column {t} exists")
+    # output columns get the same guard: select('*', alias) would
+    # otherwise create a DUPLICATE column name and every downstream
+    # reference would fail with an ambiguous-column error
+    for t in (out_col, host_col):
+        if t is not None and t in df.columns:
+            raise ValueError(
+                f"with_canonical_url output column {t!r} already exists "
+                "in the input frame — rename one side"
+            )
 
     # 1. fragment off
     s1 = df.select("*", F.substring_index(url, "#", 1).alias("_cu_u"))

@@ -895,7 +895,9 @@ FROM documents
 _URL_CANON_SQL = """
   WITH parts AS (
     SELECT doc_id,
-           regexp_replace(url, '#.*$', '') AS u
+           -- first-'#' cut, mirroring the engine's substring_index
+           -- (strips the fragment even when it contains a newline)
+           split_part(url, '#', 1) AS u
     FROM planted
   ), split3 AS (
     SELECT doc_id,

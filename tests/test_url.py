@@ -1,5 +1,6 @@
 """URL canonicalization (functions/url.py) — the web-crawl dedup key."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
@@ -50,3 +51,41 @@ def test_canonical_is_idempotent(spark):
     once = df.select("i", canonicalize_url("url").alias("u"))
     twice = once.select("i", canonicalize_url("u").alias("u"))
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_both_forms_agree_on_newline_fragment(spark):
+    """The Column form and the staged form share one contract — the
+    r12-advice divergence (regex '#.*$' kept a fragment containing a
+    newline; substring_index strips it) is closed: both now cut at the
+    first '#' regardless of control characters."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        with_canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "http://x.org/p#frag\nmore"), (1, "http://x.org/p#plain")],
+        "i long, url string",
+    )
+    col_form = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    staged = {
+        r["i"]: r["canonical_url"]
+        for r in with_canonical_url(df).select("i", "canonical_url").collect()
+    }
+    assert col_form == staged == {0: "http://x.org/p", 1: "http://x.org/p"}
+
+
+def test_with_canonical_url_output_collision_raises(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        with_canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [("http://x.org/p", "already")], "url string, canonical_url string"
+    )
+    with pytest.raises(ValueError, match="canonical_url"):
+        with_canonical_url(df)
+    with pytest.raises(ValueError, match="'host'"):
+        with_canonical_url(df.drop("canonical_url").withColumn("host", F.lit("h")), host_col="host")
