@@ -178,6 +178,83 @@ def robots_crawl_delays(
     )
 
 
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    default_delay: float = 1.0,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Materialize the politeness schedule: frontier URLs ×
+    :func:`robots_crawl_delays` → deterministic per-host fetch waves —
+    the DataFrame form of a crawl scheduler's per-host token bucket.
+    Each host's URLs are ranked bytewise (``wave`` = 0, 1, 2, …) and
+    ``fetch_at = wave × crawl_delay`` seconds from the host's crawl
+    start (``default_delay`` where the host declares none): wave N may
+    fetch no earlier than N delays in, which is exactly the token
+    bucket's steady state. Downstream, ``fetch_at`` is the sort key a
+    fetcher partition works through per host; absolute timestamps are
+    the caller's ``F.lit(t0) + fetch_at`` away.
+
+    Plan shape: the frontier pays ONE hash shuffle on ``host`` (the
+    ranking window); the per-host delay table joins on the same key —
+    broadcast while small, AQE-planned once hosts grow — and the wave
+    arithmetic rides the window's partitioning. No frontier-side
+    explosion, no second shuffle."""
+    if "crawl_delay" not in delays.columns or "host" not in delays.columns:
+        raise ValueError(
+            "delays must be a (host, crawl_delay) table — the "
+            "robots_crawl_delays output"
+        )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        url_host,
+    )
+
+    if host_col not in frontier.columns:
+        frontier = frontier.withColumn(host_col, url_host(F.col(url_col)))
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    d = delays.select(
+        F.col("host").alias(host_col), F.col("crawl_delay").cast("double").alias("crawl_delay")
+    )
+    return (
+        frontier.withColumn("wave", (F.row_number().over(w) - 1).cast("long"))
+        .join(d, host_col, "left")
+        .withColumn(
+            "fetch_at",
+            F.col("wave") * F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay))),
+        )
+        .drop("crawl_delay")
+    )
+
+
+def robots_sitemaps(
+    pages: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """``Sitemap:`` records → ``(host, sitemap_url)``. Per RFC 9309
+    §2.2.4 / sitemaps.org, ``Sitemap`` is a STANDALONE record — valid
+    anywhere in the file, independent of user-agent groups (which is
+    why :data:`_GROUP_FIELDS` deliberately excludes it: it neither
+    opens nor closes a group). Field name case-insensitive; the value
+    keeps its colons (``https://...``) because the field split cuts at
+    the FIRST colon only; empty values drop; one row per distinct
+    (host, url). This is the crawl-SEED side of robots.txt — the
+    permission side is :func:`parse_robots_rules`."""
+    line = F.col("line")
+    clean = F.regexp_replace(line, "#.*$", "")
+    field = F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1)))
+    value = F.trim(F.regexp_extract(clean, "^[^:]*:(.*)$", 1))
+    return (
+        pages.select(
+            F.col(host_col).alias("host"),
+            F.explode(F.split(F.col(body_col), "\r?\n")).alias("line"),
+        )
+        .select("host", field.alias("field"), value.alias("value"))
+        .filter((F.col("field") == "sitemap") & (F.col("value") != ""))
+        .select("host", F.col("value").alias("sitemap_url"))
+        .distinct()
+    )
+
+
 def pattern_regex(pattern: Column | str) -> Column:
     """RFC 9309 path pattern → anchored Java/RE2-compatible regex
     (``*`` → ``.*``, trailing ``$`` → end anchor, everything else
@@ -195,7 +272,9 @@ def url_target(url: Column | str) -> Column:
     """The matching target per RFC 9309: ``path[?query]`` of an
     absolute URL, fragment dropped, empty path → ``/``."""
     u = F.col(url) if isinstance(url, str) else url
-    u = F.regexp_replace(u, "#.*$", "")
+    # first-'#' cut (same op as the URL canonicalizer): a regex
+    # '#.*$' would keep a fragment containing '\n'
+    u = F.substring_index(u, "#", 1)
     rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     return F.when(rest == "", F.lit("/")).otherwise(
         F.when(rest.startswith("?"), F.concat(F.lit("/"), rest)).otherwise(rest)
@@ -226,6 +305,15 @@ def robots_verdicts(
         url_host,
     )
 
+    # scratch-column guard (the with_canonical_url discipline): the
+    # verdict machinery joins _rs/_best/r_host onto the caller's frame
+    # and a pre-existing column of those names would collide silently
+    for t in ("_rs", "_best", "r_host"):
+        if t in urls.columns:
+            raise ValueError(
+                f"robots_verdicts scratch column {t!r} already exists "
+                "in the URL frame — rename it"
+            )
     agent = agent.lower()
     if host_col not in urls.columns:
         urls = urls.withColumn(host_col, url_host(F.col(url_col)))
@@ -265,7 +353,10 @@ def robots_verdicts(
     hits = F.filter(F.col("_rs"), lambda r: F.rlike(target, r["rx"]))
 
     def better(r, acc):
-        lr, la = F.length(r["pattern"]), F.length(acc["pattern"])
+        # RFC 9309 §2.2.2 says most OCTETS — octet_length, not the
+        # character count (they differ on non-ASCII patterns); the
+        # DuckDB oracles mirror with strlen() (bytes in DuckDB)
+        lr, la = F.octet_length(r["pattern"]), F.octet_length(acc["pattern"])
         return (
             (lr > la)
             | ((lr == la) & (r["rule"] < acc["rule"]))

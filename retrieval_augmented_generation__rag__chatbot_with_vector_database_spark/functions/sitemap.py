@@ -1,0 +1,200 @@
+"""Sitemap discovery — the crawl-SEED side of the web front end.
+
+``functions/robots.py`` gives the crawl its PERMISSION gate; this
+module gives it the seed table: ``Sitemap:`` records per host
+(:func:`robots.robots_sitemaps`) point at XML documents in the public
+sitemaps.org protocol — either a ``<urlset>`` of page entries
+(``<loc>``, optional ``<lastmod>``) or a ``<sitemapindex>`` whose
+``<loc>`` children are further sitemap files (the protocol caps one
+file at 50,000 URLs / 50 MB, so large sites always go through an
+index). :func:`sitemap_seed_table` composes the whole discovery:
+
+    robots bodies → declared sitemap URLs → fetched XML bodies →
+    (index recursion, one level per the protocol's common depth) →
+    page entries → canonicalized seed URLs, optionally gated by
+    ``robots_verdicts``.
+
+Reference lifecycle analog: the reference ingests documents the
+operator already fetched (scripts/ingest_documents.py:108-233); a
+100 TB crawl needs to DISCOVER the fetch list first, and sitemaps are
+the publisher-sanctioned discovery channel.
+
+Documented scope (mirrored by the DuckDB oracle in
+``queries.web_queries``):
+
+- plain-element extraction: ``<url>``/``<sitemap>`` blocks and their
+  ``<loc>``/``<lastmod>`` children are matched with attribute-tolerant
+  tags (``<loc ...>``) via non-greedy DOTALL regexes — full XML
+  (CDATA, namespaced child tags, comments splitting an element) is
+  out of contract, as in every production sitemap parser that
+  predates a real XML reader in the hot path;
+- the five predefined XML entities are unescaped in ``<loc>``
+  (sitemaps.org REQUIRES entity-escaped URLs), ``&amp;`` last so a
+  double-escaped ``&amp;lt;`` correctly yields ``&lt;``;
+- ``<lastmod>`` passes through as the raw W3C-datetime string (date
+  or timestamp precision varies by publisher; parsing to a timestamp
+  is the consumer's call), null when absent;
+- index recursion is ONE level (index → urlset), matching the
+  protocol's "a sitemap index may not reference another index".
+
+Scale shape: all extraction is codegen regexp over per-host sitemap
+bodies — a table bounded by hosts × 50k entries, tiny next to the
+frontier. The explode is the only row expansion and it is
+protocol-bounded; the body joins key on exact URL equality and are
+AQE-sized (sitemap tables are the small, growing-with-hosts side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: the five predefined XML entities; ``&amp;`` LAST (module doc)
+_XML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def xml_unescape(col: Column | str) -> Column:
+    """Predefined-entity unescape for sitemap ``<loc>`` values."""
+    c = F.col(col) if isinstance(col, str) else col
+    for ent, ch in _XML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _blocks(body: Column, tag: str) -> Column:
+    """All ``<tag ...>...</tag>`` inner bodies, DOTALL + non-greedy.
+    The open tag requires '>' or whitespace-then-attrs right after the
+    name, so ``<url>`` never matches the ``<urlset>`` opener (nor
+    ``<sitemap>`` the ``<sitemapindex>`` one)."""
+    return F.regexp_extract_all(
+        body, F.lit(rf"(?s)<{tag}(?:\s[^>]*)?>(.*?)</{tag}>"), 1
+    )
+
+
+def _child(block: Column, tag: str) -> Column:
+    """First ``<tag>`` child's trimmed inner text, '' when absent."""
+    return F.trim(
+        F.regexp_extract(block, rf"(?s)<{tag}(?:\s[^>]*)?>(.*?)</{tag}>", 1)
+    )
+
+
+def sitemap_page_entries(
+    bodies: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """``<urlset>`` documents → one row per page entry:
+    ``(url, loc, lastmod)`` where ``url`` is the sitemap's own URL,
+    ``loc`` the entity-unescaped page URL, ``lastmod`` the raw
+    W3C-datetime string or null. Non-urlset bodies (indexes, junk)
+    contribute zero rows — ``<url>`` blocks simply don't match."""
+    block = F.col("_sm_block")
+    loc = _child(block, "loc")
+    lastmod = _child(block, "lastmod")
+    return (
+        bodies.select(
+            F.col(url_col).alias("url"),
+            F.explode(_blocks(F.col(body_col), "url")).alias("_sm_block"),
+        )
+        .select(
+            "url",
+            xml_unescape(loc).alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
+def sitemap_index_children(
+    bodies: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """``<sitemapindex>`` documents → one row per child sitemap:
+    ``(url, child_url)``. Plain ``<urlset>`` bodies contribute zero
+    rows (no ``<sitemap>`` blocks)."""
+    block = F.col("_sm_block")
+    loc = _child(block, "loc")
+    return (
+        bodies.select(
+            F.col(url_col).alias("url"),
+            F.explode(_blocks(F.col(body_col), "sitemap")).alias("_sm_block"),
+        )
+        .select("url", xml_unescape(loc).alias("child_url"))
+        .filter(F.col("child_url") != "")
+    )
+
+
+def sitemap_seed_table(
+    robots_pages: DataFrame,
+    sitemap_bodies: DataFrame,
+    robots_rules: DataFrame | None = None,
+    agent: str = "*",
+) -> DataFrame:
+    """The crawl-seed discovery composition (module doc):
+    ``robots_pages`` (host, body — robots.txt) and ``sitemap_bodies``
+    (url, body — fetched sitemap XML) → one seed row per
+    ``(host, url, lastmod)``, where ``url`` is the CANONICALIZED page
+    URL (``functions.url.with_canonical_url`` contract — seeds feed
+    the same frontier the ingest dedups on, so they must share its
+    key). Index files recurse one level through ``sitemap_bodies``.
+    With ``robots_rules`` the seeds are gated by
+    ``robots_verdicts(agent)`` — a polite crawl never schedules a URL
+    its own permission table forbids, even when a sitemap advertises
+    it (sitemaps and robots rules are routinely out of sync).
+
+    Dedup: the same page advertised by two sitemaps (or an index AND
+    its child) collapses to one row; conflicting ``lastmod`` values
+    take the MAX (latest claim wins — the scheduler uses lastmod for
+    recrawl priority, and the freshest claim is the conservative
+    choice)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        robots_sitemaps,
+        robots_verdicts,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        with_canonical_url,
+    )
+
+    declared = robots_sitemaps(robots_pages)  # (host, sitemap_url)
+    bodies = sitemap_bodies.select(
+        F.col(sitemap_bodies.columns[0]).alias("url"),
+        F.col(sitemap_bodies.columns[1]).alias("body"),
+    )
+    level0 = declared.join(
+        bodies, declared["sitemap_url"] == bodies["url"]
+    ).select("host", "url", "body")
+    # one-level index recursion: children inherit the declaring host
+    children = (
+        sitemap_index_children(level0)
+        .join(level0.select("host", F.col("url").alias("_parent")),
+              F.col("url") == F.col("_parent"))
+        .select("host", F.col("child_url").alias("_curl"))
+        .join(bodies, F.col("_curl") == bodies["url"])
+        .select("host", "url", "body")
+    )
+    entries = sitemap_page_entries(level0.select("host", "url", "body"),
+                                   url_col="url").join(
+        level0.select(F.col("url").alias("_src"), "host"),
+        F.col("url") == F.col("_src"),
+    ).select("host", "loc", "lastmod").unionByName(
+        sitemap_page_entries(children, url_col="url").join(
+            children.select(F.col("url").alias("_src"), "host").distinct(),
+            F.col("url") == F.col("_src"),
+        ).select("host", "loc", "lastmod")
+    )
+    seeds = (
+        with_canonical_url(entries, url_col="loc", out_col="seed_url")
+        .groupBy("host", "seed_url")
+        .agg(F.max("lastmod").alias("lastmod"))
+        .select("host", F.col("seed_url").alias("url"), "lastmod")
+    )
+    if robots_rules is not None:
+        seeds = (
+            robots_verdicts(seeds, robots_rules, agent=agent)
+            .filter(F.col("allowed") == 1)
+            .select("host", "url", "lastmod")
+        )
+    return seeds

@@ -490,7 +490,7 @@ frontier AS (
 hits AS (
   SELECT f.doc_id, r.rule, r.pattern,
          row_number() OVER (PARTITION BY f.doc_id
-           ORDER BY length(r.pattern) DESC, r.rule, r.pattern) AS rk
+           ORDER BY strlen(r.pattern) DESC, r.rule, r.pattern) AS rk
   FROM frontier f JOIN rx r
     ON f.host = r.host AND regexp_matches(f.target, r.rxp)
 )
@@ -588,7 +588,7 @@ rsurv AS (
               ELSE rest END AS target
   FROM surv s JOIN (
     SELECT doc_id, url,
-           coalesce(regexp_extract(regexp_replace(url, '#.*$', ''),
+           coalesce(regexp_extract(split_part(url, '#', 1),
              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '') AS rest
     FROM planted
   ) p ON s.doc_id = p.doc_id
@@ -613,7 +613,7 @@ rx AS (
 hits AS (
   SELECT f.doc_id, r.rule,
          row_number() OVER (PARTITION BY f.doc_id
-           ORDER BY length(r.pattern) DESC, r.rule, r.pattern) AS rk
+           ORDER BY strlen(r.pattern) DESC, r.rule, r.pattern) AS rk
   FROM rsurv f JOIN rx r
     ON f.host = r.host AND regexp_matches(f.target, r.rxp)
 ),
@@ -744,10 +744,11 @@ DELAY_BODIES = [
 ]
 
 
-@register(
-    "web_crawl_delay",
-    f"""
-WITH pages AS (
+#: the crawl-delay selection replay (shared by the web_crawl_delay and
+#: web_fetch_schedule oracles): robots bodies -> grouped lines ->
+#: agent selection -> CTE ``sel(host, delay)``
+_DELAY_CTES = f"""
+pages AS (
   SELECT 'example' || CAST(h AS VARCHAR) || '.com' AS host,
          CASE h % 4{"".join(f" WHEN {m} THEN '{DELAY_BODIES[m]}'" for m in range(4))} END AS body
   FROM (SELECT DISTINCT doc_id % {N_ROBOTS_HOSTS} AS h FROM documents)
@@ -807,6 +808,13 @@ sel AS (
     FROM cand
   ) WHERE CASE WHEN hx = 1 THEN agent = '{ROBOTS_AGENT}' ELSE agent = '*' END
 )
+"""
+
+
+@register(
+    "web_crawl_delay",
+    f"""
+WITH {_DELAY_CTES}
 SELECT host, max(delay) AS crawl_delay FROM sel GROUP BY host
 HAVING max(delay) IS NOT NULL
 """,
@@ -821,11 +829,15 @@ def web_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_crawl_delays,
     )
 
+    return robots_crawl_delays(_delay_pages(spark, sf_dir), agent=ROBOTS_AGENT)
+
+
+def _delay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.col("h")
     body = F.when(h % 4 == 0, F.lit(DELAY_BODIES[0]))
     for m in (1, 2, 3):
         body = body.when(h % 4 == m, F.lit(DELAY_BODIES[m]))
-    pages = (
+    return (
         load(spark, sf_dir, "documents")
         .select((F.col("doc_id") % N_ROBOTS_HOSTS).alias("h"))
         .distinct()
@@ -836,4 +848,380 @@ def web_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             body.alias("body"),
         )
     )
-    return robots_crawl_delays(pages, agent=ROBOTS_AGENT)
+
+
+@register(
+    "web_fetch_schedule",
+    f"""
+WITH {_DELAY_CTES},
+hostdelay AS (
+  SELECT host, max(delay) AS crawl_delay FROM sel GROUP BY host
+  HAVING max(delay) IS NOT NULL
+),
+frontier AS (
+  SELECT doc_id,
+         'example' || CAST(doc_id % {N_ROBOTS_HOSTS} AS VARCHAR) || '.com' AS host,
+         'https://example' || CAST(doc_id % {N_ROBOTS_HOSTS} AS VARCHAR) || '.com'
+         || CASE doc_id % 5
+              WHEN 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN '/p/open' || CAST(doc_id AS VARCHAR)
+              WHEN 2 THEN '/private/' || CAST(doc_id AS VARCHAR)
+              WHEN 3 THEN '/data/f' || CAST(doc_id AS VARCHAR) || '.json'
+              ELSE '/ok/' || CAST(doc_id AS VARCHAR) || '?q=1#frag'
+            END AS url
+  FROM documents
+),
+ranked AS (
+  SELECT host, url,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS BIGINT) AS wave
+  FROM frontier
+)
+SELECT r.host, r.url, r.wave,
+       CAST(r.wave * coalesce(d.crawl_delay, 1.0) AS DOUBLE) AS fetch_at
+FROM ranked r LEFT JOIN hostdelay d ON r.host = d.host
+""",
+)
+def web_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness scheduler materialized (round 13): frontier ×
+    per-host ``Crawl-delay`` → deterministic fetch waves, ``fetch_at``
+    = wave × delay seconds into the host's crawl (default 1.0 s where
+    no delay is declared — e.g. the ``example3/7.com`` hosts whose
+    robots declare none). One window shuffle on ``host``; the delay
+    join rides the same key (``functions/robots.py:fetch_schedule``).
+    This is the consumer `web_crawl_delay`'s output was built for: a
+    fetcher partition works through its host's rows in ``fetch_at``
+    order and the per-host token bucket falls out of the arithmetic."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        fetch_schedule,
+        robots_crawl_delays,
+    )
+
+    delays = robots_crawl_delays(_delay_pages(spark, sf_dir), agent=ROBOTS_AGENT)
+    out = fetch_schedule(
+        _robots_frontier(spark, sf_dir).select("url"), delays, default_delay=1.0
+    )
+    return out.select(
+        "host", "url", "wave", F.round(F.col("fetch_at"), 6).alias("fetch_at")
+    )
+
+
+# --- sitemap seed discovery (round 13): the crawl-SEED side ----------------
+#
+# robots.txt `Sitemap:` records -> XML sitemap / sitemapindex bodies ->
+# canonicalized page seeds, gated by the same robots rules. The whole
+# fixture (robots bodies, urlset/index XML with entity-escaped locs,
+# case/port/slash/param-order URL variants that must merge, a one-level
+# index recursion) is PLANTED from doc_id arithmetic; Spark builds the
+# XML distributively (groupBy + array agg — no collect) and runs the
+# real extraction (`functions/sitemap.py`); the oracle rebuilds the
+# same bodies in SQL and replays declaration-parse, block extraction,
+# entity unescape, recursion, canonicalization, lastmod-max merge, and
+# the permission gate independently. (The generic RFC 9309 matcher is
+# oracled by `web_robots_filter`; this fixture's one rule per mode is
+# applied directly.)
+
+N_SM_DOCS = 120
+SM_HOSTS = 6
+SM_XMLNS = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def _sm_docs(spark, sf_dir):
+    d = F.col("doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(d < N_SM_DOCS)
+        .select("doc_id", (d % SM_HOSTS).alias("h"))
+    )
+
+
+def _sm_bodies(spark, sf_dir):
+    """The fetched-sitemap table ``(url, body)``: per mode-0 host one
+    direct urlset; per mode-1 host a sitemapindex plus two child
+    urlsets (split by ``doc_id div 6`` parity); mode-2 hosts none."""
+    d, h = F.col("doc_id"), F.col("h")
+    ds, hs = d.cast("string"), h.cast("string")
+    site = F.concat(F.lit("https://site"), hs, F.lit(".com"))
+    lastmod_plain = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("<lastmod>2024-01-"),
+            F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    plain = F.concat(
+        F.lit("<url><loc>"), site, F.lit("/art/"), ds, F.lit("</loc>"),
+        lastmod_plain, F.lit("</url>"),
+    )
+    pair = F.array(
+        # two spellings of ONE canonical URL: case+port+slash+param
+        # order + entity escapes; lastmods differ so the merge is MAX
+        F.concat(
+            F.lit("<url><loc>HTTPS://SITE"), hs,
+            F.lit(".COM:443/art/"), ds,
+            F.lit("/?b=2&amp;a=1</loc><lastmod>2024-06-01</lastmod></url>"),
+        ),
+        F.concat(
+            F.lit("<url><loc>"), site, F.lit("/art/"), ds,
+            F.lit("?a=1&amp;b=2</loc><lastmod>2024-03-01</lastmod></url>"),
+        ),
+    )
+    private = F.array(
+        F.concat(F.lit("<url><loc>"), site, F.lit("/private/"), ds, F.lit("</loc></url>"))
+    )
+    entries = (
+        F.when(d % 4 == 0, pair)
+        .when(d % 4 == 2, private)
+        .otherwise(F.array(plain))
+    )
+    docs = _sm_docs(spark, sf_dir)
+    m0b = (
+        docs.filter(h % 3 == 0)
+        .select("h", entries.alias("e"))
+        .groupBy("h")
+        .agg(F.array_join(F.flatten(F.collect_list("e")), "").alias("inner"))
+        .select(
+            F.concat(F.lit("https://site"), hs, F.lit(".com/sitemap.xml")).alias("url"),
+            F.concat(F.lit("<urlset" + SM_XMLNS + ">"), F.col("inner"), F.lit("</urlset>")).alias("body"),
+        )
+    )
+    m1 = docs.filter(h % 3 == 1).select(
+        "h", "doc_id", (F.expr("doc_id div 6") % 2 + 1).alias("c"), F.array(plain).alias("e")
+    )
+    m1b = (
+        m1.groupBy("h", "c")
+        .agg(F.array_join(F.flatten(F.collect_list("e")), "").alias("inner"))
+        .select(
+            F.concat(
+                F.lit("https://site"), hs, F.lit(".com/c"),
+                F.col("c").cast("string"), F.lit(".xml"),
+            ).alias("url"),
+            F.concat(F.lit("<urlset" + SM_XMLNS + ">"), F.col("inner"), F.lit("</urlset>")).alias("body"),
+        )
+    )
+    idxb = (
+        m1.select("h")
+        .distinct()
+        .select(
+            F.concat(F.lit("https://site"), hs, F.lit(".com/index.xml")).alias("url"),
+            F.concat(
+                F.lit("<sitemapindex" + SM_XMLNS + "><sitemap><loc>https://site"),
+                hs,
+                F.lit(".com/c1.xml</loc></sitemap><sitemap><loc>https://site"),
+                hs,
+                F.lit(".com/c2.xml</loc><lastmod>2024-02-02</lastmod></sitemap></sitemapindex>"),
+            ).alias("body"),
+        )
+    )
+    return m0b.unionByName(m1b).unionByName(idxb)
+
+
+def _sm_robots(spark, sf_dir):
+    h = F.col("h")
+    hs = h.cast("string")
+    body = (
+        F.when(
+            h % 3 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private/\nSitemap: https://site"),
+                hs,
+                F.lit(".com/sitemap.xml\n"),
+            ),
+        )
+        .when(
+            h % 3 == 1,
+            F.concat(
+                F.lit("# discovery only\nSitemap: https://site"), hs, F.lit(".com/index.xml\n")
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /\n"))
+    )
+    return (
+        _sm_docs(spark, sf_dir)
+        .select("h")
+        .distinct()
+        .select(
+            F.concat(F.lit("site"), hs, F.lit(".com")).alias("host"),
+            body.alias("body"),
+        )
+    )
+
+
+def _sitemap_oracle() -> str:
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.text_queries import (
+        _URL_CANON_SQL,
+    )
+
+    unescape = (
+        "replace(replace(replace(replace(replace({c}, "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "'&apos;', chr(39)), '&amp;', '&')"
+    )
+    loc = unescape.format(
+        c="trim(coalesce(regexp_extract(blk, '(?s)<loc(?:\\s[^>]*)?>(.*?)</loc>', 1), ''))"
+    )
+    lastmod = (
+        "nullif(trim(coalesce(regexp_extract(blk, "
+        "'(?s)<lastmod(?:\\s[^>]*)?>(.*?)</lastmod>', 1), '')), '')"
+    )
+    return f"""
+WITH smdocs AS (
+  SELECT doc_id, doc_id % {SM_HOSTS} AS h FROM documents WHERE doc_id < {N_SM_DOCS}
+),
+m0e AS (
+  SELECT h,
+         CASE
+           WHEN doc_id % 4 = 0 THEN
+             '<url><loc>HTTPS://SITE' || CAST(h AS VARCHAR) || '.COM:443/art/'
+             || CAST(doc_id AS VARCHAR)
+             || '/?b=2&amp;a=1</loc><lastmod>2024-06-01</lastmod></url>'
+             || '<url><loc>https://site' || CAST(h AS VARCHAR) || '.com/art/'
+             || CAST(doc_id AS VARCHAR)
+             || '?a=1&amp;b=2</loc><lastmod>2024-03-01</lastmod></url>'
+           WHEN doc_id % 4 = 2 THEN
+             '<url><loc>https://site' || CAST(h AS VARCHAR) || '.com/private/'
+             || CAST(doc_id AS VARCHAR) || '</loc></url>'
+           ELSE
+             '<url><loc>https://site' || CAST(h AS VARCHAR) || '.com/art/'
+             || CAST(doc_id AS VARCHAR) || '</loc>'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '<lastmod>2024-01-'
+                          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                          || '</lastmod>'
+                     ELSE '' END
+             || '</url>'
+         END AS entry
+  FROM smdocs WHERE h % 3 = 0
+),
+m1e AS (
+  SELECT h, (doc_id // 6) % 2 + 1 AS c,
+         '<url><loc>https://site' || CAST(h AS VARCHAR) || '.com/art/'
+         || CAST(doc_id AS VARCHAR) || '</loc>'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '<lastmod>2024-01-'
+                      || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                      || '</lastmod>'
+                 ELSE '' END
+         || '</url>' AS entry
+  FROM smdocs WHERE h % 3 = 1
+),
+smbodies AS (
+  SELECT 'https://site' || CAST(h AS VARCHAR) || '.com/sitemap.xml' AS url,
+         '<urlset{SM_XMLNS.replace("'", "''")}>' || string_agg(entry, '') || '</urlset>' AS body
+  FROM m0e GROUP BY h
+  UNION ALL
+  SELECT 'https://site' || CAST(h AS VARCHAR) || '.com/c' || CAST(c AS VARCHAR) || '.xml',
+         '<urlset{SM_XMLNS.replace("'", "''")}>' || string_agg(entry, '') || '</urlset>'
+  FROM m1e GROUP BY h, c
+  UNION ALL
+  SELECT DISTINCT 'https://site' || CAST(h AS VARCHAR) || '.com/index.xml',
+         '<sitemapindex{SM_XMLNS.replace("'", "''")}><sitemap><loc>https://site'
+         || CAST(h AS VARCHAR) || '.com/c1.xml</loc></sitemap><sitemap><loc>https://site'
+         || CAST(h AS VARCHAR)
+         || '.com/c2.xml</loc><lastmod>2024-02-02</lastmod></sitemap></sitemapindex>'
+  FROM m1e
+),
+smrobots AS (
+  SELECT h, 'site' || CAST(h AS VARCHAR) || '.com' AS host,
+         CASE h % 3
+           WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10)
+                       || 'Sitemap: https://site' || CAST(h AS VARCHAR)
+                       || '.com/sitemap.xml' || chr(10)
+           WHEN 1 THEN '# discovery only' || chr(10)
+                       || 'Sitemap: https://site' || CAST(h AS VARCHAR)
+                       || '.com/index.xml' || chr(10)
+           ELSE 'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
+         END AS body
+  FROM (SELECT DISTINCT h FROM smdocs)
+),
+smlines AS (
+  SELECT host, unnest(string_split(body, chr(10))) AS raw FROM smrobots
+),
+declared AS (
+  SELECT DISTINCT host,
+         trim(coalesce(regexp_extract(regexp_replace(raw, '#.*$', ''),
+              '^[^:]*:(.*)$', 1), '')) AS sitemap_url
+  FROM smlines
+  WHERE lower(trim(coalesce(regexp_extract(regexp_replace(raw, '#.*$', ''),
+          '^([^:]+):', 1), ''))) = 'sitemap'
+    AND trim(coalesce(regexp_extract(regexp_replace(raw, '#.*$', ''),
+          '^[^:]*:(.*)$', 1), '')) <> ''
+),
+level0 AS (
+  SELECT d.host, b.url, b.body FROM declared d JOIN smbodies b ON d.sitemap_url = b.url
+),
+idxblk AS (
+  SELECT host, unnest(regexp_extract_all(body,
+           '(?s)<sitemap(?:\\s[^>]*)?>(.*?)</sitemap>', 1)) AS blk
+  FROM level0
+),
+childurls AS (
+  SELECT host, {loc} AS curl FROM idxblk
+),
+level1 AS (
+  SELECT c.host, b.url, b.body FROM (SELECT DISTINCT host, curl FROM childurls WHERE curl <> '') c
+  JOIN smbodies b ON c.curl = b.url
+),
+allsets AS (
+  SELECT host, body FROM level0 UNION ALL SELECT host, body FROM level1
+),
+urlblk AS (
+  SELECT host, unnest(regexp_extract_all(body,
+           '(?s)<url(?:\\s[^>]*)?>(.*?)</url>', 1)) AS blk
+  FROM allsets
+),
+rawseeds AS (
+  SELECT host, {loc} AS loc, {lastmod} AS lastmod FROM urlblk
+),
+numbered AS (
+  SELECT host, loc, lastmod,
+         row_number() OVER (ORDER BY host, loc, coalesce(lastmod, '')) AS rid
+  FROM rawseeds WHERE loc <> ''
+),
+planted AS (SELECT rid AS doc_id, loc AS url FROM numbered),
+cu AS ({_URL_CANON_SQL} SELECT doc_id, curl FROM canon),
+merged AS (
+  SELECT n.host, c.curl AS url, max(n.lastmod) AS lastmod
+  FROM numbered n JOIN cu c ON n.rid = c.doc_id
+  GROUP BY n.host, c.curl
+),
+gated AS (
+  -- this fixture's permission table is one rule per mode: mode-0
+  -- hosts disallow /private/, mode-1 hosts allow all (the generic
+  -- longest-match engine is oracled by web_robots_filter)
+  SELECT m.host, m.url, m.lastmod
+  FROM merged m JOIN smrobots r ON m.host = r.host
+  WHERE NOT (r.h % 3 = 0 AND
+             coalesce(regexp_extract(m.url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '')
+             LIKE '/private/%')
+)
+SELECT host, url, lastmod FROM gated
+"""
+
+
+@register("web_sitemap_seeds", _sitemap_oracle())
+def web_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed discovery (sitemaps.org protocol over RFC 9309
+    ``Sitemap:`` records): robots bodies → declared sitemap URLs →
+    urlset / one-level sitemapindex XML extraction with entity
+    unescape → canonicalized ``(host, url, lastmod)`` seeds, merged
+    across duplicate advertisements (max lastmod) and gated by the
+    host's own robots rules for agent ``sparkbot``
+    (``functions/sitemap.py:sitemap_seed_table``). All extraction is
+    codegen regexp; the only row expansion is protocol-bounded
+    (50k URLs/sitemap); body joins are exact-URL and AQE-sized."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        parse_robots_rules,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.sitemap import (
+        sitemap_seed_table,
+    )
+
+    robots = _sm_robots(spark, sf_dir)
+    return sitemap_seed_table(
+        robots,
+        _sm_bodies(spark, sf_dir),
+        robots_rules=parse_robots_rules(robots),
+        agent=ROBOTS_AGENT,
+    )

@@ -269,3 +269,27 @@ def test_web_crawl_funnel_shuffle_free_until_url_dedup(spark, tmp_path):
     plan = physical_plan(deduped)
     assert "partial_min_by" in plan
     assert plan.index("Exchange hashpartitioning") < plan.index("partial_min_by")
+
+
+def test_fetch_schedule_single_frontier_shuffle(spark):
+    """The politeness scheduler's plan contract: the frontier pays
+    exactly ONE hash shuffle (the per-host ranking window); the tiny
+    delay table broadcasts. At 100 TB the schedule is
+    scan -> one exchange -> window arithmetic."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        fetch_schedule,
+    )
+
+    frontier = spark.range(0, 10_000).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 50).cast("string"),
+            F.lit(".com/p/"), F.col("id").cast("string"),
+        ).alias("url")
+    )
+    delays = spark.createDataFrame(
+        [(f"h{i}.com", float(i % 5 + 1)) for i in range(50)],
+        "host string, crawl_delay double",
+    )
+    out = fetch_schedule(frontier, F.broadcast(delays))
+    assert shuffle_count(out) == 1
+    assert broadcast_join_count(out) >= 1

@@ -257,3 +257,115 @@ def test_ua_lines_stack_across_blank_lines(spark):
     for agent in ("mybot", "anyone"):
         v = _verdicts(spark, rules, ["https://s.com/x"], agent)
         assert v["https://s.com/x"] == (0, "disallow", "/")
+
+
+def test_longest_match_counts_octets_not_characters(spark):
+    """RFC 9309 §2.2.2 precedence is most OCTETS: '/café' (5 chars,
+    6 UTF-8 octets) must beat '/caf*' (5 chars, 5 octets) — a
+    character count would call this a tie and hand the verdict to
+    allow-wins-tie."""
+    pages = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /café\nAllow: /caf*")],
+        "host string, body string",
+    )
+    v = _verdicts(
+        spark, parse_robots_rules(pages), ["https://t.com/café"], "x"
+    )
+    assert v["https://t.com/café"] == (0, "disallow", "/café")
+
+
+def test_verdicts_scratch_column_collision_raises(spark, rules):
+    df = spark.createDataFrame([("https://a.com/x", 1)], "url string, _rs int")
+    with pytest.raises(ValueError, match="_rs"):
+        robots_verdicts(df, rules, agent="x")
+
+
+def test_url_target_strips_newline_fragment(spark):
+    df = spark.createDataFrame([("https://h.com/a#f\nrag",)], "url string")
+    assert df.select(url_target("url").alias("t")).first()["t"] == "/a"
+
+
+def test_fetch_schedule_waves_and_default_delay(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        fetch_schedule,
+    )
+
+    frontier = spark.createDataFrame(
+        [(u,) for u in [
+            "https://s.com/a", "https://s.com/b", "https://s.com/c",
+            "https://nodelay.com/x", "https://nodelay.com/y",
+        ]],
+        "url string",
+    )
+    delays = spark.createDataFrame([("s.com", 2.5)], "host string, crawl_delay double")
+    got = {
+        r["url"]: (r["wave"], r["fetch_at"])
+        for r in fetch_schedule(frontier, delays, default_delay=1.0).collect()
+    }
+    assert got == {
+        "https://s.com/a": (0, 0.0),
+        "https://s.com/b": (1, 2.5),
+        "https://s.com/c": (2, 5.0),
+        "https://nodelay.com/x": (0, 0.0),
+        "https://nodelay.com/y": (1, 1.0),
+    }
+    with pytest.raises(ValueError, match="crawl_delay"):
+        fetch_schedule(frontier, frontier)
+
+
+def test_seed_to_schedule_composition(spark):
+    """The crawl front end composes end to end on the seed side:
+    sitemap discovery -> robots gate -> frontier anti-join (already
+    crawled pages drop) -> politeness schedule. The surviving seeds
+    are exactly the fetchable set, waved per host."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        fetch_schedule,
+        robots_crawl_delays,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.sitemap import (
+        sitemap_seed_table,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /private/\nCrawl-delay: 3\n"
+                "Sitemap: https://a.com/sitemap.xml\n",
+            )
+        ],
+        "host string, body string",
+    )
+    bodies = spark.createDataFrame(
+        [
+            (
+                "https://a.com/sitemap.xml",
+                "<urlset>"
+                "<url><loc>https://a.com/p/1</loc></url>"
+                "<url><loc>https://a.com/p/2</loc></url>"
+                "<url><loc>https://a.com/p/3</loc></url>"
+                "<url><loc>https://a.com/private/x</loc></url>"
+                "</urlset>",
+            )
+        ],
+        "url string, body string",
+    )
+    seeds = sitemap_seed_table(
+        robots, bodies, robots_rules=parse_robots_rules(robots), agent="bot"
+    )
+    # p/2 was already crawled: it's in the frontier
+    frontier = spark.createDataFrame(
+        [("https://a.com/p/2", "a.com")], "canonical_url string, host string"
+    )
+    fetchable = seeds.join(
+        frontier.select(F.col("canonical_url").alias("url")), "url", "left_anti"
+    )
+    sched = fetch_schedule(
+        fetchable.select("url"), robots_crawl_delays(robots, agent="bot")
+    )
+    got = {r["url"]: (r["wave"], r["fetch_at"]) for r in sched.collect()}
+    # private/x robots-gated, p/2 frontier-deduped; p/1 and p/3 waved
+    assert got == {
+        "https://a.com/p/1": (0, 0.0),
+        "https://a.com/p/3": (1, 3.0),
+    }

@@ -1,0 +1,146 @@
+"""Sitemap discovery (functions/sitemap.py): urlset/index extraction,
+entity unescape, one-level recursion, robots gating, lastmod merge."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.sitemap import (
+    sitemap_index_children,
+    sitemap_page_entries,
+    sitemap_seed_table,
+    xml_unescape,
+)
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://a.com/p/1?x=1&amp;y=2</loc>
+    <lastmod>2024-03-01</lastmod>
+  </url>
+  <url><loc> https://a.com/p/2 </loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>
+"""
+
+INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap>
+    <loc>https://b.com/maps/child-1.xml</loc>
+    <lastmod>2024-01-01T00:00:00Z</lastmod>
+  </sitemap>
+  <sitemap><loc>https://b.com/maps/child-2.xml</loc></sitemap>
+</sitemapindex>
+"""
+
+CHILD1 = "<urlset><url><loc>https://b.com/x</loc><lastmod>2024-05-05</lastmod></url></urlset>"
+CHILD2 = "<urlset><url><loc>https://b.com/y/</loc></url></urlset>"
+
+
+def test_page_entries_extraction_and_unescape(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/sitemap.xml", URLSET)], "url string, body string"
+    )
+    got = {
+        r["loc"]: r["lastmod"] for r in sitemap_page_entries(df).collect()
+    }
+    # entity-unescaped loc, whitespace-trimmed loc, loc-less entry dropped
+    assert got == {
+        "https://a.com/p/1?x=1&y=2": "2024-03-01",
+        "https://a.com/p/2": None,
+    }
+
+
+def test_index_children_and_non_index_zero_rows(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://b.com/sitemap.xml", INDEX),
+            ("https://a.com/sitemap.xml", URLSET),  # not an index
+        ],
+        "url string, body string",
+    )
+    got = sitemap_index_children(df).collect()
+    assert {r["child_url"] for r in got} == {
+        "https://b.com/maps/child-1.xml",
+        "https://b.com/maps/child-2.xml",
+    }
+    assert all(r["url"] == "https://b.com/sitemap.xml" for r in got)
+
+
+def test_xml_unescape_double_escape_order(spark):
+    df = spark.createDataFrame([("a&amp;lt;b&amp;amp;c&lt;d",)], "s string")
+    # &amp; unescaped LAST: '&amp;lt;' -> '&lt;' (NOT '<')
+    assert (
+        df.select(xml_unescape("s").alias("u")).first()["u"]
+        == "a&lt;b&amp;c<d"
+    )
+
+
+def _seed_fixture(spark):
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /private/\n"
+                "Sitemap: https://a.com/sitemap.xml\n",
+            ),
+            ("b.com", "# seeds only\nSitemap: https://b.com/sitemap.xml\n"),
+            ("c.com", "User-agent: *\nDisallow: /\n"),  # no sitemap
+        ],
+        "host string, body string",
+    )
+    bodies = spark.createDataFrame(
+        [
+            (
+                "https://a.com/sitemap.xml",
+                "<urlset>"
+                "<url><loc>https://a.com/p/1?b=2&amp;a=1</loc>"
+                "<lastmod>2024-03-01</lastmod></url>"
+                "<url><loc>https://a.com/private/x</loc></url>"
+                "<url><loc>HTTPS://A.COM:443/p/1?a=1&amp;b=2</loc>"
+                "<lastmod>2024-06-01</lastmod></url>"
+                "</urlset>",
+            ),
+            ("https://b.com/sitemap.xml", INDEX.replace("b.com/maps", "b.com/m")),
+            ("https://b.com/m/child-1.xml", CHILD1),
+            ("https://b.com/m/child-2.xml", CHILD2),
+        ],
+        "url string, body string",
+    )
+    return robots, bodies
+
+
+def test_seed_table_recursion_canon_and_lastmod_merge(spark):
+    robots, bodies = _seed_fixture(spark)
+    got = {
+        (r["host"], r["url"]): r["lastmod"]
+        for r in sitemap_seed_table(robots, bodies).collect()
+    }
+    # a.com: the two spellings of /p/1 collapse to ONE canonical seed,
+    # max lastmod wins; /private/x present (no rules passed)
+    # b.com: entries come only through the index's children, child-2's
+    # trailing slash canonicalized away
+    assert got == {
+        ("a.com", "https://a.com/p/1?a=1&b=2"): "2024-06-01",
+        ("a.com", "https://a.com/private/x"): None,
+        ("b.com", "https://b.com/x"): "2024-05-05",
+        ("b.com", "https://b.com/y"): None,
+    }
+
+
+def test_seed_table_robots_gate(spark):
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        parse_robots_rules,
+    )
+
+    robots, bodies = _seed_fixture(spark)
+    rules = parse_robots_rules(robots)
+    got = {
+        (r["host"], r["url"])
+        for r in sitemap_seed_table(robots, bodies, robots_rules=rules).collect()
+    }
+    # the sitemap advertises /private/x but robots forbids it: gated out
+    assert got == {
+        ("a.com", "https://a.com/p/1?a=1&b=2"),
+        ("b.com", "https://b.com/x"),
+        ("b.com", "https://b.com/y"),
+    }
