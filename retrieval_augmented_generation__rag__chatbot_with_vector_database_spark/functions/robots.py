@@ -281,6 +281,26 @@ def url_target(url: Column | str) -> Column:
     )
 
 
+def _applicable_rules(rules: DataFrame, agent: str) -> DataFrame:
+    """The rule rows that bind ``agent`` (already lowercased):
+    exact-agent groups shadow ``*`` groups per host — by group
+    PRESENCE (null-rule rows from rule-less groups count), so an
+    empty exact group correctly allows everything rather than falling
+    back to the ``*`` rules. Null patterns drop after selection."""
+    wh = Window.partitionBy("host")
+    cand = rules.filter(F.col("agent").isin(agent, "*"))
+    return (
+        cand.withColumn(
+            "has_exact", F.max((F.col("agent") == agent).cast("int")).over(wh)
+        )
+        .filter(
+            (F.col("agent") == agent)
+            | ((F.col("agent") == "*") & (F.col("has_exact") == 0))
+        )
+        .filter(F.col("pattern").isNotNull())
+    )
+
+
 def robots_verdicts(
     urls: DataFrame,
     rules: DataFrame,
@@ -320,22 +340,7 @@ def robots_verdicts(
     if target_col not in urls.columns:
         urls = urls.withColumn(target_col, url_target(F.col(url_col)))
 
-    # exact-agent groups shadow '*' groups per host — by group
-    # PRESENCE (null-rule rows from rule-less groups count), so an
-    # empty exact group correctly allows everything rather than
-    # falling back to the '*' rules
-    wh = Window.partitionBy("host")
-    cand = rules.filter(F.col("agent").isin(agent, "*"))
-    cand = (
-        cand.withColumn(
-            "has_exact", F.max((F.col("agent") == agent).cast("int")).over(wh)
-        )
-        .filter(
-            (F.col("agent") == agent)
-            | ((F.col("agent") == "*") & (F.col("has_exact") == 0))
-        )
-        .filter(F.col("pattern").isNotNull())
-    )
+    cand = _applicable_rules(rules, agent)
     by_host = cand.groupBy(F.col("host").alias("r_host")).agg(
         F.collect_list(
             F.struct(
@@ -385,3 +390,186 @@ def robots_verdicts(
     )
     keep = [c for c in urls.columns] + ["allowed", "matched_rule", "matched_pattern"]
     return out.select(*keep)
+
+
+def _pattern_pyregex(pattern: str) -> str:
+    """Python twin of :func:`pattern_regex` — same anchored regex,
+    built with ``re.escape`` (escapes a superset of the Spark form's
+    character class; the extras are literals either way, so the two
+    accept identical strings)."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    return "^" + _re.escape(core).replace(r"\*", ".*") + ("$" if anchored else "")
+
+
+def robots_verdicts_kernel(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+    host_col: str = "host",
+    target_col: str = "target",
+) -> DataFrame:
+    """:func:`robots_verdicts` with the matching moved into an
+    Arrow-batched Pandas kernel — the COMPILED-PATTERN path for
+    hosts with large rule sets.
+
+    Why it exists: the expression path's per-element ``rlike`` has a
+    pattern that CHANGES on every array element, so Spark's single-
+    entry regex cache never hits and every (url × rule) evaluation
+    re-compiles. At the web's typical 2–5 rules/host that recompile
+    is cheap enough to lose to the kernel's Arrow transfer; at
+    Wikipedia-class robots.txt (hundreds of rules) it dominates. This
+    path compiles each host's patterns ONCE per executor (module-level
+    cache keyed by a rules fingerprint), pre-sorts them in precedence
+    order (most octets, allow on ties, bytewise pattern), and
+    evaluates each pattern VECTORIZED over the batch's rows for that
+    host — per (host-group × pattern) work, not per (row × pattern)
+    interpreter dispatch. First match in precedence order wins, so the
+    verdict is bit-identical to the expression path.
+
+    Same contract and output schema as :func:`robots_verdicts`; pick
+    between them with the measured crossover in SCALE.md (the
+    expression path wins below ~40 rules/host)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        url_host,
+    )
+
+    for t in ("_rs", "_best", "r_host"):
+        if t in urls.columns:
+            raise ValueError(
+                f"robots_verdicts scratch column {t!r} already exists "
+                "in the URL frame — rename it"
+            )
+    agent = agent.lower()
+    if host_col not in urls.columns:
+        urls = urls.withColumn(host_col, url_host(F.col(url_col)))
+    if target_col not in urls.columns:
+        urls = urls.withColumn(target_col, url_target(F.col(url_col)))
+
+    # rules collapse driver-side exactly like the expression path's
+    # broadcast: precedence-sorted per host so FIRST match wins
+    sel = _applicable_rules(rules, agent).select("host", "rule", "pattern")
+    host_rules: dict[str, list[tuple[str, str]]] = {}
+    for r in sel.collect():
+        host_rules.setdefault(r["host"], []).append((r["rule"], r["pattern"]))
+    for h in host_rules:
+        host_rules[h] = sorted(
+            set(host_rules[h]),
+            key=lambda rp: (-len(rp[1].encode("utf-8")), rp[0], rp[1]),
+        )
+    bc = urls.sparkSession.sparkContext.broadcast(host_rules)
+
+    from pyspark.sql import types as T
+
+    in_cols = list(urls.columns)
+    out_struct = T.StructType(
+        list(urls.schema.fields)
+        + [
+            T.StructField("allowed", T.IntegerType()),
+            T.StructField("matched_rule", T.StringType()),
+            T.StructField("matched_pattern", T.StringType()),
+        ]
+    )
+
+    def kernel(batches):
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        compiled: dict[str, list] = {}
+
+        def rxs(host):
+            got = compiled.get(host)
+            if got is None:
+                got = [
+                    (_re.compile(_pattern_pyregex(p)), rule, p)
+                    for rule, p in bc.value.get(host, ())
+                ]
+                compiled[host] = got
+            return got
+
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)  # labels == positions below
+            n = len(pdf)
+            allowed = np.ones(n, dtype="int32")
+            mrule = np.full(n, None, dtype=object)
+            mpat = np.full(n, None, dtype=object)
+            for host, idx in pdf.groupby(host_col, sort=False).groups.items():
+                plan = rxs(host)
+                if not plan:
+                    continue
+                pos = np.asarray(idx)
+                targets = pdf[target_col].to_numpy()[pos]
+                undecided = np.ones(len(pos), dtype=bool)
+                for rx, rule, pat in plan:
+                    if not undecided.any():
+                        break
+                    sub = np.nonzero(undecided)[0]
+                    hit = np.fromiter(
+                        (rx.match(targets[i]) is not None for i in sub),
+                        dtype=bool,
+                        count=len(sub),
+                    )
+                    won = sub[hit]
+                    if len(won):
+                        rows = pos[won]
+                        allowed[rows] = 1 if rule == "allow" else 0
+                        mrule[rows] = rule
+                        mpat[rows] = pat
+                        undecided[won] = False
+            out = pdf[in_cols].copy()
+            out["allowed"] = allowed
+            out["matched_rule"] = pd.Series(mrule, index=pdf.index)
+            out["matched_pattern"] = pd.Series(mpat, index=pdf.index)
+            yield out
+
+    return urls.mapInPandas(kernel, schema=out_struct)
+
+
+#: rules-per-host density at which the compiled-pattern kernel takes
+#: over from the expression path (tools/scale_check_robots_kernel.py,
+#: SCALE.md round 13): expression edges ahead at the web's typical
+#: 2–5 rules/host (kernel 1.05x there), the kernel wins from ~10 up
+#: (0.65–0.73x); the gate sits at 8 because the mis-pick penalties
+#: are asymmetric (module: robots_verdicts_auto)
+KERNEL_RULES_PER_HOST = 8
+
+
+def robots_verdicts_auto(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+    host_col: str = "host",
+    target_col: str = "target",
+    kernel_threshold: int = KERNEL_RULES_PER_HOST,
+) -> DataFrame:
+    """Size-aware verdict dispatch: probe the rule table's densest
+    host (one tiny agg over the per-host rules — the table is already
+    the broadcast-small side) and pick the expression path below
+    ``kernel_threshold`` rules/host, the compiled-pattern Arrow kernel
+    at or above it. MAX density decides, not the mean: a single
+    Wikipedia-class host only slows its own frontier rows under the
+    expression path, but mis-picking expression there costs up to ~8×
+    on those rows while mis-picking kernel on a sparse table costs
+    ~5% everywhere (measured, SCALE.md round 13) — the asymmetric
+    penalty makes the conservative probe the right one."""
+    # probe the rules the matcher will actually iterate — after agent
+    # selection (a host's table may carry many groups for OTHER agents
+    # that never reach the match loop)
+    dens = (
+        _applicable_rules(rules, agent.lower())
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .first()[0]
+        or 0
+    )
+    fn = robots_verdicts_kernel if dens >= kernel_threshold else robots_verdicts
+    return fn(
+        urls, rules, agent, url_col=url_col, host_col=host_col, target_col=target_col
+    )

@@ -95,81 +95,72 @@ def all_oracles() -> dict[str, str]:
 
 #: The driver's correctness gate oracle-checks the FIRST 50 registry
 #: entries at sf0.01 (the full registry runs in the local dual-scale
-#: sweeps). Round-12 rotation, completing the cycle: the union of
-#: r1–r11 windows left exactly 3 queries with no driver-green record
-#: (the round-11 web primitives, registered after that window was
-#: pinned) — they go FIRST, followed by this round's 4 new queries
-#: (main-content gate, web ingest funnel, robots parse + filter);
-#: after r12 every registered query has a driver-green record. The
-#: remaining slots re-pin the families that would hurt most at scale —
-#: dedup, ANN/quantization, top-k, hybrid-indexed, e2e composites,
-#: index maintenance, and the skew/scrub/phash scale guards — so the
-#: driver re-verifies them every round from here on. (To stay at 50,
-#: four multi-round-green pins — ``index_stats``,
-#: ``dedup_simhash_groups``, ``rag_chat_e2e``,
-#: ``dedup_embedding_pairs_jl_512`` — rotated out this round; their
-#: siblings ``index_upsert_*``/``dedup_simhash_candidates``/
-#: ``rag_chat_ann_e2e``/``dedup_embedding_pairs_jl`` still guard those
-#: families.)
+#: sweeps). Round-13 rotation — STALENESS mode: with r12 completing
+#: union coverage (every registered query has a driver-green record),
+#: the window's job changed from first-coverage to record freshness.
+#: Policy: this round's new queries first, then the 50-slot window
+#: fills with the queries whose latest driver-green record is OLDEST
+#: (sorted by last-checked round, then name — deterministic). This
+#: round that re-pins the r1-vintage plan/multimodal probes, the r3/r4
+#: RAG primitives, and the r9-vintage relational/analytics/text-stat
+#: families, none of which have been driver-re-checked since the
+#: registry tripled. The scale-critical dedup/ANN/topk/hybrid families
+#: all carry fresh r12 records and rotate back in as they age.
 DRIVER_WINDOW_PRIORITY = [
-    # never driver-checked (r11 additions post-rotation + r12 additions)
-    "text_html_extract",
-    "web_url_dedup",
-    "corpus_host_cap",
-    "text_html_main_content",
-    "corpus_web_ingest_funnel",
-    "web_robots_parse",
-    "web_robots_filter",
-    "corpus_web_robots_funnel",
-    "web_crawl_delay",
-    # dedup family
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_candidates",
-    "dedup_embedding_pairs",
-    "dedup_embedding_pairs_ivf",
-    "dedup_embedding_pairs_jl",
-    "dedup_duplicate_groups_star",
-    "corpus_dedup_cascade",
-    "dedup_substring_spans",
-    # ANN / quantization
-    "ann_ivf_topk",
-    "ann_ivf_topk_gemm",
-    "ann_ivf_topk_gemm_int8",
-    "ann_ivf_topk_filtered",
-    "ann_ivf_topk_rerank",
-    "ann_ivf_recall",
-    "ann_ivf_upsert_probe",
-    "ann_ivfpq_cosine",
-    "ann_ivfpq_dotproduct",
-    "ann_ivfpq_filtered",
-    "ann_ivfpq_delete",
-    "ann_ivfpq_opq",
-    # top-k core
-    "topk_cosine",
-    "topk_cosine_gemm",
-    "topk_cosine_dispatched",
-    "topk_filtered",
-    "topk_mmr",
-    "topk_rerank_crossencoder",
-    # hybrid (persisted-index paths)
-    "hybrid_rrf_topk_indexed",
-    "hybrid_bm25_topk_indexed",
-    "hybrid_rrf_topk_ivf",
-    # end-to-end composites
-    "rag_e2e_echo",
-    "rag_ann_e2e",
-    "rag_chat_ann_e2e",
-    "rag_hybrid_e2e",
-    # index maintenance
-    "index_upsert_lww",
-    "index_upsert_bucketed",
-    "index_delete_ids",
-    # scale guards
-    "corpus_scrub_ingest_pipeline",
-    "multimodal_phash_neardup",
-    "events_top_values_per_type_salted",
+    # new in r13, never driver-checked
+    "web_fetch_schedule",
+    "web_sitemap_seeds",
+    # stalest records: r1 vintage
+    "ann_ivf_partition_sizes",
+    "chunk_invariants",
+    "multimodal_decode_roundtrip",
+    "multimodal_frame_counts",
+    "multimodal_resize_plan",
+    # r3/r4 vintage (RAG primitives)
+    "rag_empty_guard",
+    "rag_prompt_template",
+    "rag_context",
+    "rag_history_rewrite",
+    "rag_match_projection",
+    "rag_truncate_docs",
+    # r9 vintage (relational / analytics / text-stats families)
+    "argmax_best_index",
+    "batch_query_metrics",
+    "corpus_cluster_mixture",
+    "corpus_curation_pipeline",
+    "corpus_mixture_sample",
+    "corpus_top_terms",
+    "corpus_weighted_sample",
+    "dim_check",
+    "documents_field_profile",
+    "embeddings_jl_projection",
+    "events_conversion_funnel",
+    "events_daily_rollup",
+    "events_distinct_users_exact",
+    "events_hourly",
+    "events_props_profile",
+    "events_retention_cohorts",
+    "events_rollup_day_type",
+    "events_session_windows",
+    "events_sessionized",
+    "events_type_pivot",
+    "events_value_histogram",
+    "index_stats",
+    "nation_revenue",
+    "order_priority_stats",
+    "pairwise_centroid_sim",
+    "part_brand_share",
+    "pricing_summary",
+    "retrieval_frequency",
+    "self_match_rank1",
+    "text_fingerprint_uniques",
+    "text_gopher_repetition",
+    "text_langid_confusion",
+    "text_quality_by_lang",
+    "text_quality_profile",
+    "text_repetition_profile",
+    "text_token_counts",
+    "top_customers_per_nation",
 ]
 
 

@@ -253,6 +253,7 @@ def start_web_ingest_stream(
     glob: str = "*.warc*",
     robots_rules: DataFrame | None = None,
     robots_agent: str = "*",
+    compact_every: int | None = None,
 ) -> "StreamingQuery":
     """Start the incremental web-crawl ingest on ``landing_dir``
     (module doc: funnel semantics, frontier state, crash ordering).
@@ -268,7 +269,14 @@ def start_web_ingest_stream(
     and the host cap: disallowed pages never reach the embedder, never
     enter the frontier, and never consume host quota. A polite crawl
     filters BEFORE fetch; this gate is the archive-replay equivalent —
-    captures whose current policy forbids them are dropped at ingest."""
+    captures whose current policy forbids them are dropped at ingest.
+
+    ``compact_every=N`` folds the frontier's settled batch dirs every N
+    micro-batches (:func:`compact_frontier`, ``keep_latest=1`` — the
+    just-written batch is the newest and stays unfolded, so replay
+    semantics hold). Maintenance rides the ingest loop instead of
+    needing an external schedule; a crash mid-fold is caught by the
+    fenced reads either way."""
     reader = (
         spark.readStream.format("binaryFile")
         # the binaryFile format's fixed schema — streaming file
@@ -301,12 +309,15 @@ def start_web_ingest_stream(
             .withColumn("host", url_host("url"))
         )
         if robots_rules is not None:
+            # size-aware dispatch: expression path at typical rule
+            # densities, compiled-pattern kernel for hosts with dense
+            # rule sets (the probe is one tiny agg per micro-batch)
             from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
-                robots_verdicts,
+                robots_verdicts_auto,
             )
 
             first = (
-                robots_verdicts(first, robots_rules, agent=robots_agent)
+                robots_verdicts_auto(first, robots_rules, agent=robots_agent)
                 .filter(F.col("allowed") == 1)
                 .drop("allowed", "matched_rule", "matched_pattern", "target")
             )
@@ -344,6 +355,8 @@ def start_web_ingest_stream(
         kept.select("canonical_url", "host").write.mode("overwrite").parquet(
             f"{frontier_dir}/batch_id={batch_id}"
         )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_frontier(spark, frontier_dir, keep_latest=1)
 
     writer = stream.writeStream.option("checkpointLocation", checkpoint_dir).foreachBatch(
         _process

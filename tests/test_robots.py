@@ -369,3 +369,103 @@ def test_seed_to_schedule_composition(spark):
         "https://a.com/p/1": (0, 0.0),
         "https://a.com/p/3": (1, 3.0),
     }
+
+
+def _all_verdicts(fn, spark, rules, urls, agent):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = fn(df, rules, agent=agent)
+    return sorted(
+        (r["url"], r["allowed"], r["matched_rule"], r["matched_pattern"])
+        for r in out.collect()
+    )
+
+
+def test_kernel_verdicts_match_expression_path(spark, rules):
+    """The Arrow-kernel matcher is bit-identical to the expression
+    path across the whole fixture grid: exact-agent shadowing,
+    wildcards, anchors, length races, allow-on-tie, octet precedence,
+    rule-free hosts, unknown hosts."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        robots_verdicts_kernel,
+    )
+
+    urls = [
+        "https://a.com/docs/x",
+        "https://a.com/docs/pub/x",
+        "https://a.com/private/x",
+        "https://a.com/private/open-data",
+        "https://a.com/d/f.json",
+        "https://a.com/d/f.json5",
+        "https://a.com/",
+        "https://blocked.com/any",
+        "https://norules.com/any",
+        "https://unknown-host.com/q?x=1#frag",
+    ]
+    for agent in ("SparkBot", "fetchbot"):
+        expr = _all_verdicts(robots_verdicts, spark, rules, urls, agent)
+        kern = _all_verdicts(robots_verdicts_kernel, spark, rules, urls, agent)
+        assert kern == expr, f"agent={agent}"
+
+
+def test_kernel_parity_fuzz_many_rules_per_host(spark):
+    """Parity on a dense synthetic host (60 rules, interleaved
+    allow/disallow, wildcards and anchors at many lengths) — the
+    rule-set shape the kernel exists for."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        robots_verdicts_kernel,
+    )
+
+    lines = ["User-agent: *"]
+    for i in range(20):
+        lines.append(f"Disallow: /p{i}/")
+        lines.append(f"Allow: /p{i}/pub")
+        lines.append(f"Disallow: /*.t{i}$")
+    pages = spark.createDataFrame(
+        [("dense.com", "\n".join(lines))], "host string, body string"
+    )
+    rr = parse_robots_rules(pages)
+    urls = (
+        [f"https://dense.com/p{i}/x" for i in range(20)]
+        + [f"https://dense.com/p{i}/pubx" for i in range(20)]
+        + [f"https://dense.com/f.t{i}" for i in range(20)]
+        + ["https://dense.com/clean"]
+    )
+    expr = _all_verdicts(robots_verdicts, spark, rr, urls, "anybot")
+    kern = _all_verdicts(robots_verdicts_kernel, spark, rr, urls, "anybot")
+    assert kern == expr
+    # sanity: the fixture actually bites
+    assert sum(1 for _, a, _, _ in expr if a == 0) == 40
+
+
+def test_auto_dispatch_picks_by_max_density(spark, rules, monkeypatch):
+    """robots_verdicts_auto routes sparse tables to the expression
+    path and dense ones to the kernel, and both give the contract
+    output either way."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions import robots as R
+
+    picked = []
+    real_expr, real_kern = R.robots_verdicts, R.robots_verdicts_kernel
+    monkeypatch.setattr(
+        R, "robots_verdicts", lambda *a, **k: picked.append("expr") or real_expr(*a, **k)
+    )
+    monkeypatch.setattr(
+        R,
+        "robots_verdicts_kernel",
+        lambda *a, **k: picked.append("kernel") or real_kern(*a, **k),
+    )
+    urls = spark.createDataFrame([("https://a.com/docs/x",)], "url string")
+    out = R.robots_verdicts_auto(urls, rules, agent="sparkbot")
+    assert out.first()["allowed"] == 0  # sparse fixture, real verdict
+    dense = spark.createDataFrame(
+        [
+            ("dense.com", "\n".join(["User-agent: *"] + [f"Disallow: /p{i}/" for i in range(20)]))
+        ],
+        "host string, body string",
+    )
+    out2 = R.robots_verdicts_auto(
+        spark.createDataFrame([("https://dense.com/p3/x",)], "url string"),
+        parse_robots_rules(dense),
+        agent="any",
+    )
+    assert out2.first()["allowed"] == 0
+    assert picked == ["expr", "kernel"]

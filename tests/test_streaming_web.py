@@ -347,3 +347,45 @@ def test_frontier_torn_compaction_is_loud_then_recovers(spark, tmp_path, setup, 
         for r in read_frontier(spark, fdir).collect()
     }
     assert got == before | {("http://e.example/1", "e.example")}
+
+
+def test_inline_compaction_rides_the_ingest_loop(spark, tmp_path, setup):
+    """compact_every folds settled batches from inside foreachBatch:
+    after 4 single-segment drains with compact_every=2, only the
+    compacted dir and the newest batch dirs remain, the frontier rows
+    are intact, and a further drain keeps working."""
+    import os
+
+    landing, idx = setup
+    segs = [
+        SEG1,
+        SEG2,
+        SEG3,
+        _record("http://f.example/1", "f1"),
+    ]
+    fdir = f"{tmp_path}/frontier"
+    for i, seg in enumerate(segs):
+        (landing / f"s{i}.warc").write_bytes(seg)
+        q = start_web_ingest_stream(
+            spark,
+            str(landing),
+            idx,
+            HashEmbedder(dimension=16),
+            checkpoint_dir=f"{tmp_path}/ckpt",
+            frontier_dir=fdir,
+            host_cap=2,
+            available_now=True,
+            compact_every=2,
+        )
+        q.awaitTermination(120)
+    rows = {
+        (r["canonical_url"], r["host"])
+        for r in read_frontier(spark, fdir).collect()
+    }
+    assert len(rows) == 7  # 4 + d1,d2 + f1
+    dirs = sorted(
+        e.name for e in os.scandir(fdir) if e.name.startswith("batch_id=")
+    )
+    # the fold after batch 1 was a min_fold no-op (one foldable dir);
+    # the fold after batch 3 moved 0,1,2 into -1; batch 3 stays
+    assert dirs == ["batch_id=-1", "batch_id=3"]
