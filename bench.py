@@ -102,6 +102,10 @@ HEADLINE = [
     # round 12: robots.txt crawl-permission gate (parse + RFC 9309
     # longest-match over the planted frontier; new key — no history)
     "web_robots_filter",
+    # round 13: the crawl-seed side — sitemap discovery and the full
+    # seed->anti-join->politeness-schedule composition (new keys)
+    "web_sitemap_seeds",
+    "web_seed_schedule",
 ]
 
 # Rebuild-per-call composites (honest-accounting convention): their

@@ -110,6 +110,7 @@ DRIVER_WINDOW_PRIORITY = [
     # new in r13, never driver-checked
     "web_fetch_schedule",
     "web_sitemap_seeds",
+    "web_seed_schedule",
     # stalest records: r1 vintage
     "ann_ivf_partition_sizes",
     "chunk_invariants",
@@ -160,7 +161,6 @@ DRIVER_WINDOW_PRIORITY = [
     "text_quality_profile",
     "text_repetition_profile",
     "text_token_counts",
-    "top_customers_per_nation",
 ]
 
 

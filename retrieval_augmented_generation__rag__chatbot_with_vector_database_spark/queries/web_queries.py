@@ -1019,11 +1019,17 @@ def _sm_bodies(spark, sf_dir):
 def _sm_robots(spark, sf_dir):
     h = F.col("h")
     hs = h.cast("string")
+    # Crawl-delay lines feed the web_seed_schedule composition; they
+    # change neither the rule parse (delay lines only shape group
+    # boundaries, which stay identical) nor the sitemap declarations
     body = (
         F.when(
             h % 3 == 0,
             F.concat(
-                F.lit("User-agent: *\nDisallow: /private/\nSitemap: https://site"),
+                F.lit(
+                    "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+                    "Sitemap: https://site"
+                ),
                 hs,
                 F.lit(".com/sitemap.xml\n"),
             ),
@@ -1031,7 +1037,12 @@ def _sm_robots(spark, sf_dir):
         .when(
             h % 3 == 1,
             F.concat(
-                F.lit("# discovery only\nSitemap: https://site"), hs, F.lit(".com/index.xml\n")
+                F.lit(
+                    "User-agent: *\nCrawl-delay: 0.5\n# discovery only\n"
+                    "Sitemap: https://site"
+                ),
+                hs,
+                F.lit(".com/index.xml\n"),
             ),
         )
         .otherwise(F.lit("User-agent: *\nDisallow: /\n"))
@@ -1047,7 +1058,19 @@ def _sm_robots(spark, sf_dir):
     )
 
 
+def _sitemap_ctes() -> str:
+    """The WITH-body of the sitemap replay, ending in CTE
+    ``gated(host, url, lastmod)`` — shared by the ``web_sitemap_seeds``
+    oracle and the ``web_seed_schedule`` composition oracle."""
+    return _sitemap_oracle_parts()[0]
+
+
 def _sitemap_oracle() -> str:
+    ctes, select = _sitemap_oracle_parts()
+    return f"WITH {ctes}\n{select}"
+
+
+def _sitemap_oracle_parts() -> tuple[str, str]:
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.text_queries import (
         _URL_CANON_SQL,
     )
@@ -1064,8 +1087,7 @@ def _sitemap_oracle() -> str:
         "nullif(trim(coalesce(regexp_extract(blk, "
         "'(?s)<lastmod(?:\\s[^>]*)?>(.*?)</lastmod>', 1), '')), '')"
     )
-    return f"""
-WITH smdocs AS (
+    ctes = f"""smdocs AS (
   SELECT doc_id, doc_id % {SM_HOSTS} AS h FROM documents WHERE doc_id < {N_SM_DOCS}
 ),
 m0e AS (
@@ -1125,9 +1147,11 @@ smrobots AS (
   SELECT h, 'site' || CAST(h AS VARCHAR) || '.com' AS host,
          CASE h % 3
            WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10)
+                       || 'Crawl-delay: 2' || chr(10)
                        || 'Sitemap: https://site' || CAST(h AS VARCHAR)
                        || '.com/sitemap.xml' || chr(10)
-           WHEN 1 THEN '# discovery only' || chr(10)
+           WHEN 1 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 0.5' || chr(10)
+                       || '# discovery only' || chr(10)
                        || 'Sitemap: https://site' || CAST(h AS VARCHAR)
                        || '.com/index.xml' || chr(10)
            ELSE 'User-agent: *' || chr(10) || 'Disallow: /' || chr(10)
@@ -1196,8 +1220,8 @@ gated AS (
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '')
              LIKE '/private/%')
 )
-SELECT host, url, lastmod FROM gated
 """
+    return ctes, "SELECT host, url, lastmod FROM gated"
 
 
 @register("web_sitemap_seeds", _sitemap_oracle())
@@ -1224,4 +1248,84 @@ def web_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sm_bodies(spark, sf_dir),
         robots_rules=parse_robots_rules(robots),
         agent=ROBOTS_AGENT,
+    )
+
+
+def _seed_schedule_oracle() -> str:
+    return f"""
+WITH {_sitemap_ctes()},
+crawled AS (
+  -- pages the frontier already holds, planted in canonical spelling
+  SELECT 'https://site' || CAST(h AS VARCHAR) || '.com/art/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2' ELSE '' END AS url
+  FROM smdocs WHERE doc_id % 3 = 0 AND h % 3 <> 2 AND doc_id % 4 <> 2
+),
+fetchable AS (
+  SELECT g.host, g.url FROM gated g
+  WHERE g.url NOT IN (SELECT url FROM crawled)
+),
+ranked AS (
+  SELECT host, url,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS BIGINT) AS wave
+  FROM fetchable
+)
+SELECT host, url, wave,
+       -- the fixture's Crawl-delay constants hand-applied (the delay
+       -- GRAMMAR is independently oracled by web_crawl_delay): mode-0
+       -- hosts declare 2, mode-1 hosts 0.5, mode-2 none -> default 1.0
+       CAST(wave * CASE CAST(substr(host, 5, 1) AS INT) % 3
+                     WHEN 0 THEN 2.0 WHEN 1 THEN 0.5 ELSE 1.0 END
+            AS DOUBLE) AS fetch_at
+FROM ranked
+"""
+
+
+@register("web_seed_schedule", _seed_schedule_oracle())
+def web_seed_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole crawl-seed side composed end to end (round 13):
+    sitemap discovery (declaration parse → XML extraction → canon →
+    lastmod merge) → robots permission gate → LEFT ANTI against the
+    already-crawled frontier (the same dedup key the ingest uses) →
+    per-host politeness schedule from the hosts' own ``Crawl-delay``
+    declarations. Output is the fetch plan: ``(host, url, wave,
+    fetch_at)``. Plan shape: seed extraction is protocol-bounded
+    (SCALE.md: 0.22 M entries/s end-to-end at 1M entries); the
+    anti-join keys on canonical URL (AQE-sized — the frontier GROWS);
+    the schedule adds one host-shuffle window (5.7 M rows/s at 10M)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        fetch_schedule,
+        parse_robots_rules,
+        robots_crawl_delays,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.sitemap import (
+        sitemap_seed_table,
+    )
+
+    robots = _sm_robots(spark, sf_dir)
+    seeds = sitemap_seed_table(
+        robots,
+        _sm_bodies(spark, sf_dir),
+        robots_rules=parse_robots_rules(robots),
+        agent=ROBOTS_AGENT,
+    )
+    d, h = F.col("doc_id"), F.col("h")
+    crawled = (
+        _sm_docs(spark, sf_dir)
+        .filter((d % 3 == 0) & (h % 3 != 2) & (d % 4 != 2))
+        .select(
+            F.concat(
+                F.lit("https://site"), h.cast("string"), F.lit(".com/art/"),
+                d.cast("string"),
+                F.when(d % 4 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+            ).alias("url")
+        )
+    )
+    fetchable = seeds.join(crawled, "url", "left_anti")
+    sched = fetch_schedule(
+        fetchable.select("host", "url"),
+        robots_crawl_delays(robots, agent=ROBOTS_AGENT),
+        default_delay=1.0,
+    )
+    return sched.select(
+        "host", "url", "wave", F.round(F.col("fetch_at"), 6).alias("fetch_at")
     )
