@@ -106,6 +106,9 @@ HEADLINE = [
     # seed->anti-join->politeness-schedule composition (new keys)
     "web_sitemap_seeds",
     "web_seed_schedule",
+    # round 13: link graph + host authority (new keys)
+    "web_link_graph",
+    "web_host_pagerank",
 ]
 
 # Rebuild-per-call composites (honest-accounting convention): their

@@ -122,6 +122,50 @@ def canonicalize_url(url: Column | str) -> Column:
     return F.when(scheme == "", _c(url)).otherwise(canon)
 
 
+import re as _re
+
+_SCHEME_SPLIT_RX = _re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$")
+
+
+def canonicalize_url_py(url: str | None) -> str | None:
+    """Python twin of :func:`canonicalize_url` — SAME contract (module
+    doc), for Arrow kernels that need the canon form inside a Python
+    batch (e.g. the link-graph kernel, where the pure-expression
+    composition is Catalyst-pathological — see ``functions/links.py``).
+    Parity with the Column form is pinned in ``tests/test_url.py``;
+    param sorting is bytewise via UTF-8 keys, matching Spark's binary
+    string ordering."""
+    if url is None:
+        return None
+    u = url.split("#", 1)[0]
+    m = _SCHEME_SPLIT_RX.match(u)
+    if m is None:
+        return url
+    scheme, auth, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
+    if scheme == "http" and auth.endswith(":80"):
+        auth = auth[:-3]
+    elif scheme == "https" and auth.endswith(":443"):
+        auth = auth[:-4]
+    qpos = rest.find("?")
+    path, query = (rest, "") if qpos < 0 else (rest[:qpos], rest[qpos + 1 :])
+    if path == "":
+        path = "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    params = [
+        p
+        for p in query.split("&")
+        if p != ""
+        and not p.startswith("utm_")
+        and p.split("=", 1)[0] not in TRACKING_PARAMS
+    ]
+    params.sort(key=lambda p: p.encode("utf-8"))
+    out = f"{scheme}://{auth}{path}"
+    if params:
+        out += "?" + "&".join(params)
+    return out
+
+
 def url_host(url: Column | str) -> Column:
     """Lowercased host (port stripped) — the grouping key for
     host-level corpus stats and per-host mixing/caps."""

@@ -111,6 +111,9 @@ DRIVER_WINDOW_PRIORITY = [
     "web_fetch_schedule",
     "web_sitemap_seeds",
     "web_seed_schedule",
+    "web_link_graph",
+    "web_host_degree",
+    "web_host_pagerank",
     # stalest records: r1 vintage
     "ann_ivf_partition_sizes",
     "chunk_invariants",
@@ -158,9 +161,6 @@ DRIVER_WINDOW_PRIORITY = [
     "text_gopher_repetition",
     "text_langid_confusion",
     "text_quality_by_lang",
-    "text_quality_profile",
-    "text_repetition_profile",
-    "text_token_counts",
 ]
 
 

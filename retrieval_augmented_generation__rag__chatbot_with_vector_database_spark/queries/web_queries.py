@@ -1329,3 +1329,218 @@ def web_seed_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sched.select(
         "host", "url", "wave", F.round(F.col("fetch_at"), 6).alias("fetch_at")
     )
+
+
+# --- link graph + host authority (round 13) --------------------------------
+#
+# The third thing a crawl does with fetched pages (after indexing text
+# and discovering seeds): extract the link graph and score hosts —
+# authority priors feed crawl prioritization and spam filtering (the
+# role of Common Crawl's published host ranking). Fixture: pages on 8
+# ring-linked hosts, hrefs exercising every resolution shape
+# (root-relative, sibling-relative, ../ parent, scheme-relative
+# cross-host, absolute with canon work, query-only, a self-link, and
+# dropped mailto/#). The RESOLVER's generic semantics are pinned by
+# unit goldens (tests/test_links.py); the oracles derive each planted
+# edge independently from the same doc_id arithmetic — full-value over
+# the composed output.
+
+N_LINK_DOCS = 200
+N_LINK_HOSTS = 8
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = (d % N_LINK_HOSTS).cast("string")
+    base = F.concat(
+        F.lit("https://linkhost"), h, F.lit(".com/a"), (d % 5).cast("string"),
+        F.lit("/b/page"), ds,
+    )
+    html = F.concat(
+        F.lit('<p><a href="/top'), (d % 7).cast("string"), F.lit('">t</a>'),
+        F.lit('<a href="sib'), (d % 3).cast("string"), F.lit('.html">s</a>'),
+        F.lit('<a href="../up'), (d % 4).cast("string"), F.lit('">u</a>'),
+        F.lit('<a href="//linkhost'), ((d + 1) % N_LINK_HOSTS).cast("string"),
+        F.lit('.com/x'), (d % 6).cast("string"), F.lit('">r</a>'),
+        F.lit('<a href="https://EXT'), (d % 3).cast("string"),
+        F.lit(".COM:443/p/"), (d % 9).cast("string"), F.lit('/">e</a>'),
+        F.lit('<a href="?o='), (d % 2).cast("string"), F.lit('">q</a>'),
+        F.lit('<a href="page'), ds, F.lit('">self</a>'),
+        F.lit('<a href="#sec">f</a><a href="mailto:x@y.z">m</a></p>'),
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(d < N_LINK_DOCS)
+        .select("doc_id", base.alias("url"), html.alias("html"))
+    )
+
+
+_LINK_EDGES_SQL = f"""
+ldocs AS (
+  SELECT doc_id, doc_id % {N_LINK_HOSTS} AS h FROM documents
+  WHERE doc_id < {N_LINK_DOCS}
+),
+lsrc AS (
+  SELECT doc_id, h,
+         'https://linkhost' || CAST(h AS VARCHAR) || '.com/a'
+         || CAST(doc_id % 5 AS VARCHAR) || '/b/page' || CAST(doc_id AS VARCHAR) AS src
+  FROM ldocs
+),
+-- each planted href's resolved+canonical form, derived independently
+-- from the arithmetic (self-link and non-navigational hrefs absent)
+ledges AS (
+  SELECT src, 'https://linkhost' || CAST(h AS VARCHAR) || '.com/top'
+              || CAST(doc_id % 7 AS VARCHAR) AS dst FROM lsrc
+  UNION ALL
+  SELECT src, 'https://linkhost' || CAST(h AS VARCHAR) || '.com/a'
+              || CAST(doc_id % 5 AS VARCHAR) || '/b/sib'
+              || CAST(doc_id % 3 AS VARCHAR) || '.html' FROM lsrc
+  UNION ALL
+  SELECT src, 'https://linkhost' || CAST(h AS VARCHAR) || '.com/a'
+              || CAST(doc_id % 5 AS VARCHAR) || '/up'
+              || CAST(doc_id % 4 AS VARCHAR) FROM lsrc
+  UNION ALL
+  SELECT src, 'https://linkhost' || CAST((doc_id + 1) % {N_LINK_HOSTS} AS VARCHAR)
+              || '.com/x' || CAST(doc_id % 6 AS VARCHAR) FROM lsrc
+  UNION ALL
+  SELECT src, 'https://ext' || CAST(doc_id % 3 AS VARCHAR) || '.com/p/'
+              || CAST(doc_id % 9 AS VARCHAR) FROM lsrc
+  UNION ALL
+  SELECT src, src || '?o=' || CAST(doc_id % 2 AS VARCHAR) FROM lsrc
+)
+"""
+
+
+@register(
+    "web_link_graph",
+    f"WITH {_LINK_EDGES_SQL} SELECT DISTINCT src, dst FROM ledges",
+)
+def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level link extraction (round 13): HTML ``<a href>`` values
+    → RFC 3986 resolution (stack-fold dot-segment removal) →
+    canonicalized, deduped ``(src, dst)`` edges; self-loops,
+    fragments, and non-navigational schemes drop
+    (``functions/links.py:page_links``). Everything codegen; the only
+    row expansion is hrefs/page. The oracle derives every planted
+    edge independently from the fixture arithmetic (the generic
+    resolver is golden-tested in ``tests/test_links.py``)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        page_links,
+    )
+
+    return page_links(_link_pages(spark, sf_dir))
+
+
+# NB: inside WITH RECURSIVE, DuckDB (1.0) treats ANY top-level
+# `A UNION B` CTE body as a recursive union and corrupts the rows —
+# every CTE here that unions keeps the DISTINCT-over-UNION-ALL shape
+_HOST_GRAPH_SQL = f"""
+hedges AS (
+  SELECT DISTINCT src_host, dst_host FROM (
+    SELECT 'linkhost' || CAST(h AS VARCHAR) || '.com' AS src_host,
+           'linkhost' || CAST((h + 1) % {N_LINK_HOSTS} AS VARCHAR) || '.com' AS dst_host
+    FROM ldocs
+    UNION ALL
+    SELECT 'linkhost' || CAST(h AS VARCHAR) || '.com',
+           'ext' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+    FROM ldocs
+  )
+)
+"""
+
+
+@register(
+    "web_host_degree",
+    f"""
+WITH {_LINK_EDGES_SQL},
+{_HOST_GRAPH_SQL}
+SELECT host,
+       CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree
+FROM (SELECT DISTINCT host FROM (SELECT src_host AS host FROM hedges
+      UNION ALL SELECT dst_host FROM hedges)) hosts
+LEFT JOIN (SELECT src_host, count(*) AS c FROM hedges GROUP BY src_host) o
+       ON o.src_host = hosts.host
+LEFT JOIN (SELECT dst_host, count(*) AS c FROM hedges GROUP BY dst_host) i
+       ON i.dst_host = hosts.host
+""",
+)
+def web_host_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph projection + fan-out/fan-in (round 13): page edges →
+    distinct cross-host ``(src_host, dst_host)`` edges → per-host
+    out/in degrees — the first-order authority signal (a host linked
+    by many others is not a link farm's orphan) and the sanity layer
+    under PageRank. Two small shuffles past the page-edge dedup."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        host_degrees,
+        host_graph,
+        page_links,
+    )
+
+    out = host_degrees(host_graph(page_links(_link_pages(spark, sf_dir))))
+    return out.select(
+        "host",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+    )
+
+
+PAGERANK_K = 10
+PAGERANK_DAMPING = 0.85
+
+
+@register(
+    "web_host_pagerank",
+    f"""
+WITH RECURSIVE {_LINK_EDGES_SQL},
+{_HOST_GRAPH_SQL},
+hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM hedges UNION ALL SELECT dst_host FROM hedges
+  )
+),
+nh AS (SELECT count(*) AS n FROM hosts),
+outd AS (SELECT src_host, count(*) AS c FROM hedges GROUP BY src_host),
+pr(iter, host, v) AS (
+  SELECT 0, host, CAST(1.0 / n AS DOUBLE) FROM hosts, nh
+  UNION ALL
+  SELECT iter + 1, host,
+         CAST((1 - {PAGERANK_DAMPING}) / (SELECT n FROM nh)
+              + {PAGERANK_DAMPING} * mass AS DOUBLE)
+  FROM (
+    SELECT p.iter AS iter, hh.host AS host,
+           sum(CASE WHEN e.dst_host = hh.host THEN p.v / o.c ELSE 0 END) AS mass
+    FROM pr p
+    JOIN outd o ON o.src_host = p.host
+    JOIN hedges e ON e.src_host = p.host
+    CROSS JOIN hosts hh
+    WHERE p.iter < {PAGERANK_K}
+    GROUP BY p.iter, hh.host
+  )
+)
+SELECT host, round(v, 6) AS pagerank FROM pr WHERE iter = {PAGERANK_K}
+""",
+)
+def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the host graph (round 13), fixed
+    ``k={PAGERANK_K}`` power iteration — the authority prior a crawl
+    scheduler multiplies into its fetch priorities and a curation
+    pipeline uses as a per-host quality feature. Deterministic by
+    construction (fixed k, dangling mass dropped — documented in
+    ``functions/links.py:host_pagerank``), so the DuckDB oracle
+    replays the exact iteration as a recursive CTE and the values
+    hash-match to 6 decimals. Each iteration shuffles only the
+    host-level edge table."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        host_graph,
+        host_pagerank,
+        page_links,
+    )
+
+    pr = host_pagerank(
+        host_graph(page_links(_link_pages(spark, sf_dir))),
+        k=PAGERANK_K,
+        damping=PAGERANK_DAMPING,
+    )
+    return pr.select("host", F.round(F.col("pagerank"), 6).alias("pagerank"))

@@ -89,3 +89,25 @@ def test_with_canonical_url_output_collision_raises(spark):
         with_canonical_url(df)
     with pytest.raises(ValueError, match="'host'"):
         with_canonical_url(df.drop("canonical_url").withColumn("host", F.lit("h")), host_col="host")
+
+
+def test_python_canonicalizer_matches_column_form(spark):
+    """canonicalize_url_py (the kernel twin used by the link-graph
+    kernel) is contract-identical to the Column form on the golden
+    cases plus the newline-fragment and idempotence probes."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        canonicalize_url_py,
+    )
+
+    raws = [raw for raw, _ in CASES] + ["http://x.org/p#frag\nmore"]
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(raws)], "i long, url string")
+    col_form = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    py_form = {i: canonicalize_url_py(r) for i, r in enumerate(raws)}
+    assert py_form == col_form
+    assert canonicalize_url_py(None) is None
+    for r in raws:
+        once = canonicalize_url_py(r)
+        assert canonicalize_url_py(once) == once
