@@ -321,6 +321,8 @@ def host_pagerank(
         .localCheckpoint(eager=True)
     )
     n = hosts.count()
+    if n == 0:  # empty graph: empty ranking, not a ZeroDivisionError
+        return hosts.select("host", F.lit(0.0).alias("pagerank"))
     out_deg = hg.groupBy(F.col("src_host").alias("host")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )

@@ -35,12 +35,15 @@ Documented scope (mirrored by the DuckDB oracles in
 - percent-encoding is NOT normalized on either side (pattern and
   target compare as captured) — the usual crawler simplification.
 
-Scale note: matching compiles one regex per (url × host-rule) row via
-a non-foldable RLIKE. Distinct patterns per host are few (robots.txt
-is human-written); the join is a broadcast, so the frontier side never
-shuffles. At extreme scale you'd pre-bucket by host and reuse compiled
-patterns inside an Arrow kernel, but the expression path keeps the
-whole gate inside codegen.
+Scale note: the expression path compiles one regex per (url ×
+host-rule) row via a non-foldable RLIKE — cheap at the web's typical
+2–5 rules/host, linear-in-density beyond. Matching is therefore
+DUAL-PATH: :func:`robots_verdicts` (codegen expressions, the frontier
+side never shuffles) and :func:`robots_verdicts_kernel` (host-bucketed
+patterns compiled once per executor, vectorized per host group),
+bit-identical by parity tests, dispatched by measured rule density in
+:func:`robots_verdicts_auto` (crossover ~6–10 rules/host — SCALE.md
+round 13).
 """
 
 from __future__ import annotations
@@ -213,8 +216,13 @@ def fetch_schedule(
     if host_col not in frontier.columns:
         frontier = frontier.withColumn(host_col, url_host(F.col(url_col)))
     w = Window.partitionBy(host_col).orderBy(url_col)
-    d = delays.select(
-        F.col("host").alias(host_col), F.col("crawl_delay").cast("double").alias("crawl_delay")
+    # per-host MAX defensively: robots_crawl_delays already emits one
+    # row per host, but a duplicate-host delays table must slow the
+    # schedule down (conservative politeness), never multiply frontier
+    # rows through the join
+    d = (
+        delays.groupBy(F.col("host").alias(host_col))
+        .agg(F.max(F.col("crawl_delay").cast("double")).alias("crawl_delay"))
     )
     return (
         frontier.withColumn("wave", (F.row_number().over(w) - 1).cast("long"))
@@ -237,8 +245,11 @@ def robots_sitemaps(
     opens nor closes a group). Field name case-insensitive; the value
     keeps its colons (``https://...``) because the field split cuts at
     the FIRST colon only; empty values drop; one row per distinct
-    (host, url). This is the crawl-SEED side of robots.txt — the
-    permission side is :func:`parse_robots_rules`."""
+    (host, url). Values pass through VERBATIM — sitemaps.org requires
+    absolute URLs, so a (nonconforming) relative ``Sitemap:`` record
+    simply won't join to a fetched-bodies table; out of contract. This
+    is the crawl-SEED side of robots.txt — the permission side is
+    :func:`parse_robots_rules`."""
     line = F.col("line")
     clean = F.regexp_replace(line, "#.*$", "")
     field = F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1)))
@@ -504,7 +515,14 @@ def robots_verdicts_kernel(
                     continue
                 pos = np.asarray(idx)
                 targets = pdf[target_col].to_numpy()[pos]
-                undecided = np.ones(len(pos), dtype=bool)
+                # null targets (null/invalid URLs) never match a rule —
+                # allowed=1 with null matched_*, same as the expression
+                # path's null-propagating rlike
+                undecided = np.fromiter(
+                    (t is not None for t in targets),
+                    dtype=bool,
+                    count=len(pos),
+                )
                 for rx, rule, pat in plan:
                     if not undecided.any():
                         break

@@ -272,10 +272,13 @@ def test_web_crawl_funnel_shuffle_free_until_url_dedup(spark, tmp_path):
 
 
 def test_fetch_schedule_single_frontier_shuffle(spark):
-    """The politeness scheduler's plan contract: the frontier pays
-    exactly ONE hash shuffle (the per-host ranking window); the tiny
-    delay table broadcasts. At 100 TB the schedule is
-    scan -> one exchange -> window arithmetic."""
+    """The politeness scheduler's plan contract: the FRONTIER pays
+    exactly ONE hash shuffle (the per-host ranking window). The delay
+    table pays its own tiny per-host dedup aggregate (defensive MAX —
+    r13 review: a duplicate-host delays table must slow the schedule,
+    never multiply frontier rows through the join) and then joins
+    broadcast. At 100 TB the frontier side is scan -> one exchange ->
+    window arithmetic."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
         fetch_schedule,
     )
@@ -290,6 +293,21 @@ def test_fetch_schedule_single_frontier_shuffle(spark):
         [(f"h{i}.com", float(i % 5 + 1)) for i in range(50)],
         "host string, crawl_delay double",
     )
-    out = fetch_schedule(frontier, F.broadcast(delays))
-    assert shuffle_count(out) == 1
-    assert broadcast_join_count(out) >= 1
+    out = fetch_schedule(frontier, delays)
+    # frontier-side window shuffle + delays-side dedup agg, NOTHING
+    # else: the join carries no broadcast hint (the per-host delay
+    # table GROWS with hosts — AQE broadcasts it while small) and when
+    # planned as SMJ it REUSES both sides' existing host partitioning,
+    # so no third exchange appears
+    assert shuffle_count(out) == 2
+    # duplicate-host delays: rows never multiply, max delay wins
+    dup = delays.union(
+        spark.createDataFrame([("h1.com", 9.0)], "host string, crawl_delay double")
+    )
+    out2 = fetch_schedule(frontier, dup)
+    assert out2.count() == 10_000
+    assert (
+        out2.filter((F.col("host") == "h1.com") & (F.col("wave") == 1))
+        .first()["fetch_at"]
+        == 9.0
+    )

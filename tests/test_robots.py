@@ -469,3 +469,22 @@ def test_auto_dispatch_picks_by_max_density(spark, rules, monkeypatch):
     )
     assert out2.first()["allowed"] == 0
     assert picked == ["expr", "kernel"]
+
+
+def test_kernel_null_url_parity(spark, rules):
+    """A null URL row: both paths emit allowed=1 with null matched_*
+    (r13 review — the kernel previously crashed on rx.match(None))."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        robots_verdicts_kernel,
+    )
+
+    df = spark.createDataFrame(
+        [("https://a.com/docs/x",), (None,)], "url string"
+    )
+    for fn in (robots_verdicts, robots_verdicts_kernel):
+        got = {
+            r["url"]: (r["allowed"], r["matched_rule"])
+            for r in fn(df, rules, agent="sparkbot").collect()
+        }
+        assert got[None] == (1, None), fn.__name__
+        assert got["https://a.com/docs/x"] == (0, "disallow"), fn.__name__
