@@ -389,3 +389,46 @@ def test_inline_compaction_rides_the_ingest_loop(spark, tmp_path, setup):
     # the fold after batch 1 was a min_fold no-op (one foldable dir);
     # the fold after batch 3 moved 0,1,2 into -1; batch 3 stays
     assert dirs == ["batch_id=-1", "batch_id=3"]
+
+
+def test_robots_gate_kernel_path_in_stream(spark, tmp_path, setup):
+    """A dense rule set (>= the kernel threshold) routes the stream's
+    robots gate through the compiled-pattern Arrow kernel inside
+    foreachBatch; verdict behavior is unchanged — the kernel and
+    expression paths are parity-pinned, this pins the DISPATCH works
+    end-to-end in a streaming micro-batch."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        KERNEL_RULES_PER_HOST,
+        parse_robots_rules,
+    )
+
+    landing, idx = setup
+    (landing / "s1.warc").write_bytes(SEG1)
+    # a.example: many dummy disallows (forcing the kernel path) plus
+    # the real /y block; b.example unrestricted
+    lines = ["User-agent: *"] + [
+        f"Disallow: /never{i}/" for i in range(KERNEL_RULES_PER_HOST + 4)
+    ] + ["Disallow: /y"]
+    rules = parse_robots_rules(
+        spark.createDataFrame(
+            [("a.example", "\n".join(lines))], "host string, body string"
+        )
+    )
+    q = start_web_ingest_stream(
+        spark,
+        str(landing),
+        idx,
+        HashEmbedder(dimension=16),
+        checkpoint_dir=f"{tmp_path}/ckpt",
+        frontier_dir=f"{tmp_path}/frontier",
+        host_cap=2,
+        available_now=True,
+        robots_rules=rules,
+        robots_agent="TestBot",
+    )
+    q.awaitTermination(120)
+    kept = {
+        r["source"].rsplit("#", 1)[0]
+        for r in idx.read().select("source").collect()
+    }
+    assert kept == {"http://a.example/x?utm_source=f", "http://b.example/1"}
