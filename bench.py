@@ -109,6 +109,14 @@ HEADLINE = [
     # round 13: link graph + host authority (new keys)
     "web_link_graph",
     "web_host_pagerank",
+    # round 14: crawl-loop closure (frontier admission), ranked
+    # politeness scheduling, WET-path funnel, dangling-mass PageRank
+    # (new keys — no history)
+    "web_frontier_admission",
+    "web_fetch_schedule_ranked",
+    "corpus_wet_funnel",
+    "web_host_pagerank_dangling",
+    "web_link_graph_warc",
 ]
 
 # Rebuild-per-call composites (honest-accounting convention): their
@@ -289,10 +297,30 @@ def main() -> None:
     ingest_s = min(ingest_samples)
     best_i = ingest_samples.index(ingest_s)
     chunks_per_s = round(n_chunks / ingest_s, 1)
+
+    # Canary-normalized ingest throughput (round 14, r12 ask #7 — r13
+    # was the proof of need: raw ingest read 2868→1953 on a host whose
+    # canary swung 37–261 GFLOPS and the attribution had to be manual).
+    # Each attempt's rate is scaled by (REF / canary_at_attempt) — an
+    # estimate of what that attempt would have yielded on a healthy
+    # host, valid exactly when the slowdown is CPU-shaped like the
+    # GEMM (the observed noisy-neighbor mode). The MEDIAN of scaled
+    # attempts is the headline: robust to one stall, and it makes a
+    # raw-rate swing explainable from this JSON alone — raw moved but
+    # canary_norm stable ⇒ host; both moved ⇒ code.
+    CANARY_REF_GFLOPS = 200.0  # r12's steady healthy window (193-254)
+    scaled = sorted(
+        (n_chunks / s) * CANARY_REF_GFLOPS / max(c, 0.1)
+        for s, c in zip(ingest_samples, ingest_canaries)
+    )
+    canary_norm = round(scaled[len(scaled) // 2], 1)
+    canary_median = sorted(ingest_canaries)[len(ingest_canaries) // 2]
     print(
         f"# ingest: {n_chunks} chunks, min {ingest_s:.2f}s = {chunks_per_s}/s "
         f"(attempts {ingest_samples}, canary GFLOPS {ingest_canaries}, "
-        f"canary@min {ingest_canaries[best_i]})",
+        f"canary@min {ingest_canaries[best_i]}, canary-norm "
+        f"{canary_norm}/s @ ref {CANARY_REF_GFLOPS}, "
+        f"canary median {canary_median})",
         file=sys.stderr,
     )
 
@@ -314,6 +342,9 @@ def main() -> None:
         "ingest_chunks": n_chunks,
         "ingest_attempts_sec": ingest_samples,
         "ingest_canary_gflops": ingest_canaries,
+        "ingest_chunks_per_sec_canary_norm": canary_norm,
+        "canary_median_gflops": canary_median,
+        "canary_ref_gflops": CANARY_REF_GFLOPS,
     }
     print(json.dumps(record))
 

@@ -39,9 +39,12 @@ ranking). This module gives the DataFrame form:
   :func:`host_pagerank` — the host-level projection: distinct host
   edges, in/out degrees, and damped PageRank by fixed-k power
   iteration. PageRank scope: ``PR = (1-d)/N + d * Σ PR(src)/out(src)``
-  with DANGLING MASS DROPPED (hosts without outlinks leak their rank;
-  documented — the ranking ORDER is what the crawler consumes, and a
-  recursive-CTE oracle can replay this form exactly).
+  with dangling mass DROPPED by default (hosts without outlinks leak
+  their rank; the ranking ORDER is what the crawler consumes, and a
+  recursive-CTE oracle can replay this form exactly) or REDISTRIBUTED
+  uniformly per iteration (``dangling="redistribute"`` — the standard
+  correction and the form behind Common Crawl's published host ranks;
+  equally oracle-replayable).
 
 Scale shape: extraction rides the page scan (codegen regexp, one
 explode bounded by hrefs/page); the edge table shuffles once on the
@@ -142,10 +145,14 @@ def resolve_href(base: Column | str, href: Column | str) -> Column:
             F.concat(
                 root,
                 _collapse_dots(F.substring_index(merged, "?", 1)),
+                # Query = everything from the FIRST '?' (RFC 3986: later
+                # '?' are literal query characters, e.g. '?next=/s?q=1').
+                # substring_index(..., -1) would cut at the LAST '?' and
+                # diverge from resolve_href_py.
                 F.when(
                     F.instr(merged, "?") > 0,
-                    F.concat(
-                        F.lit("?"), F.substring_index(merged, "?", -1)
+                    F.substring(
+                        merged, F.instr(merged, "?"), F.length(merged)
                     ),
                 ).otherwise(F.lit("")),
             )
@@ -266,6 +273,33 @@ def page_links(
     return hrefs.mapInPandas(kernel, schema=schema).distinct()
 
 
+def url_link_authority(edges: DataFrame, ranks: DataFrame) -> DataFrame:
+    """Per-URL authority prior from the host-level ranking: for each
+    ``dst`` URL, the SUM of its distinct linking hosts' pagerank —
+    "how much authority recommends this URL". ``(url, priority)``,
+    the shape :func:`functions.robots.fetch_schedule` consumes for
+    PageRank-ordered waves. Distinct (src_host, dst) first: one host
+    linking a URL from a thousand pages is one recommendation, not a
+    thousand (the same farm-resistance rule as the host graph).
+
+    Shape: one dedup shuffle on (src_host, dst), one join against the
+    (hosts-sized) rank table, one groupBy on dst — all frontier-scale
+    keys, AQE-sized, no row explosion."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        url_host,
+    )
+
+    src_hosts = edges.select(
+        url_host(F.col("src")).alias("src_host"), F.col("dst")
+    ).distinct()
+    return (
+        src_hosts.join(ranks, src_hosts["src_host"] == ranks["host"])
+        .groupBy("dst")
+        .agg(F.sum("pagerank").alias("priority"))
+        .select(F.col("dst").alias("url"), "priority")
+    )
+
+
 def host_graph(edges: DataFrame) -> DataFrame:
     """Page edges → distinct host-level ``(src_host, dst_host)``
     edges, intra-host links dropped (self-authority is noise)."""
@@ -303,17 +337,35 @@ def host_degrees(hg: DataFrame) -> DataFrame:
 
 
 def host_pagerank(
-    hg: DataFrame, k: int = 10, damping: float = 0.85
+    hg: DataFrame, k: int = 10, damping: float = 0.85, dangling: str = "drop"
 ) -> DataFrame:
     """Damped PageRank over the host graph by fixed-``k`` power
-    iteration (module doc for the dangling-mass scope): ``(host,
-    pagerank)`` for every host on either edge side. Deterministic —
-    fixed iteration count, no convergence test — so a recursive-CTE
-    oracle replays it value-exact. Each iteration is one shuffle of
-    the (host-level, tiny-next-to-page-level) edge table; localCheckpoint
-    every iteration keeps the plan linear in 1, not k."""
+    iteration: ``(host, pagerank)`` for every host on either edge
+    side. Deterministic — fixed iteration count, no convergence test —
+    so a recursive-CTE oracle replays it value-exact. Each iteration
+    is one shuffle of the (host-level, tiny-next-to-page-level) edge
+    table; localCheckpoint every iteration keeps the plan linear in 1,
+    not k.
+
+    ``dangling`` picks the treatment of hosts with no out-links:
+
+    - ``"drop"`` (default, module doc): their rank mass simply leaks —
+      the simplest replayable form, fine when only the ORDER feeds the
+      crawler;
+    - ``"redistribute"``: the standard correction (and the form behind
+      Common Crawl's published host ranks): each iteration sums the
+      dangling hosts' mass and spreads it uniformly over all N hosts,
+      so total rank is conserved at 1.0. Rank ORDER can differ from
+      the droppable form on hub-poor graphs. Costs one scalar
+      aggregate per iteration (a single double to the driver — each
+      iteration is already an eager checkpoint job, so this adds no
+      extra pass over the edges)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'drop' or 'redistribute', got {dangling!r}"
+        )
     hosts = (
         hg.select(F.col("src_host").alias("host"))
         .union(hg.select(F.col("dst_host")))
@@ -343,12 +395,24 @@ def host_pagerank(
             .groupBy("host")
             .agg(F.sum("c").alias("in_mass"))
         )
+        extra = base
+        if dangling == "redistribute":
+            # dangling mass this iteration: rank held by hosts with no
+            # out-links (anti-join on the tiny out-degree table), one
+            # scalar to the driver — bounded by k, never by data
+            dm = (
+                pr.join(out_deg.select("host"), "host", "left_anti")
+                .agg(F.sum("pagerank"))
+                .first()[0]
+                or 0.0
+            )
+            extra = base + damping * dm / n
         pr = (
             hosts.join(contrib, "host", "left")
             .select(
                 "host",
                 (
-                    F.lit(base)
+                    F.lit(extra)
                     + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
                 ).alias("pagerank"),
             )

@@ -187,11 +187,12 @@ def fetch_schedule(
     default_delay: float = 1.0,
     url_col: str = "url",
     host_col: str = "host",
+    priority: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize the politeness schedule: frontier URLs ×
     :func:`robots_crawl_delays` → deterministic per-host fetch waves —
     the DataFrame form of a crawl scheduler's per-host token bucket.
-    Each host's URLs are ranked bytewise (``wave`` = 0, 1, 2, …) and
+    Each host's URLs are ranked (``wave`` = 0, 1, 2, …) and
     ``fetch_at = wave × crawl_delay`` seconds from the host's crawl
     start (``default_delay`` where the host declares none): wave N may
     fetch no earlier than N delays in, which is exactly the token
@@ -199,11 +200,24 @@ def fetch_schedule(
     fetcher partition works through per host; absolute timestamps are
     the caller's ``F.lit(t0) + fetch_at`` away.
 
+    Wave order within a host is bytewise by URL — unless ``priority``
+    (a ``(url, priority)`` frame, e.g.
+    ``functions.links.url_link_authority`` over the host-PageRank
+    table) is given: then waves go ``priority`` DESC (nulls last — an
+    unscored URL fetches after every scored one), URL bytewise on
+    ties. Host wave SPACING is unchanged either way — authority
+    decides what a host's next token is spent on, never how fast the
+    tokens come (that is the host's own crawl-delay). Callers should
+    pre-round float priorities (the registry query rounds to 6 dp) so
+    summation-order ulps can't flip the order between engines. The
+    joined ``priority`` column stays on the output.
+
     Plan shape: the frontier pays ONE hash shuffle on ``host`` (the
     ranking window); the per-host delay table joins on the same key —
     broadcast while small, AQE-planned once hosts grow — and the wave
-    arithmetic rides the window's partitioning. No frontier-side
-    explosion, no second shuffle."""
+    arithmetic rides the window's partitioning. The optional priority
+    join keys on the URL (AQE-sized; both sides are frontier-scale)
+    and lands BEFORE the window so it costs no extra frontier pass."""
     if "crawl_delay" not in delays.columns or "host" not in delays.columns:
         raise ValueError(
             "delays must be a (host, crawl_delay) table — the "
@@ -215,7 +229,22 @@ def fetch_schedule(
 
     if host_col not in frontier.columns:
         frontier = frontier.withColumn(host_col, url_host(F.col(url_col)))
-    w = Window.partitionBy(host_col).orderBy(url_col)
+    order = [F.col(url_col)]
+    if priority is not None:
+        if "priority" not in priority.columns:
+            raise ValueError(
+                "priority must be a (url, priority) table — e.g. the "
+                "functions.links.url_link_authority output"
+            )
+        frontier = frontier.join(
+            priority.select(
+                F.col(priority.columns[0]).alias(url_col), "priority"
+            ),
+            url_col,
+            "left",
+        )
+        order = [F.col("priority").desc_nulls_last(), F.col(url_col)]
+    w = Window.partitionBy(host_col).orderBy(*order)
     # per-host MAX defensively: robots_crawl_delays already emits one
     # row per host, but a duplicate-host delays table must slow the
     # schedule down (conservative politeness), never multiply frontier
@@ -332,27 +361,41 @@ def robots_verdicts(
     rides the scan. Winner = most pattern octets, ties to ``allow``,
     then bytewise pattern for determinism (RFC 9309 §2.2.2).
     """
+    urls = _ensure_host_target(urls, url_col, host_col, target_col)
+    by_host = _rules_by_host(_applicable_rules(rules, agent.lower()))
+    return _expression_apply(urls, by_host, host_col, target_col)
+
+
+def _ensure_host_target(
+    urls: DataFrame, url_col: str, host_col: str, target_col: str
+) -> DataFrame:
+    """Scratch-column guard (the with_canonical_url discipline) +
+    derive ``host``/``target`` from ``url_col`` when absent — shared
+    by both verdict paths and the prepared :class:`RobotsGate`."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
         url_host,
     )
 
-    # scratch-column guard (the with_canonical_url discipline): the
-    # verdict machinery joins _rs/_best/r_host onto the caller's frame
-    # and a pre-existing column of those names would collide silently
+    # the verdict machinery joins _rs/_best/r_host onto the caller's
+    # frame and a pre-existing column of those names would collide
     for t in ("_rs", "_best", "r_host"):
         if t in urls.columns:
             raise ValueError(
                 f"robots_verdicts scratch column {t!r} already exists "
                 "in the URL frame — rename it"
             )
-    agent = agent.lower()
     if host_col not in urls.columns:
         urls = urls.withColumn(host_col, url_host(F.col(url_col)))
     if target_col not in urls.columns:
         urls = urls.withColumn(target_col, url_target(F.col(url_col)))
+    return urls
 
-    cand = _applicable_rules(rules, agent)
-    by_host = cand.groupBy(F.col("host").alias("r_host")).agg(
+
+def _rules_by_host(cand: DataFrame) -> DataFrame:
+    """Applicable rules → one ``(r_host, _rs)`` array row per host
+    (the expression path's broadcast side; the only shuffle, on the
+    tiny rules table)."""
+    return cand.groupBy(F.col("host").alias("r_host")).agg(
         F.collect_list(
             F.struct(
                 F.col("rule").alias("rule"),
@@ -362,6 +405,12 @@ def robots_verdicts(
         ).alias("_rs")
     )
 
+
+def _expression_apply(
+    urls: DataFrame, by_host: DataFrame, host_col: str, target_col: str
+) -> DataFrame:
+    """The expression path's match+winner stage over a prepared
+    ``by_host`` frame (``urls`` must already carry host/target)."""
     joined = urls.join(
         F.broadcast(by_host), urls[host_col] == by_host["r_host"], "left"
     ).drop("r_host")
@@ -444,35 +493,33 @@ def robots_verdicts_kernel(
     Same contract and output schema as :func:`robots_verdicts`; pick
     between them with the measured crossover in SCALE.md (the
     expression path wins below ~40 rules/host)."""
-    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
-        url_host,
-    )
+    urls = _ensure_host_target(urls, url_col, host_col, target_col)
+    sel = _applicable_rules(rules, agent.lower()).select("host", "rule", "pattern")
+    bc = urls.sparkSession.sparkContext.broadcast(_host_rules_map(sel.collect()))
+    return _kernel_apply(urls, bc, host_col, target_col)
 
-    for t in ("_rs", "_best", "r_host"):
-        if t in urls.columns:
-            raise ValueError(
-                f"robots_verdicts scratch column {t!r} already exists "
-                "in the URL frame — rename it"
-            )
-    agent = agent.lower()
-    if host_col not in urls.columns:
-        urls = urls.withColumn(host_col, url_host(F.col(url_col)))
-    if target_col not in urls.columns:
-        urls = urls.withColumn(target_col, url_target(F.col(url_col)))
 
-    # rules collapse driver-side exactly like the expression path's
-    # broadcast: precedence-sorted per host so FIRST match wins
-    sel = _applicable_rules(rules, agent).select("host", "rule", "pattern")
+def _host_rules_map(rows) -> dict[str, list[tuple[str, str]]]:
+    """Collected ``(host, rule, pattern)`` rows collapsed driver-side
+    exactly like the expression path's broadcast: precedence-sorted
+    per host (most octets, allow on ties, bytewise pattern) so FIRST
+    match wins."""
     host_rules: dict[str, list[tuple[str, str]]] = {}
-    for r in sel.collect():
+    for r in rows:
         host_rules.setdefault(r["host"], []).append((r["rule"], r["pattern"]))
     for h in host_rules:
         host_rules[h] = sorted(
             set(host_rules[h]),
             key=lambda rp: (-len(rp[1].encode("utf-8")), rp[0], rp[1]),
         )
-    bc = urls.sparkSession.sparkContext.broadcast(host_rules)
+    return host_rules
 
+
+def _kernel_apply(
+    urls: DataFrame, bc, host_col: str, target_col: str
+) -> DataFrame:
+    """The compiled-pattern match stage over an already-broadcast
+    host→rules map (``urls`` must already carry host/target)."""
     from pyspark.sql import types as T
 
     in_cols = list(urls.columns)
@@ -591,3 +638,65 @@ def robots_verdicts_auto(
     return fn(
         urls, rules, agent, url_col=url_col, host_col=host_col, target_col=target_col
     )
+
+
+class RobotsGate:
+    """Prepared verdict applier for callers that apply ONE static
+    rules table many times — a stream's ``foreachBatch`` being the
+    canonical case (r13 advice: ``robots_verdicts_auto`` re-ran the
+    density probe per micro-batch, and the kernel path re-collected
+    and re-broadcast the full applicable-rules table each time, for a
+    table that never changes across the stream's lifetime).
+
+    Construction does the per-rules-table work ONCE: one driver-side
+    collect of the agent-applicable rules (they are the broadcast-small
+    side by contract) yields both the density probe and — when the
+    densest host is at/above ``kernel_threshold`` — the precedence-
+    sorted host→rules map, broadcast once and reused by every apply.
+    On the expression path the tiny per-host rule arrays are
+    ``localCheckpoint``-pinned so each apply broadcast-joins the
+    materialized rows instead of re-running the rules aggregation.
+
+    Dispatch semantics are identical to :func:`robots_verdicts_auto`
+    (same threshold, same MAX-density rule — parity pinned in
+    ``tests/test_robots.py``); per-URL verdicts are bit-identical to
+    both one-shot paths by construction (shared apply stages)."""
+
+    def __init__(
+        self,
+        rules: DataFrame,
+        agent: str,
+        kernel_threshold: int = KERNEL_RULES_PER_HOST,
+    ) -> None:
+        self.agent = agent.lower()
+        sel = _applicable_rules(rules, self.agent).select(
+            "host", "rule", "pattern"
+        )
+        rows = sel.collect()
+        # density counts RAW applicable rows per host, matching
+        # robots_verdicts_auto's probe (dedup happens in the map build)
+        counts: dict[str, int] = {}
+        for r in rows:
+            counts[r["host"]] = counts.get(r["host"], 0) + 1
+        self.max_rules_per_host = max(counts.values(), default=0)
+        self.use_kernel = self.max_rules_per_host >= kernel_threshold
+        if self.use_kernel:
+            self._bc = rules.sparkSession.sparkContext.broadcast(
+                _host_rules_map(rows)
+            )
+        else:
+            self._by_host = _rules_by_host(
+                _applicable_rules(rules, self.agent)
+            ).localCheckpoint(eager=True)
+
+    def __call__(
+        self,
+        urls: DataFrame,
+        url_col: str = "url",
+        host_col: str = "host",
+        target_col: str = "target",
+    ) -> DataFrame:
+        urls = _ensure_host_target(urls, url_col, host_col, target_col)
+        if self.use_kernel:
+            return _kernel_apply(urls, self._bc, host_col, target_col)
+        return _expression_apply(urls, self._by_host, host_col, target_col)

@@ -105,14 +105,21 @@ def canonicalize_url(url: Column | str) -> Column:
     # 2. split: scheme :// authority rest
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    # (?s) DOTALL: without it a '\n' in the path/query makes '(.*)$'
+    # unmatchable (Java '.' stops at line terminators) and the URL
+    # would collapse to path '/' with the query dropped — diverging
+    # from the staged form, which splits by substring arithmetic.
+    # Newlines are reachable here: extracted hrefs' [^"']* crosses
+    # them, and takedown requests canonicalized with THIS form must
+    # hit frontier rows written by the staged form.
+    rest = F.regexp_extract(u, r"(?s)^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     # 3. strip the scheme's default port
     auth = _strip_default_port(scheme, auth)
-    # 4. path / query split
+    # 4. path / query split (first '?'; both sides may contain '\n')
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     path = _strip_trailing_slash(path)
-    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    query = F.regexp_extract(rest, r"(?s)\?(.*)$", 1)
     # 5. drop tracking params, sort the rest bytewise
     canon = _assemble(scheme, auth, path, _canon_query(query))
     # best-effort contract: anything that isn't an absolute URL
@@ -124,7 +131,12 @@ def canonicalize_url(url: Column | str) -> Column:
 
 import re as _re
 
-_SCHEME_SPLIT_RX = _re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$")
+# DOTALL for the same reason as the Column form: a '\n' in the
+# path/query must not fail the match (which would pass the URL
+# through un-canonicalized and diverge from the staged form).
+_SCHEME_SPLIT_RX = _re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$", _re.DOTALL
+)
 
 
 def canonicalize_url_py(url: str | None) -> str | None:

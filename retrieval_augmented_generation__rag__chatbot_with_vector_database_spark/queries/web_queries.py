@@ -159,29 +159,30 @@ FROM base
 """
 
 
-def _funnel_oracle() -> str:
-    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
-        html_main_content_sql,
-    )
+def _pii_fold() -> tuple[str, str]:
+    """(scrubbed-text expression over ``text``, residual-count sum) —
+    the PII replay shared by the WARC and WET funnel oracles."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.pii import (
         PII_PATTERNS,
-    )
-    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.ingest_queries import (
-        chunker_merge_oracle_sql,
-    )
-    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.text_queries import (
-        _URL_CANON_SQL,
     )
 
     counts, cur = [], "text"
     for _, pat, token in PII_PATTERNS:
         counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
         cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
-    scrub = cur  # the fold's end state IS the fully-scrubbed text
-    residual = " + ".join(counts)
-    chunked = chunker_merge_oracle_sql("SELECT doc_id, text FROM scrubbed")
+    return cur, " + ".join(counts)  # fold end state IS the scrubbed text
+
+
+def _funnel_curation_ctes() -> str:
+    """The shared curation replay (canonical-URL dedup → per-host cap)
+    over the ``base`` CTE — used verbatim by both container-flavor
+    funnels (WARC and WET), since the planted URLs and the cap
+    arithmetic are identical across them."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.text_queries import (
+        _URL_CANON_SQL,
+    )
+
     return f"""
-WITH base AS ({_BASE_SQL}),
 planted AS (SELECT doc_id, url FROM base),
 cu AS ({_URL_CANON_SQL} SELECT doc_id, curl FROM canon),
 surv AS (SELECT min(doc_id) AS doc_id, curl FROM cu GROUP BY curl),
@@ -197,7 +198,36 @@ capped AS (
            row_number() OVER (PARTITION BY h.host ORDER BY s.doc_id) AS rk
     FROM surv s JOIN hosts h ON s.doc_id = h.doc_id
   ) WHERE rk <= {HOST_CAP}
-),
+)"""
+
+
+def _funnel_tail_sql(residual: str) -> str:
+    """The shared index-readback stanza over the ``scrubbed`` CTE:
+    content-addressed chunk ids + the PII re-scan column."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.queries.ingest_queries import (
+        chunker_merge_oracle_sql,
+    )
+
+    chunked = chunker_merge_oracle_sql("SELECT doc_id, text FROM scrubbed")
+    return f"""
+SELECT DISTINCT
+       'doc_' || local_index || '_' || substr(md5(text), 1, 8) AS id,
+       CAST(local_index AS INT) AS chunk_index,
+       md5(text) AS chunk_md5,
+       CAST({residual} AS BIGINT) AS n_pii_residual
+FROM ({chunked})
+"""
+
+
+def _funnel_oracle() -> str:
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        html_main_content_sql,
+    )
+
+    scrub, residual = _pii_fold()
+    return f"""
+WITH base AS ({_BASE_SQL}),
+{_funnel_curation_ctes()},
 wrapped AS (
   SELECT w.doc_id, w.html FROM ({_WRAP_SQL}) w
   JOIN capped c ON w.doc_id = c.doc_id
@@ -206,12 +236,7 @@ extracted AS (
   SELECT doc_id, {html_main_content_sql("html")} AS text FROM wrapped
 ),
 scrubbed AS (SELECT doc_id, {scrub} AS text FROM extracted)
-SELECT DISTINCT
-       'doc_' || local_index || '_' || substr(md5(text), 1, 8) AS id,
-       CAST(local_index AS INT) AS chunk_index,
-       md5(text) AS chunk_md5,
-       CAST({residual} AS BIGINT) AS n_pii_residual
-FROM ({chunked})
+{_funnel_tail_sql(residual)}
 """
 
 
@@ -265,6 +290,105 @@ def corpus_web_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_warc_records(spark, tmp), main_content=True, host_cap=HOST_CAP
         )
         idx = VectorIndex(spark, f"{tmp}/idx", "web-funnel").create(dimension=64)
+        idx.upsert(
+            docs_to_records(
+                docs.select("text", "source"), HashEmbedder(dimension=64), scrub=True
+            ),
+            batch=0,
+        )
+        back = idx.read().select("id", "chunk_index", "text")
+        collected = back.collect()
+    out = spark.createDataFrame(collected, back.schema)
+    residual = sum(pii_counts(F.col("text")).values())
+    return out.select(
+        "id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.md5(F.col("text").cast("binary")).alias("chunk_md5"),
+        residual.cast("long").alias("n_pii_residual"),
+    ).distinct()
+
+
+def _wet_segment(rows: list[tuple[int, str]]) -> bytes:
+    """One ``.warc.wet.gz`` segment (per-record gzip members) over the
+    SAME planted crawl as :func:`_warc_segment` — conversion records
+    whose body is the crawl's own extracted text (the planted document
+    text + PII tail), UTF-8, no HTTP envelope. Common Crawl's WET
+    layout: record-level ``Content-Type: text/plain``."""
+    members = []
+    for d, text in rows:
+        body = (text + _plant_pii_tail(d)).encode("utf-8")
+        head = (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {_plant_url(d)}\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        members.append(gzip.compress(head + body + b"\r\n\r\n"))
+    return b"".join(members)
+
+
+def _wet_funnel_oracle() -> str:
+    scrub, residual = _pii_fold()
+    return f"""
+WITH base AS ({_BASE_SQL}),
+{_funnel_curation_ctes()},
+scrubbed AS (
+  SELECT b.doc_id, {scrub} AS text
+  FROM base b JOIN capped c ON b.doc_id = c.doc_id
+)
+{_funnel_tail_sql(residual)}
+"""
+
+
+@register("corpus_wet_funnel", _wet_funnel_oracle())
+def corpus_wet_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WET-path ingest funnel (round 14, r12 ask #8): real
+    ``.warc.wet.gz`` bytes (gzip members, ``conversion`` records —
+    the Common Crawl layout most consumers actually start from) →
+    container parse → canonical-URL dedup → per-host cap
+    (``wet_crawl_documents`` — the SAME curation code as the WARC
+    funnel, only the text source differs) → PII scrub → 500/50
+    chunker → embed → ``VectorIndex`` LWW upsert → read back. Shares
+    the WARC funnel's planted crawl (same URL-collision variants,
+    same PII tails, same 60 → 30 → 20 reduction) and its oracle
+    staging; the oracle simply skips the HTML wrap/extract stages
+    because WET bodies are already text. Reference analog:
+    ``scripts/ingest_documents.py:108-233`` — operator-supplied text
+    in, chunk/embed/upsert out."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+        HashEmbedder,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.pii import (
+        pii_counts,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        VectorIndex,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+        load_warc_records,
+        wet_crawl_documents,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
+        docs_to_records,
+    )
+
+    planted = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < N_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    rows = sorted((r["doc_id"], r["text"]) for r in planted)
+    with tempfile.TemporaryDirectory() as tmp:
+        with open(f"{tmp}/crawl-00000.warc.wet.gz", "wb") as f:
+            f.write(_wet_segment(rows))
+        docs = wet_crawl_documents(
+            load_warc_records(spark, tmp, glob="*.wet*"), host_cap=HOST_CAP
+        )
+        idx = VectorIndex(spark, f"{tmp}/idx", "wet-funnel").create(dimension=64)
         idx.upsert(
             docs_to_records(
                 docs.select("text", "source"), HashEmbedder(dimension=64), scrub=True
@@ -1366,6 +1490,12 @@ def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<a href="https://EXT'), (d % 3).cast("string"),
         F.lit(".COM:443/p/"), (d % 9).cast("string"), F.lit('/">e</a>'),
         F.lit('<a href="?o='), (d % 2).cast("string"), F.lit('">q</a>'),
+        # same-host next-page link (round 14): pages d -> d+8 chain the
+        # crawl two hops deep — for d+8 < N_LINK_DOCS the target is an
+        # already-fetched page (frontier admission must anti-join it
+        # out), for the last 8 docs it is a genuinely undiscovered URL
+        F.lit('<a href="/a'), ((d + 8) % 5).cast("string"),
+        F.lit("/b/page"), (d + 8).cast("string"), F.lit('">n</a>'),
         F.lit('<a href="page'), ds, F.lit('">self</a>'),
         F.lit('<a href="#sec">f</a><a href="mailto:x@y.z">m</a></p>'),
     )
@@ -1408,6 +1538,10 @@ ledges AS (
               || CAST(doc_id % 9 AS VARCHAR) FROM lsrc
   UNION ALL
   SELECT src, src || '?o=' || CAST(doc_id % 2 AS VARCHAR) FROM lsrc
+  UNION ALL
+  SELECT src, 'https://linkhost' || CAST(h AS VARCHAR) || '.com/a'
+              || CAST((doc_id + 8) % 5 AS VARCHAR) || '/b/page'
+              || CAST(doc_id + 8 AS VARCHAR) FROM lsrc
 )
 """
 
@@ -1505,6 +1639,10 @@ outd AS (SELECT src_host, count(*) AS c FROM hedges GROUP BY src_host),
 pr(iter, host, v) AS (
   SELECT 0, host, CAST(1.0 / n AS DOUBLE) FROM hosts, nh
   UNION ALL
+  -- LEFT-join shape so every host survives every iteration even when
+  -- NO host has out-links (an inner join through outd would emit zero
+  -- recursive rows on an all-dangling graph and 'WHERE iter = K'
+  -- would select nothing, diverging from the engine's teleport floor)
   SELECT iter + 1, host,
          CAST((1 - {PAGERANK_DAMPING}) / (SELECT n FROM nh)
               + {PAGERANK_DAMPING} * mass AS DOUBLE)
@@ -1512,9 +1650,9 @@ pr(iter, host, v) AS (
     SELECT p.iter AS iter, hh.host AS host,
            sum(CASE WHEN e.dst_host = hh.host THEN p.v / o.c ELSE 0 END) AS mass
     FROM pr p
-    JOIN outd o ON o.src_host = p.host
-    JOIN hedges e ON e.src_host = p.host
     CROSS JOIN hosts hh
+    LEFT JOIN outd o ON o.src_host = p.host
+    LEFT JOIN hedges e ON e.src_host = p.host
     WHERE p.iter < {PAGERANK_K}
     GROUP BY p.iter, hh.host
   )
@@ -1544,3 +1682,353 @@ def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=PAGERANK_DAMPING,
     )
     return pr.select("host", F.round(F.col("pagerank"), 6).alias("pagerank"))
+
+
+# --- frontier admission (round 14): closing the crawl loop ------------------
+#
+# Round 13 left seed discovery, the fetch plan, and link extraction as
+# disconnected operators; admission is the feedback edge that makes
+# them a crawler. Fixture: the link fixture's wave-0 pages are the
+# FETCHED frontier; their extracted links are the wave-1 candidates.
+# The same-host next-page chain (d -> d+8) makes the fetched anti-join
+# bite (192 of those targets are already-fetched pages, 8 are new);
+# ext0.com is robots-blocked (a polite crawl never admits what it may
+# not fetch); the cross-wave host cap charges each host's 25 fetched
+# pages against its quota. A second admission of the SAME candidates
+# must admit zero rows — pinned in the value hash via `readmitted`.
+
+ADMIT_HOST_CAP = 30
+ADMIT_BLOCKED_HOST = "ext0.com"
+
+
+def _sql_host(col: str) -> str:
+    return (
+        "regexp_replace(lower(regexp_extract("
+        + col
+        + ", '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '')"
+    )
+
+
+@register(
+    "web_frontier_admission",
+    f"""
+WITH {_LINK_EDGES_SQL},
+shost AS (
+  SELECT {_sql_host('src')} AS host, count(*) AS taken FROM lsrc GROUP BY 1
+),
+cand AS (SELECT DISTINCT dst FROM ledges),
+fresh AS (
+  SELECT dst FROM cand WHERE dst NOT IN (SELECT src FROM lsrc)
+),
+gated AS (
+  SELECT dst AS canonical_url, {_sql_host('dst')} AS host FROM fresh
+  WHERE {_sql_host('dst')} <> '{ADMIT_BLOCKED_HOST}'
+),
+ranked AS (
+  SELECT canonical_url, host,
+         row_number() OVER (PARTITION BY host ORDER BY canonical_url) AS rk
+  FROM gated
+)
+SELECT r.canonical_url, r.host, CAST(0 AS BIGINT) AS readmitted
+FROM ranked r LEFT JOIN shost s ON r.host = s.host
+WHERE r.rk + coalesce(s.taken, 0) <= {ADMIT_HOST_CAP}
+""",
+)
+def web_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier admission, exactly once (round 14 — the crawl-loop
+    closure): wave-0 pages' canonical URLs seed the persisted FETCHED
+    frontier; ``page_links`` over the same pages yields the wave-1
+    candidates, which are admitted via
+    ``streaming.frontier_admit.admit_frontier_candidates`` —
+    canonicalize → dedup → anti-join against fetched + pending →
+    robots gate (``ext0.com`` disallowed) → cross-wave host cap
+    (fetched pages consume quota) → persisted pending wave. A second
+    admission of the identical candidate set must admit NOTHING
+    (``readmitted`` pins its count at 0 in the value hash). The oracle
+    replays every stage from the planted link arithmetic. At scale the
+    anti-join shuffles on ``canonical_url`` with AQE sizing and the
+    cap is one window over candidates — the frontier is read, never
+    rewritten (status is the directory; see
+    ``streaming/frontier_admit.py``)."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        page_links,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        parse_robots_rules,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        url_host,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.frontier_admit import (
+        admit_frontier_candidates,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
+        read_frontier,
+    )
+
+    pages = _link_pages(spark, sf_dir)
+    cand = page_links(pages).select(F.col("dst").alias("url"))
+    rules = parse_robots_rules(
+        spark.createDataFrame(
+            [(ADMIT_BLOCKED_HOST, "User-agent: *\nDisallow: /")],
+            "host string, body string",
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        fdir, pdir = f"{tmp}/frontier", f"{tmp}/pending"
+        pages.select(
+            F.col("url").alias("canonical_url"), url_host("url").alias("host")
+        ).write.parquet(f"{fdir}/batch_id=0")
+        admit_frontier_candidates(
+            spark, fdir, pdir, cand, wave=1,
+            robots_rules=rules, host_cap=ADMIT_HOST_CAP,
+        )
+        again = admit_frontier_candidates(
+            spark, fdir, pdir, cand, wave=2,
+            robots_rules=rules, host_cap=ADMIT_HOST_CAP,
+        )
+        pending = read_frontier(spark, pdir)
+        collected = pending.collect()
+    out = spark.createDataFrame(collected, pending.schema)
+    return out.select(
+        "canonical_url",
+        "host",
+        F.lit(again["n_admitted"]).cast("long").alias("readmitted"),
+    )
+
+
+# --- PageRank-prioritized fetch scheduling (round 14) -----------------------
+
+#: planted per-host crawl delays for the ranked schedule (hosts not
+#: listed use the scheduler default 1.0 s)
+RANKED_DELAYS = [("linkhost0.com", 2.0), ("linkhost1.com", 0.25), ("ext1.com", 3.0)]
+
+_PAGERANK_CTE = f"""
+hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM hedges UNION ALL SELECT dst_host FROM hedges
+  )
+),
+nh AS (SELECT count(*) AS n FROM hosts),
+outd AS (SELECT src_host, count(*) AS c FROM hedges GROUP BY src_host),
+pr(iter, host, v) AS (
+  SELECT 0, host, CAST(1.0 / n AS DOUBLE) FROM hosts, nh
+  UNION ALL
+  SELECT iter + 1, host,
+         CAST((1 - {PAGERANK_DAMPING}) / (SELECT n FROM nh)
+              + {PAGERANK_DAMPING} * mass AS DOUBLE)
+  FROM (
+    SELECT p.iter AS iter, hh.host AS host,
+           sum(CASE WHEN e.dst_host = hh.host THEN p.v / o.c ELSE 0 END) AS mass
+    FROM pr p
+    CROSS JOIN hosts hh
+    LEFT JOIN outd o ON o.src_host = p.host
+    LEFT JOIN hedges e ON e.src_host = p.host
+    WHERE p.iter < {PAGERANK_K}
+    GROUP BY p.iter, hh.host
+  )
+)
+"""
+
+
+@register(
+    "web_fetch_schedule_ranked",
+    f"""
+WITH RECURSIVE {_LINK_EDGES_SQL},
+{_HOST_GRAPH_SQL},
+{_PAGERANK_CTE},
+srchosts AS (SELECT DISTINCT {_sql_host('src')} AS src_host, dst FROM ledges),
+prio AS (
+  SELECT s.dst AS url, round(sum(r.v), 6) AS priority
+  FROM srchosts s
+  JOIN (SELECT host, v FROM pr WHERE iter = {PAGERANK_K}) r
+    ON r.host = s.src_host
+  GROUP BY s.dst
+),
+frontier AS (SELECT DISTINCT dst AS url FROM ledges),
+delays(host, crawl_delay) AS (
+  VALUES {", ".join(f"('{h}', CAST({d} AS DOUBLE))" for h, d in RANKED_DELAYS)}
+),
+ranked AS (
+  SELECT {_sql_host('f.url')} AS host, f.url, p.priority,
+         CAST(row_number() OVER (
+           PARTITION BY {_sql_host('f.url')}
+           ORDER BY p.priority DESC, f.url) - 1 AS BIGINT) AS wave
+  FROM frontier f JOIN prio p ON f.url = p.url
+)
+SELECT r.host, r.url, r.priority, r.wave,
+       CAST(round(r.wave * coalesce(d.crawl_delay, 1.0), 6) AS DOUBLE) AS fetch_at
+FROM ranked r LEFT JOIN delays d ON r.host = d.host
+""",
+)
+def web_fetch_schedule_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-prioritized politeness scheduling (round 14): the
+    discovered-URL frontier (the link fixture's distinct dsts) is
+    scheduled by ``fetch_schedule(priority=...)`` where each URL's
+    priority is ``url_link_authority`` — the summed host-PageRank of
+    its distinct linking hosts. Within a host, waves go authority
+    DESC (URL bytewise on ties); host wave SPACING stays the planted
+    crawl-delays (authority decides what a host's next token buys,
+    never how fast tokens come). Priorities are rounded to 6 dp
+    BEFORE ranking on both sides so double-summation order can't flip
+    a wave between engines. The oracle replays the full composition —
+    recursive-CTE PageRank → per-URL authority → ranked waves —
+    independently. Plan: one host shuffle for the window (the
+    ``fetch_schedule`` contract), the priority join rides ahead of
+    it on the URL key."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        host_graph,
+        host_pagerank,
+        page_links,
+        url_link_authority,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        fetch_schedule,
+    )
+
+    edges = page_links(_link_pages(spark, sf_dir)).localCheckpoint(eager=True)
+    ranks = host_pagerank(
+        host_graph(edges), k=PAGERANK_K, damping=PAGERANK_DAMPING
+    )
+    prio = url_link_authority(edges, ranks).select(
+        "url", F.round(F.col("priority"), 6).alias("priority")
+    )
+    frontier = edges.select(F.col("dst").alias("url")).distinct()
+    delays = spark.createDataFrame(RANKED_DELAYS, "host string, crawl_delay double")
+    out = fetch_schedule(frontier, delays, default_delay=1.0, priority=prio)
+    return out.select(
+        "host", "url", "priority", "wave",
+        F.round(F.col("fetch_at"), 6).alias("fetch_at"),
+    )
+
+
+# --- dangling-mass PageRank (round 14) --------------------------------------
+
+
+@register(
+    "web_host_pagerank_dangling",
+    f"""
+WITH RECURSIVE {_LINK_EDGES_SQL},
+{_HOST_GRAPH_SQL},
+hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM hedges UNION ALL SELECT dst_host FROM hedges
+  )
+),
+nh AS (SELECT count(*) AS n FROM hosts),
+outd AS (SELECT src_host, count(*) AS c FROM hedges GROUP BY src_host),
+pr(iter, host, v) AS (
+  SELECT 0, host, CAST(1.0 / n AS DOUBLE) FROM hosts, nh
+  UNION ALL
+  -- same association order as the engine: (base + d*dang/n) + d*mass
+  SELECT iter + 1, host,
+         CAST(((1 - {PAGERANK_DAMPING}) / (SELECT n FROM nh)
+               + {PAGERANK_DAMPING} * dang / (SELECT n FROM nh))
+              + {PAGERANK_DAMPING} * mass AS DOUBLE)
+  FROM (
+    SELECT p.iter AS iter, hh.host AS host,
+           sum(CASE WHEN e.dst_host = hh.host THEN p.v / o.c ELSE 0 END) AS mass,
+           sum(CASE WHEN o.src_host IS NULL THEN p.v ELSE 0 END) AS dang
+    FROM pr p
+    CROSS JOIN hosts hh
+    LEFT JOIN outd o ON o.src_host = p.host
+    LEFT JOIN hedges e ON e.src_host = p.host
+    WHERE p.iter < {PAGERANK_K}
+    GROUP BY p.iter, hh.host
+  )
+)
+SELECT host, round(v, 6) AS pagerank FROM pr WHERE iter = {PAGERANK_K}
+""",
+)
+def web_host_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank with per-iteration DANGLING-MASS redistribution
+    (round 14): the fixture's three ``ext*`` hosts have no out-links,
+    so the droppable form leaks their rank each iteration; this form
+    sums it and spreads it uniformly — total rank conserved at 1.0,
+    the convention behind Common Crawl's published host ranks. Same
+    fixed-k deterministic iteration, replayed value-exact by the
+    recursive CTE (the dangling sum rides the same grouped pass; the
+    engine's one extra cost is a per-iteration scalar aggregate,
+    ``functions/links.py:host_pagerank``)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        host_graph,
+        host_pagerank,
+        page_links,
+    )
+
+    pr = host_pagerank(
+        host_graph(page_links(_link_pages(spark, sf_dir))),
+        k=PAGERANK_K,
+        damping=PAGERANK_DAMPING,
+        dangling="redistribute",
+    )
+    return pr.select("host", F.round(F.col("pagerank"), 6).alias("pagerank"))
+
+
+# --- link extraction over the live WARC funnel (round 14) -------------------
+
+
+@register(
+    "web_link_graph_warc",
+    f"""
+WITH base AS ({_BASE_SQL}),
+{_funnel_curation_ctes()},
+roots AS (
+  SELECT cu.doc_id AS doc_id, cu.curl AS src,
+         CASE WHEN cu.doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+         || '://www.example' || CAST(cu.doc_id % 10 AS VARCHAR) || '.com' AS root
+  FROM cu
+),
+hrefs AS (
+  SELECT src, root || '/' AS dst FROM roots
+  UNION ALL SELECT src, root || '/s' || CAST(doc_id % 7 AS VARCHAR) FROM roots
+  UNION ALL SELECT src, root || '/about' FROM roots
+  UNION ALL SELECT src, root || '/d' || CAST(doc_id % 11 AS VARCHAR) FROM roots
+  UNION ALL SELECT src, root || '/x' FROM roots
+  UNION ALL SELECT src, root || '/y' FROM roots
+  UNION ALL SELECT src, root || '/z' FROM roots
+  UNION ALL SELECT src, root || '/tos' FROM roots
+  UNION ALL SELECT src, root || '/p' FROM roots
+)
+SELECT DISTINCT src, dst FROM hrefs
+""",
+)
+def web_link_graph_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction over the LIVE WARC funnel (round 14): the same
+    planted ``.warc.gz`` bytes the ingest funnel parses — charset leg,
+    chunked transfer-encoding leg, nav/aside/footer boilerplate —
+    flow container parse → decoded HTML (``sources.warc.html_pages``)
+    → ``page_links`` (href extraction, RFC 3986 resolution, URL
+    canonicalization, dedup). Unlike ``web_link_graph``'s synthesized
+    pages, this exercises extraction against real-shaped captures:
+    the canonical SRC collapses the fixture's case/port/fragment/
+    tracking-param variants (60 captures → 30 canonical sources), and
+    every planted href is root-relative, so the oracle derives each
+    edge from the capture arithmetic + the shared canonicalizer
+    replay. Same scan-shape as the funnel: the only Python is the
+    container framing and the measured resolve+canonicalize kernel."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        page_links,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+        html_pages,
+        load_warc_records,
+    )
+
+    planted = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < N_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    rows = sorted((r["doc_id"], r["text"]) for r in planted)
+    with tempfile.TemporaryDirectory() as tmp:
+        with open(f"{tmp}/crawl-00000.warc.gz", "wb") as f:
+            f.write(_warc_segment(rows))
+        edges = page_links(html_pages(load_warc_records(spark, tmp)))
+        collected = edges.collect()
+    return spark.createDataFrame(collected, "src string, dst string")

@@ -252,33 +252,21 @@ def load_warc_records(
     return records_from_binary(bin_df)
 
 
-def _extracted_pages(
-    records: DataFrame,
-    min_status: int,
-    max_status: int,
-    main_content: bool,
+def html_pages(
+    records: DataFrame, min_status: int = 200, max_status: int = 299
 ) -> DataFrame:
-    """Successful HTML responses → extracted visible text, keeping
-    the crawl keys ``(url, segment, record_index)`` for the curation
-    stages. Content-Type matching is case-insensitive (real crawls
-    carry ``Text/HTML``). Charset scope: a declared latin-1-family
-    charset (iso-8859-1 / latin1 / windows-1252 — the cp1252 C1 range
-    is approximated by latin-1's control slots, which the tag strip
-    discards anyway) decodes as ISO-8859-1; everything else — utf-8,
-    ascii, absent, or unknown — decodes as lossy UTF-8
-    (``make_valid_utf8``: invalid sequences become U+FFFD instead of
-    failing the scan, the only sane default at crawl scale).
-
-    ``main_content=True`` swaps the plain tag strip for the
-    link-density block gate (``functions.text.html_main_content``) —
-    navigation chrome, sidebars, and footer link farms are dropped
-    before the text reaches quality gates or the chunker. Everything
-    past the container parse is a narrow codegen'd map."""
-    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
-        html_main_content,
-        html_to_text,
-    )
-
+    """Successful HTML responses → DECODED page HTML ``(html, url,
+    segment, record_index)`` — the shared scan under text extraction
+    (:func:`_extracted_pages`) and link extraction
+    (``functions.links.page_links``). Content-Type matching is
+    case-insensitive (real crawls carry ``Text/HTML``). Charset
+    scope: a declared latin-1-family charset (iso-8859-1 / latin1 /
+    windows-1252 — the cp1252 C1 range is approximated by latin-1's
+    control slots, which the tag strip discards anyway) decodes as
+    ISO-8859-1; everything else — utf-8, ascii, absent, or unknown —
+    decodes as lossy UTF-8 (``make_valid_utf8``: invalid sequences
+    become U+FFFD instead of failing the scan, the only sane default
+    at crawl scale)."""
     ctype = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
     html = records.filter(
         (F.col("warc_type") == "response")
@@ -290,12 +278,41 @@ def _extracted_pages(
         charset.isin("iso-8859-1", "latin-1", "latin1", "windows-1252", "cp1252"),
         F.decode(F.col("body"), "ISO-8859-1"),
     ).otherwise(F.expr("make_valid_utf8(body)"))
-    extract = html_main_content if main_content else html_to_text
     return html.select(
-        extract(decoded).alias("text"),
+        decoded.alias("html"),
         F.col("url"),
         F.col("source").alias("segment"),
         F.col("record_index"),
+    )
+
+
+def _extracted_pages(
+    records: DataFrame,
+    min_status: int,
+    max_status: int,
+    main_content: bool,
+) -> DataFrame:
+    """Successful HTML responses → extracted visible text, keeping
+    the crawl keys ``(url, segment, record_index)`` for the curation
+    stages (decode semantics documented on :func:`html_pages`).
+
+    ``main_content=True`` swaps the plain tag strip for the
+    link-density block gate (``functions.text.html_main_content``) —
+    navigation chrome, sidebars, and footer link farms are dropped
+    before the text reaches quality gates or the chunker. Everything
+    past the container parse is a narrow codegen'd map."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+        html_main_content,
+        html_to_text,
+    )
+
+    extract = html_main_content if main_content else html_to_text
+    pages = html_pages(records, min_status, max_status)
+    return pages.select(
+        extract(F.col("html")).alias("text"),
+        "url",
+        "segment",
+        "record_index",
     )
 
 
@@ -358,6 +375,20 @@ def web_crawl_documents(
     Everything before the dedup groupBy is shuffle-free (binaryFile
     scan → Arrow-batched framing → codegen'd extract/filter), pinned
     by a plan contract in ``tests/test_plans.py``."""
+    pages = _extracted_pages(records, min_status, max_status, main_content)
+    return _curated_documents(pages, host_cap, robots_rules, robots_agent)
+
+
+def _curated_documents(
+    pages: DataFrame,
+    host_cap: int | None,
+    robots_rules: DataFrame | None,
+    robots_agent: str,
+) -> DataFrame:
+    """The curation stages shared by the WARC and WET funnels
+    (semantics documented on :func:`web_crawl_documents`): pages
+    ``(text, url, segment, record_index)`` → canonical-URL dedup →
+    robots gate → host cap → document shape."""
     from pyspark.sql import Window
 
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
@@ -365,7 +396,6 @@ def web_crawl_documents(
         with_canonical_url,
     )
 
-    pages = _extracted_pages(records, min_status, max_status, main_content)
     order = F.struct(F.col("segment"), F.col("record_index"))
     payload = F.struct(
         F.col("text"), F.col("url"), F.col("segment"), F.col("record_index")
@@ -402,17 +432,12 @@ def web_crawl_documents(
     )
 
 
-def wet_documents(records: DataFrame) -> DataFrame:
-    """Common Crawl WET segments → the engine's document shape.
-
-    WET is the SAME ISO 28500 container carrying pre-extracted text:
-    one ``conversion`` record per page (record-level Content-Type
-    ``text/plain``, no HTTP envelope, body = the crawl's own HTML→text
-    output, UTF-8). Pipelines that trust the crawl's extraction start
-    here and skip the HTML stage entirely — everything downstream
-    (URL dedup, host cap, scrub, chunk) is unchanged. Decode is lossy
-    UTF-8 (``make_valid_utf8``), the WARC scope default.
-    """
+def _wet_pages(records: DataFrame) -> DataFrame:
+    """WET ``conversion`` records → ``(text, url, segment,
+    record_index)`` — the page shape the curation stages consume.
+    Record-level Content-Type ``text/plain`` (case-insensitive), no
+    HTTP envelope; decode is lossy UTF-8 (``make_valid_utf8``), the
+    WARC scope default."""
     conv = records.filter(
         (F.col("warc_type") == "conversion")
         & F.lower(F.coalesce(F.col("content_type"), F.lit(""))).startswith(
@@ -421,8 +446,48 @@ def wet_documents(records: DataFrame) -> DataFrame:
     )
     return conv.select(
         F.expr("make_valid_utf8(body)").alias("text"),
+        F.col("url"),
+        F.col("source").alias("segment"),
+        F.col("record_index"),
+    )
+
+
+def wet_documents(records: DataFrame) -> DataFrame:
+    """Common Crawl WET segments → the engine's document shape.
+
+    WET is the SAME ISO 28500 container carrying pre-extracted text:
+    one ``conversion`` record per page (record-level Content-Type
+    ``text/plain``, no HTTP envelope, body = the crawl's own HTML→text
+    output, UTF-8). Pipelines that trust the crawl's extraction start
+    here and skip the HTML stage entirely — everything downstream
+    (URL dedup, host cap, scrub, chunk) is unchanged.
+    """
+    return _wet_pages(records).select(
+        "text",
         F.concat_ws(
             "#", F.col("url"), F.col("record_index").cast("string")
         ).alias("source"),
         F.lit(None).cast("int").alias("page"),
+    )
+
+
+def wet_crawl_documents(
+    records: DataFrame,
+    host_cap: int | None = None,
+    robots_rules: DataFrame | None = None,
+    robots_agent: str = "*",
+) -> DataFrame:
+    """:func:`web_crawl_documents`' WET twin — the funnel Common Crawl
+    consumers actually run, since most pipelines start from WET (the
+    crawl's own pre-extracted text) rather than re-extracting HTML:
+    ``conversion`` records → canonical-URL dedup (first capture by
+    ``(segment, record_index)``) → robots gate → per-host cap →
+    document shape. The curation stages are the SAME code
+    (:func:`_curated_documents`), so dedup keys, gate semantics, and
+    cap ordering are identical across the two container flavors; only
+    the text source differs (crawl-extracted vs engine-extracted).
+    Reference lifecycle analog: ``scripts/ingest_documents.py:108-233``
+    ingests operator-supplied text — WET is that text at crawl scale."""
+    return _curated_documents(
+        _wet_pages(records), host_cap, robots_rules, robots_agent
     )

@@ -54,6 +54,7 @@ def layout_hooks(
     neardup_bucket_dir: str | None = None,
     frontier_dir: str | None = None,
     frontier_url_col: str = "url",
+    pending_dir: str | None = None,
 ) -> list[tuple[str, TakedownHook]]:
     """Standard hook set over the engine's persisted per-doc surfaces —
     pass the ones that exist; ids arrive as longs (the corpus doc/vec
@@ -69,7 +70,11 @@ def layout_hooks(
     takedown stream's rows must carry a ``frontier_url_col`` column
     (any spelling; canonicalized inside the hook). The hook raises
     loudly if the column is absent rather than silently skipping a
-    surface a forget request was owed."""
+    surface a forget request was owed. ``pending_dir`` adds the
+    PENDING frontier (``streaming/frontier_admit.py``) on the same
+    URL key — an admitted-but-unfetched URL is still a retained
+    record that the page was discovered, and the layout is identical,
+    so the same partition-rewrite delete applies."""
     from pyspark.sql import functions as F
 
     hooks: list[tuple[str, TakedownHook]] = []
@@ -132,6 +137,23 @@ def layout_hooks(
             )
 
         hooks.append(("web_frontier", _frontier))
+    if pending_dir is not None:
+        def _pending(spark, ids, _p=pending_dir, _c=frontier_url_col):
+            from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
+                delete_frontier_urls,
+            )
+
+            if _c not in ids.columns:
+                raise ValueError(
+                    f"pending-frontier takedown needs a {_c!r} column on "
+                    f"the request stream (got {ids.columns}) — the "
+                    "frontier is keyed on URL, not doc id"
+                )
+            return delete_frontier_urls(
+                spark, _p, ids.select(_c).filter(F.col(_c).isNotNull())
+            )
+
+        hooks.append(("web_frontier_pending", _pending))
     if not hooks:
         raise ValueError("no layouts given — nothing to take down")
     return hooks

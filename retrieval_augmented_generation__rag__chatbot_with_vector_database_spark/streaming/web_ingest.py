@@ -254,6 +254,8 @@ def start_web_ingest_stream(
     robots_rules: DataFrame | None = None,
     robots_agent: str = "*",
     compact_every: int | None = None,
+    pending_dir: str | None = None,
+    admit_host_cap: int | None = None,
 ) -> "StreamingQuery":
     """Start the incremental web-crawl ingest on ``landing_dir``
     (module doc: funnel semantics, frontier state, crash ordering).
@@ -276,7 +278,20 @@ def start_web_ingest_stream(
     just-written batch is the newest and stays unfolded, so replay
     semantics hold). Maintenance rides the ingest loop instead of
     needing an external schedule; a crash mid-fold is caught by the
-    fenced reads either way."""
+    fenced reads either way.
+
+    ``pending_dir`` closes the crawl loop (round 14): each
+    micro-batch's extracted links (``functions.links.page_links`` over
+    the batch's decoded HTML) are ADMITTED into the pending frontier
+    at ``pending_dir`` via
+    :func:`streaming.frontier_admit.admit_frontier_candidates` —
+    canonical anti-join against fetched + pending, the same robots
+    gate, ``admit_host_cap`` quota across waves. Admission runs AFTER
+    the batch's frontier write, so a replay always admits against the
+    converged fetched set; its own wave dir is excluded from the
+    pending read, so the overwrite recomputes the identical set from
+    every crash position. ``compact_every`` folds the pending dirs on
+    the same cadence."""
     reader = (
         spark.readStream.format("binaryFile")
         # the binaryFile format's fixed schema — streaming file
@@ -292,11 +307,23 @@ def start_web_ingest_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.load(landing_dir)
 
+    # the rules table is static across the stream's lifetime: probe
+    # the density, select the path, and (kernel path) collect +
+    # broadcast the host→rules map ONCE here — not per micro-batch
+    robots_gate = None
+    if robots_rules is not None:
+        from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+            RobotsGate,
+        )
+
+        robots_gate = RobotsGate(robots_rules, agent=robots_agent)
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        records = records_from_binary(batch_df)
         pages = with_canonical_url(
-            _extracted_pages(records_from_binary(batch_df), 200, 299, main_content)
+            _extracted_pages(records, 200, 299, main_content)
         )
         order = F.struct(F.col("segment"), F.col("record_index"))
         payload = F.struct(
@@ -308,16 +335,12 @@ def start_web_ingest_stream(
             .select("canonical_url", "s.*")
             .withColumn("host", url_host("url"))
         )
-        if robots_rules is not None:
-            # size-aware dispatch: expression path at typical rule
-            # densities, compiled-pattern kernel for hosts with dense
-            # rule sets (the probe is one tiny agg per micro-batch)
-            from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
-                robots_verdicts_auto,
-            )
-
+        if robots_gate is not None:
+            # size-aware dispatch prepared at stream construction
+            # (density probe + kernel collect/broadcast happen once,
+            # not per micro-batch)
             first = (
-                robots_verdicts_auto(first, robots_rules, agent=robots_agent)
+                robots_gate(first)
                 .filter(F.col("allowed") == 1)
                 .drop("allowed", "matched_rule", "matched_pattern", "target")
             )
@@ -355,8 +378,34 @@ def start_web_ingest_stream(
         kept.select("canonical_url", "host").write.mode("overwrite").parquet(
             f"{frontier_dir}/batch_id={batch_id}"
         )
+        if pending_dir is not None:
+            # crawl-loop closure: the batch's extracted links become
+            # pending frontier candidates. After the frontier write
+            # (docstring: replay sees the converged fetched set).
+            from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+                page_links,
+            )
+            from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+                html_pages,
+            )
+            from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.frontier_admit import (
+                admit_frontier_candidates,
+            )
+
+            links = page_links(html_pages(records))
+            admit_frontier_candidates(
+                spark,
+                frontier_dir,
+                pending_dir,
+                links.select(F.col("dst").alias("url")),
+                wave=batch_id,
+                robots_gate=robots_gate,
+                host_cap=admit_host_cap,
+            )
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
             compact_frontier(spark, frontier_dir, keep_latest=1)
+            if pending_dir is not None:
+                compact_frontier(spark, pending_dir, keep_latest=1)
 
     writer = stream.writeStream.option("checkpointLocation", checkpoint_dir).foreachBatch(
         _process

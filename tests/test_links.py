@@ -28,6 +28,11 @@ RESOLVE_CASES = [
     ("?y=2", "https://a.com/dir/sub/page.html?y=2"),  # query-only
     ("x#frag", "https://a.com/dir/sub/x"),  # fragment never survives
     ("rel?q=1", "https://a.com/dir/sub/rel?q=1"),  # relative with query
+    # query containing '?': split at the FIRST '?' (RFC 3986 — later
+    # '?' are literal query chars); the r13-advice divergence where the
+    # Column form cut at the LAST '?' is pinned closed here
+    ("rel?next=/s?q=1", "https://a.com/dir/sub/rel?next=/s?q=1"),
+    ("../p?a=1?b=2", "https://a.com/dir/p?a=1?b=2"),  # multi-'?' + dot-pop
 ]
 
 
@@ -153,3 +158,104 @@ def test_python_resolver_matches_column_form(spark):
     }
     py_form = {i: resolve_href_py(b, h) for i, b, h in rows}
     assert py_form == col_form
+
+
+def test_pagerank_dangling_redistribution(spark):
+    """dangling='redistribute' conserves total rank at 1.0 where the
+    droppable form leaks it; on a dangling-free graph the two forms
+    are identical; an unknown mode raises."""
+    # DAG a->{b,c}, b->c: c is dangling
+    dag = host_graph(
+        spark.createDataFrame(
+            [
+                ("https://a.com/p", "https://b.com/p"),
+                ("https://a.com/p", "https://c.com/p"),
+                ("https://b.com/p", "https://c.com/p"),
+            ],
+            "src string, dst string",
+        )
+    )
+    dropped = {r["host"]: r["pagerank"] for r in host_pagerank(dag, k=10).collect()}
+    redist = {
+        r["host"]: r["pagerank"]
+        for r in host_pagerank(dag, k=10, dangling="redistribute").collect()
+    }
+    assert sum(dropped.values()) < 0.999  # the leak is real
+    assert abs(sum(redist.values()) - 1.0) < 1e-9  # conservation
+    assert redist["c.com"] > redist["b.com"] > redist["a.com"]
+    # a's floor now includes the redistributed share: strictly above
+    # the teleport floor the droppable form pins it to
+    assert redist["a.com"] > dropped["a.com"]
+    # ring has no dangling host: forms identical
+    ring = _hg(spark)
+    a = sorted(map(tuple, host_pagerank(ring, k=5).collect()))
+    b = sorted(map(tuple, host_pagerank(ring, k=5, dangling="redistribute").collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="dangling"):
+        host_pagerank(dag, k=2, dangling="nope")
+
+
+def test_url_link_authority_distinct_host_votes(spark):
+    """Per-URL authority = sum of DISTINCT linking hosts' rank: a
+    thousand pages from one host are one recommendation; URLs linked
+    by nobody in the rank table simply don't appear."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        url_link_authority,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://t.com/x"),
+            ("https://a.com/2", "https://t.com/x"),  # same host: one vote
+            ("https://b.com/1", "https://t.com/x"),
+            ("https://b.com/1", "https://t.com/y"),
+            ("https://ghost.com/1", "https://t.com/z"),  # unranked src
+        ],
+        "src string, dst string",
+    )
+    ranks = spark.createDataFrame(
+        [("a.com", 0.5), ("b.com", 0.25)], "host string, pagerank double"
+    )
+    got = {
+        r["url"]: r["priority"]
+        for r in url_link_authority(edges, ranks).collect()
+    }
+    assert got == {
+        "https://t.com/x": 0.75,
+        "https://t.com/y": 0.25,
+    }
+
+
+def test_fetch_schedule_priority_orders_waves(spark):
+    """fetch_schedule(priority=...): within-host waves go priority
+    DESC (nulls last, URL on ties); wave spacing (fetch_at) is
+    untouched; the bytewise default survives when no table is given."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        fetch_schedule,
+    )
+
+    frontier = spark.createDataFrame(
+        [("https://h.com/a",), ("https://h.com/b",), ("https://h.com/c",),
+         ("https://h.com/d",), ("https://other.com/x",)],
+        "url string",
+    )
+    delays = spark.createDataFrame([("h.com", 2.0)], "host string, crawl_delay double")
+    prio = spark.createDataFrame(
+        # /c outranks /b outranks /a; /d unscored -> last; tie b==b2 n/a
+        [("https://h.com/a", 0.1), ("https://h.com/b", 0.5), ("https://h.com/c", 0.9)],
+        "url string, priority double",
+    )
+    out = fetch_schedule(frontier, delays, priority=prio)
+    got = {r["url"]: (r["wave"], r["fetch_at"]) for r in out.collect()}
+    assert got["https://h.com/c"] == (0, 0.0)
+    assert got["https://h.com/b"] == (1, 2.0)
+    assert got["https://h.com/a"] == (2, 4.0)
+    assert got["https://h.com/d"] == (3, 6.0)  # unscored: after all scored
+    assert got["https://other.com/x"] == (0, 0.0)  # spacing per host only
+    # bad priority table shape is loud
+    with pytest.raises(ValueError, match="priority"):
+        fetch_schedule(frontier, delays, priority=frontier)
+    # default (no priority): bytewise waves unchanged
+    base = fetch_schedule(frontier, delays)
+    got2 = {r["url"]: r["wave"] for r in base.collect()}
+    assert got2["https://h.com/a"] == 0 and got2["https://h.com/d"] == 3

@@ -471,6 +471,52 @@ def test_auto_dispatch_picks_by_max_density(spark, rules, monkeypatch):
     assert picked == ["expr", "kernel"]
 
 
+def test_robots_gate_parity_and_one_time_prepare(spark, rules):
+    """RobotsGate (the stream's prepared applier, r13 advice): same
+    dispatch rule and bit-identical verdicts as the one-shot paths,
+    with the density probe / collect / broadcast done ONCE at
+    construction and reused by every apply."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        KERNEL_RULES_PER_HOST,
+        RobotsGate,
+        robots_verdicts,
+        robots_verdicts_kernel,
+    )
+
+    urls = [
+        "https://a.com/docs/x",
+        "https://a.com/private/open-data",
+        "https://blocked.com/any",
+        "https://unknown-host.com/q?x=1#frag",
+        None,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+
+    # sparse fixture -> expression path
+    gate = RobotsGate(rules, agent="SparkBot")
+    assert not gate.use_kernel
+    assert gate.max_rules_per_host < KERNEL_RULES_PER_HOST
+    snap = lambda frame: sorted(repr(tuple(r)) for r in frame.collect())
+    assert snap(gate(df)) == snap(robots_verdicts(df, rules, agent="SparkBot"))
+
+    # dense fixture -> kernel path, verdicts identical to both one-shots
+    dense = parse_robots_rules(
+        spark.createDataFrame(
+            [("dense.com", "\n".join(["User-agent: *"] + [f"Disallow: /p{i}/" for i in range(20)]))],
+            "host string, body string",
+        )
+    )
+    durls = spark.createDataFrame(
+        [(f"https://dense.com/p{i}/x",) for i in range(20)] + [("https://dense.com/ok",)],
+        "url string",
+    )
+    kgate = RobotsGate(dense, agent="any")
+    assert kgate.use_kernel
+    got = snap(kgate(durls))
+    assert got == snap(robots_verdicts_kernel(durls, dense, agent="any"))
+    assert got == snap(robots_verdicts(durls, dense, agent="any"))
+
+
 def test_kernel_null_url_parity(spark, rules):
     """A null URL row: both paths emit allowed=1 with null matched_*
     (r13 review — the kernel previously crashed on rx.match(None))."""

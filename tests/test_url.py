@@ -77,6 +77,45 @@ def test_both_forms_agree_on_newline_fragment(spark):
     assert col_form == staged == {0: "http://x.org/p", 1: "http://x.org/p"}
 
 
+def test_all_forms_agree_on_newline_path_and_query(spark):
+    """r13-advice: a '\\n' in the path or query made the Column form's
+    anchored '(.*)$' regexes unmatchable (path collapsed to '/', query
+    dropped) and made the Python twin's scheme-split regex fail
+    entirely (raw pass-through) — while the staged form canonicalized
+    normally. All three now share (?s)/substring semantics; newline
+    URLs are reachable via extracted hrefs ([^\"']* crosses newlines)
+    and takedowns canonicalized by the Column form must hit frontier
+    rows written by the staged form."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        canonicalize_url_py,
+        with_canonical_url,
+    )
+
+    raws = [
+        "HTTP://X.org:80/a\nb?q=1",  # newline in path
+        "http://x.org/p?q=\n1&a=2",  # newline in query value
+        "http://x.org/a\nb/?z=1&q=\n2#f\nrag",  # both + newline fragment
+    ]
+    want = [
+        "http://x.org/a\nb?q=1",
+        "http://x.org/p?a=2&q=\n1",
+        "http://x.org/a\nb?q=\n2&z=1",
+    ]
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(raws)], "i long, url string"
+    )
+    col_form = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    staged = {
+        r["i"]: r["canonical_url"]
+        for r in with_canonical_url(df).select("i", "canonical_url").collect()
+    }
+    py_form = {i: canonicalize_url_py(r) for i, r in enumerate(raws)}
+    assert col_form == staged == py_form == dict(enumerate(want))
+
+
 def test_with_canonical_url_output_collision_raises(spark):
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
         with_canonical_url,

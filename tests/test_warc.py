@@ -345,3 +345,54 @@ def test_wet_documents(spark, tmp_path):
         "http://b.example/#2": "pre � extracted",  # lossy, never raises
     }
     assert docs.columns == ["text", "source", "page"]
+
+
+def test_wet_crawl_documents_dedup_robots_cap(spark, tmp_path):
+    """The WET funnel twin shares the WARC funnel's curation stages:
+    canonical-URL dedup (first capture wins), robots gate (no quota
+    consumed by blocked pages), per-host cap."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        parse_robots_rules,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.warc import (
+        wet_crawl_documents,
+    )
+
+    def _wet_record(url: str, text: bytes) -> bytes:
+        head = (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(text)}\r\n\r\n"
+        ).encode()
+        return head + text + b"\r\n\r\n"
+
+    seg = (
+        _wet_record("HTTP://A.example:80/dup?utm_source=x", b"first capture")
+        + _wet_record("http://a.example/dup", b"recapture dropped")
+        + _wet_record("http://a.example/blocked/1", b"gated out")
+        + _wet_record("http://a.example/ok/1", b"kept one")
+        + _wet_record("http://a.example/ok/2", b"over the cap")
+        + _wet_record("http://b.example/solo", b"other host")
+    )
+    (tmp_path / "seg.warc.wet").write_bytes(seg)
+    rules = parse_robots_rules(
+        spark.createDataFrame(
+            [("a.example", "User-agent: *\nDisallow: /blocked/")],
+            "host string, body string",
+        )
+    )
+    docs = wet_crawl_documents(
+        load_warc_records(spark, str(tmp_path), glob="*.wet"),
+        host_cap=2,
+        robots_rules=rules,
+    )
+    got = {r["source"]: r["text"] for r in docs.collect()}
+    # dedup keeps the FIRST capture (case/port/tracking-param variant),
+    # the blocked page is gated without consuming quota, and the cap
+    # admits two a.example pages; b.example is untouched
+    assert got == {
+        "HTTP://A.example:80/dup?utm_source=x#0": "first capture",
+        "http://a.example/ok/1#3": "kept one",
+        "http://b.example/solo#5": "other host",
+    }
