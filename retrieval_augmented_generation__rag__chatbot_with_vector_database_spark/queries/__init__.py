@@ -95,72 +95,73 @@ def all_oracles() -> dict[str, str]:
 
 #: The driver's correctness gate oracle-checks the FIRST 50 registry
 #: entries at sf0.01 (the full registry runs in the local dual-scale
-#: sweeps). Round-13 rotation — STALENESS mode: with r12 completing
-#: union coverage (every registered query has a driver-green record),
-#: the window's job changed from first-coverage to record freshness.
-#: Policy: this round's new queries first, then the 50-slot window
-#: fills with the queries whose latest driver-green record is OLDEST
-#: (sorted by last-checked round, then name — deterministic). This
-#: round that re-pins the r1-vintage plan/multimodal probes, the r3/r4
-#: RAG primitives, and the r9-vintage relational/analytics/text-stat
-#: families, none of which have been driver-re-checked since the
-#: registry tripled. The scale-critical dedup/ANN/topk/hybrid families
-#: all carry fresh r12 records and rotate back in as they age.
+#: sweeps). Round-14 rotation — STALENESS mode (policy unchanged since
+#: r13): this round's new queries first, then queries whose FIXTURE
+#: changed this round (the link fixture gained the d->d+8 next-page
+#: chain, so the r13 records for the three link-graph queries no
+#: longer describe the current plant), then the 50-slot window fills
+#: with the queries whose latest driver-green record is OLDEST
+#: (computed from the union of CORRECTNESS_r*.json; sorted by
+#: last-checked round, then name — deterministic). This round that
+#: re-pins the r9-vintage text/topk/relational leftovers and the
+#: r10/r11-vintage dedup/ANN-recall/curation families, per the r13
+#: verdict's ask #8.
 DRIVER_WINDOW_PRIORITY = [
-    # new in r13, never driver-checked
-    "web_fetch_schedule",
-    "web_sitemap_seeds",
-    "web_seed_schedule",
+    # new in r14, never driver-checked
+    "web_frontier_admission",
+    "web_fetch_schedule_ranked",
+    "corpus_wet_funnel",
+    "web_host_pagerank_dangling",
+    "web_link_graph_warc",
+    # r13-checked but fixture changed this round: re-pin
     "web_link_graph",
     "web_host_degree",
     "web_host_pagerank",
-    # stalest records: r1 vintage
-    "ann_ivf_partition_sizes",
-    "chunk_invariants",
-    "multimodal_decode_roundtrip",
-    "multimodal_frame_counts",
-    "multimodal_resize_plan",
-    # r3/r4 vintage (RAG primitives)
-    "rag_empty_guard",
-    "rag_prompt_template",
-    "rag_context",
-    "rag_history_rewrite",
-    "rag_match_projection",
-    "rag_truncate_docs",
-    # r9 vintage (relational / analytics / text-stats families)
-    "argmax_best_index",
-    "batch_query_metrics",
-    "corpus_cluster_mixture",
-    "corpus_curation_pipeline",
-    "corpus_mixture_sample",
-    "corpus_top_terms",
-    "corpus_weighted_sample",
-    "dim_check",
-    "documents_field_profile",
-    "embeddings_jl_projection",
-    "events_conversion_funnel",
-    "events_daily_rollup",
-    "events_distinct_users_exact",
-    "events_hourly",
-    "events_props_profile",
-    "events_retention_cohorts",
-    "events_rollup_day_type",
-    "events_session_windows",
-    "events_sessionized",
-    "events_type_pivot",
-    "events_value_histogram",
-    "index_stats",
-    "nation_revenue",
-    "order_priority_stats",
-    "pairwise_centroid_sim",
-    "part_brand_share",
-    "pricing_summary",
-    "retrieval_frequency",
-    "self_match_rank1",
-    "text_fingerprint_uniques",
-    "text_gopher_repetition",
-    "text_langid_confusion",
-    "text_quality_by_lang",
+    # stalest records: r9 vintage
+    "text_quality_profile",
+    "text_repetition_profile",
+    "text_token_counts",
+    "top_customers_per_nation",
+    "top_revenue_orders",
+    "topk_dotproduct",
+    "topk_euclidean",
+    "vector_norm_stats",
+    "vector_quantization_error",
+    # r10 vintage (dedup signals, DSIR/NB curation, temporal, misc)
+    "ann_opq_rerank_recall",
+    "corpus_curation_pipeline_dsir",
+    "corpus_leakage_safe_split",
+    "corpus_nb_auc",
+    "decontaminate_eval_overlap",
+    "dedup_duplicate_groups",
+    "dedup_embedding_pairs_jl_512",
+    "dedup_jaccard_pairs",
+    "dedup_semantic_keep",
+    "dedup_signal_agreement",
+    "dedup_simhash_groups",
+    "events_asof_bucketed",
+    "multimodal_dedup_exact",
+    "multimodal_manifest",
+    "rag_chat_e2e",
+    "text_pii_scrub",
+    "topk_filtered_dsl",
+    # r11 vintage (ANN recall ladder, BPE/packing/mixture curation)
+    "ann_ivf_topk_gemm_dotproduct",
+    "ann_ivf_topk_gemm_euclidean",
+    "ann_ivfpq_rerank_recall",
+    "ann_opq_quantization_gain",
+    "ann_pq_rerank_recall",
+    "chunk_sample",
+    "corpus_bpe_merges",
+    "corpus_curation_pipeline_gopher",
+    "corpus_curation_pipeline_nb",
+    "corpus_dsir_sample",
+    "corpus_dsir_weights",
+    "corpus_epoch_shards",
+    "corpus_epoch_shuffle",
+    "corpus_nb_quality_scores",
+    "corpus_nb_quality_scores_indexed",
+    "corpus_nb_threshold",
 ]
 
 
