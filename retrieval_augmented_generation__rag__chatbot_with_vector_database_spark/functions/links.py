@@ -356,10 +356,9 @@ def host_pagerank(
       Common Crawl's published host ranks): each iteration sums the
       dangling hosts' mass and spreads it uniformly over all N hosts,
       so total rank is conserved at 1.0. Rank ORDER can differ from
-      the droppable form on hub-poor graphs. Costs one scalar
-      aggregate per iteration (a single double to the driver — each
-      iteration is already an eager checkpoint job, so this adds no
-      extra pass over the edges)."""
+      the droppable form on hub-poor graphs. The dangling sum rides
+      the SAME iteration job as a one-row cross-joined aggregate —
+      no per-iteration driver round-trip."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if dangling not in ("drop", "redistribute"):
@@ -395,24 +394,25 @@ def host_pagerank(
             .groupBy("host")
             .agg(F.sum("c").alias("in_mass"))
         )
-        extra = base
+        nxt = hosts.join(contrib, "host", "left")
+        extra = F.lit(base)
         if dangling == "redistribute":
             # dangling mass this iteration: rank held by hosts with no
-            # out-links (anti-join on the tiny out-degree table), one
-            # scalar to the driver — bounded by k, never by data
-            dm = (
-                pr.join(out_deg.select("host"), "host", "left_anti")
-                .agg(F.sum("pagerank"))
-                .first()[0]
-                or 0.0
+            # out-links (anti-join on the tiny out-degree table),
+            # folded into the SAME iteration job as a one-row
+            # cross-joined aggregate — no per-iteration driver
+            # round-trip. Association order (base + d·dm/n) + d·mass
+            # is mirrored by the recursive-CTE oracle.
+            dm = pr.join(out_deg.select("host"), "host", "left_anti").agg(
+                F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dm")
             )
-            extra = base + damping * dm / n
+            nxt = nxt.crossJoin(dm)
+            extra = extra + F.lit(damping) * F.col("_dm") / F.lit(float(n))
         pr = (
-            hosts.join(contrib, "host", "left")
-            .select(
+            nxt.select(
                 "host",
                 (
-                    F.lit(extra)
+                    extra
                     + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
                 ).alias("pagerank"),
             )

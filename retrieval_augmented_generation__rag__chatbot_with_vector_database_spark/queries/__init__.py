@@ -113,6 +113,7 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_wet_funnel",
     "web_host_pagerank_dangling",
     "web_link_graph_warc",
+    "corpus_authority_weighted_sample",
     # r13-checked but fixture changed this round: re-pin
     "web_link_graph",
     "web_host_degree",
@@ -161,7 +162,6 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_epoch_shuffle",
     "corpus_nb_quality_scores",
     "corpus_nb_quality_scores_indexed",
-    "corpus_nb_threshold",
 ]
 
 

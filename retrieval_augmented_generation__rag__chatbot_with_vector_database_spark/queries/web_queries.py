@@ -1768,13 +1768,20 @@ def web_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_frontier,
     )
 
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        RobotsGate,
+    )
+
     pages = _link_pages(spark, sf_dir)
     cand = page_links(pages).select(F.col("dst").alias("url"))
-    rules = parse_robots_rules(
-        spark.createDataFrame(
-            [(ADMIT_BLOCKED_HOST, "User-agent: *\nDisallow: /")],
-            "host string, body string",
-        )
+    gate = RobotsGate(
+        parse_robots_rules(
+            spark.createDataFrame(
+                [(ADMIT_BLOCKED_HOST, "User-agent: *\nDisallow: /")],
+                "host string, body string",
+            )
+        ),
+        agent="*",
     )
     with tempfile.TemporaryDirectory() as tmp:
         fdir, pdir = f"{tmp}/frontier", f"{tmp}/pending"
@@ -1783,11 +1790,11 @@ def web_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.parquet(f"{fdir}/batch_id=0")
         admit_frontier_candidates(
             spark, fdir, pdir, cand, wave=1,
-            robots_rules=rules, host_cap=ADMIT_HOST_CAP,
+            robots_gate=gate, host_cap=ADMIT_HOST_CAP,
         )
         again = admit_frontier_candidates(
             spark, fdir, pdir, cand, wave=2,
-            robots_rules=rules, host_cap=ADMIT_HOST_CAP,
+            robots_gate=gate, host_cap=ADMIT_HOST_CAP,
         )
         pending = read_frontier(spark, pdir)
         collected = pending.collect()
@@ -1949,9 +1956,9 @@ def web_host_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums it and spreads it uniformly — total rank conserved at 1.0,
     the convention behind Common Crawl's published host ranks. Same
     fixed-k deterministic iteration, replayed value-exact by the
-    recursive CTE (the dangling sum rides the same grouped pass; the
-    engine's one extra cost is a per-iteration scalar aggregate,
-    ``functions/links.py:host_pagerank``)."""
+    recursive CTE (the dangling sum rides the same grouped pass on
+    both sides — in the engine as a one-row cross-joined aggregate
+    inside each iteration job, ``functions/links.py:host_pagerank``)."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
         host_graph,
         host_pagerank,
@@ -2032,3 +2039,84 @@ def web_link_graph_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = page_links(html_pages(load_warc_records(spark, tmp)))
         collected = edges.collect()
     return spark.createDataFrame(collected, "src string, dst string")
+
+
+# --- authority as a curation prior (round 14) --------------------------------
+
+AUTHORITY_SAMPLE_K = 30
+
+
+@register(
+    "corpus_authority_weighted_sample",
+    f"""
+WITH RECURSIVE {_LINK_EDGES_SQL},
+{_HOST_GRAPH_SQL},
+{_PAGERANK_CTE},
+ranks AS (
+  SELECT host, round(v, 6) AS authority FROM pr WHERE iter = {PAGERANK_K}
+),
+docs AS (
+  SELECT doc_id,
+         'linkhost' || CAST(doc_id % {N_LINK_HOSTS} AS VARCHAR) || '.com' AS host
+  FROM documents WHERE doc_id < {N_LINK_DOCS}
+),
+pri AS (
+  SELECT d.doc_id, d.host, r.authority,
+         pow(((d.doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0,
+             1.0 / r.authority) AS priority
+  FROM docs d JOIN ranks r ON r.host = d.host
+  WHERE r.authority > 0
+)
+SELECT doc_id, host, authority, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rank
+  FROM pri
+) WHERE rank <= {AUTHORITY_SAMPLE_K}
+""",
+)
+def corpus_authority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link authority as a CURATION prior (round 14): training docs
+    sampled weighted-without-replacement by their host's PageRank —
+    the standard "prefer content that the web vouches for" recipe
+    (host ranks as a per-host quality feature, the second consumer of
+    ``host_pagerank`` after the fetch scheduler). Composition:
+    fixed-k PageRank over the link fixture's host graph (rounded to
+    6 dp on BOTH sides so the weight is bit-identical across engines)
+    → per-doc weight by host → Efraimidis–Spirakis A-ES top-K
+    (``operators.sampling.weighted_priority_sample``, global form:
+    TakeOrderedAndProject, no global sort, the deterministic
+    Knuth-hash uniform so the oracle replays the exact sample).
+    Priorities are ranked but not emitted (pow ULP is
+    engine-specific; rank order is not)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        host_graph,
+        host_pagerank,
+        page_links,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    ranks = host_pagerank(
+        host_graph(page_links(_link_pages(spark, sf_dir))),
+        k=PAGERANK_K,
+        damping=PAGERANK_DAMPING,
+    ).select("host", F.round(F.col("pagerank"), 6).alias("authority"))
+    d = F.col("doc_id")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(d < N_LINK_DOCS)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("linkhost"),
+                (d % N_LINK_HOSTS).cast("string"),
+                F.lit(".com"),
+            ).alias("host"),
+        )
+    )
+    top = weighted_priority_sample(
+        docs.join(ranks, "host"), "doc_id", "authority", k=AUTHORITY_SAMPLE_K
+    )
+    return top.select(
+        "doc_id", "host", "authority", F.col("rank").cast("int").alias("rank")
+    )

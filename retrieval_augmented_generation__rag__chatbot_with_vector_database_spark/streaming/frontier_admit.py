@@ -108,7 +108,15 @@ def admit_frontier_candidates(
         # become frontier rows
         F.col("host") != ""
     )
-    cand = cand.select("canonical_url", "host").distinct()
+    # pin the canonicalized candidate set: it feeds the count, the
+    # anti-join, the gate, and the cap — without the checkpoint the
+    # caller's candidate plan (often a link-extraction kernel over
+    # page HTML) would re-execute for each of those
+    cand = (
+        cand.select("canonical_url", "host")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_candidates = cand.count()
 
     fetched = read_frontier(spark, frontier_dir)

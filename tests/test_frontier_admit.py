@@ -290,3 +290,96 @@ def test_pending_takedown_hook(spark, tmp_path):
     }
     # idempotent: forgetting again is a converging no-op
     assert hooks["web_frontier_pending"](spark, req)["n_deleted"] == 0
+
+
+def test_crawl_loop_two_waves_end_to_end(spark, tmp_path):
+    """The whole crawler loop, twice around: wave-0 WARC segments are
+    ingested (frontier grows), their links are admitted (pending
+    grows), the fetch list + politeness scheduler produce wave 1, the
+    'fetcher' materializes wave-1 captures as a new WARC segment, the
+    stream drains again — wave-1 pages are ingested, their pending
+    rows are superseded, and a third turn of the loop discovers
+    nothing new (fixed point). Every moving part is the production
+    code path: stream, frontier, admission, fetch list, scheduler."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+        HashEmbedder,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        fetch_schedule,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
+        VectorIndex,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
+        start_web_ingest_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    idx = VectorIndex(spark, str(tmp_path / "idx"), "loop2").create(dimension=16)
+    fdir, pdir = f"{tmp_path}/frontier", f"{tmp_path}/pending"
+
+    def drain():
+        q = start_web_ingest_stream(
+            spark,
+            str(landing),
+            idx,
+            HashEmbedder(dimension=16),
+            checkpoint_dir=f"{tmp_path}/ckpt",
+            frontier_dir=fdir,
+            available_now=True,
+            pending_dir=pdir,
+        )
+        q.awaitTermination(120)
+
+    # wave 0: two seed pages; /w1a and /w1b are the next hop, /w1a is
+    # referenced from BOTH seeds (admitted once)
+    seg0 = _linked_record(
+        "http://site.example/seed1", "s1", ["/w1a", "/w1b"]
+    ) + _linked_record("http://site.example/seed2", "s2", ["/w1a"])
+    (landing / "wave0.warc").write_bytes(seg0)
+    drain()
+
+    to_fetch = pending_fetch_list(spark, fdir, pdir)
+    plan = fetch_schedule(
+        to_fetch.select(F.col("canonical_url").alias("url")),
+        spark.createDataFrame(
+            [("site.example", 1.5)], "host string, crawl_delay double"
+        ),
+    )
+    waves = {r["url"]: (r["wave"], r["fetch_at"]) for r in plan.collect()}
+    assert waves == {
+        "http://site.example/w1a": (0, 0.0),
+        "http://site.example/w1b": (1, 1.5),
+    }
+
+    # the 'fetcher' executes the plan: wave-1 captures land as a new
+    # segment; w1a links BACK to seed1 (already fetched — never
+    # re-admitted) and onward to /w2; w1b links nowhere new
+    seg1 = _linked_record(
+        "http://site.example/w1a", "w1a", ["/seed1", "/w2"]
+    ) + _linked_record("http://site.example/w1b", "w1b", ["/w1a"])
+    (landing / "wave1.warc").write_bytes(seg1)
+    drain()
+
+    fetched = {r["canonical_url"] for r in read_frontier(spark, fdir).collect()}
+    assert fetched == {
+        "http://site.example/seed1",
+        "http://site.example/seed2",
+        "http://site.example/w1a",
+        "http://site.example/w1b",
+    }
+    next_fetch = {
+        r["canonical_url"] for r in pending_fetch_list(spark, fdir, pdir).collect()
+    }
+    assert next_fetch == {"http://site.example/w2"}  # the new hop only
+
+    # wave 2 fetches /w2, which only links back into the crawled set:
+    # the loop reaches its fixed point — nothing left to fetch
+    (landing / "wave2.warc").write_bytes(
+        _linked_record("http://site.example/w2", "w2", ["/seed2", "/w1b"])
+    )
+    drain()
+    assert pending_fetch_list(spark, fdir, pdir).count() == 0
+    # and the index holds exactly the five fetched pages
+    assert idx.read().select("source").distinct().count() == 5
