@@ -127,6 +127,54 @@ def sitemap_index_children(
     )
 
 
+def parse_w3c_datetime(col: Column | str) -> Column:
+    """sitemaps.org ``<lastmod>`` (W3C datetime) → timestamp.
+    Documented scope: date-only (``YYYY-MM-DD`` → midnight) and UTC
+    forms (``...Z``, with or without fractional seconds). Non-UTC
+    offsets parse to NULL — conservative for the recrawl consumer
+    (an unparseable claim never triggers a refetch), and it keeps the
+    DuckDB oracle byte-exact (offset handling differs across strptime
+    dialects)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+    )
+
+
+def recrawl_candidates(
+    fetched: DataFrame,
+    seeds: DataFrame,
+    url_col: str = "canonical_url",
+    fetched_at_col: str = "fetched_at",
+) -> DataFrame:
+    """The FRESHNESS side of the crawl loop: URLs whose
+    publisher-claimed ``lastmod`` (the seed table's sitemap claim) is
+    NEWER than our fetch — the recrawl list. ``fetched`` carries
+    ``(url_col, fetched_at_col)`` (a timestamp); ``seeds`` is the
+    :func:`sitemap_seed_table` shape ``(host, url, lastmod)``. URLs
+    never fetched are not recrawl candidates (they are ADMISSION
+    candidates — ``streaming.frontier_admit``); absent/unparseable
+    lastmod never triggers (the sitemap made no credible claim).
+    Output: ``(host, url, lastmod)`` — feed it back through
+    ``fetch_schedule`` like any other wave.
+
+    Shape: one equi-join on the canonical URL (both sides share the
+    crawl's dedup key), the timestamp parse rides the seed scan —
+    no shuffle beyond the join, which AQE sizes (seed tables are
+    hosts × 50k protocol-bounded)."""
+    lm = parse_w3c_datetime(F.col("lastmod"))
+    f = fetched.select(
+        F.col(url_col).alias("url"), F.col(fetched_at_col).alias("_fetched_at")
+    )
+    return (
+        seeds.join(f, "url")
+        .filter(lm > F.col("_fetched_at"))
+        .select("host", "url", "lastmod")
+    )
+
+
 def sitemap_seed_table(
     robots_pages: DataFrame,
     sitemap_bodies: DataFrame,

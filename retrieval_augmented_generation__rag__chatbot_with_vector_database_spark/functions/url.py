@@ -187,6 +187,85 @@ def url_host(url: Column | str) -> Column:
     return F.regexp_replace(auth, r":\d+$", "")
 
 
+def url_trap_signals(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL crawler-trap features — the URL-shape side of crawl
+    curation (calendar traps, session-id mazes, faceted-search
+    explosions burn fetch budget on infinite low-value URL spaces):
+
+    - ``path_depth``: non-empty path segments;
+    - ``max_segment_repeat``: highest occurrence count of any single
+      path segment (``/cal/2024/cal/2024/...`` — the classic trap
+      signature; loops repeat segments);
+    - ``n_params``: query parameters (faceted explosions stack them).
+
+    All pure codegen over the URL string (the per-URL segment-count
+    fold is O(depth²) on a protocol-bounded depth); aggregate per
+    host with :func:`host_trap_profile` to pick crawl blocklists."""
+    u = F.substring_index(_c(url_col), "#", 1)
+    rest = F.regexp_extract(
+        u, r"(?s)^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1
+    )
+    path = F.substring_index(rest, "?", 1)
+    rq = F.instr(rest, "?")
+    query = F.when(
+        rq > 0, F.substring(rest, rq + 1, F.length(rest))
+    ).otherwise(F.lit(""))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    max_rep = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(segs),
+                lambda d: F.size(F.filter(segs, lambda s: s == d)),
+            )
+        ),
+        F.lit(0),
+    )
+    n_params = F.size(F.filter(F.split(query, "&"), lambda p: p != ""))
+    return df.select(
+        "*",
+        F.size(segs).alias("path_depth"),
+        max_rep.alias("max_segment_repeat"),
+        n_params.alias("n_params"),
+    )
+
+
+def host_trap_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    max_repeat: int = 4,
+    max_params: int = 8,
+    max_depth: int = 12,
+) -> DataFrame:
+    """Per-host trap profile over :func:`url_trap_signals`: a URL is
+    trap-shaped when ANY signal crosses its threshold; a host whose
+    trap share exceeds 30% gets ``trap_host=1`` — the blocklist a
+    scheduler multiplies into its priorities (alongside the authority
+    prior, its negative twin). One hash shuffle on host."""
+    sig = url_trap_signals(df, url_col=url_col)
+    is_trap = (
+        (F.col("max_segment_repeat") >= max_repeat)
+        | (F.col("n_params") >= max_params)
+        | (F.col("path_depth") >= max_depth)
+    ).cast("int")
+    return (
+        sig.withColumn("_trap", is_trap)
+        .groupBy(url_host(F.col(url_col)).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.max("path_depth").alias("max_depth"),
+            F.max("max_segment_repeat").alias("max_repeat"),
+            F.max("n_params").alias("max_params"),
+            F.sum("_trap").alias("n_trap_urls"),
+        )
+        .withColumn(
+            "trap_host",
+            (
+                F.col("n_trap_urls").cast("double") / F.col("n_urls") > 0.3
+            ).cast("int"),
+        )
+    )
+
+
 def with_canonical_url(
     df: DataFrame,
     url_col: str = "url",

@@ -114,6 +114,8 @@ DRIVER_WINDOW_PRIORITY = [
     "web_host_pagerank_dangling",
     "web_link_graph_warc",
     "corpus_authority_weighted_sample",
+    "web_recrawl_candidates",
+    "web_url_trap_profile",
     # r13-checked but fixture changed this round: re-pin
     "web_link_graph",
     "web_host_degree",
@@ -160,8 +162,6 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_dsir_weights",
     "corpus_epoch_shards",
     "corpus_epoch_shuffle",
-    "corpus_nb_quality_scores",
-    "corpus_nb_quality_scores_indexed",
 ]
 
 

@@ -2120,3 +2120,185 @@ def corpus_authority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFr
     return top.select(
         "doc_id", "host", "authority", F.col("rank").cast("int").alias("rank")
     )
+
+
+# --- freshness-driven recrawl (round 14) -------------------------------------
+
+N_RECRAWL_DOCS = 160
+RECRAWL_HOSTS = 5
+
+
+@register(
+    "web_recrawl_candidates",
+    f"""
+WITH docs AS (SELECT doc_id AS d FROM documents WHERE doc_id < {N_RECRAWL_DOCS}),
+seeds AS (
+  SELECT 'fresh' || CAST(d % {RECRAWL_HOSTS} AS VARCHAR) || '.example' AS host,
+         'https://fresh' || CAST(d % {RECRAWL_HOSTS} AS VARCHAR)
+         || '.example/p/' || CAST(d AS VARCHAR) AS url,
+         CASE d % 4
+           WHEN 0 THEN '2024-06-' || lpad(CAST(1 + d % 28 AS VARCHAR), 2, '0')
+           WHEN 1 THEN '2024-06-' || lpad(CAST(1 + d % 28 AS VARCHAR), 2, '0')
+                       || 'T06:30:00Z'
+           WHEN 2 THEN NULL
+           ELSE '2024-06-20T10:00:00+02:00'
+         END AS lastmod,
+         d
+  FROM docs
+),
+fetched AS (
+  SELECT url,
+         strptime('2024-06-' || CAST(15 + d % 3 AS VARCHAR), '%Y-%m-%d') AS fetched_at
+  FROM seeds
+)
+SELECT s.host, s.url, s.lastmod
+FROM seeds s JOIN fetched f ON s.url = f.url
+WHERE coalesce(try_strptime(s.lastmod, '%Y-%m-%dT%H:%M:%SZ'),
+               try_strptime(s.lastmod, '%Y-%m-%d')) > f.fetched_at
+""",
+)
+def web_recrawl_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl (round 14): sitemap ``lastmod`` claims
+    vs our fetch times — the loop edge that makes a crawl CONTINUOUS
+    instead of one-shot (``functions/sitemap.py:recrawl_candidates``).
+    W3C-datetime scope pinned by the fixture: date-only claims
+    (midnight — strictly-newer-day triggers), UTC timestamps (same-day
+    06:30Z beats a midnight fetch), absent claims never trigger, and
+    non-UTC offsets parse NULL by documented scope (conservative: no
+    refetch on an unparseable claim). One URL-keyed equi-join; the
+    parse rides the seed scan."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.sitemap import (
+        recrawl_candidates,
+    )
+
+    d = F.col("doc_id")
+    base = load(spark, sf_dir, "documents").filter(d < N_RECRAWL_DOCS)
+    day = F.lpad((1 + d % 28).cast("string"), 2, "0")
+    lastmod = (
+        F.when(d % 4 == 0, F.concat(F.lit("2024-06-"), day))
+        .when(d % 4 == 1, F.concat(F.lit("2024-06-"), day, F.lit("T06:30:00Z")))
+        .when(d % 4 == 3, F.lit("2024-06-20T10:00:00+02:00"))
+    )
+    url = F.concat(
+        F.lit("https://fresh"), (d % RECRAWL_HOSTS).cast("string"),
+        F.lit(".example/p/"), d.cast("string"),
+    )
+    seeds = base.select(
+        F.concat(
+            F.lit("fresh"), (d % RECRAWL_HOSTS).cast("string"), F.lit(".example")
+        ).alias("host"),
+        url.alias("url"),
+        lastmod.alias("lastmod"),
+    )
+    fetched = base.select(
+        url.alias("canonical_url"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-06-"), (15 + d % 3).cast("string"))
+        ).alias("fetched_at"),
+    )
+    return recrawl_candidates(fetched, seeds)
+
+
+# --- crawler-trap URL signals (round 14) -------------------------------------
+
+N_TRAP_DOCS = 240
+TRAP_HOSTS = 8
+
+
+@register(
+    "web_url_trap_profile",
+    f"""
+WITH docs AS (
+  SELECT doc_id AS d, doc_id % {TRAP_HOSTS} AS h, (doc_id // 8) % 8 AS r8,
+         (doc_id // 8) % 12 AS r12
+  FROM documents WHERE doc_id < {N_TRAP_DOCS}
+),
+urls AS (
+  SELECT 'trap' || CAST(h AS VARCHAR) || '.example' AS host,
+         'https://trap' || CAST(h AS VARCHAR) || '.example'
+         || CASE h % 4
+              WHEN 0 THEN '/cal' || repeat('/ev', CAST(2 + r8 AS INT))
+              WHEN 1 THEN '/q?' || substr(repeat('&k=v', CAST(1 + r12 AS INT)), 2)
+              WHEN 2 THEN '/dir' || CAST(d % 7 AS VARCHAR) || '/page' || CAST(d AS VARCHAR)
+              ELSE '/'
+            END AS url,
+         h % 4 AS mode, r8, r12
+  FROM docs
+),
+sig AS (
+  SELECT host,
+         CASE mode WHEN 0 THEN CAST(3 + r8 AS INT)
+                   WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END AS path_depth,
+         CASE mode WHEN 0 THEN CAST(2 + r8 AS INT)
+                   WHEN 3 THEN 0 ELSE 1 END AS max_segment_repeat,
+         CASE mode WHEN 1 THEN CAST(1 + r12 AS INT) ELSE 0 END AS n_params
+  FROM urls
+)
+SELECT host,
+       count(*) AS n_urls,
+       CAST(max(path_depth) AS BIGINT) AS max_depth,
+       CAST(max(max_segment_repeat) AS BIGINT) AS max_repeat,
+       CAST(max(n_params) AS BIGINT) AS max_params,
+       CAST(sum(CASE WHEN max_segment_repeat >= 4 OR n_params >= 8
+                     OR path_depth >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_trap_urls,
+       CAST(CASE WHEN sum(CASE WHEN max_segment_repeat >= 4 OR n_params >= 8
+                                    OR path_depth >= 12 THEN 1 ELSE 0 END)
+                      * 1.0 / count(*) > 0.3 THEN 1 ELSE 0 END AS INT) AS trap_host
+FROM sig GROUP BY host
+""",
+)
+def web_url_trap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (round 14): per-URL shape signals —
+    path depth, max repeated path segment (the calendar/loop
+    signature), query-param count (faceted explosions) — aggregated
+    into a per-host trap profile with a 30% blocklist flag
+    (``functions/url.py:url_trap_signals`` / ``host_trap_profile``),
+    the NEGATIVE prior a scheduler multiplies in alongside the
+    PageRank authority. Fixture plants four host shapes (calendar
+    trap with varying loop depth, param explosion, normal two-level,
+    root-only); the oracle derives every signal from the same
+    arithmetic the URLs were built from, so a defect anywhere in the
+    split/fold/aggregate chain moves a count. Pure codegen per URL
+    (the segment-repeat fold is O(depth²) on a protocol-bounded
+    depth), ONE host shuffle for the profile."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        host_trap_profile,
+    )
+
+    d = F.col("doc_id")
+    h = (d % TRAP_HOSTS).cast("string")
+    path = (
+        F.when(
+            d % TRAP_HOSTS % 4 == 0,
+            F.concat(F.lit("/cal"), F.expr("repeat('/ev', CAST(2 + (doc_id DIV 8) % 8 AS INT))")),
+        )
+        .when(
+            d % TRAP_HOSTS % 4 == 1,
+            F.concat(
+                F.lit("/q?"),
+                F.expr("substring(repeat('&k=v', CAST(1 + (doc_id DIV 8) % 12 AS INT)), 2)"),
+            ),
+        )
+        .when(
+            d % TRAP_HOSTS % 4 == 2,
+            F.concat(F.lit("/dir"), (d % 7).cast("string"), F.lit("/page"), d.cast("string")),
+        )
+        .otherwise(F.lit("/"))
+    )
+    urls = (
+        load(spark, sf_dir, "documents")
+        .filter(d < N_TRAP_DOCS)
+        .select(
+            F.concat(F.lit("https://trap"), h, F.lit(".example"), path).alias("url")
+        )
+    )
+    out = host_trap_profile(urls)
+    return out.select(
+        "host",
+        "n_urls",
+        F.col("max_depth").cast("long").alias("max_depth"),
+        F.col("max_repeat").cast("long").alias("max_repeat"),
+        F.col("max_params").cast("long").alias("max_params"),
+        F.col("n_trap_urls").cast("long").alias("n_trap_urls"),
+        "trap_host",
+    )

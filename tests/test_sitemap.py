@@ -144,3 +144,63 @@ def test_seed_table_robots_gate(spark):
         ("b.com", "https://b.com/x"),
         ("b.com", "https://b.com/y"),
     }
+
+
+def test_parse_w3c_datetime_scope(spark):
+    """Date-only and UTC forms parse; non-UTC offsets are null by
+    documented scope (conservative for the recrawl consumer)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.sitemap import (
+        parse_w3c_datetime,
+    )
+
+    rows = [
+        ("2024-06-03", "2024-06-03 00:00:00"),
+        ("2024-06-03T06:30:00Z", "2024-06-03 06:30:00"),
+        ("2024-06-03T06:30:00.250Z", "2024-06-03 06:30:00.250000"),
+        ("2024-06-03T06:30:00+02:00", None),
+        ("not a date", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(rows)], "i long, lm string")
+    got = {
+        r["i"]: (str(r["ts"]) if r["ts"] is not None else None)
+        for r in df.select("i", parse_w3c_datetime("lm").alias("ts")).collect()
+    }
+    assert got == {i: want for i, (_, want) in enumerate(rows)}
+
+
+def test_recrawl_candidates_freshness_edges(spark):
+    """Strictly-newer lastmod triggers; same-instant does not; absent
+    or unparseable claims never do; unfetched URLs are not recrawl
+    candidates."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.sitemap import (
+        recrawl_candidates,
+    )
+
+    seeds = spark.createDataFrame(
+        [
+            ("h.example", "https://h.example/newer", "2024-06-20"),
+            ("h.example", "https://h.example/same", "2024-06-15"),
+            ("h.example", "https://h.example/sameday-tz", "2024-06-15T01:00:00Z"),
+            ("h.example", "https://h.example/older", "2024-06-01"),
+            ("h.example", "https://h.example/noclaim", None),
+            ("h.example", "https://h.example/offset", "2024-06-20T10:00:00+02:00"),
+            ("h.example", "https://h.example/unfetched", "2024-06-20"),
+        ],
+        "host string, url string, lastmod string",
+    )
+    fetched = spark.createDataFrame(
+        [(u,) for u in (
+            "https://h.example/newer", "https://h.example/same",
+            "https://h.example/sameday-tz", "https://h.example/older",
+            "https://h.example/noclaim", "https://h.example/offset",
+        )],
+        "canonical_url string",
+    ).withColumn("fetched_at", F.to_timestamp(F.lit("2024-06-15 00:00:00")))
+    got = {r["url"] for r in recrawl_candidates(fetched, seeds).collect()}
+    assert got == {
+        "https://h.example/newer",
+        "https://h.example/sameday-tz",  # 01:00Z beats the midnight fetch
+    }

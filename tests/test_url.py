@@ -150,3 +150,34 @@ def test_python_canonicalizer_matches_column_form(spark):
     for r in raws:
         once = canonicalize_url_py(r)
         assert canonicalize_url_py(once) == once
+
+
+def test_url_trap_signals_and_host_profile(spark):
+    """Per-URL trap features (depth, max repeated segment, params)
+    and the per-host blocklist flag at the 30% share threshold."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        host_trap_profile,
+        url_trap_signals,
+    )
+
+    urls = [
+        # calendar loop: 'ev' x5 -> trap by repeat
+        ("https://t.example/cal/ev/ev/ev/ev/ev", (6, 5, 0)),
+        # faceted explosion: 9 params -> trap by params
+        ("https://t.example/q?" + "&".join(f"k{i}=v" for i in range(9)), (1, 1, 9)),
+        ("https://t.example/dir1/page2", (2, 1, 0)),  # normal
+        ("https://t.example/", (0, 0, 0)),  # root
+        ("https://ok.example/a/b?x=1#frag", (2, 1, 1)),  # fragment off
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    sig = {
+        r["url"]: (r["path_depth"], r["max_segment_repeat"], r["n_params"])
+        for r in url_trap_signals(df).collect()
+    }
+    assert sig == dict(urls)
+    prof = {
+        r["host"]: (r["n_urls"], r["n_trap_urls"], r["trap_host"])
+        for r in host_trap_profile(df).collect()
+    }
+    # t.example: 2 trap URLs of 4 (50% > 30%) -> flagged; ok.example clean
+    assert prof == {"t.example": (4, 2, 1), "ok.example": (1, 0, 0)}
