@@ -311,3 +311,48 @@ def test_fetch_schedule_single_frontier_shuffle(spark):
         .first()["fetch_at"]
         == 9.0
     )
+
+
+def test_fetch_schedule_ranked_still_one_host_shuffle(spark):
+    """PageRank-prioritized scheduling (r14): the priority join keys
+    on the URL and lands BEFORE the ranking window, so the frontier
+    still pays exactly ONE host-keyed shuffle and the total exchange
+    count matches the unranked contract (window + delays dedup agg;
+    the small priority table broadcasts — at scale it is
+    frontier-sized and AQE plans an SMJ on the url key instead, which
+    adds url-keyed exchanges but never a second HOST shuffle)."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        fetch_schedule,
+    )
+
+    frontier = spark.range(0, 10_000).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 50).cast("string"),
+            F.lit(".com/p/"), F.col("id").cast("string"),
+        ).alias("url")
+    )
+    delays = spark.createDataFrame(
+        [(f"h{i}.com", float(i % 5 + 1)) for i in range(50)],
+        "host string, crawl_delay double",
+    )
+    prio = spark.range(0, 5_000).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 50).cast("string"),
+            F.lit(".com/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+        (F.col("id") % 7).cast("double").alias("priority"),
+    )
+    out = fetch_schedule(frontier, delays, priority=prio)
+    assert shuffle_count(out) == 2  # same as the unranked contract
+    plan = physical_plan(out)
+    # the ranking window orders by priority DESC NULLS LAST, url
+    assert "priority" in plan and "DESC NULLS LAST" in plan
+    assert broadcast_join_count(out) >= 1  # the priority join
+    # semantics spot-check: unscored URLs (id >= 5000) wave AFTER
+    # every scored one on their host
+    row = (
+        out.filter(F.col("url") == "https://h1.com/p/5001")
+        .select("wave")
+        .first()
+    )
+    assert row["wave"] >= 100  # 100 scored URLs per host come first
