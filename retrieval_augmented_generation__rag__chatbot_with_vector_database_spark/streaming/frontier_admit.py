@@ -57,6 +57,19 @@ links/batch); fetched+pending grow with the crawl, so neither side
 carries a broadcast hint — AQE broadcasts while small, shuffles on
 ``canonical_url`` once not. The host-cap window shuffles candidates
 once on ``host``; quota counts aggregate the frontier on the same key.
+
+A crawler's fetch plan has TWO wave sources, deliberately separate:
+
+- **discovery waves** — :func:`pending_fetch_list` (this module):
+  URLs never fetched; admission's anti-join guarantees each is
+  fetched at most once;
+- **refresh waves** — ``functions.sitemap.recrawl_candidates``: URLs
+  already fetched whose publisher-claimed ``lastmod`` outruns our
+  fetch time. Refresh is NOT admission (a recrawl candidate is in the
+  fetched set by definition, exactly what the anti-join rejects) and
+  never needs the frontier mutated: re-ingesting a recaptured page is
+  idempotent by content-addressed ids, and its frontier row already
+  exists. Both lists feed the same ``fetch_schedule``.
 """
 
 from __future__ import annotations
