@@ -83,6 +83,91 @@ def exploded_shingles(
     return toks.select("id", F.explode(shingles).alias("shingle"))
 
 
+def common_lines(
+    docs: DataFrame,
+    min_count: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide LINE frequency blocklist: non-empty lines (after
+    trim) appearing in at least ``min_count`` DISTINCT documents →
+    ``(line, n_docs)``. This is the RefinedWeb/Falcon-style
+    boilerplate signal — cookie banners, nav crumbs, footer legalese
+    repeat verbatim across a site while real prose doesn't. Distinct
+    per doc FIRST (a line repeated inside one page is repetition, not
+    boilerplate — the Gopher gates own that), then one hash groupBy
+    on the line: the canonical count shuffle, line-hash-partitioned
+    at any scale."""
+    line = F.trim(F.col("_line"))
+    return (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+        )
+        .select("doc_id", line.alias("line"))
+        .filter(F.col("line") != "")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_count)
+    )
+
+
+def strip_common_lines(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite each document WITHOUT its blocklisted lines (the
+    removal side of :func:`common_lines`): lines whose trimmed form
+    is on the blocklist drop; surviving lines rejoin in original
+    order. Keeps the document for training instead of dropping it —
+    the same philosophy as span-level ExactSubstr scrubbing
+    (``scrub_eval_spans``), one level up.
+
+    Shape: explode with position → anti-join on the trimmed line →
+    regroup by doc with an order-preserving ``sort_array`` fold. Two
+    shuffles (anti-join on line, regroup on doc_id); the blocklist is
+    count-thresholded and AQE broadcasts it while it is small.
+    Emits ``doc_id``, rewritten ``text_col``, and audit counts
+    ``n_lines_before`` / ``n_lines_after`` (compliance-style: how
+    much boilerplate was removed, per doc)."""
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    kept = exploded.join(
+        blocklist.select(F.col("line").alias("_bl")),
+        F.trim(exploded["_line"]) == F.col("_bl"),
+        "left_anti",
+    )
+    before = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines_before")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines_after"),
+    )
+    # a doc whose EVERY line was blocklisted survives as empty text —
+    # dropping it is the caller's (gate's) decision, not the scrubber's
+    return (
+        before.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            "n_lines_before",
+            F.coalesce("n_lines_after", F.lit(0)).alias("n_lines_after"),
+        )
+    )
+
+
 def exact_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -116,6 +116,7 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_authority_weighted_sample",
     "web_recrawl_candidates",
     "web_url_trap_profile",
+    "dedup_common_lines",
     # r13-checked but fixture changed this round: re-pin
     "web_link_graph",
     "web_host_degree",
@@ -161,7 +162,6 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_dsir_sample",
     "corpus_dsir_weights",
     "corpus_epoch_shards",
-    "corpus_epoch_shuffle",
 ]
 
 

@@ -1152,3 +1152,90 @@ def text_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("_content").cast("long").alias("n_chars"),
         )
     )
+
+
+# --- corpus-wide common-line dedup (round 14) --------------------------------
+
+N_LINE_DOCS = 150
+LINE_MIN_COUNT = 10
+
+
+@register(
+    "dedup_common_lines",
+    f"""
+WITH docs AS (SELECT doc_id AS d FROM documents WHERE doc_id < {N_LINE_DOCS}),
+t AS (
+  SELECT d,
+         'COOKIE NOTICE ACCEPT ALL' || CASE WHEN d % 2 = 0 THEN '  ' ELSE '' END
+         || chr(10) || 'SECTION ' || CAST(d % 3 AS VARCHAR) || ' NAVIGATION'
+         || chr(10) || chr(10)
+         || 'rare ribbon ' || CAST(d % 40 AS VARCHAR)
+         || chr(10) || 'unique line for doc ' || CAST(d AS VARCHAR) AS text
+  FROM docs
+),
+lines AS (
+  SELECT d,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM t
+),
+bl AS (
+  SELECT line FROM (
+    SELECT DISTINCT d, trim(line) AS line FROM lines WHERE trim(line) <> ''
+  ) GROUP BY line HAVING count(*) >= {LINE_MIN_COUNT}
+),
+kept AS (
+  SELECT * FROM lines WHERE trim(line) NOT IN (SELECT line FROM bl)
+),
+rebuilt AS (
+  SELECT d, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_after
+  FROM kept GROUP BY d
+),
+before AS (SELECT d, count(*) AS n_before FROM lines GROUP BY d)
+SELECT b.d AS doc_id,
+       CAST(b.n_before AS BIGINT) AS n_lines_before,
+       CAST(coalesce(r.n_after, 0) AS BIGINT) AS n_lines_after,
+       md5(coalesce(r.text, '')) AS text_md5
+FROM before b LEFT JOIN rebuilt r ON b.d = r.d
+""",
+)
+def dedup_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide common-LINE dedup (round 14) — the RefinedWeb/
+    Falcon boilerplate killer: lines repeating verbatim across >=
+    {LINE_MIN_COUNT} distinct documents (cookie banners, nav crumbs)
+    are blocklisted by one line-hash groupBy and excised from every
+    document, order preserved, document KEPT (``operators/dedup.py::
+    common_lines`` / ``strip_common_lines``). Fixture plants exact
+    frequencies — a 150-doc banner (with a trailing-whitespace variant
+    that must trim-normalize into the same blocklist entry), three
+    50-doc section crumbs, sub-threshold 3-4-doc ribbons, per-doc
+    unique lines, and an empty line that survives untouched — so the
+    md5 of every rebuilt document pins the whole
+    explode → count → anti-join → order-preserving-rebuild chain."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        common_lines,
+        strip_common_lines,
+    )
+
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("COOKIE NOTICE ACCEPT ALL"),
+        F.when(d % 2 == 0, F.lit("  ")).otherwise(F.lit("")),
+        F.lit("\nSECTION "), (d % 3).cast("string"), F.lit(" NAVIGATION"),
+        F.lit("\n\nrare ribbon "), (d % 40).cast("string"),
+        F.lit("\nunique line for doc "), d.cast("string"),
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(d < N_LINE_DOCS)
+        .select("doc_id", text.alias("text"))
+    )
+    bl = common_lines(docs, min_count=LINE_MIN_COUNT)
+    out = strip_common_lines(docs, bl)
+    return out.select(
+        "doc_id",
+        "n_lines_before",
+        "n_lines_after",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )

@@ -330,3 +330,37 @@ def test_gopher_repetition_stats_hand_values(spark):
     assert got[1]["dup_10gram_share"] == 1.0
     # doc 2: shorter than every n -> all zeros
     assert all(v == 0.0 for k, v in got[2].items() if k != "doc_id")
+
+
+def test_common_lines_blocklist_and_strip(spark):
+    """Line-frequency blocklist counts DISTINCT docs (in-doc repeats
+    are repetition, not boilerplate), trim-normalizes, and the strip
+    preserves order, keeps empty lines, and leaves a fully-boilerplate
+    doc as empty text rather than dropping it."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        common_lines,
+        strip_common_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "BANNER\ncontent zero\n\nBANNER\ntail zero"),
+            (1, "BANNER  \ncontent one"),  # trailing spaces: same entry
+            (2, "BANNER\ncontent two"),
+            (3, "BANNER"),  # all-boilerplate doc
+        ],
+        "doc_id long, text string",
+    )
+    bl = common_lines(docs, min_count=3)
+    assert {(r["line"], r["n_docs"]) for r in bl.collect()} == {("BANNER", 4)}
+    # in-doc repeat counted once: doc 0 contributes 1, not 2
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_before"], r["n_lines_after"])
+        for r in strip_common_lines(docs, bl).collect()
+    }
+    assert got == {
+        0: ("content zero\n\ntail zero", 5, 3),  # empty line survives
+        1: ("content one", 2, 1),
+        2: ("content two", 2, 1),
+        3: ("", 1, 0),  # kept as empty, the gate decides its fate
+    }
