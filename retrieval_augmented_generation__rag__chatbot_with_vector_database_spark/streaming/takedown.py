@@ -55,6 +55,7 @@ def layout_hooks(
     frontier_dir: str | None = None,
     frontier_url_col: str = "url",
     pending_dir: str | None = None,
+    line_occurrence_dir: str | None = None,
 ) -> list[tuple[str, TakedownHook]]:
     """Standard hook set over the engine's persisted per-doc surfaces —
     pass the ones that exist; ids arrive as longs (the corpus doc/vec
@@ -74,7 +75,11 @@ def layout_hooks(
     PENDING frontier (``streaming/frontier_admit.py``) on the same
     URL key — an admitted-but-unfetched URL is still a retained
     record that the page was discovered, and the layout is identical,
-    so the same partition-rewrite delete applies."""
+    so the same partition-rewrite delete applies.
+    ``line_occurrence_dir`` adds the boilerplate line-occurrence
+    table (``streaming/boilerplate.py``): a doc's lines are derived
+    personal data like its minhash signature — keyed by the long
+    doc id, touched-partition rewrite, blocklist correctly shrinks."""
     from pyspark.sql import functions as F
 
     hooks: list[tuple[str, TakedownHook]] = []
@@ -154,6 +159,17 @@ def layout_hooks(
             )
 
         hooks.append(("web_frontier_pending", _pending))
+    if line_occurrence_dir is not None:
+        def _lines(spark, ids, _p=line_occurrence_dir):
+            from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.boilerplate import (
+                delete_line_occurrences,
+            )
+
+            return delete_line_occurrences(
+                spark, _p, ids.select(ids.columns[0])
+            )
+
+        hooks.append(("boilerplate_line_occurrences", _lines))
     if not hooks:
         raise ValueError("no layouts given — nothing to take down")
     return hooks
