@@ -214,6 +214,26 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(2 * 1024**3 / best / 1e9, 1)
 
+    def _stream_canary() -> float:
+        """min-of-3 STREAM-triad (a = b + s*c) over 3×256 MB float64,
+        in GB/s — the MEMORY-BANDWIDTH health reading the GEMM canary
+        cannot give (1024² GEMM is cache-resident and nearly blind to
+        bandwidth co-tenancy, while Spark scans/shuffles are
+        bandwidth-bound; SCALE.md round-14 final bench note). A
+        uniform query slowdown with a healthy GEMM but depressed triad
+        fingerprints a bandwidth-contended window."""
+        import numpy as np
+
+        n = 32 * 1024 * 1024  # 3 arrays x 256 MB
+        b = np.random.default_rng(1).random(n)
+        c = np.random.default_rng(2).random(n)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            a = b + 0.5 * c  # noqa: F841 - the store is the point
+            best = min(best, time.time() - t0)
+        return round(3 * n * 8 / best / 1e9, 1)  # 2 reads + 1 write
+
     def _ingest_attempt() -> tuple[float, int]:
         """One fresh-index chunk→embed→index run; (seconds, chunks).
         Fresh index per attempt: a second upsert into the SAME index
@@ -235,9 +255,11 @@ def main() -> None:
     rows: dict[str, int] = {}
     ingest_samples: list[float] = []
     ingest_canaries: list[float] = []
+    bandwidth_canaries: list[float] = []
     n_chunks = 0
     for _ in range(N_PASSES):
         ingest_canaries.append(_gemm_canary())
+        bandwidth_canaries.append(_stream_canary())
         dt, n_chunks = _ingest_attempt()
         ingest_samples.append(round(dt, 3))
         for name in HEADLINE:
@@ -320,7 +342,7 @@ def main() -> None:
         f"(attempts {ingest_samples}, canary GFLOPS {ingest_canaries}, "
         f"canary@min {ingest_canaries[best_i]}, canary-norm "
         f"{canary_norm}/s @ ref {CANARY_REF_GFLOPS}, "
-        f"canary median {canary_median})",
+        f"canary median {canary_median}, bandwidth GB/s {bandwidth_canaries})",
         file=sys.stderr,
     )
 
@@ -345,6 +367,7 @@ def main() -> None:
         "ingest_chunks_per_sec_canary_norm": canary_norm,
         "canary_median_gflops": canary_median,
         "canary_ref_gflops": CANARY_REF_GFLOPS,
+        "bandwidth_canary_gbs": bandwidth_canaries,
     }
     print(json.dumps(record))
 
