@@ -17,8 +17,9 @@ Canonical form (documented contract, mirrored by the DuckDB oracle in
   usual canonicalizer choice: order-insensitive equality beats the
   rare order-sensitive endpoint);
 - an emptied query string drops its ``?``;
-- trailing slash stripped from non-root paths (``/a/`` == ``/a``,
-  root ``/`` kept).
+- ALL trailing slashes stripped from non-root paths (``/a//`` ==
+  ``/a/`` == ``/a``; an emptied path is the root ``/``) — all-of-them
+  so the canonical form is IDEMPOTENT (r14 fuzz finding).
 
 Two entry points, same contract (round-12 scale check, SCALE.md):
 
@@ -76,10 +77,15 @@ def _canon_query(query: Column) -> Column:
 
 
 def _strip_trailing_slash(path: Column) -> Column:
-    return F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, 1, F.length(path) - 1),
-    ).otherwise(path)
+    # ALL trailing slashes ('/a//' == '/a/' == '/a'; r14 fuzz finding:
+    # stripping ONE made the canonical form non-idempotent on '//'
+    # tails, so a canonical URL re-entering the pipeline could change
+    # key). \z, not $: Java's $ matches before a FINAL '\n' (so a
+    # path ending '/\n' would lose its slash), \z is absolute end in
+    # both Java and RE2, so the DuckDB oracle mirrors exactly; the
+    # Python twin uses rstrip('/'). An emptied path is the root.
+    stripped = F.regexp_replace(path, r"/+\z", "")
+    return F.when(stripped == "", F.lit("/")).otherwise(stripped)
 
 
 def _assemble(scheme: Column, auth: Column, path: Column, canon_q: Column) -> Column:
@@ -160,10 +166,7 @@ def canonicalize_url_py(url: str | None) -> str | None:
         auth = auth[:-4]
     qpos = rest.find("?")
     path, query = (rest, "") if qpos < 0 else (rest[:qpos], rest[qpos + 1 :])
-    if path == "":
-        path = "/"
-    if len(path) > 1 and path.endswith("/"):
-        path = path[:-1]
+    path = path.rstrip("/") or "/"
     params = [
         p
         for p in query.split("&")

@@ -921,8 +921,10 @@ _URL_CANON_SQL = """
   ), canon AS (
     SELECT doc_id,
            scheme || '://' || auth
-           || CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
-                   THEN substr(path0, 1, length(path0) - 1) ELSE path0 END
+           -- ALL trailing slashes (idempotence contract, r14);
+           -- rtrim(str, chars) mirrors the engine's '/+\z' strip
+           || CASE WHEN rtrim(path0, '/') = '' THEN '/'
+              ELSE rtrim(path0, '/') END
            || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS curl
     FROM (
       SELECT *,

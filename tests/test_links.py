@@ -259,3 +259,45 @@ def test_fetch_schedule_priority_orders_waves(spark):
     base = fetch_schedule(frontier, delays)
     got2 = {r["url"]: r["wave"] for r in base.collect()}
     assert got2["https://h.com/a"] == 0 and got2["https://h.com/d"] == 3
+
+
+def test_resolver_twins_fuzz_parity(spark):
+    """Seeded structured fuzz for the RFC 3986 resolver twins: random
+    absolute bases × every href shape (absolute, scheme-relative,
+    rooted, relative with arbitrary dot-segments, query-only,
+    fragment-heavy, multi-'?', empty) — the Column form and the
+    Python twin (the page_links kernel path) must agree everywhere."""
+    import random
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        resolve_href_py,
+    )
+
+    rng = random.Random(823)
+    bases = [
+        "https://a.com/d/s/p.html?x=1",
+        "http://B.org:8080/one/two/",
+        "https://h.io",
+        "https://h.io/?q=2",
+        "ftp://f.net/a/b/c",
+    ]
+    seg = ["x", ".", "..", "p q", "y\nz", ""]
+    hrefs = ["", "#only", "?q=1?r=2", "//other.com/p", "https://abs.example/q?a=1#f"]
+    for _ in range(120):
+        parts = "/".join(rng.choice(seg) for _ in range(rng.randrange(1, 6)))
+        lead = rng.choice(["/", "./", "../", "../../", ""])
+        tail = rng.choice(["", "?a=1", "?a=1?b=2", "#f", "?x=2#f", "/"])
+        hrefs.append(f"{lead}{parts}{tail}")
+    rows = [
+        (i, rng.choice(bases), h) for i, h in enumerate(hrefs)
+    ]
+    df = spark.createDataFrame(rows, "i long, base string, href string")
+    col_form = {
+        r["i"]: r["u"]
+        for r in df.select("i", resolve_href("base", "href").alias("u")).collect()
+    }
+    for i, b, h in rows:
+        py = resolve_href_py(b, h)
+        assert col_form[i] == py, (
+            f"divergence: base={b!r} href={h!r}: column={col_form[i]!r} py={py!r}"
+        )

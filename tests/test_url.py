@@ -181,3 +181,52 @@ def test_url_trap_signals_and_host_profile(spark):
     }
     # t.example: 2 trap URLs of 4 (50% > 30%) -> flagged; ok.example clean
     assert prof == {"t.example": (4, 2, 1), "ok.example": (1, 0, 0)}
+
+
+def test_canonicalizer_twins_fuzz_parity(spark):
+    """Seeded structured fuzz over the canonicalizer's full input
+    surface — schemes (valid/invalid/case), hosts, ports, deep and
+    dotted paths, multi-'?'/multi-'#' tails, tracking params, '\\n'
+    and '%' and unicode in every slot — asserting the Column form,
+    the staged form, and the Python twin agree on EVERY input. The
+    goldens pin intent; this pins the long tail."""
+    import random
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        canonicalize_url_py,
+        with_canonical_url,
+    )
+
+    rng = random.Random(1404)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", "a+b-c.d", "9bad", ""]
+    hosts = ["Ex.COM", "x.org:80", "X.ORG:443", "h.io:8080", "h\nost.com", "café.example", ""]
+    segs = ["a", "B", ".", "..", "p%20q", "s\nt", "ss", "über", ""]
+    tails = ["", "?", "?a=1", "?utm_source=x", "?b=2&a=1&a=0", "?q=a?b", "?x=\n1",
+             "#f", "#f#g", "#f\ng", "?gclid=1&keep=2#z"]
+
+    def mk():
+        s = rng.choice(schemes)
+        sep = rng.choice(["://", ":/", "//", ""]) if rng.random() < 0.2 else "://"
+        path = "/".join(rng.choice(segs) for _ in range(rng.randrange(0, 5)))
+        lead = rng.choice(["/", ""])
+        trail = rng.choice(["/", ""])
+        return f"{s}{sep}{rng.choice(hosts)}{lead}{path}{trail}{rng.choice(tails)}"
+
+    raws = [mk() for _ in range(400)]
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(raws)], "i long, url string")
+    col_form = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    staged = {
+        r["i"]: r["canonical_url"]
+        for r in with_canonical_url(df).select("i", "canonical_url").collect()
+    }
+    for i, raw in enumerate(raws):
+        py = canonicalize_url_py(raw)
+        assert col_form[i] == staged[i] == py, (
+            f"divergence on {raw!r}: column={col_form[i]!r} "
+            f"staged={staged[i]!r} py={py!r}"
+        )
+        # idempotence holds for every fuzzed input too
+        assert canonicalize_url_py(py) == py, f"non-idempotent on {raw!r}"
