@@ -236,13 +236,25 @@ def fetch_schedule(
                 "priority must be a (url, priority) table — e.g. the "
                 "functions.links.url_link_authority output"
             )
-        frontier = frontier.join(
+        if "priority" in frontier.columns:
+            # the join below would produce an ambiguous column and the
+            # window would silently rank on the wrong one
+            raise ValueError(
+                "frontier already carries a 'priority' column — drop or "
+                "rename it before passing a separate priority table"
+            )
+        # per-url MAX defensively, the same duplicate-key discipline as
+        # the delays table below: a priority table with duplicate url
+        # rows must never multiply frontier rows through the join
+        # (duplicate (url, wave) schedule entries = double fetches)
+        p = (
             priority.select(
                 F.col(priority.columns[0]).alias(url_col), "priority"
-            ),
-            url_col,
-            "left",
+            )
+            .groupBy(url_col)
+            .agg(F.max("priority").alias("priority"))
         )
+        frontier = frontier.join(p, url_col, "left")
         order = [F.col("priority").desc_nulls_last(), F.col(url_col)]
     w = Window.partitionBy(host_col).orderBy(*order)
     # per-host MAX defensively: robots_crawl_delays already emits one

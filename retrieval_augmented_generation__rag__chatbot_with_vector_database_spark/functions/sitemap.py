@@ -130,15 +130,33 @@ def sitemap_index_children(
 def parse_w3c_datetime(col: Column | str) -> Column:
     """sitemaps.org ``<lastmod>`` (W3C datetime) → timestamp.
     Documented scope: date-only (``YYYY-MM-DD`` → midnight) and UTC
-    forms (``...Z``, with or without fractional seconds). Non-UTC
-    offsets parse to NULL — conservative for the recrawl consumer
-    (an unparseable claim never triggers a refetch), and it keeps the
+    forms (``...Z``, with or without fractional seconds — any 1-9
+    fractional digits, truncated to microseconds). Non-UTC offsets
+    parse to NULL — conservative for the recrawl consumer (an
+    unparseable claim never triggers a refetch), and it keeps the
     DuckDB oracle byte-exact (offset handling differs across strptime
-    dialects)."""
+    dialects).
+
+    The fraction is NORMALIZED to exactly 6 digits before the parse
+    (right-padded/truncated) because a fixed-width pattern like
+    ``.SSS`` silently NULLs valid W3C forms such as ``...T06:30:00.25Z``
+    or ``...T06:30:00.123456Z`` — and a lastmod that parses NULL is a
+    page that never gets recrawled."""
     c = F.col(col) if isinstance(col, str) else col
+    _full = r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\.(\d{1,9})Z$"
+    frac = F.regexp_extract(c, _full, 2)
+    norm = F.concat(
+        F.regexp_extract(c, _full, 1),
+        F.lit("."),
+        F.rpad(F.substring(frac, 1, 6), 6, "0"),
+        F.lit("Z"),
+    )
     return F.coalesce(
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+        F.try_to_timestamp(
+            F.when(frac != "", norm),
+            F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        ),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
     )
 

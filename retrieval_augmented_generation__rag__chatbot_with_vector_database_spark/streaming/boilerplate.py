@@ -154,7 +154,13 @@ def start_boilerplate_stream(
 
 
 def read_scrubbed(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Every scrubbed doc written so far (union of batch dirs)."""
+    """Every scrubbed doc written so far — ONE row per doc_id. A
+    checkpoint-loss replay that re-batches the landing files can
+    overwrite ``batch_id=0`` with all docs while older ``batch_id=N``
+    dirs from the first run persist, so the raw dir union may hold a
+    doc twice; the latest batch dir wins (scrub output is monotone —
+    a later batch scrubbed against a blocklist at least as large), the
+    same dedup discipline as ``frontier_admit.pending_fetch_list``."""
     if os.path.isdir(out_dir):
         dirs = [
             f"{out_dir}/{e.name}"
@@ -162,7 +168,15 @@ def read_scrubbed(spark: SparkSession, out_dir: str) -> DataFrame:
             if e.name.startswith("batch_id=")
         ]
         if dirs:
-            return spark.read.parquet(*dirs)
+            from pyspark.sql import Window
+
+            df = spark.read.option("basePath", out_dir).parquet(*dirs)
+            w = Window.partitionBy("doc_id").orderBy(F.col("batch_id").desc())
+            return (
+                df.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .drop("_rk", "batch_id")
+            )
     return spark.createDataFrame(
         [], "doc_id long, text string, n_lines_before long, n_lines_after long"
     )

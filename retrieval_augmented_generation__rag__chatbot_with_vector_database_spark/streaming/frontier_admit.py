@@ -74,7 +74,7 @@ A crawler's fetch plan has TWO wave sources, deliberately separate:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
@@ -121,16 +121,14 @@ def admit_frontier_candidates(
         # become frontier rows
         F.col("host") != ""
     )
-    # pin the canonicalized candidate set: it feeds the count, the
-    # anti-join, the gate, and the cap — without the checkpoint the
-    # caller's candidate plan (often a link-extraction kernel over
-    # page HTML) would re-execute for each of those
-    cand = (
-        cand.select("canonical_url", "host")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_candidates = cand.count()
+    cand = cand.select("canonical_url", "host").distinct()
+    # counts ride the write job as observed metrics instead of their
+    # own count() actions (each count plus its supporting eager
+    # localCheckpoint was a separate Spark job — ~15 fixed-overhead
+    # jobs per wave at fixture scale; the candidate plan is consumed
+    # exactly once below, so no checkpoint is needed either)
+    obs_cand = Observation()
+    cand = cand.observe(obs_cand, F.count(F.lit(1)).alias("n"))
 
     fetched = read_frontier(spark, frontier_dir)
     pending = read_frontier(spark, pending_dir, exclude_batch=wave)
@@ -153,9 +151,15 @@ def admit_frontier_candidates(
         )
 
     if host_cap is not None:
+        # quota counts distinct LOGICAL urls: in the closed loop a
+        # fetched URL deliberately keeps its superseded pending row
+        # (module doc), and replayed/compacted dirs may hold more
+        # copies — a plain UNION ALL count would charge each such URL
+        # twice and erode the effective cap toward cap/2
         taken = (
             fetched.select("canonical_url", "host")
             .union(pending.select("canonical_url", "host"))
+            .distinct()
             .groupBy("host")
             .agg(F.count(F.lit(1)).alias("_taken"))
         )
@@ -170,15 +174,15 @@ def admit_frontier_candidates(
             .drop("_rk", "_taken")
         )
 
-    admitted = fresh.localCheckpoint(eager=True)
-    n_admitted = admitted.count()
-    admitted.select("canonical_url", "host").write.mode("overwrite").parquet(
-        f"{pending_dir}/batch_id={wave}"
+    obs_adm = Observation()
+    admitted = fresh.select("canonical_url", "host").observe(
+        obs_adm, F.count(F.lit(1)).alias("n")
     )
+    admitted.write.mode("overwrite").parquet(f"{pending_dir}/batch_id={wave}")
     return {
         "wave": wave,
-        "n_candidates": n_candidates,
-        "n_admitted": n_admitted,
+        "n_candidates": obs_cand.get["n"],
+        "n_admitted": obs_adm.get["n"],
     }
 
 

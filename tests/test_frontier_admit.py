@@ -148,6 +148,42 @@ def test_admission_robots_gate_and_host_cap(spark, tmp_path):
     assert s2["n_admitted"] == 0
 
 
+def test_host_cap_counts_overlapping_fetched_and_pending_once(spark, tmp_path):
+    """Quota counts distinct LOGICAL urls (r14 advice): in the closed
+    loop every fetched URL keeps its superseded pending row, so a
+    UNION ALL count would charge it twice and erode the effective cap
+    toward cap/2 — here the host has 2 such urls (4 state rows) under
+    cap 4, which must leave room for 2 more, not 0."""
+    fdir, pdir = f"{tmp_path}/frontier", f"{tmp_path}/pending"
+    both = [
+        ("http://o.example/1", "o.example"),
+        ("http://o.example/2", "o.example"),
+    ]
+    schema = "canonical_url string, host string"
+    # fetched AND still-pending (superseded rows stay on disk)
+    spark.createDataFrame(both, schema).write.parquet(f"{fdir}/batch_id=0")
+    spark.createDataFrame(both, schema).write.parquet(f"{pdir}/batch_id=0")
+
+    stats = admit_frontier_candidates(
+        spark,
+        fdir,
+        pdir,
+        _urls(
+            spark,
+            ["http://o.example/3", "http://o.example/4", "http://o.example/5"],
+        ),
+        wave=1,
+        host_cap=4,
+    )
+    assert stats["n_admitted"] == 2
+    assert _pending_rows(spark, pdir) == {
+        ("http://o.example/1", "o.example"),
+        ("http://o.example/2", "o.example"),
+        ("http://o.example/3", "o.example"),
+        ("http://o.example/4", "o.example"),
+    }
+
+
 def _http(body: bytes) -> bytes:
     return (
         f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"

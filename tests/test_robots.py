@@ -313,6 +313,35 @@ def test_fetch_schedule_waves_and_default_delay(spark):
         fetch_schedule(frontier, frontier)
 
 
+def test_fetch_schedule_priority_duplicate_keys_and_collision(spark):
+    """A priority table with duplicate url rows must not multiply
+    frontier rows through the join (duplicate (url, wave) schedule
+    entries = double fetches) — per-url MAX wins, the delays table's
+    defense (r14 advice). A frontier already carrying a 'priority'
+    column raises instead of silently ranking on the wrong one."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        fetch_schedule,
+    )
+
+    frontier = spark.createDataFrame(
+        [("https://p.com/a",), ("https://p.com/b",)], "url string"
+    )
+    delays = spark.createDataFrame([], "host string, crawl_delay double")
+    prio = spark.createDataFrame(
+        [("https://p.com/a", 0.2), ("https://p.com/a", 0.7), ("https://p.com/b", 0.5)],
+        "url string, priority double",
+    )
+    rows = fetch_schedule(frontier, delays, priority=prio).collect()
+    got = {r["url"]: (r["priority"], r["wave"]) for r in rows}
+    assert len(rows) == 2  # no row multiplication
+    # /a's max(0.2, 0.7) beats /b's 0.5: /a is wave 0
+    assert got == {"https://p.com/a": (0.7, 0), "https://p.com/b": (0.5, 1)}
+
+    clashing = frontier.withColumn("priority", F.lit(1.0))
+    with pytest.raises(ValueError, match="priority"):
+        fetch_schedule(clashing, delays, priority=prio)
+
+
 def test_seed_to_schedule_composition(spark):
     """The crawl front end composes end to end on the seed side:
     sitemap discovery -> robots gate -> frontier anti-join (already

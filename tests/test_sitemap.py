@@ -157,6 +157,14 @@ def test_parse_w3c_datetime_scope(spark):
         ("2024-06-03", "2024-06-03 00:00:00"),
         ("2024-06-03T06:30:00Z", "2024-06-03 06:30:00"),
         ("2024-06-03T06:30:00.250Z", "2024-06-03 06:30:00.250000"),
+        # any 1-9 fractional digits parse (normalized to micros) — a
+        # fixed .SSS pattern silently NULLed these valid W3C forms and
+        # the page was never recrawled (r14 advice)
+        ("2024-06-03T06:30:00.25Z", "2024-06-03 06:30:00.250000"),
+        ("2024-06-03T06:30:00.1Z", "2024-06-03 06:30:00.100000"),
+        ("2024-06-03T06:30:00.123456Z", "2024-06-03 06:30:00.123456"),
+        ("2024-06-03T06:30:00.123456789Z", "2024-06-03 06:30:00.123456"),
+        ("2024-06-03T06:30:00.Z", None),
         ("2024-06-03T06:30:00+02:00", None),
         ("not a date", None),
         (None, None),

@@ -86,14 +86,17 @@ def test_blocklist_grows_and_scrub_is_as_of_arrival(spark, tmp_path):
         ).collect()
     }
     assert bl2 == {"BANNER": 3, "CRUMB": 3}
-    got2 = {
-        r["doc_id"]: r["text"] for r in read_scrubbed(spark, f"{tmp_path}/out").collect()
-    }
+    rows2 = read_scrubbed(spark, f"{tmp_path}/out").collect()
+    got2 = {r["doc_id"]: r["text"] for r in rows2}
     # NOTE: a full replay may re-batch both files into ONE batch, in
     # which case doc 1/2's CRUMB is scrubbed under the bigger combined
     # blocklist — as-of-arrival semantics over the REPLAYED arrival
     # order. The invariants: every doc present exactly once, BANNER
     # gone everywhere, audit counts consistent.
+    # exactly-once as ROWS, not just as dict keys: the re-batched
+    # replay leaves doc 3 in both the old batch_id=1 dir and the
+    # rewritten batch_id=0 dir — read_scrubbed must dedup (r14 advice)
+    assert len(rows2) == 4
     assert set(got2) == {0, 1, 2, 3}
     assert all("BANNER" not in t for t in got2.values())
     audits = {
