@@ -117,6 +117,11 @@ HEADLINE = [
     "corpus_wet_funnel",
     "web_host_pagerank_dangling",
     "web_link_graph_warc",
+    # round 15: boilerplate-scrub ingest funnel, trap-penalized fetch
+    # priority, and the closed crawl loop end-to-end (new keys)
+    "corpus_boilerplate_funnel",
+    "web_fetch_schedule_curated",
+    "web_crawl_loop_e2e",
 ]
 
 # Rebuild-per-call composites (honest-accounting convention): their
@@ -330,19 +335,45 @@ def main() -> None:
     # attempts is the headline: robust to one stall, and it makes a
     # raw-rate swing explainable from this JSON alone — raw moved but
     # canary_norm stable ⇒ host; both moved ⇒ code.
+    #
+    # Round 15 (r14 verdict blemish #1): the GEMM scale factor
+    # OVERCORRECTS when the bottleneck is bandwidth, not CPU — r14's
+    # driver window read raw 2,462 with a 34.1-GFLOPS canary and
+    # scaled to an absurd 12,795 chunks/s (the ingest ran near-normal
+    # while the cache-resident GEMM stalled). Two fixes: (a) each
+    # scaled attempt is CLAMPED to 1.2× the window's best RAW rate —
+    # a number nobody should believe is never printed; (b) a
+    # window_health verdict from BOTH canaries (GEMM = CPU,
+    # STREAM-triad = memory bandwidth) labels the window, so a
+    # degraded-window norm reads as "suspect, here's why" instead of
+    # as throughput.
     CANARY_REF_GFLOPS = 200.0  # r12's steady healthy window (193-254)
+    BANDWIDTH_REF_GBS = 15.0  # healthy-triad floor (r14 co-tenant: 4.8-6.5)
+    raw_rates = [n_chunks / s for s in ingest_samples]
+    max_raw = max(raw_rates)
     scaled = sorted(
-        (n_chunks / s) * CANARY_REF_GFLOPS / max(c, 0.1)
-        for s, c in zip(ingest_samples, ingest_canaries)
+        min(r * CANARY_REF_GFLOPS / max(c, 0.1), 1.2 * max_raw)
+        for r, c in zip(raw_rates, ingest_canaries)
     )
     canary_norm = round(scaled[len(scaled) // 2], 1)
     canary_median = sorted(ingest_canaries)[len(ingest_canaries) // 2]
+    bw_median = sorted(bandwidth_canaries)[len(bandwidth_canaries) // 2]
+    cpu_ok = canary_median >= 0.8 * CANARY_REF_GFLOPS
+    bw_ok = bw_median >= BANDWIDTH_REF_GBS
+    window_health = (
+        "healthy"
+        if cpu_ok and bw_ok
+        else "degraded-" + "+".join(
+            tag for tag, ok in (("cpu", cpu_ok), ("bw", bw_ok)) if not ok
+        )
+    )
     print(
         f"# ingest: {n_chunks} chunks, min {ingest_s:.2f}s = {chunks_per_s}/s "
         f"(attempts {ingest_samples}, canary GFLOPS {ingest_canaries}, "
         f"canary@min {ingest_canaries[best_i]}, canary-norm "
-        f"{canary_norm}/s @ ref {CANARY_REF_GFLOPS}, "
-        f"canary median {canary_median}, bandwidth GB/s {bandwidth_canaries})",
+        f"{canary_norm}/s @ ref {CANARY_REF_GFLOPS} clamped to 1.2x best raw, "
+        f"canary median {canary_median}, bandwidth GB/s {bandwidth_canaries}, "
+        f"window {window_health})",
         file=sys.stderr,
     )
 
@@ -368,6 +399,9 @@ def main() -> None:
         "canary_median_gflops": canary_median,
         "canary_ref_gflops": CANARY_REF_GFLOPS,
         "bandwidth_canary_gbs": bandwidth_canaries,
+        "bandwidth_median_gbs": bw_median,
+        "bandwidth_ref_gbs": BANDWIDTH_REF_GBS,
+        "window_health": window_health,
     }
     print(json.dumps(record))
 

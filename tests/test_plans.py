@@ -316,11 +316,13 @@ def test_fetch_schedule_single_frontier_shuffle(spark):
 def test_fetch_schedule_ranked_still_one_host_shuffle(spark):
     """PageRank-prioritized scheduling (r14): the priority join keys
     on the URL and lands BEFORE the ranking window, so the frontier
-    still pays exactly ONE host-keyed shuffle and the total exchange
-    count matches the unranked contract (window + delays dedup agg;
-    the small priority table broadcasts — at scale it is
-    frontier-sized and AQE plans an SMJ on the url key instead, which
-    adds url-keyed exchanges but never a second HOST shuffle)."""
+    still pays exactly ONE host-keyed shuffle. Total exchanges =
+    window + delays dedup agg + the priority table's own per-url
+    dedup agg (defensive MAX, r14 advice: duplicate priority rows
+    must never multiply frontier rows into double-fetches) — the
+    priority side broadcasts after its agg while small; at scale it
+    is frontier-sized and AQE plans an SMJ on the url key instead,
+    which adds url-keyed exchanges but never a second HOST shuffle."""
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.robots import (
         fetch_schedule,
     )
@@ -343,7 +345,8 @@ def test_fetch_schedule_ranked_still_one_host_shuffle(spark):
         (F.col("id") % 7).cast("double").alias("priority"),
     )
     out = fetch_schedule(frontier, delays, priority=prio)
-    assert shuffle_count(out) == 2  # same as the unranked contract
+    # unranked contract (2) + the priority-side per-url dedup agg
+    assert shuffle_count(out) == 3
     plan = physical_plan(out)
     # the ranking window orders by priority DESC NULLS LAST, url
     assert "priority" in plan and "DESC NULLS LAST" in plan
