@@ -118,10 +118,12 @@ HEADLINE = [
     "web_host_pagerank_dangling",
     "web_link_graph_warc",
     # round 15: boilerplate-scrub ingest funnel, trap-penalized fetch
-    # priority, and the closed crawl loop end-to-end (new keys)
+    # priority, the closed crawl loop end-to-end, and the anchor-text
+    # index (new keys)
     "corpus_boilerplate_funnel",
     "web_fetch_schedule_curated",
     "web_crawl_loop_e2e",
+    "web_anchor_text_index",
 ]
 
 # Rebuild-per-call composites (honest-accounting convention): their

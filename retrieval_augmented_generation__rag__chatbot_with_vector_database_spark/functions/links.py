@@ -273,6 +273,126 @@ def page_links(
     return hrefs.mapInPandas(kernel, schema=schema).distinct()
 
 
+#: full <a> elements: href value (group 1) and inner content (group 2)
+_ANCHOR_RX = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*>([\s\S]*?)</a>"""
+
+
+def page_anchor_texts(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Pages → canonicalized ``(src, dst, anchor)`` rows: each link
+    edge with its ANCHOR TEXT — "what the linking page calls the
+    target", the classic web-search relevance signal (anchor text
+    describes the destination better than the destination describes
+    itself) and a link-spam feature (one host mass-linking with one
+    repeated anchor). Same resolution/canonicalization contract and
+    Arrow-kernel shape as :func:`page_links`; additionally the anchor
+    content is cleaned JVM-side (inner tags stripped, whitespace
+    collapsed, trimmed) before the kernel. Scope: only CLOSED ``<a
+    href=...>…</a>`` elements yield rows (an unterminated anchor has
+    no extractable text); self-loops and non-navigational schemes
+    drop exactly as in ``page_links``. Dedup on the full (src, dst,
+    anchor) row — the same page linking the same target under two
+    different texts keeps both."""
+    from pyspark.sql import types as T
+
+    href = F.col("href")
+    lower = F.lower(href)
+    skip = (href == "") | href.startswith("#")
+    for s in _SKIP_SCHEMES:
+        skip = skip | lower.startswith(s)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_raw"), r"<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    pairs = (
+        pages.select(
+            F.col(url_col),
+            F.explode(
+                F.arrays_zip(
+                    F.regexp_extract_all(
+                        F.col(html_col), F.lit(_ANCHOR_RX), 1
+                    ).alias("href"),
+                    F.regexp_extract_all(
+                        F.col(html_col), F.lit(_ANCHOR_RX), 2
+                    ).alias("_raw"),
+                )
+            ).alias("_a"),
+        )
+        .select(url_col, F.col("_a.href").alias("href"), F.col("_a._raw").alias("_raw"))
+        .filter(~skip)
+        .select(url_col, "href", clean.alias("anchor"))
+    )
+    schema = T.StructType(
+        [
+            T.StructField("src", T.StringType()),
+            T.StructField("dst", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]
+    )
+    ucol = url_col
+
+    def kernel(batches):
+        import pandas as pd
+
+        from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+            canonicalize_url_py,
+        )
+
+        canon_cache: dict[str, str] = {}
+
+        def canon_src(u):
+            got = canon_cache.get(u)
+            if got is None:
+                got = canonicalize_url_py(u)
+                canon_cache[u] = got
+            return got
+
+        for pdf in batches:
+            srcs, dsts, anchors = [], [], []
+            for base, href_v, anchor in zip(pdf[ucol], pdf["href"], pdf["anchor"]):
+                dst_raw = resolve_href_py(base, href_v)
+                if dst_raw is None:
+                    continue
+                src = canon_src(base)
+                dst = canonicalize_url_py(dst_raw)
+                if dst != src:
+                    srcs.append(src)
+                    dsts.append(dst)
+                    anchors.append(anchor)
+            yield pd.DataFrame({"src": srcs, "dst": dsts, "anchor": anchors})
+
+    return pairs.mapInPandas(kernel, schema=schema).distinct()
+
+
+def anchor_text_index(links: DataFrame) -> DataFrame:
+    """Anchor rows → the anchor-text INDEX: per ``(dst, anchor)`` the
+    count of DISTINCT linking hosts — "how many independent hosts call
+    this page that". Distinct hosts, not links: one host repeating an
+    anchor across a thousand pages is one vote (the same
+    farm-resistance rule as :func:`url_link_authority`); empty anchors
+    (image links, cleaned-away markup) carry no descriptive signal and
+    drop. ``(dst, anchor, n_hosts)`` — feed the per-dst top anchor to
+    a retrieval index as an auxiliary text field, or the per-(host,
+    anchor) concentration to a spam profile. One dedup shuffle on
+    (src_host, dst, anchor) + one count aggregate on the same key
+    prefix — both AQE-sized, no row explosion beyond anchors/page."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        url_host,
+    )
+
+    return (
+        links.filter(F.col("anchor") != "")
+        .select(
+            url_host(F.col("src")).alias("src_host"), "dst", "anchor"
+        )
+        .distinct()
+        .groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+    )
+
+
 def url_link_authority(edges: DataFrame, ranks: DataFrame) -> DataFrame:
     """Per-URL authority prior from the host-level ranking: for each
     ``dst`` URL, the SUM of its distinct linking hosts' pagerank —

@@ -108,6 +108,7 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_boilerplate_funnel",
     "web_fetch_schedule_curated",
     "web_crawl_loop_e2e",
+    "web_anchor_text_index",
     # r14-checked but fixture changed this round (fractional-seconds
     # lastmod leg added): re-pin
     "web_recrawl_candidates",
@@ -148,7 +149,7 @@ DRIVER_WINDOW_PRIORITY = [
     "text_bpe_token_counts",
     "text_pii_profile",
     "text_token_chunks",
-    # r12 vintage (oldest 10 by name: the IVF/IVFPQ ladder)
+    # r12 vintage (oldest 9 by name: the IVF/IVFPQ ladder)
     "ann_ivf_recall",
     "ann_ivf_topk",
     "ann_ivf_topk_filtered",
@@ -158,7 +159,6 @@ DRIVER_WINDOW_PRIORITY = [
     "ann_ivf_upsert_probe",
     "ann_ivfpq_cosine",
     "ann_ivfpq_delete",
-    "ann_ivfpq_dotproduct",
 ]
 
 

@@ -2680,3 +2680,73 @@ def web_crawl_loop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sched_wave",
         F.lit(again["n_admitted"]).cast("long").alias("readmitted"),
     )
+
+
+# --- anchor-text index (round 15) --------------------------------------------
+#
+# The second thing web search learned from the link graph (after
+# authority): ANCHOR TEXT — the linking pages' description of the
+# target, a relevance signal the target page cannot manufacture and a
+# spam feature when one host repeats one anchor at scale. The link
+# fixture plants one distinct single-letter anchor per href class, so
+# the oracle derives every (dst, anchor, n_hosts) row from the same
+# arithmetic that derives the edges; the dropped classes (self-link,
+# fragment, mailto) must contribute nothing.
+
+_LINK_ANCHOR_SQL = f"""
+lanch AS (
+  SELECT src, 'https://linkhost' || CAST(h AS VARCHAR) || '.com/top'
+              || CAST(doc_id % 7 AS VARCHAR) AS dst, 't' AS anchor FROM lsrc
+  UNION ALL
+  SELECT src, 'https://linkhost' || CAST(h AS VARCHAR) || '.com/a'
+              || CAST(doc_id % 5 AS VARCHAR) || '/b/sib'
+              || CAST(doc_id % 3 AS VARCHAR) || '.html', 's' FROM lsrc
+  UNION ALL
+  SELECT src, 'https://linkhost' || CAST(h AS VARCHAR) || '.com/a'
+              || CAST(doc_id % 5 AS VARCHAR) || '/up'
+              || CAST(doc_id % 4 AS VARCHAR), 'u' FROM lsrc
+  UNION ALL
+  SELECT src, 'https://linkhost' || CAST((doc_id + 1) % {N_LINK_HOSTS} AS VARCHAR)
+              || '.com/x' || CAST(doc_id % 6 AS VARCHAR), 'r' FROM lsrc
+  UNION ALL
+  SELECT src, 'https://ext' || CAST(doc_id % 3 AS VARCHAR) || '.com/p/'
+              || CAST(doc_id % 9 AS VARCHAR), 'e' FROM lsrc
+  UNION ALL
+  SELECT src, src || '?o=' || CAST(doc_id % 2 AS VARCHAR), 'q' FROM lsrc
+  UNION ALL
+  SELECT src, 'https://linkhost' || CAST(h AS VARCHAR) || '.com/a'
+              || CAST((doc_id + 8) % 5 AS VARCHAR) || '/b/page'
+              || CAST(doc_id + 8 AS VARCHAR), 'n' FROM lsrc
+)
+"""
+
+
+@register(
+    "web_anchor_text_index",
+    f"""
+WITH {_LINK_EDGES_SQL},
+{_LINK_ANCHOR_SQL}
+SELECT dst, anchor,
+       CAST(count(DISTINCT {_sql_host('src')}) AS BIGINT) AS n_hosts
+FROM lanch GROUP BY dst, anchor
+""",
+)
+def web_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (round 15): ``page_anchor_texts`` (the
+    ``page_links`` kernel carrying each link's cleaned anchor text —
+    inner tags stripped, whitespace collapsed) → ``anchor_text_index``
+    (per (dst, anchor) the count of DISTINCT linking hosts — one host
+    repeating an anchor is one vote). The fixture's one-letter-per-
+    class anchors mean a defect anywhere — extraction, tag cleaning,
+    resolution, canonicalization, host dedup — moves a count or drops
+    a row; the self-link ('self'), fragment ('f'), and mailto ('m')
+    anchors must contribute NOTHING. Plan: extraction rides the page
+    scan, one dedup shuffle on (src_host, dst, anchor), one count
+    aggregate — the exact ``url_link_authority`` shape with a text
+    key."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        anchor_text_index,
+        page_anchor_texts,
+    )
+
+    return anchor_text_index(page_anchor_texts(_link_pages(spark, sf_dir)))

@@ -301,3 +301,51 @@ def test_resolver_twins_fuzz_parity(spark):
         assert col_form[i] == py, (
             f"divergence: base={b!r} href={h!r}: column={col_form[i]!r} py={py!r}"
         )
+
+
+def test_page_anchor_texts_and_index(spark):
+    """Anchor extraction goldens: nested tags strip, whitespace
+    collapses, unterminated anchors yield no row, non-navigational
+    schemes and self-links drop, and the index counts DISTINCT hosts
+    (one host repeating an anchor is one vote) while empty anchors
+    drop."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        anchor_text_index,
+        page_anchor_texts,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.com/p1",
+                '<a href="/t"><b>Bold</b>  link\ntext</a>'
+                '<a href="/img"><img src="x.png"/></a>'
+                '<a href="mailto:x@y.z">mail</a>'
+                '<a href="/p1">self</a>'
+                '<a href="/unterminated">no close',
+            ),
+            ("https://a.com/p2", '<a href="/t">Bold link text</a>'),
+            ("https://b.com/q", '<A HREF="https://a.com/t">other words</A>'),
+        ],
+        "url string, html string",
+    )
+    links = {
+        (r["src"], r["dst"], r["anchor"])
+        for r in page_anchor_texts(pages).collect()
+    }
+    assert links == {
+        ("https://a.com/p1", "https://a.com/t", "Bold link text"),
+        ("https://a.com/p1", "https://a.com/img", ""),
+        ("https://a.com/p2", "https://a.com/t", "Bold link text"),
+        ("https://b.com/q", "https://a.com/t", "other words"),
+    }
+    idx = {
+        (r["dst"], r["anchor"]): r["n_hosts"]
+        for r in anchor_text_index(page_anchor_texts(pages)).collect()
+    }
+    # a.com's two pages = ONE host vote; b.com adds its own anchor row;
+    # the empty image anchor is gone
+    assert idx == {
+        ("https://a.com/t", "Bold link text"): 1,
+        ("https://a.com/t", "other words"): 1,
+    }
