@@ -124,6 +124,7 @@ HEADLINE = [
     "web_fetch_schedule_curated",
     "web_crawl_loop_e2e",
     "web_anchor_text_index",
+    "web_mirror_hosts",
 ]
 
 # Rebuild-per-call composites (honest-accounting convention): their

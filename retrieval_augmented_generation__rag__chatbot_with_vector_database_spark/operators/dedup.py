@@ -1380,3 +1380,56 @@ def scrub_eval_spans(
         F.coalesce(F.size("__isl"), F.lit(0)).alias("n_scrubbed_spans"),
         F.coalesce(n_chars, F.lit(0)).alias("n_scrubbed_chars"),
     )
+
+
+def mirror_host_pairs(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_shared: int = 5,
+    max_hosts: int = 5,
+) -> DataFrame:
+    """Mirror-HOST detection: pairs of hosts serving ≥ ``min_shared``
+    byte-identical documents — ``(host_a, host_b, n_shared)``,
+    ``host_a < host_b``. Mirrors (mass-copied sites, CDN aliases the
+    canonicalizer cannot collapse because the hostnames genuinely
+    differ) waste crawl budget and skew corpus statistics; a curation
+    pipeline crawls one of the pair and maps the other.
+
+    The quadratic trap and its cap: a content signature shared by MANY
+    hosts is boilerplate (empty pages, parked-domain templates, "404"
+    bodies), not mirroring — and exploding its host set would be the
+    all-pairs join this module never does. Signatures on more than
+    ``max_hosts`` hosts are EXCLUDED (the df-cap rule the substring
+    and lexical paths already use), so the per-signature pair
+    expansion is bounded by ``max_hosts²`` and the plan is: one
+    (host, sig) dedup shuffle → one sig groupBy collecting the
+    (bounded) host set → in-row pair expansion via HOFs → one pair
+    count. No join ever carries the corpus side."""
+    sig = F.md5(F.col(text_col).cast("binary"))
+    sigs = docs.select(F.col(host_col).alias("host"), sig.alias("sig")).distinct()
+    hostsets = (
+        sigs.groupBy("sig")
+        .agg(F.sort_array(F.collect_set("host")).alias("hosts"))
+        .filter(
+            (F.size("hosts") >= 2) & (F.size("hosts") <= int(max_hosts))
+        )
+    )
+    hosts = F.col("hosts")
+    combos = F.flatten(
+        F.transform(
+            hosts,
+            lambda x, i: F.transform(
+                F.slice(hosts, i + F.lit(2), F.greatest(F.size(hosts) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("host_a"), y.alias("host_b")),
+            ),
+        )
+    )
+    return (
+        hostsets.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.host_a").alias("host_a"), F.col("p.host_b").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

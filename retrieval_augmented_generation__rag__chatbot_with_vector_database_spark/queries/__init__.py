@@ -109,6 +109,7 @@ DRIVER_WINDOW_PRIORITY = [
     "web_fetch_schedule_curated",
     "web_crawl_loop_e2e",
     "web_anchor_text_index",
+    "web_mirror_hosts",
     # r14-checked but fixture changed this round (fractional-seconds
     # lastmod leg added): re-pin
     "web_recrawl_candidates",
@@ -149,7 +150,7 @@ DRIVER_WINDOW_PRIORITY = [
     "text_bpe_token_counts",
     "text_pii_profile",
     "text_token_chunks",
-    # r12 vintage (oldest 9 by name: the IVF/IVFPQ ladder)
+    # r12 vintage (oldest 8 by name: the IVF/IVFPQ ladder)
     "ann_ivf_recall",
     "ann_ivf_topk",
     "ann_ivf_topk_filtered",
@@ -158,7 +159,6 @@ DRIVER_WINDOW_PRIORITY = [
     "ann_ivf_topk_rerank",
     "ann_ivf_upsert_probe",
     "ann_ivfpq_cosine",
-    "ann_ivfpq_delete",
 ]
 
 

@@ -2750,3 +2750,94 @@ def web_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return anchor_text_index(page_anchor_texts(_link_pages(spark, sf_dir)))
+
+
+# --- mirror-host detection (round 15) ----------------------------------------
+
+N_MIRROR_DOCS = 180
+MIRROR_HOSTS = 6
+MIRROR_MIN_SHARED = 5
+MIRROR_MAX_HOSTS = 5
+
+
+@register(
+    "web_mirror_hosts",
+    f"""
+WITH mdocs AS (
+  SELECT doc_id AS d, doc_id % {MIRROR_HOSTS} AS h, doc_id // {MIRROR_HOSTS} AS p
+  FROM documents WHERE doc_id < {N_MIRROR_DOCS}
+),
+t AS (
+  SELECT 'm' || CAST(h AS VARCHAR) || '.example' AS host,
+         CASE WHEN p = 29 THEN 'global boilerplate'
+              WHEN h IN (0, 3) THEN 'shared mirror content ' || CAST(p AS VARCHAR)
+              WHEN h IN (1, 4) THEN 'partial ' || CAST(p % 10 AS VARCHAR)
+              ELSE 'unique h' || CAST(h AS VARCHAR) || ' ' || CAST(d AS VARCHAR)
+         END AS text
+  FROM mdocs
+),
+sigs AS (SELECT DISTINCT host, md5(text) AS sig FROM t),
+eligible AS (
+  SELECT sig FROM sigs GROUP BY sig
+  HAVING count(*) BETWEEN 2 AND {MIRROR_MAX_HOSTS}
+),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.host < b.host
+  WHERE a.sig IN (SELECT sig FROM eligible)
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs WHERE n_shared >= {MIRROR_MIN_SHARED}
+""",
+)
+def web_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (round 15): hosts serving byte-identical
+    documents (``operators.dedup.mirror_host_pairs``) — the
+    crawl-budget waster the canonicalizer cannot collapse because the
+    hostnames genuinely differ. Fixture plants four shapes: a full
+    mirror pair (m0/m3 share 29 pages), a partial mirror pair (m1/m4
+    share 10 repeated templates), unique-content hosts (must produce
+    NO pair), and one signature on ALL six hosts — boilerplate, not
+    mirroring — which the ``max_hosts`` cap must exclude (it would
+    otherwise add a spurious shared doc to every pair and the m0/m3
+    count would read 30). The oracle replays sig → eligibility → pair
+    counting generically from the plant. Plan: one (host, sig) dedup
+    shuffle, one sig groupBy with a BOUNDED host set, in-row pair
+    expansion, one pair count — never an all-pairs join."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        mirror_host_pairs,
+    )
+
+    d = F.col("doc_id")
+    h = d % MIRROR_HOSTS
+    p = (d / MIRROR_HOSTS).cast("long")
+    text = (
+        F.when(p == 29, F.lit("global boilerplate"))
+        .when(
+            h.isin(0, 3),
+            F.concat(F.lit("shared mirror content "), p.cast("string")),
+        )
+        .when(
+            h.isin(1, 4),
+            F.concat(F.lit("partial "), (p % 10).cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("unique h"), h.cast("string"), F.lit(" "), d.cast("string")
+            )
+        )
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(d < N_MIRROR_DOCS)
+        .select(
+            F.concat(F.lit("m"), h.cast("string"), F.lit(".example")).alias(
+                "host"
+            ),
+            text.alias("text"),
+        )
+    )
+    return mirror_host_pairs(
+        docs, min_shared=MIRROR_MIN_SHARED, max_hosts=MIRROR_MAX_HOSTS
+    )

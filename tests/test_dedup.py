@@ -364,3 +364,29 @@ def test_common_lines_blocklist_and_strip(spark):
         2: ("content two", 2, 1),
         3: ("", 1, 0),  # kept as empty, the gate decides its fate
     }
+
+
+def test_mirror_host_pairs_cap_and_thresholds(spark):
+    """Pairs require >= min_shared identical docs; a signature on more
+    than max_hosts hosts is boilerplate and contributes to NO pair;
+    host_a < host_b ordering; within-host duplicates count once."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        mirror_host_pairs,
+    )
+
+    rows = []
+    # a.example and b.example mirror 3 docs (one duplicated within a)
+    for i in range(3):
+        rows += [("a.example", f"doc {i}"), ("b.example", f"doc {i}")]
+    rows.append(("a.example", "doc 0"))  # within-host dup: one sig
+    # c/d share only 1 doc: below min_shared=2
+    rows += [("c.example", "weak"), ("d.example", "weak")]
+    # boilerplate on every host: excluded by max_hosts=3
+    for hst in ("a", "b", "c", "d"):
+        rows.append((f"{hst}.example", "404 not found"))
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {
+        (r["host_a"], r["host_b"]): r["n_shared"]
+        for r in mirror_host_pairs(df, min_shared=2, max_hosts=3).collect()
+    }
+    assert got == {("a.example", "b.example"): 3}
