@@ -359,3 +359,46 @@ def test_fetch_schedule_ranked_still_one_host_shuffle(spark):
         .first()
     )
     assert row["wave"] >= 100  # 100 scored URLs per host come first
+
+
+def test_anchor_index_two_shuffles(spark):
+    """anchor_text_index plan contract: one (src_host, dst, anchor)
+    dedup exchange + one (dst, anchor) count exchange — nothing else.
+    At 100 TB both key on frontier-scale columns and AQE sizes them;
+    no join ever appears."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        anchor_text_index,
+    )
+
+    links = spark.range(0, 10_000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 40).cast("string"),
+                 F.lit(".com/p/"), F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("https://t"), (F.col("id") % 500).cast("string"),
+                 F.lit(".com/")).alias("dst"),
+        F.concat(F.lit("anchor "), (F.col("id") % 7).cast("string")).alias("anchor"),
+    )
+    out = anchor_text_index(links)
+    assert shuffle_count(out) == 2
+    assert broadcast_join_count(out) == 0
+
+
+def test_mirror_host_pairs_bounded_no_join(spark):
+    """mirror_host_pairs plan contract: TWO exchanges — the sig
+    host-set groupBy and the pair count (Catalyst elides the explicit
+    (host, sig) distinct because collect_set is duplicate-insensitive)
+    — and NO join operator at all: the pair expansion is an in-row HOF
+    over the max_hosts-capped host set, so the quadratic all-pairs
+    self-join never exists in the plan."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dedup import (
+        mirror_host_pairs,
+    )
+
+    docs = spark.range(0, 5_000).select(
+        F.concat(F.lit("h"), (F.col("id") % 20).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(F.lit("content "), (F.col("id") % 700).cast("string")).alias("text"),
+    )
+    out = mirror_host_pairs(docs, min_shared=2, max_hosts=4)
+    plan = physical_plan(out)
+    assert shuffle_count(out) == 2
+    assert "Join" not in plan
