@@ -457,15 +457,32 @@ def host_degrees(hg: DataFrame) -> DataFrame:
 
 
 def host_pagerank(
-    hg: DataFrame, k: int = 10, damping: float = 0.85, dangling: str = "drop"
+    hg: DataFrame,
+    k: int = 10,
+    damping: float = 0.85,
+    dangling: str = "drop",
+    ckpt_every: int = 3,
 ) -> DataFrame:
     """Damped PageRank over the host graph by fixed-``k`` power
     iteration: ``(host, pagerank)`` for every host on either edge
     side. Deterministic — fixed iteration count, no convergence test —
     so a recursive-CTE oracle replays it value-exact. Each iteration
     is one shuffle of the (host-level, tiny-next-to-page-level) edge
-    table; localCheckpoint every iteration keeps the plan linear in 1,
-    not k.
+    table.
+
+    ``ckpt_every`` controls how often the running rank table is
+    eagerly ``localCheckpoint``-ed (plus always once at the end, so
+    the returned frame stays materialized for multi-consumer callers).
+    The round-14 form checkpointed EVERY iteration — k eager Spark
+    jobs of fixed scheduling overhead for a k-stage chain whose
+    intermediates nobody reads (bench: ~15 jobs per pagerank query at
+    sf0.1, guide §1/§2 fixed-cost profile). Checkpointing every few
+    iterations keeps the un-truncated plan span short (the
+    ``redistribute`` variant references ``pr`` twice per iteration, so
+    an unbounded span grows the logical tree ~2^span before exchange
+    reuse collapses it physically) while cutting the job count ~3x.
+    Values are unchanged — checkpoint placement never changes the
+    float arithmetic, only where lineage is cut.
 
     ``dangling`` picks the treatment of hosts with no out-links:
 
@@ -485,6 +502,8 @@ def host_pagerank(
         raise ValueError(
             f"dangling must be 'drop' or 'redistribute', got {dangling!r}"
         )
+    if ckpt_every < 1:
+        raise ValueError(f"ckpt_every must be >= 1, got {ckpt_every}")
     hosts = (
         hg.select(F.col("src_host").alias("host"))
         .union(hg.select(F.col("dst_host")))
@@ -504,7 +523,7 @@ def host_pagerank(
         .select("src_host", "dst_host", "out_degree")
         .localCheckpoint(eager=True)
     )
-    for _ in range(k):
+    for it in range(k):
         contrib = (
             contrib_edges.join(pr, contrib_edges["src_host"] == pr["host"])
             .select(
@@ -528,14 +547,13 @@ def host_pagerank(
             )
             nxt = nxt.crossJoin(dm)
             extra = extra + F.lit(damping) * F.col("_dm") / F.lit(float(n))
-        pr = (
-            nxt.select(
-                "host",
-                (
-                    extra
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                ).alias("pagerank"),
-            )
-            .localCheckpoint(eager=True)
+        pr = nxt.select(
+            "host",
+            (
+                extra
+                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+            ).alias("pagerank"),
         )
+        if (it + 1) % ckpt_every == 0 or it == k - 1:
+            pr = pr.localCheckpoint(eager=True)
     return pr

@@ -1796,7 +1796,13 @@ def web_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pages = _link_pages(spark, sf_dir)
-    cand = page_links(pages).select(F.col("dst").alias("url"))
+    # consumed by BOTH admission waves — checkpoint so the page_links
+    # Arrow kernel + dedup shuffle run once, not once per wave
+    cand = (
+        page_links(pages)
+        .select(F.col("dst").alias("url"))
+        .localCheckpoint(eager=True)
+    )
     gate = _admit_gate(spark)
     with tempfile.TemporaryDirectory() as tmp:
         fdir, pdir = f"{tmp}/frontier", f"{tmp}/pending"
@@ -2455,8 +2461,13 @@ def web_fetch_schedule_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = (
         edges.select(F.col("dst").alias("url")).union(traps).distinct()
     )
-    prof = host_trap_profile(frontier).select(
-        "host", F.col("trap_host").cast("int").alias("trap_host")
+    # hosts-sized and consumed TWICE (penalty join + final annotate):
+    # materialize once instead of re-running the frontier host-profile
+    # aggregation per consumer
+    prof = (
+        host_trap_profile(frontier)
+        .select("host", F.col("trap_host").cast("int").alias("trap_host"))
+        .localCheckpoint(eager=True)
     )
     cur = (
         auth.withColumn("host", url_host(F.col("url")))
@@ -2628,7 +2639,14 @@ def web_crawl_loop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, fdir, pdir, cand, wave=1,
             robots_gate=gate, host_cap=ADMIT_HOST_CAP,
         )
-        flist = pending_fetch_list(spark, fdir, pdir)
+        # the fetch list is consumed THREE times below (ranked
+        # schedule, simulated-fetch write, hop2 derivation) — each use
+        # would otherwise recompute the pending-vs-fetched anti-join
+        # over the state dirs as its own job chain (guide §5: cut
+        # lineage for reused intermediates); one eager materialization
+        flist = pending_fetch_list(spark, fdir, pdir).localCheckpoint(
+            eager=True
+        )
         sched1 = fetch_schedule(
             flist.select(F.col("canonical_url").alias("url"), "host"),
             delays,
