@@ -121,9 +121,21 @@ def dsir_log_weights(
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
     B = 16 ** hex_chars
-    rc = bucket_histogram(raw, id_col, text_col, hex_chars).withColumnRenamed(
-        "c", "cr"
+    # ONE gram explode over the raw corpus: the per-(doc, bucket)
+    # counts are aggregated first, and the corpus histogram is their
+    # re-aggregation (Σ_id n_b ≡ the direct occurrence count — same
+    # integers, same λ). The round-14 form exploded raw twice (once
+    # for the histogram, once for the per-doc counts) — the gram
+    # explode is the only row-proportional pass here, so this halves
+    # it (guide §2.3: aggregate before you shuffle; §1.2: remove
+    # duplicate passes). Physically both consumers sit in one query
+    # whose (id, bucket) exchange is reused.
+    per_bucket = (
+        hashed_gram_buckets(raw, id_col, text_col, hex_chars)
+        .groupBy("id", "bucket")
+        .agg(F.count("*").alias("n_b"))
     )
+    rc = per_bucket.groupBy("bucket").agg(F.sum("n_b").alias("cr"))
     tc = bucket_histogram(
         target, id_col, text_col, hex_chars
     ).withColumnRenamed("c", "ct")
@@ -151,11 +163,6 @@ def dsir_log_weights(
             .cast(W_DEC)
             .alias("lam"),
         )
-    )
-    per_bucket = (
-        hashed_gram_buckets(raw, id_col, text_col, hex_chars)
-        .groupBy("id", "bucket")
-        .agg(F.count("*").alias("n_b"))
     )
     per_doc = (
         per_bucket.join(F.broadcast(lam), "bucket")

@@ -715,6 +715,11 @@ def corpus_curation_pipeline_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nb_scored", F.lit(False)).alias("nb_scored"),
             F.coalesce("nb_ok", F.lit(False)).alias("nb_ok"),
         )
+        # held-out-slice-sized flag frame consumed by BOTH the stage
+        # counters and the dedup-survivor branch — materialize once so
+        # NB training/scoring and the repetition aggregate never
+        # re-run per consumer (guide §5)
+        .localCheckpoint(eager=True)
     )
     passing = flags.filter("q_ok AND rep_ok AND nb_ok").withColumn(
         "survivor",

@@ -644,12 +644,20 @@ def corpus_curation_pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFra
         textstats.fingerprint("text").alias("fp"),
     )
     gate = textstats.gopher_repetition_gate(docs)
-    flags = feats.join(gate, "doc_id").select(
-        "doc_id",
-        "dl",
-        "fp",
-        (F.col("quality") >= 0.9).alias("q_ok"),
-        F.col("gopher_ok").alias("rep_ok"),
+    flags = (
+        feats.join(gate, "doc_id")
+        .select(
+            "doc_id",
+            "dl",
+            "fp",
+            (F.col("quality") >= 0.9).alias("q_ok"),
+            F.col("gopher_ok").alias("rep_ok"),
+        )
+        # the six-signal Gopher gate (six n-gram explode+aggregate
+        # branches) feeds both the stage counters and the survivor
+        # branch — materialize the per-doc flags once instead of
+        # re-running the gate per consumer (guide §5)
+        .localCheckpoint(eager=True)
     )
     clean = flags.filter("q_ok AND rep_ok").withColumn(
         "survivor",

@@ -240,27 +240,33 @@ class LexicalIndex:
         if term_buckets < 1 or doc_buckets < 1:
             raise ValueError("bucket counts must be >= 1")
         os.makedirs(self.path, exist_ok=True)
-        # consumed by BOTH writes below — persist so the tokenize →
-        # tf → dl pipeline (two shuffles over every token) executes
-        # once, not once per write. persist (lazy) over localCheckpoint
-        # (eager): the postings write is the materializing action, so
-        # no extra job is spent on the cache itself.
-        side = _doc_side(docs, id_col, text_col).persist()
-        try:
-            postings = side.select(
-                "term", "id", "tf", "dl",
-                _tbucket_of("term", term_buckets).alias(TBUCKET),
-            )
-            dstore = (
-                _doc_rows(docs, side, id_col)
-                .withColumn("_batch", F.lit(0).cast("long"))
-                .withColumn(DBUCKET, _dbucket_of("id", doc_buckets))
-            )
+        # consumed by all three writes below — materialize the
+        # tokenize → tf → dl pipeline (two shuffles over every token)
+        # eagerly ONCE, then run the three layout writes from
+        # concurrent driver threads (guide §2.6: independent jobs
+        # back-fill each other's stragglers; the writes share no
+        # lineage work after the checkpoint, so they only compete for
+        # task slots). The round-14 form persisted lazily and wrote
+        # sequentially — three job tails paid one after another.
+        side = _doc_side(docs, id_col, text_col).localCheckpoint(eager=True)
+        postings = side.select(
+            "term", "id", "tf", "dl",
+            _tbucket_of("term", term_buckets).alias(TBUCKET),
+        )
+        dstore = (
+            _doc_rows(docs, side, id_col)
+            .withColumn("_batch", F.lit(0).cast("long"))
+            .withColumn(DBUCKET, _dbucket_of("id", doc_buckets))
+        )
+
+        def _write_postings() -> None:
             (
                 postings.repartition(term_buckets, F.col(TBUCKET))
                 .write.mode("overwrite").partitionBy(TBUCKET)
                 .parquet(self._postings_path)
             )
+
+        def _write_termdf() -> None:
             # df sidecar: a per-bucket aggregate of the postings just
             # written (side has one row per (id, term), so count == df)
             (
@@ -271,13 +277,23 @@ class LexicalIndex:
                 .write.mode("overwrite").partitionBy(TBUCKET)
                 .parquet(self._termdf_path)
             )
+
+        def _write_docs() -> None:
             (
                 dstore.repartition(doc_buckets, F.col(DBUCKET))
                 .write.mode("overwrite").partitionBy(DBUCKET)
                 .parquet(self._docs_path)
             )
-        finally:
-            side.unpersist()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(w)
+                for w in (_write_postings, _write_termdf, _write_docs)
+            ]
+            for f in futures:
+                f.result()
         with open(self._props_path, "w") as f:
             json.dump(
                 {"term_buckets": term_buckets, "doc_buckets": doc_buckets}, f
