@@ -523,16 +523,19 @@ def write_ivf_index(
     assigned = assign(index, centroids, metric, vec_col)
     if compression == "int8":
         assigned = _compress_int8(assigned, vec_col)
+    # sidecar row count rides the write job as an observed metric
+    # instead of a separate footer-read count() job after it
+    from pyspark.sql import Observation
+
+    obs = Observation()
     (
-        assigned.repartition("centroid_id")
+        assigned.observe(obs, F.count(F.lit(1)).alias("n"))
+        .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path)
     )
-    # sidecar for incremental maintenance: what the layout was built
-    # with, plus a staleness counter upsert_ivf_index keeps current
-    # (row count is footer-metadata only — no data scan)
-    n_rows = index.sparkSession.read.parquet(path).count()
+    n_rows = int(obs.get["n"])
     with open(os.path.join(path, IVF_META), "w") as f:
         json.dump(
             {

@@ -828,16 +828,21 @@ def write_ivfpq_index(
     keep.append(F.col("codes"))
     layout = enc.select(*keep)
     n_parts = len(centroids)
+    # row count rides the write job as an observed metric — the
+    # round-14 form re-read the written footers as a separate count()
+    # job (cheap per call, but every rebuild-per-call serving query
+    # pays it)
+    from pyspark.sql import Observation
+
+    obs = Observation()
     (
-        layout.repartition(n_parts, F.col("centroid_id"))
+        layout.observe(obs, F.count(F.lit(1)).alias("n"))
+        .repartition(n_parts, F.col("centroid_id"))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path)
     )
-    # count from the WRITTEN files (parquet footer metadata), not the
-    # logical plan — layout.count() would re-run the whole
-    # assign+encode DAG a second time
-    n_rows = index.sparkSession.read.parquet(path).count()
+    n_rows = int(obs.get["n"])
     with open(os.path.join(path, IVFPQ_META), "w") as f:
         json.dump(
             {

@@ -2617,16 +2617,31 @@ def web_crawl_loop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         pending_fetch_list,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     pages = _link_pages(spark, sf_dir)
     edges = page_links(pages).localCheckpoint(eager=True)
     cand = edges.select(F.col("dst").alias("url"))
     gate = _admit_gate(spark)
-    ranks = host_pagerank(
-        host_graph(edges), k=PAGERANK_K, damping=PAGERANK_DAMPING
-    )
-    prio = url_link_authority(edges, ranks).select(
-        "url", F.round(F.col("priority"), 6).alias("priority")
-    )
+
+    def _prio() -> DataFrame:
+        # PageRank -> per-URL authority over the (checkpointed) edge
+        # table: independent of the frontier-admission chain below
+        # until the ranked schedule consumes it, so its iteration jobs
+        # run from a driver thread CONCURRENTLY with the admission
+        # writes (guide §2.6 — independent jobs back-fill each other;
+        # both sides are many small fixed-cost jobs at fixture scale)
+        ranks = host_pagerank(
+            host_graph(edges), k=PAGERANK_K, damping=PAGERANK_DAMPING
+        )
+        return (
+            url_link_authority(edges, ranks)
+            .select("url", F.round(F.col("priority"), 6).alias("priority"))
+            .localCheckpoint(eager=True)
+        )
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    prio_fut = pool.submit(_prio)
     delays = spark.createDataFrame(
         RANKED_DELAYS, "host string, crawl_delay double"
     )
@@ -2646,12 +2661,6 @@ def web_crawl_loop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineage for reused intermediates); one eager materialization
         flist = pending_fetch_list(spark, fdir, pdir).localCheckpoint(
             eager=True
-        )
-        sched1 = fetch_schedule(
-            flist.select(F.col("canonical_url").alias("url"), "host"),
-            delays,
-            default_delay=1.0,
-            priority=prio,
         )
         # simulated fetch: every scheduled wave-1 URL lands in the
         # fetched frontier; pending rows stay on disk, superseded
@@ -2675,6 +2684,16 @@ def web_crawl_loop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             delays,
             default_delay=1.0,
         )
+        # join point of the concurrent authority chain: flist is
+        # checkpointed (immune to the admissions that ran meanwhile),
+        # so ranking it here is identical to ranking it at wave-1 time
+        sched1 = fetch_schedule(
+            flist.select(F.col("canonical_url").alias("url"), "host"),
+            delays,
+            default_delay=1.0,
+            priority=prio_fut.result(),
+        )
+        pool.shutdown()
         out1 = sched1.select(
             F.col("url").alias("canonical_url"),
             "host",
