@@ -51,7 +51,7 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.layout import (
@@ -268,22 +268,30 @@ class VectorIndex:
         # bucket (avoids the small-files explosion of 32 writers × 32
         # buckets); the repartition moves only touched-bucket rows
         tmp = data + "._tmp"
+        # the returned index size rides the write as an observed
+        # metric when the write IS the whole index (fresh create —
+        # every ingest-funnel and throughput path): no post-write
+        # footer-count job. A merge into an existing layout still
+        # re-counts, since untouched buckets don't flow through this
+        # write.
+        obs = Observation()
         (
-            merged.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            merged.observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition(max(len(touched), 1), F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(tmp)
         )
         if fresh:
             os.rename(tmp, data)
-        else:
-            # crash-consistent marker-fenced swap (sources.layout)
-            swap_partition_dirs(
-                data,
-                tmp,
-                [f"{BUCKET_COL}={b}" for b in touched],
-                self._swap_marker_path,
-            )
+            return int(obs.get["n"])
+        # crash-consistent marker-fenced swap (sources.layout)
+        swap_partition_dirs(
+            data,
+            tmp,
+            [f"{BUCKET_COL}={b}" for b in touched],
+            self._swap_marker_path,
+        )
         return self.read().count()
 
     # -- takedown: per-id delete -------------------------------------

@@ -30,12 +30,13 @@ from pyspark.sql import functions as F
 
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
     EmbeddingProvider,
-    embed_text_column,
+)
+from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.text import (
+    chunk_id,
 )
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.chunker import (
     DEFAULT_CHUNK_OVERLAP,
     DEFAULT_CHUNK_SIZE,
-    chunk_documents,
 )
 from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.index_table import (
     VectorIndex,
@@ -82,10 +83,50 @@ def docs_to_records(
         base = base.select(
             "doc_id", pii_scrub("text").alias("text"), "source"
         )
-    chunks = chunk_documents(base, chunk_size, chunk_overlap)
-    embedded = embed_text_column(chunks, provider, text_col="text", out_col="embedding")
+    # chunk AND embed in ONE Arrow pass: the two standalone operators
+    # (chunk_documents, embed_text_column) are each a mapInPandas, so
+    # composing them sent every chunk row JVM→Python→JVM→Python→JVM —
+    # two full serializations of the corpus for one narrow pipeline
+    # (guide §4.1: the boundary crossing is the cost you control).
+    # The fused kernel produces byte-identical chunks (same
+    # split_text), embeds the same per-text deterministic vectors, and
+    # chunk ids stay the JVM md5 expression over (local_index, text) —
+    # values unchanged, one boundary crossing instead of two. The
+    # standalone operators remain the composable public surface.
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.chunker import (
+        split_text,
+    )
+
+    out_schema = (
+        "source string, local_index int, text string, "
+        "embedding array<float>"
+    )
+
+    def _chunk_embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[str, int, str]] = []
+            for text, source in zip(pdf["text"], pdf["source"]):
+                for i, c in enumerate(
+                    split_text(text or "", chunk_size, chunk_overlap)
+                ):
+                    rows.append((source, i, c))
+            out = pd.DataFrame(
+                rows, columns=["source", "local_index", "text"]
+            )
+            vecs = provider.embed(list(out["text"]))
+            out["embedding"] = [np.asarray(v, dtype=np.float32) for v in vecs]
+            yield out
+
+    embedded = base.select("text", "source").mapInPandas(
+        _chunk_embed, schema=out_schema
+    )
     return embedded.select(
-        F.col("chunk_id").alias("id"),
+        chunk_id(F.col("local_index"), F.col("text")).alias("id"),
         "embedding",
         "text",
         "source",
