@@ -85,22 +85,30 @@ def _child(block: Column, tag: str) -> Column:
 
 
 def sitemap_page_entries(
-    bodies: DataFrame, url_col: str = "url", body_col: str = "body"
+    bodies: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``<urlset>`` documents → one row per page entry:
     ``(url, loc, lastmod)`` where ``url`` is the sitemap's own URL,
     ``loc`` the entity-unescaped page URL, ``lastmod`` the raw
     W3C-datetime string or null. Non-urlset bodies (indexes, junk)
-    contribute zero rows — ``<url>`` blocks simply don't match."""
+    contribute zero rows — ``<url>`` blocks simply don't match.
+    ``carry_cols`` ride the explode unchanged (e.g. the declaring
+    host), so callers keep context without a re-join against the
+    body table (each join is an exchange + build at scale)."""
     block = F.col("_sm_block")
     loc = _child(block, "loc")
     lastmod = _child(block, "lastmod")
     return (
         bodies.select(
+            *[F.col(c) for c in carry_cols],
             F.col(url_col).alias("url"),
             F.explode(_blocks(F.col(body_col), "url")).alias("_sm_block"),
         )
         .select(
+            *carry_cols,
             "url",
             xml_unescape(loc).alias("loc"),
             F.when(lastmod != "", lastmod).alias("lastmod"),
@@ -110,19 +118,24 @@ def sitemap_page_entries(
 
 
 def sitemap_index_children(
-    bodies: DataFrame, url_col: str = "url", body_col: str = "body"
+    bodies: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``<sitemapindex>`` documents → one row per child sitemap:
     ``(url, child_url)``. Plain ``<urlset>`` bodies contribute zero
-    rows (no ``<sitemap>`` blocks)."""
+    rows (no ``<sitemap>`` blocks). ``carry_cols`` as in
+    :func:`sitemap_page_entries`."""
     block = F.col("_sm_block")
     loc = _child(block, "loc")
     return (
         bodies.select(
+            *[F.col(c) for c in carry_cols],
             F.col(url_col).alias("url"),
             F.explode(_blocks(F.col(body_col), "sitemap")).alias("_sm_block"),
         )
-        .select("url", xml_unescape(loc).alias("child_url"))
+        .select(*carry_cols, "url", xml_unescape(loc).alias("child_url"))
         .filter(F.col("child_url") != "")
     )
 
@@ -232,24 +245,28 @@ def sitemap_seed_table(
     level0 = declared.join(
         bodies, declared["sitemap_url"] == bodies["url"]
     ).select("host", "url", "body")
-    # one-level index recursion: children inherit the declaring host
+    # one-level index recursion: children inherit the declaring host.
+    # The host RIDES each explode (carry_cols) instead of being
+    # re-joined from the body table afterwards — the round-14 form
+    # paid three extra self-joins (parent-host recovery + one
+    # host-recovery join per entry leg), each an exchange at scale;
+    # the final (host, seed_url) dedup below makes the two forms
+    # value-identical even when one child sitemap is declared by
+    # several hosts (multiplicity differs, the deduped set does not).
     children = (
-        sitemap_index_children(level0)
-        .join(level0.select("host", F.col("url").alias("_parent")),
-              F.col("url") == F.col("_parent"))
+        sitemap_index_children(level0, carry_cols=("host",))
         .select("host", F.col("child_url").alias("_curl"))
         .join(bodies, F.col("_curl") == bodies["url"])
         .select("host", "url", "body")
     )
-    entries = sitemap_page_entries(level0.select("host", "url", "body"),
-                                   url_col="url").join(
-        level0.select(F.col("url").alias("_src"), "host"),
-        F.col("url") == F.col("_src"),
-    ).select("host", "loc", "lastmod").unionByName(
-        sitemap_page_entries(children, url_col="url").join(
-            children.select(F.col("url").alias("_src"), "host").distinct(),
-            F.col("url") == F.col("_src"),
-        ).select("host", "loc", "lastmod")
+    entries = (
+        sitemap_page_entries(level0, carry_cols=("host",))
+        .select("host", "loc", "lastmod")
+        .unionByName(
+            sitemap_page_entries(children, carry_cols=("host",)).select(
+                "host", "loc", "lastmod"
+            )
+        )
     )
     seeds = (
         with_canonical_url(entries, url_col="loc", out_col="seed_url")
