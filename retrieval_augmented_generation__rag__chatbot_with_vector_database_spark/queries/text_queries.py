@@ -1378,7 +1378,12 @@ def corpus_boilerplate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d < N_BL_FUNNEL_DOCS)
         .select("doc_id", planted_text.alias("text"))
     )
-    bl = common_lines(docs, min_count=BL_FUNNEL_MIN_COUNT)
+    # blocklist-small by construction and consumed TWICE (the strip
+    # inside the ingest chain + the residual re-scan at the end) —
+    # materialize the line-hash groupBy once (guide §5)
+    bl = common_lines(docs, min_count=BL_FUNNEL_MIN_COUNT).localCheckpoint(
+        eager=True
+    )
     gated = (
         strip_common_lines(docs, bl)
         .filter(F.trim(F.col("text")) != "")

@@ -17,8 +17,10 @@ No watermark: there is no event-time aggregation — late files are
 just later batches (SURVEY.md §2k).
 
 At scale: the landing dir is object storage; ``maxFilesPerTrigger``
-bounds batch size; the embed kernel is the only expensive stage and
-is already Arrow-batched (``embed.providers.embed_text_column``).
+bounds batch size; the chunk+embed kernel is the only expensive stage
+and runs as ONE Arrow-batched pass (``docs_to_records`` fuses the
+standalone ``chunk_documents`` / ``embed_text_column`` operators so
+the corpus crosses the Python boundary once, round 15).
 """
 
 from __future__ import annotations
