@@ -121,7 +121,14 @@ def docs_to_records(
                 rows, columns=["source", "local_index", "text"]
             )
             vecs = provider.embed(list(out["text"]))
-            out["embedding"] = [np.asarray(v, dtype=np.float32) for v in vecs]
+            # dtype=object explicitly: on a batch with zero chunks
+            # pandas would otherwise give the empty column a numeric
+            # dtype, which Arrow cannot convert to list<float>
+            out["embedding"] = pd.Series(
+                [np.asarray(v, dtype=np.float32) for v in vecs],
+                index=out.index,
+                dtype=object,
+            )
             yield out
 
     embedded = base.select("text", "source").mapInPandas(

@@ -349,3 +349,27 @@ def test_page_anchor_texts_and_index(spark):
         ("https://a.com/t", "Bold link text"): 1,
         ("https://a.com/t", "other words"): 1,
     }
+
+
+def test_pagerank_checkpoint_cadence_value_invariant(spark):
+    """Round-15 optimization contract: ckpt_every changes where
+    lineage is cut, never the ranks — every cadence must produce
+    bit-identical values in BOTH dangling modes."""
+    dag = spark.createDataFrame(
+        [("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "c.com")],
+        "src_host string, dst_host string",
+    )
+    for mode in ("drop", "redistribute"):
+        base = sorted(
+            map(tuple, host_pagerank(dag, k=7, dangling=mode).collect())
+        )
+        for ck in (1, 2, 7, 100):
+            got = sorted(
+                map(
+                    tuple,
+                    host_pagerank(
+                        dag, k=7, dangling=mode, ckpt_every=ck
+                    ).collect(),
+                )
+            )
+            assert got == base, (mode, ck)

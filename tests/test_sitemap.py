@@ -212,3 +212,42 @@ def test_recrawl_candidates_freshness_edges(spark):
         "https://h.example/newer",
         "https://h.example/sameday-tz",  # 01:00Z beats the midnight fetch
     }
+
+
+def test_seed_table_child_declared_by_two_hosts(spark):
+    """Round-15 optimization contract: carrying the declaring host
+    through the explodes (instead of re-joining it afterwards) must
+    keep the deduped seed set identical when the SAME child sitemap is
+    declared by index files on TWO hosts — each host keeps its own
+    seed row, exactly once."""
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "Sitemap: https://cdn.example/shared-index.xml"),
+            ("b.com", "Sitemap: https://cdn.example/shared-index.xml"),
+        ],
+        "host string, body string",
+    )
+    index_body = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>https://cdn.example/child.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    child_body = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://site.example/page</loc>"
+        "<lastmod>2024-03-01</lastmod></url>"
+        "</urlset>"
+    )
+    bodies = spark.createDataFrame(
+        [
+            ("https://cdn.example/shared-index.xml", index_body),
+            ("https://cdn.example/child.xml", child_body),
+        ],
+        "url string, body string",
+    )
+    rows = sitemap_seed_table(robots, bodies).collect()
+    got = sorted((r["host"], r["url"], r["lastmod"]) for r in rows)
+    assert got == [
+        ("a.com", "https://site.example/page", "2024-03-01"),
+        ("b.com", "https://site.example/page", "2024-03-01"),
+    ]

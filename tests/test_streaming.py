@@ -1284,3 +1284,61 @@ def test_scrub_ingest_stream_raw_text_never_reaches_sink(spark, dirs):
     }
     assert {x[0] for x in s_rows} == {x[0] for x in b_rows}
     assert {(x[1], x[2]) for x in s_rows} == {(x[1], x[2]) for x in b_rows}
+
+
+def test_docs_to_records_fused_matches_standalone_operators(spark):
+    """Round-15 optimization contract: the fused chunk+embed kernel in
+    docs_to_records is byte-identical to composing the standalone
+    operators (chunk_documents -> chunk_id -> embed_text_column)."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.embed.providers import (
+        HashEmbedder,
+        embed_text_column,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.chunker import (
+        chunk_documents,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.ingest import (
+        docs_to_records,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("alpha beta " * 120, "mem://d/0"),   # multi-chunk
+            ("short", "mem://d/1"),               # single chunk
+            ("", "mem://d/2"),                    # empty -> no chunks
+            ("pii tail 555-123-4567 " * 40, "mem://d/3"),
+        ],
+        "text string, source string",
+    )
+    provider = HashEmbedder(dimension=16)
+    fused = docs_to_records(docs, provider)
+    base = docs.select(
+        F.xxhash64("source").alias("doc_id"), "text", "source"
+    )
+    chunks = chunk_documents(base, 500, 50)
+    composed = embed_text_column(
+        chunks, provider, text_col="text", out_col="embedding"
+    ).select(
+        F.col("chunk_id").alias("id"),
+        "embedding",
+        "text",
+        "source",
+        F.col("local_index").alias("chunk_index"),
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                r["id"],
+                r["source"],
+                r["chunk_index"],
+                r["text"],
+                tuple(round(float(x), 6) for x in r["embedding"]),
+            )
+            for r in df.collect()
+        )
+
+    got, want = canon(fused), canon(composed)
+    assert got == want and len(got) > 4
