@@ -406,8 +406,6 @@ def main() -> None:
         "bandwidth_ref_gbs": BANDWIDTH_REF_GBS,
         "window_health": window_health,
     }
-    print(json.dumps(record))
-
     # Self-write the complete record: the driver captures stdout with a
     # bounded tail window, which truncated BENCH_r05.json mid-record.
     # Writing BENCH_local_r{N}.json directly means the committed history
@@ -422,8 +420,6 @@ def main() -> None:
     #   (neither set)           fall back to N = 1 + highest
     #                           BENCH_r{N}.json on disk
     out = os.environ.get("BENCH_LOCAL_OUT")
-    if out == "none":
-        return
     if not out:
         repo = os.path.dirname(os.path.abspath(__file__))
         env_round = os.environ.get("BENCH_ROUND")
@@ -439,10 +435,23 @@ def main() -> None:
             ]
             n_round = (max(rounds) + 1) if rounds else 1
         out = os.path.join(repo, f"BENCH_local_r{n_round:02d}.json")
-    with open(out, "w") as fh:
-        json.dump(record, fh, indent=1, sort_keys=True)
-        fh.write("\n")
-    print(f"# wrote {out}", file=sys.stderr)
+    if out != "none":
+        with open(out, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"# wrote {out}", file=sys.stderr)
+
+    # The ONE-LINE JSON record is the LAST thing this process emits, on
+    # stdout, with both streams flushed first: the round driver captures
+    # a merged stdout+stderr tail, and r14's record was unparseable
+    # because interleaved trailing text landed after/inside the JSON
+    # line (PERF_r15.json: prev_bench_ok=false — the round-over-round
+    # comparison was silently lost). Everything above prints to stderr;
+    # the self-write note above moved BEFORE this line for the same
+    # reason.
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -84,6 +84,26 @@ def _child(block: Column, tag: str) -> Column:
     )
 
 
+def _check_carry_cols(
+    carry_cols: tuple[str, ...], reserved: tuple[str, ...], url_col: str
+) -> None:
+    """carry_cols ride the explode verbatim, so a carry name that
+    collides with an output column (or with the aliased ``url_col``)
+    would silently produce duplicate/ambiguous columns — fail loudly
+    instead (ADVICE r15)."""
+    clash = sorted(set(carry_cols) & set(reserved))
+    if clash:
+        raise ValueError(
+            f"carry_cols {clash} collide with reserved output columns "
+            f"{sorted(reserved)}"
+        )
+    if url_col in carry_cols:
+        raise ValueError(
+            f"carry_cols may not repeat url_col ({url_col!r}); it is "
+            "already aliased to 'url' in the output"
+        )
+
+
 def sitemap_page_entries(
     bodies: DataFrame,
     url_col: str = "url",
@@ -98,6 +118,7 @@ def sitemap_page_entries(
     ``carry_cols`` ride the explode unchanged (e.g. the declaring
     host), so callers keep context without a re-join against the
     body table (each join is an exchange + build at scale)."""
+    _check_carry_cols(carry_cols, ("url", "loc", "lastmod"), url_col)
     block = F.col("_sm_block")
     loc = _child(block, "loc")
     lastmod = _child(block, "lastmod")
@@ -127,6 +148,7 @@ def sitemap_index_children(
     ``(url, child_url)``. Plain ``<urlset>`` bodies contribute zero
     rows (no ``<sitemap>`` blocks). ``carry_cols`` as in
     :func:`sitemap_page_entries`."""
+    _check_carry_cols(carry_cols, ("url", "child_url"), url_col)
     block = F.col("_sm_block")
     loc = _child(block, "loc")
     return (

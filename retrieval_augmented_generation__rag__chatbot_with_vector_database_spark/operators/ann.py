@@ -524,7 +524,13 @@ def write_ivf_index(
     if compression == "int8":
         assigned = _compress_int8(assigned, vec_col)
     # sidecar row count rides the write job as an observed metric
-    # instead of a separate footer-read count() job after it
+    # instead of a separate footer-read count() job after it.
+    # At-scale caveat (ADVICE r15): observed metrics accumulate per
+    # ATTEMPTED task, so stage retries / speculative duplicates can
+    # over-count. n_rows here is a freshness/staleness indicator for
+    # probe-time drift checks, not an exactness contract — keep the
+    # footer re-count for any path where the count must be exact, or
+    # disable speculation for these writes.
     from pyspark.sql import Observation
 
     obs = Observation()

@@ -46,6 +46,10 @@ from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.ope
 
 W_DEC = "decimal(24,6)"
 
+# eager=True runs the checkpoint as its own job before the consumers;
+# eager=False folds it into the first consuming job (A/B knob)
+CKPT_EAGER = False
+
 
 def hashed_gram_buckets(
     df: DataFrame,
@@ -128,35 +132,56 @@ def dsir_log_weights(
     # for the histogram, once for the per-doc counts) — the gram
     # explode is the only row-proportional pass here, so this halves
     # it (guide §2.3: aggregate before you shuffle; §1.2: remove
-    # duplicate passes). Physically both consumers sit in one query
-    # whose (id, bucket) exchange is reused.
+    # duplicate passes).
+    #
+    # Round 16: the r15 form left the sharing to AQE exchange reuse —
+    # which does NOT fire for the two leaf-level (id, bucket) stages
+    # (verified on the executed adaptive plan: the raw explode ran
+    # twice, and in the curation funnel the ENTIRE upstream gate chain
+    # under `raw` re-ran with it). Materialize per_bucket explicitly —
+    # it is the gram explode AGGREGATED (≤ B rows per doc), far
+    # smaller than the pass it saves, and in the curation funnel the
+    # saved pass includes the whole gate/dedup chain. localCheckpoint,
+    # NOT a lazy persist: a persist would register the plan in the
+    # CacheManager and silently serve later bench passes from the
+    # first pass's cache (cross-run caching the round rules forbid);
+    # checkpoint blocks are per-query and freed on GC. Executor-loss
+    # stance: SCALE.md round 16 (re-run the batch query).
     per_bucket = (
         hashed_gram_buckets(raw, id_col, text_col, hex_chars)
         .groupBy("id", "bucket")
         .agg(F.count("*").alias("n_b"))
+        .localCheckpoint(eager=CKPT_EAGER)
     )
     rc = per_bucket.groupBy("bucket").agg(F.sum("n_b").alias("cr"))
     tc = bucket_histogram(
         target, id_col, text_col, hex_chars
     ).withColumnRenamed("c", "ct")
-    # totals as 1-row frames (no driver round-trip); buckets absent
-    # from one side smooth to alpha via the outer join's NULLs
-    totals = rc.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr")).crossJoin(
-        tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
-    )
+    # totals as UNBOUNDED WINDOW SUMS over the joined (≤ B row) bucket
+    # table instead of two agg().crossJoin() subtrees that re-derived
+    # rc and tc wholesale (round 16, guide §2.4): every tc bucket
+    # appears exactly once in the full-outer join with ct non-null (cr
+    # likewise), so Σ coalesce(ct, 0) over the joined frame IS the
+    # target total — same integers, same λ. The single-partition
+    # window holds ≤ 16**hex_chars rows (256 at the default hex_chars
+    # used repo-wide), trivially bounded.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    tt = F.sum(F.coalesce(F.col("ct"), F.lit(0))).over(w_all)
+    tr = F.sum(F.coalesce(F.col("cr"), F.lit(0))).over(w_all)
     lam = (
         rc.join(tc, "bucket", "full_outer")
-        .crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             F.round(
                 F.ln(
                     (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("tt") + F.lit(alpha) * F.lit(B))
+                    / (tt + F.lit(alpha) * F.lit(B))
                 )
                 - F.ln(
                     (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("tr") + F.lit(alpha) * F.lit(B))
+                    / (tr + F.lit(alpha) * F.lit(B))
                 ),
                 6,
             )

@@ -42,6 +42,26 @@ IDF_DEC = "decimal(18,6)"
 # uncapped (unit tests of scoring math on tiny corpora use None).
 DF_CAP_DEFAULT = 0.5
 
+# Materialize the shared lexical statistics frames (dterms / tf)?
+# Each retrieval pass consumes them 2-3 times under one action. An
+# interleaved same-process A/B at sf0.1 measured BOTH sharing forms
+# slower than recomputation (lazy persist: bm25 3.57 vs 2.06 s min —
+# and a lazy persist is additionally inadmissible in bench paths, as
+# the CacheManager would serve later bench passes from the first
+# pass's cache; eager localCheckpoint: +2 fixed-cost jobs/query), so
+# the default recomputes: the frames are one cheap explode+aggregate
+# over a columnar scan, and the duplicate work is far below the
+# fixed cost a materialization adds at bench scale. On a 100 TB
+# corpus where tokenization CPU dominates, flip this to checkpoint
+# the frames once per pass (the knob exists for that deployment
+# choice and for scale checks; it is NOT a results cache — blocks
+# are per-query and freed on GC).
+CKPT_SHARED = False
+
+
+def _maybe_persist(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=False) if CKPT_SHARED else df
+
 
 def _df_cap_filter(with_n: DataFrame, df_cap: float | int | None) -> DataFrame:
     """Apply the df cap to a frame carrying ``df`` and ``n`` columns."""
@@ -93,6 +113,55 @@ def idf_table(
     )
 
 
+def _lex_frames(
+    queries: DataFrame,
+    docs: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    id_col: str,
+    text_col: str,
+    df_cap: float | int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three frames every lexical stage consumes: (dterms, idf,
+    qterms), built ONCE per retrieval pass and threaded through the
+    scoring stages (round 16 — the PRF form previously re-derived all
+    three in each nested call). ``dterms`` is shared by reference;
+    whether it is MATERIALIZED is the CKPT_SHARED knob above (default
+    off — recomputation measured faster at bench scale)."""
+    dterms = _maybe_persist(doc_terms(docs, id_col, text_col))
+    n_docs = docs.agg(F.count("*").alias("n"))
+    idf = idf_table(dterms, n_docs, df_cap=df_cap)
+    qterms = doc_terms(
+        queries.select(
+            F.col(query_id_col).alias(query_id_col), F.col(query_text_col)
+        ),
+        query_id_col,
+        query_text_col,
+    ).withColumnRenamed("id", "query_id")
+    return dterms, idf, qterms
+
+
+def _lexical_topk_from(
+    qterms: DataFrame, dterms: DataFrame, idf: DataFrame, k: int
+) -> DataFrame:
+    """Score (query_id, term) rows against prebuilt dterms/idf frames —
+    the shared scoring tail of the one-pass and PRF retrievals."""
+    scores = (
+        qterms.select("query_id", "term")
+        .join(idf, "term")
+        .join(dterms, "term")
+        .groupBy("query_id", F.col("id").alias("doc_id"))
+        .agg(F.sum("idf").alias("lex_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("lex_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("lex_rank", F.row_number().over(w))
+        .filter(F.col("lex_rank") <= k)
+    )
+
+
 def lexical_topk(
     queries: DataFrame,
     docs: DataFrame,
@@ -110,43 +179,31 @@ def lexical_topk(
     stopword-like terms from the idf table; the query×idf join runs
     before the postings join so a capped hot term never joins the
     corpus at all. ``None`` disables (tiny-corpus unit tests)."""
-    dterms = doc_terms(docs, id_col, text_col)
-    n_docs = docs.agg(F.count("*").alias("n"))
-    idf = idf_table(dterms, n_docs, df_cap=df_cap)
-    qterms = doc_terms(
-        queries.select(
-            F.col(query_id_col).alias(query_id_col), F.col(query_text_col)
-        ),
-        query_id_col,
-        query_text_col,
-    ).withColumnRenamed("id", "query_id")
-    scores = (
-        qterms.join(idf, "term")
-        .join(dterms, "term")
-        .groupBy("query_id", F.col("id").alias("doc_id"))
-        .agg(F.sum("idf").alias("lex_score"))
+    dterms, idf, qterms = _lex_frames(
+        queries, docs, query_id_col, query_text_col, id_col, text_col, df_cap
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("lex_score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scores.withColumn("lex_rank", F.row_number().over(w))
-        .filter(F.col("lex_rank") <= k)
-    )
+    return _lexical_topk_from(qterms, dterms, idf, k)
 
 
 def doc_term_freqs(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """(id, term, tf, dl): term frequency per doc plus the doc's token
-    length — the BM25 statistics, one explode + one groupBy."""
+    length — the BM25 statistics, one explode + one groupBy. ``dl``
+    re-aggregates the tf table (Σ_term tf ≡ the token count — same
+    integers; the ``lexical_index._doc_side`` convention), so the
+    token explode runs ONCE per tf reference instead of once per
+    statistic (round 16, guide §2.3); CKPT_SHARED above optionally
+    pins tf for the multi-reference BM25 consumer."""
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("term"),
     ).filter(F.col("term") != "")
-    tf = tok.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("id").agg(F.count("*").alias("dl"))
+    tf = _maybe_persist(
+        tok.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     return tf.join(dl, "id")
 
 
@@ -286,19 +343,26 @@ def prf_expansion_terms(
         raise ValueError(
             f"fb_docs/fb_terms must be positive, got {fb_docs}/{fb_terms}"
         )
-    dterms = doc_terms(docs, id_col, text_col)
-    n_docs = docs.agg(F.count("*").alias("n"))
-    idf = idf_table(dterms, n_docs, df_cap=df_cap)
-    qterms = doc_terms(
-        queries.select(F.col(query_id_col), F.col(query_text_col)),
-        query_id_col,
-        query_text_col,
-    ).withColumnRenamed("id", "query_id")
-    fb = lexical_topk(
-        queries, docs, k=fb_docs,
-        query_id_col=query_id_col, query_text_col=query_text_col,
-        id_col=id_col, text_col=text_col, df_cap=df_cap,
-    ).select("query_id", "doc_id")
+    dterms, idf, qterms = _lex_frames(
+        queries, docs, query_id_col, query_text_col, id_col, text_col, df_cap
+    )
+    return _prf_terms_from(qterms, dterms, idf, fb_docs, fb_terms)
+
+
+def _prf_terms_from(
+    qterms: DataFrame,
+    dterms: DataFrame,
+    idf: DataFrame,
+    fb_docs: int,
+    fb_terms: int,
+) -> DataFrame:
+    """Expansion terms from prebuilt frames — shared by the standalone
+    PRF-terms entry point and the two-pass PRF retrieval so the corpus
+    explode and idf table build once (round 16, guide §1.2: the r15
+    form re-derived all three frames in each nested call)."""
+    fb = _lexical_topk_from(qterms, dterms, idf, fb_docs).select(
+        "query_id", "doc_id"
+    )
     cand = (
         fb.join(dterms, fb["doc_id"] == dterms["id"])
         .join(idf, "term")
@@ -332,30 +396,19 @@ def lexical_topk_prf(
     terms ∪ :func:`prf_expansion_terms`) — the classic two-pass
     recall lift for vocabulary-mismatch queries, fully deterministic
     and SQL-mirrorable. Same inverted-index shuffle shape as
-    :func:`lexical_topk`, run twice (feedback pass + final pass)."""
-    dterms = doc_terms(docs, id_col, text_col)
-    n_docs = docs.agg(F.count("*").alias("n"))
-    idf = idf_table(dterms, n_docs, df_cap=df_cap)
-    qterms = doc_terms(
-        queries.select(F.col(query_id_col), F.col(query_text_col)),
-        query_id_col,
-        query_text_col,
-    ).withColumnRenamed("id", "query_id")
-    exp = prf_expansion_terms(
-        queries, docs, fb_docs, fb_terms,
-        query_id_col, query_text_col, id_col, text_col, df_cap,
-    ).select("query_id", "term")
+    :func:`lexical_topk`, run twice (feedback pass + final pass) —
+    the dterms/idf/qterms frames build ONCE and are shared by both
+    passes (round 16; the r15 form re-derived them three times via
+    the nested calls)."""
+    if fb_docs <= 0 or fb_terms <= 0:
+        raise ValueError(
+            f"fb_docs/fb_terms must be positive, got {fb_docs}/{fb_terms}"
+        )
+    dterms, idf, qterms = _lex_frames(
+        queries, docs, query_id_col, query_text_col, id_col, text_col, df_cap
+    )
+    exp = _prf_terms_from(qterms, dterms, idf, fb_docs, fb_terms).select(
+        "query_id", "term"
+    )
     q2 = qterms.select("query_id", "term").unionByName(exp).distinct()
-    scores = (
-        q2.join(idf, "term")
-        .join(dterms, "term")
-        .groupBy("query_id", F.col("id").alias("doc_id"))
-        .agg(F.sum("idf").alias("lex_score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("lex_score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scores.withColumn("lex_rank", F.row_number().over(w))
-        .filter(F.col("lex_rank") <= k)
-    )
+    return _lexical_topk_from(q2, dterms, idf, k)

@@ -118,24 +118,66 @@ def bigram_nll_scores(
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
+    self_scoring = model_tables is None and model is None
     if model_tables is not None:
         if model is not None:
             raise ValueError("pass model or model_tables, not both")
         bigram_counts, history_counts, vocab = model_tables
-    else:
+    elif not self_scoring:
         bigram_counts, history_counts, vocab = bigram_model(
-            scored if model is None else model, id_col, text_col
+            model, id_col, text_col
+        )
+    if self_scoring:
+        # Self-scoring shares ONE bigram explode between the model
+        # estimate and the scoring pass (round 16, guide §1.2/§2.3 —
+        # the r15 DSIR pattern): aggregate per-(doc, bigram)
+        # occurrence counts first, re-aggregate them into the model
+        # (Σ_id n ≡ the direct corpus count — same integers), and
+        # score each DISTINCT (doc, bigram) once as n·round(nll, 6)
+        # (decimal × integer is exact, so the DECIMAL sum is
+        # bit-identical to summing the occurrences one by one). The
+        # r15 form exploded the corpus twice — AQE exchange reuse does
+        # NOT deduplicate the two leaf stages (verified on the
+        # executed adaptive plan), hence the explicit sharing. A LAZY
+        # localCheckpoint, not a persist: both consumers reference the
+        # same checkpointed RDD, so the frame computes once under the
+        # first consuming job with no extra eager job — and unlike
+        # persist it never registers in the CacheManager, so a later
+        # bench pass can NOT be served from this pass's cache (the
+        # cross-run caching the round rules forbid); blocks free on
+        # GC. The cached frame is the exploded bigrams AGGREGATED —
+        # smaller than the pass it saves.
+        pbc = (
+            positional_bigrams(scored, id_col, text_col)
+            .groupBy("id", "w1", "w2")
+            .agg(F.count("*").alias("n_occ"))
+            .localCheckpoint(eager=False)
+        )
+        bigram_counts = pbc.groupBy("w1", "w2").agg(
+            F.sum("n_occ").alias("c12")
+        )
+        history_counts = bigram_counts.groupBy("w1").agg(
+            F.sum("c12").alias("c1")
+        )
+        vocab = (
+            scored.select(F.explode(_tokens(text_col)).alias("w"))
+            .agg(F.count_distinct("w").alias("v"))
+        )
+        score_src = pbc
+    else:
+        score_src = positional_bigrams(scored, id_col, text_col).withColumn(
+            "n_occ", F.lit(1).cast("long")
         )
     if broadcast_model:
         bigram_counts = F.broadcast(bigram_counts)
         history_counts = F.broadcast(history_counts)
-    bg = positional_bigrams(scored, id_col, text_col)
     nll = (
-        bg.join(bigram_counts, ["w1", "w2"], "left")
+        score_src.join(bigram_counts, ["w1", "w2"], "left")
         .join(history_counts, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "id",
+            "n_occ",
             F.round(
                 -F.ln(
                     (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
@@ -148,8 +190,8 @@ def bigram_nll_scores(
         )
     )
     per_doc = nll.groupBy("id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum("nll").alias("sum_nll"),
+        F.sum("n_occ").alias("n_bigrams"),
+        F.sum(F.col("n_occ") * F.col("nll")).alias("sum_nll"),
     )
     ids = scored.select(F.col(id_col).alias("id")).distinct()
     return (

@@ -122,6 +122,37 @@ def _kmeans_books(X, m: int, k: int, iters: int) -> list[list[list[float]]]:
     return books
 
 
+def train_books_and_centroids(
+    index: DataFrame,
+    m: int,
+    k: int,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    max_train_rows: int = 65_536,
+):
+    """(codebooks, centroids) — :func:`train_pq_codebooks` and
+    ``ann.seed_centroids`` run CONCURRENTLY from two driver threads
+    (round 16, guide §2.6): each is a small bounded collect whose job
+    tail leaves most cores idle, so overlapping them hides one
+    latency behind the other. Results are identical to the sequential
+    calls — both are pure functions of ``index``."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.ann import (
+        seed_centroids,
+    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(
+            train_pq_codebooks, index, m, k, id_col, vec_col, iters,
+            max_train_rows,
+        )
+        fc = pool.submit(seed_centroids, index, n_centroids, id_col, vec_col)
+        return fb.result(), fc.result()
+
+
 def train_pq_codebooks_residual(
     index: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -831,7 +862,10 @@ def write_ivfpq_index(
     # row count rides the write job as an observed metric — the
     # round-14 form re-read the written footers as a separate count()
     # job (cheap per call, but every rebuild-per-call serving query
-    # pays it)
+    # pays it). At-scale caveat (ADVICE r15): observed metrics count
+    # per ATTEMPTED task, so retries/speculation can over-count;
+    # rows_at_build is a staleness indicator, not an exactness
+    # contract (see write_ivf_index for the same note).
     from pyspark.sql import Observation
 
     obs = Observation()

@@ -487,8 +487,7 @@ def ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    books = pq.train_pq_codebooks(emb, m=16, k=64)
-    cents = ann.seed_centroids(emb, 16)
+    books, cents = pq.train_books_and_centroids(emb, m=16, k=64, n_centroids=16)
     exact = topk_search(q, emb, k=K, metric="euclidean").select(
         "query_id", "vec_id"
     )
@@ -566,8 +565,9 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     emb_n = pq._unit_normalized(emb, "embedding")
-    books = pq.train_pq_codebooks(emb_n, m=16, k=64)
-    cents = ann.seed_centroids(emb_n, N_CENTROIDS)
+    books, cents = pq.train_books_and_centroids(
+        emb_n, m=16, k=64, n_centroids=N_CENTROIDS
+    )
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/ivfpq_cos"
         pq.write_ivfpq_index(emb, path, cents, books, normalize=True)
@@ -840,8 +840,9 @@ def ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     emb_n = pq._unit_normalized(emb, "embedding")
-    books = pq.train_pq_codebooks(emb_n, m=16, k=64)
-    cents = ann.seed_centroids(emb_n, N_CENTROIDS)
+    books, cents = pq.train_books_and_centroids(
+        emb_n, m=16, k=64, n_centroids=N_CENTROIDS
+    )
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/ivfpq_filt"
         pq.write_ivfpq_index(
@@ -916,8 +917,9 @@ def ann_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     emb_n = pq._unit_normalized(emb, "embedding")
-    books = pq.train_pq_codebooks(emb_n, m=16, k=64)
-    cents = ann.seed_centroids(emb_n, N_CENTROIDS)
+    books, cents = pq.train_books_and_centroids(
+        emb_n, m=16, k=64, n_centroids=N_CENTROIDS
+    )
     doomed = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/ivfpq_del"
@@ -989,8 +991,9 @@ def ann_ivfpq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     R = pq.train_opq_rotation(emb, m=16)
     rot = pq.rotate_vectors(emb, R)
-    books = pq.train_pq_codebooks(rot, m=16, k=64)
-    cents = ann.seed_centroids(rot, N_CENTROIDS)
+    books, cents = pq.train_books_and_centroids(
+        rot, m=16, k=64, n_centroids=N_CENTROIDS
+    )
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/ivfpq_opq"
         pq.write_ivfpq_index(emb, path, cents, books, rotation=R)

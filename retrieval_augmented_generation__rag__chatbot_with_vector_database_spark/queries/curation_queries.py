@@ -718,8 +718,9 @@ def corpus_curation_pipeline_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         # held-out-slice-sized flag frame consumed by BOTH the stage
         # counters and the dedup-survivor branch — materialize once so
         # NB training/scoring and the repetition aggregate never
-        # re-run per consumer (guide §5)
-        .localCheckpoint(eager=True)
+        # re-run per consumer (guide §5; lazy since r16 — the first
+        # consuming job materializes it, no extra eager job)
+        .localCheckpoint(eager=False)
     )
     passing = flags.filter("q_ok AND rep_ok AND nb_ok").withColumn(
         "survivor",
@@ -877,11 +878,19 @@ def corpus_perplexity_buckets_kll(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     docs = load(spark, sf_dir, "documents")
+    # one narrow (doc_id, lang, avg_nll) row per doc, consumed TWICE
+    # below (the KLL cuts aggregate and the threshold-bucketing join)
+    # — a lazy localCheckpoint shares it instead of re-running the
+    # whole LM scoring chain per consumer (round 16, guide §5: the
+    # checkpointed RDD computes once under the first consuming job; a
+    # persist would be inadmissible here — the CacheManager would
+    # serve later bench passes from the first pass's cache)
     scores = (
         bigram_nll_scores(docs)
         .filter(F.col("n_bigrams") > 0)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "avg_nll")
+        .localCheckpoint(eager=False)
     )
     cuts = (
         scores.groupBy("lang")
@@ -1309,18 +1318,34 @@ def corpus_curation_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame
     rep = textstats.repetition_stats(docs).select(
         F.col("id").alias("doc_id"), "top_bigram_share"
     )
-    flags = feats.join(rep, "doc_id", "left").select(
-        "doc_id",
-        "dl",
-        "fp",
-        (F.col("quality") >= 0.9).alias("q_ok"),
-        (F.coalesce("top_bigram_share", F.lit(0.0)) <= 0.1).alias("rep_ok"),
+    # flags feeds the gate chain AND the per-language base counts;
+    # survivors feeds the DSIR pool, n_unique and n_kept — lazy
+    # localCheckpoints share each once per pass (round 16: the r15
+    # A/B that left these alone assumed AQE exchange reuse covered
+    # the DAG, but the executed plan shows the leaf stages re-run;
+    # both frames are bounded — doc_id + a few small columns)
+    flags = (
+        feats.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dl",
+            "fp",
+            (F.col("quality") >= 0.9).alias("q_ok"),
+            (F.coalesce("top_bigram_share", F.lit(0.0)) <= 0.1).alias(
+                "rep_ok"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     clean = flags.filter("q_ok AND rep_ok").withColumn(
         "survivor",
         F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")),
     )
-    survivors = clean.filter("survivor").select("doc_id", "dl")
+    survivors = (
+        clean.filter("survivor")
+        .select("doc_id", "dl")
+        .localCheckpoint(eager=False)
+    )
     pool = docs.join(survivors.select("doc_id"), "doc_id")
     target = docs.filter(F.col("doc_id") % _DSIR_MOD == 0)
     sel = dsir_sample(pool, target, n=_DSIR_PIPE_N).select("doc_id")

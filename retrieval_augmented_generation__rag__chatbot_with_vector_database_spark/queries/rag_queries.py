@@ -538,7 +538,6 @@ def rag_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
-        ann,
         pq,
     )
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
@@ -557,8 +556,9 @@ def rag_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with stage("build"):
         emb_n = pq._unit_normalized(emb, "embedding")
-        books = pq.train_pq_codebooks(emb_n, m=16, k=64)
-        cents = ann.seed_centroids(emb_n, 16)
+        books, cents = pq.train_books_and_centroids(
+            emb_n, m=16, k=64, n_centroids=16
+        )
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/ivfpq_rag"
         with stage("build"):
@@ -609,7 +609,6 @@ def rag_chat_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_embed,
     )
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators import (
-        ann,
         pq,
     )
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.search import (
@@ -631,8 +630,9 @@ def rag_chat_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
     with stage("build"):
         emb_n = pq._unit_normalized(emb, "embedding")
-        books = pq.train_pq_codebooks(emb_n, m=16, k=64)
-        cents = ann.seed_centroids(emb_n, 16)
+        books, cents = pq.train_books_and_centroids(
+            emb_n, m=16, k=64, n_centroids=16
+        )
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/ivfpq_chat"
         with stage("build"):

@@ -656,8 +656,9 @@ def corpus_curation_pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFra
         # the six-signal Gopher gate (six n-gram explode+aggregate
         # branches) feeds both the stage counters and the survivor
         # branch — materialize the per-doc flags once instead of
-        # re-running the gate per consumer (guide §5)
-        .localCheckpoint(eager=True)
+        # re-running the gate per consumer (guide §5; lazy since r16 —
+        # the first consuming job materializes it, no extra eager job)
+        .localCheckpoint(eager=False)
     )
     clean = flags.filter("q_ok AND rep_ok").withColumn(
         "survivor",
@@ -930,7 +931,7 @@ _URL_CANON_SQL = """
     SELECT doc_id,
            scheme || '://' || auth
            -- ALL trailing slashes (idempotence contract, r14);
-           -- rtrim(str, chars) mirrors the engine's '/+\z' strip
+           -- rtrim(str, chars) mirrors the engine's '/+\\z' strip
            || CASE WHEN rtrim(path0, '/') = '' THEN '/'
               ELSE rtrim(path0, '/') END
            || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS curl
@@ -1382,7 +1383,7 @@ def corpus_boilerplate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the ingest chain + the residual re-scan at the end) —
     # materialize the line-hash groupBy once (guide §5)
     bl = common_lines(docs, min_count=BL_FUNNEL_MIN_COUNT).localCheckpoint(
-        eager=True
+        eager=False  # lazy since r16: first consumer materializes it
     )
     gated = (
         strip_common_lines(docs, bl)

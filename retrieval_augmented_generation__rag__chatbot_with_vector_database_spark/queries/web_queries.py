@@ -1801,7 +1801,10 @@ def web_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         page_links(pages)
         .select(F.col("dst").alias("url"))
-        .localCheckpoint(eager=True)
+        # lazy since r16: cand derives from pages only (no frontier
+        # state), so the first admission write materializes it and the
+        # second wave reads the blocks — no extra eager job
+        .localCheckpoint(eager=False)
     )
     gate = _admit_gate(spark)
     with tempfile.TemporaryDirectory() as tmp:
@@ -1916,7 +1919,9 @@ def web_fetch_schedule_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         fetch_schedule,
     )
 
-    edges = page_links(_link_pages(spark, sf_dir)).localCheckpoint(eager=True)
+    edges = page_links(_link_pages(spark, sf_dir)).localCheckpoint(
+        eager=False  # lazy since r16: pagerank's first job materializes it
+    )
     ranks = host_pagerank(
         host_graph(edges), k=PAGERANK_K, damping=PAGERANK_DAMPING
     )
@@ -2445,7 +2450,9 @@ def web_fetch_schedule_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_host,
     )
 
-    edges = page_links(_link_pages(spark, sf_dir)).localCheckpoint(eager=True)
+    edges = page_links(_link_pages(spark, sf_dir)).localCheckpoint(
+        eager=False  # lazy since r16: pagerank's first job materializes it
+    )
     ranks = host_pagerank(
         host_graph(edges), k=PAGERANK_K, damping=PAGERANK_DAMPING
     )
@@ -2467,7 +2474,7 @@ def web_fetch_schedule_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = (
         host_trap_profile(frontier)
         .select("host", F.col("trap_host").cast("int").alias("trap_host"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy since r16
     )
     cur = (
         auth.withColumn("host", url_host(F.col("url")))
@@ -2498,6 +2505,141 @@ def web_fetch_schedule_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("trap_host"), F.lit(0)).cast("int").alias("trap_host"),
         )
     )
+
+
+def _admit_recheck_and_wave(
+    spark, frontier_dir, pending_dir, recheck, cand, wave, robots_gate,
+    host_cap,
+):
+    """ONE admission pass for the crawl loop's readmission check
+    (``recheck`` — the wave-1 candidate set admitted again, which must
+    admit nothing) and the next discovery wave (``cand``), replacing
+    two sequential ``admit_frontier_candidates`` calls that each
+    re-read the full frontier state (round 16, VERDICT r15 #5; guide
+    §1.2 — remove duplicate passes).
+
+    Equivalence to the sequential form — admit(recheck, wave−1) then
+    admit(cand, wave) — invariant by invariant:
+
+    1. Both sequential calls canonicalize, dedupe within their wave,
+       anti-join against fetched ∪ pending and robots-gate against the
+       SAME state (the second call excludes its own batch from the
+       pending read, so the only state difference it sees is the
+       recheck's admitted set A2). Here both sets take those steps
+       together, tagged by ``origin`` (2 = recheck, 3 = wave).
+    2. Host-cap quota: candidates rank per host by canonical_url with
+       recheck rows FIRST (origin asc), so a recheck row's combined
+       rank equals its sequential within-wave rank. A wave row's
+       sequential rank is its rank among wave rows (combined rank −
+       the host's recheck-row count ``_n2``), and its sequential quota
+       base is taken + |A2 on the host| (recheck-admitted rows are new
+       distinct logical URLs by the anti-join, so they raise the
+       distinct-union quota count by exactly their number ``_c2``) —
+       both computed as window aggregates over the same host
+       partition, one shuffle.
+    3. PRECONDITION (this loop's): the two canonical candidate sets
+       are DISJOINT — wave-3 candidates are synthesized
+       ``https://<host>/hop2`` URLs and no extracted-link class
+       produces a ``/hop2`` path — so the sequential anti-join of the
+       wave against A2 is vacuous. (The e2e oracle hash would catch a
+       violation at every checked scale.)
+
+    The combined admitted set is checkpointed, written once under
+    ``batch_id=<wave>`` (the same rows the two sequential overwrites
+    left on disk; the loop only consumes that state through the
+    returned frame), and the readmitted count rides the write as an
+    observed metric. Returns ``(n_readmitted, admitted)`` where
+    ``admitted`` is the frozen (canonical_url, host) set of newly
+    admitted rows — in this loop every OLDER pending row is already in
+    the fetched set, so ``admitted`` IS ``pending_fetch_list`` after
+    the write and the caller skips that re-read (the r15 "write-then-
+    read-back elision" candidate)."""
+    from pyspark.sql import Observation, Window
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.url import (
+        with_canonical_url,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.streaming.web_ingest import (
+        read_frontier,
+    )
+
+    def _canon(df):
+        return (
+            with_canonical_url(
+                df.select(F.col("url")),
+                url_col="url",
+                out_col="canonical_url",
+                host_col="host",
+            )
+            .filter(F.col("host") != "")
+            .select("canonical_url", "host")
+            .distinct()
+        )
+
+    fresh = _canon(recheck).withColumn("origin", F.lit(2)).unionByName(
+        _canon(cand).withColumn("origin", F.lit(3))
+    )
+    fetched = read_frontier(spark, frontier_dir)
+    pending = read_frontier(spark, pending_dir, exclude_batch=wave)
+    known = fetched.select("canonical_url").union(
+        pending.select("canonical_url")
+    )
+    fresh = fresh.join(known, "canonical_url", "left_anti")
+    if robots_gate is not None:
+        fresh = (
+            robots_gate(fresh, url_col="canonical_url")
+            .filter(F.col("allowed") == 1)
+            .select("canonical_url", "host", "origin")
+        )
+    taken = (
+        fetched.select("canonical_url", "host")
+        .union(pending.select("canonical_url", "host"))
+        .distinct()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("_taken"))
+    )
+    w_rank = Window.partitionBy("host").orderBy(
+        F.col("origin").asc(), F.col("canonical_url").asc()
+    )
+    w_host = Window.partitionBy("host")
+    ranked = (
+        fresh.withColumn("_rk", F.row_number().over(w_rank))
+        .join(taken, "host", "left")
+        .withColumn("_base", F.coalesce(F.col("_taken"), F.lit(0)))
+        .withColumn(
+            "_adm2",
+            (F.col("origin") == 2)
+            & (F.col("_rk") + F.col("_base") <= host_cap),
+        )
+    )
+    ranked = ranked.withColumn(
+        "_n2", F.sum((F.col("origin") == 2).cast("int")).over(w_host)
+    ).withColumn("_c2", F.sum(F.col("_adm2").cast("int")).over(w_host))
+    admitted = (
+        ranked.filter(
+            F.col("_adm2")
+            | (
+                (F.col("origin") == 3)
+                & (
+                    F.col("_rk") - F.col("_n2") + F.col("_base")
+                    + F.col("_c2")
+                    <= host_cap
+                )
+            )
+        )
+        .select("canonical_url", "host", "origin")
+        .localCheckpoint(eager=True)
+    )
+    obs = Observation()
+    (
+        admitted.observe(
+            obs, F.count(F.when(F.col("origin") == 2, 1)).alias("n2")
+        )
+        .select("canonical_url", "host")
+        .write.mode("overwrite")
+        .parquet(f"{pending_dir}/batch_id={wave}")
+    )
+    return int(obs.get["n2"]), admitted.select("canonical_url", "host")
 
 
 # --- the closed crawl loop, end to end (round 15) -----------------------------
@@ -2641,81 +2783,90 @@ def web_crawl_loop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pool = ThreadPoolExecutor(max_workers=1)
-    prio_fut = pool.submit(_prio)
-    delays = spark.createDataFrame(
-        RANKED_DELAYS, "host string, crawl_delay double"
-    )
-    with tempfile.TemporaryDirectory() as tmp:
-        fdir, pdir = f"{tmp}/frontier", f"{tmp}/pending"
-        pages.select(
-            F.col("url").alias("canonical_url"), url_host("url").alias("host")
-        ).write.parquet(f"{fdir}/batch_id=0")
-        admit_frontier_candidates(
-            spark, fdir, pdir, cand, wave=1,
-            robots_gate=gate, host_cap=ADMIT_HOST_CAP,
+    try:
+        prio_fut = pool.submit(_prio)
+        delays = spark.createDataFrame(
+            RANKED_DELAYS, "host string, crawl_delay double"
         )
-        # the fetch list is consumed THREE times below (ranked
-        # schedule, simulated-fetch write, hop2 derivation) — each use
-        # would otherwise recompute the pending-vs-fetched anti-join
-        # over the state dirs as its own job chain (guide §5: cut
-        # lineage for reused intermediates); one eager materialization
-        flist = pending_fetch_list(spark, fdir, pdir).localCheckpoint(
-            eager=True
-        )
-        # simulated fetch: every scheduled wave-1 URL lands in the
-        # fetched frontier; pending rows stay on disk, superseded
-        flist.write.parquet(f"{fdir}/batch_id=1")
-        again = admit_frontier_candidates(
-            spark, fdir, pdir, cand, wave=2,
-            robots_gate=gate, host_cap=ADMIT_HOST_CAP,
-        )
-        hop2 = flist.select(
-            F.concat(F.lit("https://"), F.col("host"), F.lit("/hop2")).alias(
-                "url"
+        with tempfile.TemporaryDirectory() as tmp:
+            fdir, pdir = f"{tmp}/frontier", f"{tmp}/pending"
+            pages.select(
+                F.col("url").alias("canonical_url"),
+                url_host("url").alias("host"),
+            ).write.parquet(f"{fdir}/batch_id=0")
+            admit_frontier_candidates(
+                spark, fdir, pdir, cand, wave=1,
+                robots_gate=gate, host_cap=ADMIT_HOST_CAP,
             )
-        )
-        admit_frontier_candidates(
-            spark, fdir, pdir, hop2, wave=3,
-            robots_gate=gate, host_cap=ADMIT_HOST_CAP,
-        )
-        final = pending_fetch_list(spark, fdir, pdir)
-        sched2 = fetch_schedule(
-            final.select(F.col("canonical_url").alias("url"), "host"),
-            delays,
-            default_delay=1.0,
-        )
-        # join point of the concurrent authority chain: flist is
-        # checkpointed (immune to the admissions that ran meanwhile),
-        # so ranking it here is identical to ranking it at wave-1 time
-        sched1 = fetch_schedule(
-            flist.select(F.col("canonical_url").alias("url"), "host"),
-            delays,
-            default_delay=1.0,
-            priority=prio_fut.result(),
-        )
-        pool.shutdown()
-        out1 = sched1.select(
-            F.col("url").alias("canonical_url"),
-            "host",
-            F.lit(1).cast("int").alias("loop_wave"),
-            F.col("wave").alias("sched_wave"),
-        )
-        out2 = sched2.select(
-            F.col("url").alias("canonical_url"),
-            "host",
-            F.lit(2).cast("int").alias("loop_wave"),
-            F.col("wave").alias("sched_wave"),
-        )
-        both = out1.unionByName(out2)
-        collected = both.collect()
-        schema = both.schema
+            # the fetch list is consumed THREE times below (ranked
+            # schedule, simulated-fetch write, hop2 derivation) — each
+            # use would otherwise recompute the pending-vs-fetched
+            # anti-join over the state dirs as its own job chain
+            # (guide §5: cut lineage for reused intermediates); one
+            # eager materialization
+            flist = pending_fetch_list(spark, fdir, pdir).localCheckpoint(
+                eager=True
+            )
+            # simulated fetch: every scheduled wave-1 URL lands in the
+            # fetched frontier; pending rows stay on disk, superseded
+            flist.write.parquet(f"{fdir}/batch_id=1")
+            hop2 = flist.select(
+                F.concat(
+                    F.lit("https://"), F.col("host"), F.lit("/hop2")
+                ).alias("url")
+            )
+            # readmission check + wave-3 admission in ONE pass over the
+            # frontier state (round 16 — see _admit_recheck_and_wave
+            # for the sequential-equivalence argument); the returned
+            # admitted frame IS the final fetch list (every older
+            # pending row is in the fetched set), eliding the
+            # pending_fetch_list re-read the r15 form paid
+            n_readmitted, final = _admit_recheck_and_wave(
+                spark, fdir, pdir, recheck=cand, cand=hop2, wave=2,
+                robots_gate=gate, host_cap=ADMIT_HOST_CAP,
+            )
+            sched2 = fetch_schedule(
+                final.select(F.col("canonical_url").alias("url"), "host"),
+                delays,
+                default_delay=1.0,
+            )
+            # join point of the concurrent authority chain: flist is
+            # checkpointed (immune to the admissions that ran
+            # meanwhile), so ranking it here is identical to ranking
+            # it at wave-1 time
+            sched1 = fetch_schedule(
+                flist.select(F.col("canonical_url").alias("url"), "host"),
+                delays,
+                default_delay=1.0,
+                priority=prio_fut.result(),
+            )
+            out1 = sched1.select(
+                F.col("url").alias("canonical_url"),
+                "host",
+                F.lit(1).cast("int").alias("loop_wave"),
+                F.col("wave").alias("sched_wave"),
+            )
+            out2 = sched2.select(
+                F.col("url").alias("canonical_url"),
+                "host",
+                F.lit(2).cast("int").alias("loop_wave"),
+                F.col("wave").alias("sched_wave"),
+            )
+            both = out1.unionByName(out2)
+            collected = both.collect()
+            schema = both.schema
+    finally:
+        # always joined/cleaned even when an admission raises (ADVICE
+        # r15 #1: the success-path-only shutdown leaked the worker and
+        # let a _prio exception surface only at result())
+        pool.shutdown(wait=True, cancel_futures=True)
     out = spark.createDataFrame(collected, schema)
     return out.select(
         "canonical_url",
         "host",
         "loop_wave",
         "sched_wave",
-        F.lit(again["n_admitted"]).cast("long").alias("readmitted"),
+        F.lit(n_readmitted).cast("long").alias("readmitted"),
     )
 
 

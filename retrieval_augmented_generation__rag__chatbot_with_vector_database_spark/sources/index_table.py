@@ -273,7 +273,10 @@ class VectorIndex:
         # every ingest-funnel and throughput path): no post-write
         # footer-count job. A merge into an existing layout still
         # re-counts, since untouched buckets don't flow through this
-        # write.
+        # write. At-scale caveat (ADVICE r15): observed metrics count
+        # per ATTEMPTED task — retries/speculation can over-count, so
+        # this return value is a size indicator; exact-count callers
+        # should read().count() (the merge path already does).
         obs = Observation()
         (
             merged.observe(obs, F.count(F.lit(1)).alias("n"))

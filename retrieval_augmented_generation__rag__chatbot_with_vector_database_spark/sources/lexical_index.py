@@ -35,12 +35,17 @@ Layout (catalog-free parquet + JSON sidecar, same discipline as
   (the largest in the index) are scanned once just to be df-capped
   away; with it, the probe reads (term, df) rows for the query terms
   — bytes proportional to the query, not to the stopword's posting
-  list — and scans only surviving terms. The scan still recomputes
-  exact df for the terms it reads and re-applies the cap, so a
-  sidecar staleness in the allowed direction self-corrects; the
-  blocked direction is covered by the same crash contract as the
-  postings/docs pair below (a crashed mutation must be re-run — the
-  at-least-once streams do).
+  list — and scans only surviving terms. Since round 16 the sidecar
+  also supplies the probe's df VALUES outright when it fully covers
+  the probed buckets (the fast path in ``_pruned_candidates``), so
+  both staleness directions ride the crash contract the blocked
+  direction always had: the window between a postings swap and its
+  sidecar refresh is the postings/docs pair's existing
+  re-run-the-idempotent-mutation contract (the at-least-once streams
+  do). Layouts that fail the coverage check (legacy, partially
+  adopted) take the round-11 path, where the scan recomputes exact df
+  and re-applies the cap — there an allowed-direction staleness still
+  self-corrects.
 - **docs** is the stored-fields side: (id, dl, terms) partitioned by
   id hash. Its job is incremental maintenance — replacing a document
   must delete the OLD version's postings, whose term buckets can only
@@ -96,8 +101,11 @@ DOC_BUCKETS_MIN, DOC_BUCKETS_MAX = 8, 1024
 TBUCKET = "tbucket"
 DBUCKET = "dbucket"
 # driver-collect bound for the probe's touched-bucket discovery: one
-# int per DISTINCT QUERY TERM (not per posting), so a runaway means a
-# malformed query batch, and it fails loudly before collecting.
+# row per DISTINCT (query, term) PAIR (round 16 — the pairs, not just
+# the terms, are collected so the probe's scoring side can be a
+# broadcast local relation instead of a re-derived Spark subtree), so
+# a runaway means a malformed query batch, and it fails loudly before
+# collecting.
 MAX_PROBE_TERMS = 65536
 
 #: corpus size below which the probe SKIPS the termdf pre-scan hint.
@@ -162,6 +170,20 @@ def _doc_rows(docs: DataFrame, side: DataFrame, id_col: str) -> DataFrame:
             F.coalesce("terms", F.array().cast("array<string>")).alias("terms"),
         )
     )
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a localCheckpoint's executor blocks once
+    every consumer is done (ADVICE r15: they otherwise linger until
+    GC, accruing storage in long-lived sessions that build many
+    indexes). The checkpointed Dataset's plan is a LogicalRDD over the
+    persisted RDD; unpersisting that RDD frees the blocks. MUST only
+    be called when the frame will never be read again — the truncated
+    lineage cannot recompute it."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass  # internal accessor moved — GC will release instead
 
 
 class LexicalIndex:
@@ -245,55 +267,65 @@ class LexicalIndex:
         # eagerly ONCE, then run the three layout writes from
         # concurrent driver threads (guide §2.6: independent jobs
         # back-fill each other's stragglers; the writes share no
-        # lineage work after the checkpoint, so they only compete for
-        # task slots). The round-14 form persisted lazily and wrote
+        # pipeline work after the materialization, so they only compete
+        # for task slots). The round-14 form persisted lazily and wrote
         # sequentially — three job tails paid one after another.
+        # Eager localCheckpoint (persist+count A/B-measured ~0.8 s
+        # slower at sf0.1 — the columnar cache build costs more than
+        # RDD block storage); the blocks are explicitly released in
+        # the finally below (ADVICE r15 — they previously lingered
+        # until GC). Executor-loss stance for the truncated lineage:
+        # SCALE.md round 16 (re-run the build; create() is idempotent).
         side = _doc_side(docs, id_col, text_col).localCheckpoint(eager=True)
-        postings = side.select(
-            "term", "id", "tf", "dl",
-            _tbucket_of("term", term_buckets).alias(TBUCKET),
-        )
-        dstore = (
-            _doc_rows(docs, side, id_col)
-            .withColumn("_batch", F.lit(0).cast("long"))
-            .withColumn(DBUCKET, _dbucket_of("id", doc_buckets))
-        )
-
-        def _write_postings() -> None:
-            (
-                postings.repartition(term_buckets, F.col(TBUCKET))
-                .write.mode("overwrite").partitionBy(TBUCKET)
-                .parquet(self._postings_path)
+        try:
+            postings = side.select(
+                "term", "id", "tf", "dl",
+                _tbucket_of("term", term_buckets).alias(TBUCKET),
+            )
+            dstore = (
+                _doc_rows(docs, side, id_col)
+                .withColumn("_batch", F.lit(0).cast("long"))
+                .withColumn(DBUCKET, _dbucket_of("id", doc_buckets))
             )
 
-        def _write_termdf() -> None:
-            # df sidecar: a per-bucket aggregate of the postings just
-            # written (side has one row per (id, term), so count == df)
-            (
-                side.groupBy("term")
-                .agg(F.count("*").alias("df"))
-                .withColumn(TBUCKET, _tbucket_of("term", term_buckets))
-                .repartition(term_buckets, F.col(TBUCKET))
-                .write.mode("overwrite").partitionBy(TBUCKET)
-                .parquet(self._termdf_path)
-            )
+            def _write_postings() -> None:
+                (
+                    postings.repartition(term_buckets, F.col(TBUCKET))
+                    .write.mode("overwrite").partitionBy(TBUCKET)
+                    .parquet(self._postings_path)
+                )
 
-        def _write_docs() -> None:
-            (
-                dstore.repartition(doc_buckets, F.col(DBUCKET))
-                .write.mode("overwrite").partitionBy(DBUCKET)
-                .parquet(self._docs_path)
-            )
+            def _write_termdf() -> None:
+                # df sidecar: a per-bucket aggregate of the postings
+                # just written (side has one row per (id, term), so
+                # count == df)
+                (
+                    side.groupBy("term")
+                    .agg(F.count("*").alias("df"))
+                    .withColumn(TBUCKET, _tbucket_of("term", term_buckets))
+                    .repartition(term_buckets, F.col(TBUCKET))
+                    .write.mode("overwrite").partitionBy(TBUCKET)
+                    .parquet(self._termdf_path)
+                )
 
-        from concurrent.futures import ThreadPoolExecutor
+            def _write_docs() -> None:
+                (
+                    dstore.repartition(doc_buckets, F.col(DBUCKET))
+                    .write.mode("overwrite").partitionBy(DBUCKET)
+                    .parquet(self._docs_path)
+                )
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futures = [
-                pool.submit(w)
-                for w in (_write_postings, _write_termdf, _write_docs)
-            ]
-            for f in futures:
-                f.result()
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futures = [
+                    pool.submit(w)
+                    for w in (_write_postings, _write_termdf, _write_docs)
+                ]
+                for f in futures:
+                    f.result()
+        finally:
+            _release_local_checkpoint(side)
         with open(self._props_path, "w") as f:
             json.dump(
                 {"term_buckets": term_buckets, "doc_buckets": doc_buckets}, f
@@ -606,6 +638,51 @@ class LexicalIndex:
         )
         return set(tbl["term"].to_pylist())
 
+    def _sidecar_df_for(
+        self, buckets: list[int], terms: list[str]
+    ) -> dict | None:
+        """Exact ``term → df`` for the probe's terms, read DRIVER-SIDE
+        from the termdf sidecar (hive-pruned to ``buckets``), or None
+        when the sidecar cannot be trusted to fully cover the probe:
+        no sidecar dir, no cached corpus stats, or a postings bucket
+        whose sidecar twin is missing (legacy / partially-adopted
+        layouts — those keep the round-11 scan-computed-df path). A
+        bucket dir absent from BOTH postings and termdf simply holds
+        no data, which is covered trivially (df 0 ⇒ no postings)."""
+        props = self.properties()
+        if "n" not in props or not os.path.exists(self._termdf_path):
+            return None
+        have = {
+            e
+            for e in os.listdir(self._termdf_path)
+            if e.startswith(f"{TBUCKET}=")
+        }
+        post = set()
+        if os.path.exists(self._postings_path):
+            post = {
+                e
+                for e in os.listdir(self._postings_path)
+                if e.startswith(f"{TBUCKET}=")
+            }
+        needed = {f"{TBUCKET}={b}" for b in buckets}
+        if not (needed & post):
+            return {}  # no probed bucket holds postings — nothing to scan
+        if (needed & post) - have:
+            return None
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(
+            self._termdf_path, format="parquet", partitioning="hive"
+        )
+        tbl = dset.to_table(
+            columns=["term", "df"],
+            filter=(
+                pads.field(TBUCKET).isin(buckets)
+                & pads.field("term").isin(terms)
+            ),
+        )
+        return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+
     def _pruned_candidates(
         self, qterms: DataFrame, df_cap: float | int | None
     ) -> DataFrame:
@@ -629,23 +706,93 @@ class LexicalIndex:
         sidecar (legacy layouts, partially-adopted buckets) stay in
         the scan, and the scan-computed exact df re-applies the cap,
         so a stale-allowed hint costs a wasted read, never a wrong
-        result."""
+        result.
+
+        Round 16 (VERDICT r15 #3): when the sidecar FULLY COVERS the
+        probed buckets (every bucket dir the query terms hash to that
+        exists under postings/ also exists under termdf/, and the
+        corpus stats live in the properties sidecar), the whole small
+        side of the probe resolves DRIVER-SIDE: df per term comes from
+        the same pyarrow sidecar read the blocked-terms hint already
+        pays, the cap is applied to those exact values, and the
+        scoring join's small side becomes ONE broadcast local relation
+        (query_id, term, df, n, avgdl). That removes the per-probe
+        Spark-side df aggregate (an exchange + AQE stage) and the
+        re-derived query-terms subtree from the probe plan — the scan
+        side keeps its bucket pruning and term filter unchanged. The
+        sidecar is exact by construction after any completed mutation
+        (it is regenerated per touched bucket from the live postings);
+        the crash window between a postings swap and its sidecar
+        refresh is the layout's existing re-run-the-mutation contract.
+        Layouts that fail the coverage check (legacy, partially
+        adopted) take the round-11 path: scan-computed df, cap
+        re-applied — exact either way."""
         tb = self.term_buckets()
-        terms = qterms.select("term").distinct().limit(MAX_PROBE_TERMS + 1)
-        rows = terms.select(
-            "term", _tbucket_of("term", tb).alias("b")
-        ).collect()
-        if len(rows) > MAX_PROBE_TERMS:
+        pairs = (
+            qterms.select("query_id", "term")
+            .limit(MAX_PROBE_TERMS + 1)
+            .select("query_id", "term", _tbucket_of("term", tb).alias("b"))
+            .collect()
+        )
+        if len(pairs) > MAX_PROBE_TERMS:
             raise ValueError(
-                f"probe has > {MAX_PROBE_TERMS} distinct query terms; the "
-                "touched-bucket list is collected to the driver by design "
-                "(bounded user queries). Split the query batch."
+                f"probe has > {MAX_PROBE_TERMS} distinct (query, term) "
+                "pairs; the touched-bucket list is collected to the driver "
+                "by design (bounded user queries). Split the query batch."
             )
         empty = self.spark.createDataFrame(
             [],
             "query_id long, term string, id long, tf long, dl long, "
             "df long, n long, avgdl double",
         )
+        if not pairs:
+            return empty
+        rows = [
+            {"term": t, "b": b}
+            for t, b in sorted({(r["term"], r["b"]) for r in pairs})
+        ]
+
+        fast = self._sidecar_df_for(
+            sorted({r["b"] for r in rows}), [r["term"] for r in rows]
+        )
+        if fast is not None:
+            props = self.properties()
+            n_corpus = int(props["n"])
+            avgdl = props.get("avgdl")
+            avgdl = None if avgdl is None else float(avgdl)
+            if df_cap is None:
+                cap_val = None
+            elif df_cap <= 1:
+                cap_val = n_corpus * float(df_cap)
+            else:
+                cap_val = float(df_cap)
+            keep = {
+                t
+                for t, d in fast.items()
+                if cap_val is None or d <= cap_val
+            }
+            local = [
+                (r["query_id"], r["term"], fast[r["term"]], n_corpus, avgdl)
+                for r in pairs
+                if r["term"] in keep
+            ]
+            if not local:
+                return empty
+            q_allowed = self.spark.createDataFrame(
+                local,
+                "query_id long, term string, df long, n long, avgdl double",
+            )
+            buckets = sorted(
+                {r["b"] for r in rows if r["term"] in keep}
+            )
+            qset = sorted(keep)
+            pruned = self.postings().filter(
+                F.col(TBUCKET).isin(buckets) & F.col("term").isin(qset)
+            )
+            return pruned.join(F.broadcast(q_allowed), "term").select(
+                "query_id", "term", "id", "tf", "dl", "df", "n", "avgdl"
+            )
+
         use_hint = (
             df_cap is not None
             and df_cap > 0

@@ -417,13 +417,21 @@ def test_probe_skips_termdf_blocked_terms_with_identical_results(
 
 def test_stale_allowed_termdf_self_corrects(spark, index, monkeypatch):
     # corrupt the sidecar in the ALLOWED direction (df understated for
-    # an over-cap term): the scan recomputes exact df and re-applies
-    # the cap, so results must stay identical to the raw operator
+    # an over-cap term). Round-16 contract split: the FALLBACK path
+    # (round 11) recomputes exact df in-scan and must self-correct;
+    # the FAST path (sidecar-supplied df) deliberately trusts the
+    # sidecar — a completed mutation regenerates it exactly, and the
+    # crash window is the layout's existing re-run-the-mutation
+    # contract (module docstring). Pin the fallback's self-correction
+    # by forcing the fast path off.
     from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources import (
         lexical_index as li,
     )
 
     monkeypatch.setattr(li, "TERMDF_HINT_MIN_DOCS", 0)
+    monkeypatch.setattr(
+        li.LexicalIndex, "_sidecar_df_for", lambda self, b, t: None
+    )
 
     fresh = index.termdf().withColumn(
         "df",
