@@ -100,28 +100,23 @@ def bucket_histogram(
     )
 
 
-def dsir_log_weights(
+def _per_doc_log_weights(
     raw: DataFrame,
     target: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hex_chars: int = 2,
-    alpha: float = 0.5,
+    id_col: str,
+    text_col: str,
+    hex_chars: int,
+    alpha: float,
 ) -> DataFrame:
-    """Per-raw-doc log importance weight under the hashed bag-of-grams
-    model: (id_col, n_grams, log_w) where
-    ``log_w = Σ_buckets n_b(d) · λ_b``,
-    ``λ_b = round(ln((ct_b+α)/(Tt+αB)) − ln((cr_b+α)/(Tr+αB)), 6)``,
-    ct/cr the target/raw bucket counts, Tt/Tr their totals, B the
-    bucket count. λ is rounded to 6 dp and the products/sums run in
-    DECIMAL — per-contribution rounding is what lets an independent
-    SQL engine reproduce every weight digit for digit (the bigram-NLL
-    convention). Docs with no tokens keep n_grams = 0 and a NULL
-    weight — the gate downstream decides their fate explicitly.
-
-    The λ table is at most B rows and broadcast; each corpus is read
-    once; the weight aggregate shuffles (doc, bucket) pairs — bounded
-    by doc length, never by corpus count."""
+    """(id, n_grams, log_w DECIMAL) for every raw doc with ≥ 1 gram —
+    the shared core of :func:`dsir_log_weights` (which left-joins it
+    back onto the full raw id set so gram-less docs surface with
+    n_grams = 0 / NULL weight) and :func:`dsir_sample` (which drops
+    NULL-weight docs anyway and so consumes this frame directly,
+    skipping that raw re-scan — see the note there). Every row's
+    ``log_w`` is non-NULL by construction: λ is never NULL (finite ln
+    of strictly positive smoothed ratios) and each (id) group is
+    non-empty."""
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
     B = 16 ** hex_chars
@@ -189,13 +184,40 @@ def dsir_log_weights(
             .alias("lam"),
         )
     )
-    per_doc = (
+    return (
         per_bucket.join(F.broadcast(lam), "bucket")
         .groupBy("id")
         .agg(
             F.sum("n_b").alias("n_grams"),
             F.sum(F.col("n_b") * F.col("lam")).alias("log_w"),
         )
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-raw-doc log importance weight under the hashed bag-of-grams
+    model: (id_col, n_grams, log_w) where
+    ``log_w = Σ_buckets n_b(d) · λ_b``,
+    ``λ_b = round(ln((ct_b+α)/(Tt+αB)) − ln((cr_b+α)/(Tr+αB)), 6)``,
+    ct/cr the target/raw bucket counts, Tt/Tr their totals, B the
+    bucket count. λ is rounded to 6 dp and the products/sums run in
+    DECIMAL — per-contribution rounding is what lets an independent
+    SQL engine reproduce every weight digit for digit (the bigram-NLL
+    convention). Docs with no tokens keep n_grams = 0 and a NULL
+    weight — the gate downstream decides their fate explicitly.
+
+    The λ table is at most B rows and broadcast; each corpus is read
+    once; the weight aggregate shuffles (doc, bucket) pairs — bounded
+    by doc length, never by corpus count."""
+    per_doc = _per_doc_log_weights(
+        raw, target, id_col, text_col, hex_chars, alpha
     )
     ids = raw.select(F.col(id_col).alias("id")).distinct()
     return ids.join(per_doc, "id", "left").select(
@@ -226,9 +248,28 @@ def dsir_sample(
     never enter the sample."""
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    w = dsir_log_weights(raw, target, id_col, text_col, hex_chars, alpha)
+    # Consume the per-doc weight core DIRECTLY instead of
+    # dsir_log_weights + filter(log_w IS NOT NULL): the public frame
+    # is ``raw ids LEFT JOIN per_doc`` — one more full pass over raw
+    # (scan + distinct shuffle + join; in the curation funnel `raw` is
+    # docs⋈survivors, so the pass carries that join too) whose ONLY
+    # contribution is the NULL-weight rows this filter throws away.
+    # Equivalence (round 16, guide §1.2 — don't compute what you
+    # discard): per_doc ids ⊆ raw ids by construction, every per_doc
+    # log_w is non-NULL (see _per_doc_log_weights), and the left join
+    # neither drops nor alters matched rows — so {w | log_w IS NOT
+    # NULL} IS per_doc with the same double cast, bit for bit. Pinned
+    # by test_dsir_sample_matches_log_weights_composition.
+    per_doc = _per_doc_log_weights(
+        raw, target, id_col, text_col, hex_chars, alpha
+    )
+    w = per_doc.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        F.col("log_w").cast("double").alias("log_w"),
+    )
     u = key_uniform(id_col)
-    keyed = w.filter(F.col("log_w").isNotNull()).withColumn(
+    keyed = w.withColumn(
         "gumbel_key",
         F.round(F.col("log_w") + (-F.ln(-F.ln(u))), 6),
     )

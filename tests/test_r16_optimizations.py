@@ -329,3 +329,40 @@ def test_sitemap_carry_cols_collision_raises(spark):
             url_col="page",
             carry_cols=("page",),
         )
+
+
+def test_dsir_sample_matches_log_weights_composition(spark):
+    """dsir_sample's direct per-doc-core consumption must equal the
+    public composition it replaced (dsir_log_weights -> filter
+    non-NULL -> gumbel top-n) — exercised on a fixture WITH gram-less
+    docs (empty/whitespace text), the rows whose NULL-weight
+    production the elided raw re-scan existed for."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_sample,
+    )
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.sampling import (
+        key_uniform,
+    )
+    from pyspark.sql import Window
+
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 5} tok{i % 3}") for i in range(30)]
+    rows += [(100, ""), (101, "   "), (102, "tok1")]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(200 + i, f"tok{i % 3} tok{i % 5}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    n = 10
+    got = [tuple(r) for r in dsir_sample(raw, target, n=n).collect()]
+    # reference: the pre-r16 composition over the PUBLIC frame
+    w = dsir_log_weights(raw, target)
+    keyed = w.filter(F.col("log_w").isNotNull()).withColumn(
+        "gumbel_key",
+        F.round(F.col("log_w") + (-F.ln(-F.ln(key_uniform("doc_id")))), 6),
+    )
+    top = keyed.orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc()).limit(n)
+    win = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+    ref = [tuple(r) for r in top.withColumn("rank", F.row_number().over(win)).collect()]
+    assert got == ref
+    assert len(got) == n  # non-degenerate: the sample actually filled
