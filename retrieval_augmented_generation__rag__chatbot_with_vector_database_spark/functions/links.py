@@ -523,6 +523,36 @@ def host_pagerank(
         .select("src_host", "dst_host", "out_degree")
         .localCheckpoint(eager=True)
     )
+    if dangling == "redistribute":
+        # The dangling host SET is static across iterations — it
+        # depends only on the graph, never on pr — so materialize it
+        # once (hosts-sized, tiny) instead of re-deriving
+        # ``pr ANTI out_deg`` inside every iteration: out_deg's
+        # lineage (the page-link explode + distinct + groupBy under
+        # hg) re-ran as a fresh leaf stage in each checkpoint job —
+        # AQE exchange reuse does not dedupe leaf stages (round 16's
+        # central diagnosis), and this was the only per-iteration
+        # subtree still reaching past the two checkpoints above.
+        # Equivalence: pr's host set is exactly ``hosts`` on every
+        # iteration (pr starts from hosts and every step is
+        # ``hosts LEFT JOIN contrib``), so
+        # ``pr ANTI out_deg`` ≡ ``pr SEMI (hosts ANTI out_deg)`` —
+        # the same row set enters the same sum.
+        dangling_hosts = hosts.join(
+            out_deg.select("host"), "host", "left_anti"
+        ).localCheckpoint(eager=True)
+    # Zero row per host seeded into each iteration's contribution
+    # aggregate so EVERY host survives the groupBy: the round-15 form
+    # re-attached no-in-link hosts with ``hosts LEFT JOIN contrib``,
+    # which planned as a per-iteration SortMergeJoin with two more
+    # exchanges (contrib is an unsized aggregate, so no auto-
+    # broadcast). The union rides the SAME groupBy exchange — one
+    # shuffle per iteration instead of three (guide §2.4). Values are
+    # unchanged: dst_host ⊆ hosts, summing one extra 0.0 term is
+    # exact (contributions are positive finite doubles), and a host
+    # with no contributions gets sum{0.0} = 0.0 ≡ the old
+    # coalesce(in_mass, 0.0).
+    zero_mass = hosts.select("host", F.lit(0.0).alias("c"))
     for it in range(k):
         contrib = (
             contrib_edges.join(pr, contrib_edges["src_host"] == pr["host"])
@@ -530,29 +560,27 @@ def host_pagerank(
                 F.col("dst_host").alias("host"),
                 (F.col("pagerank") / F.col("out_degree")).alias("c"),
             )
+            .unionByName(zero_mass)
             .groupBy("host")
             .agg(F.sum("c").alias("in_mass"))
         )
-        nxt = hosts.join(contrib, "host", "left")
+        nxt = contrib
         extra = F.lit(base)
         if dangling == "redistribute":
             # dangling mass this iteration: rank held by hosts with no
-            # out-links (anti-join on the tiny out-degree table),
-            # folded into the SAME iteration job as a one-row
-            # cross-joined aggregate — no per-iteration driver
-            # round-trip. Association order (base + d·dm/n) + d·mass
-            # is mirrored by the recursive-CTE oracle.
-            dm = pr.join(out_deg.select("host"), "host", "left_anti").agg(
+            # out-links (semi-join on the once-materialized dangling
+            # set — see above), folded into the SAME iteration job as
+            # a one-row cross-joined aggregate — no per-iteration
+            # driver round-trip. Association order (base + d·dm/n) +
+            # d·mass is mirrored by the recursive-CTE oracle.
+            dm = pr.join(dangling_hosts, "host", "left_semi").agg(
                 F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dm")
             )
             nxt = nxt.crossJoin(dm)
             extra = extra + F.lit(damping) * F.col("_dm") / F.lit(float(n))
         pr = nxt.select(
             "host",
-            (
-                extra
-                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-            ).alias("pagerank"),
+            (extra + F.lit(damping) * F.col("in_mass")).alias("pagerank"),
         )
         if (it + 1) % ckpt_every == 0 or it == k - 1:
             pr = pr.localCheckpoint(eager=True)

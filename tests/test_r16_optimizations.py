@@ -366,3 +366,95 @@ def test_dsir_sample_matches_log_weights_composition(spark):
     ref = [tuple(r) for r in top.withColumn("rank", F.row_number().over(win)).collect()]
     assert got == ref
     assert len(got) == n  # non-degenerate: the sample actually filled
+
+
+def test_pagerank_zero_seed_matches_left_join_form(spark):
+    """host_pagerank's zero-seeded contribution aggregate (and the
+    once-materialized dangling set) must reproduce the r15
+    hosts-LEFT-JOIN-contrib / per-iteration-anti-join form exactly, in
+    BOTH dangling modes, on a graph with no-in-link hosts (a), a
+    dangling host (c) and a multi-edge hub."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.functions.links import (
+        host_graph,
+        host_pagerank,
+    )
+
+    dag = host_graph(
+        spark.createDataFrame(
+            [
+                ("https://a.com/p", "https://b.com/p"),
+                ("https://a.com/p", "https://c.com/p"),
+                ("https://b.com/p", "https://c.com/p"),
+                ("https://d.com/p", "https://b.com/p"),
+            ],
+            "src string, dst string",
+        )
+    )
+
+    def reference(hg, k, damping, dangling):
+        hosts = (
+            hg.select(F.col("src_host").alias("host"))
+            .union(hg.select(F.col("dst_host")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = hosts.count()
+        out_deg = hg.groupBy(F.col("src_host").alias("host")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+        base = float(1.0 - damping) / n
+        pr = hosts.select("host", F.lit(1.0 / n).alias("pagerank"))
+        contrib_edges = (
+            hg.join(out_deg, hg["src_host"] == out_deg["host"])
+            .select("src_host", "dst_host", "out_degree")
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(k):
+            contrib = (
+                contrib_edges.join(pr, contrib_edges["src_host"] == pr["host"])
+                .select(
+                    F.col("dst_host").alias("host"),
+                    (F.col("pagerank") / F.col("out_degree")).alias("c"),
+                )
+                .groupBy("host")
+                .agg(F.sum("c").alias("in_mass"))
+            )
+            nxt = hosts.join(contrib, "host", "left")
+            extra = F.lit(base)
+            if dangling == "redistribute":
+                dm = pr.join(
+                    out_deg.select("host"), "host", "left_anti"
+                ).agg(
+                    F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dm")
+                )
+                nxt = nxt.crossJoin(dm)
+                extra = extra + F.lit(damping) * F.col("_dm") / F.lit(
+                    float(n)
+                )
+            pr = nxt.select(
+                "host",
+                (
+                    extra
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("pagerank"),
+            )
+        return pr
+
+    for mode in ("drop", "redistribute"):
+        got = {
+            r["host"]: r["pagerank"]
+            for r in host_pagerank(dag, k=6, dangling=mode).collect()
+        }
+        ref = {
+            r["host"]: r["pagerank"]
+            for r in reference(dag, 6, 0.85, mode).collect()
+        }
+        assert got.keys() == ref.keys(), mode
+        for h in ref:
+            # identical arithmetic per host; only float-sum ORDER can
+            # differ (partial-aggregation layout), bounded well under
+            # the 6-dp oracle rounding
+            assert abs(got[h] - ref[h]) < 1e-12, (mode, h)
