@@ -458,3 +458,29 @@ def test_pagerank_zero_seed_matches_left_join_form(spark):
             # differ (partial-aggregation layout), bounded well under
             # the 6-dp oracle rounding
             assert abs(got[h] - ref[h]) < 1e-12, (mode, h)
+
+
+def test_nb_classify_leaves_no_cachemanager_entry(spark):
+    """nb_classify must not register its statistic tables in the
+    CacheManager: a cache()/persist() there outlives the call and
+    silently serves every LATER bench pass from the first pass's
+    trained model (cross-run caching). The lazy localCheckpoints it
+    uses instead do not go through the CacheManager."""
+    from pyspark.sql import functions as F
+
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.operators.classifier import (
+        nb_classify,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"w{i % 5} w{(i + 1) % 7} x") for i in range(30)],
+        "doc_id long, lang string, text string",
+    )
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    test = docs.filter(F.col("doc_id") % 3 == 0)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "leftover CacheManager state before the call"
+    out = nb_classify(train, test)
+    n = out.count()
+    assert n > 0
+    assert cm.isEmpty(), "nb_classify registered a CacheManager entry"
