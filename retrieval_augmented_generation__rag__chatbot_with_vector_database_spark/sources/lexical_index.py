@@ -315,22 +315,57 @@ class LexicalIndex:
                     .parquet(self._docs_path)
                 )
 
+            def _write_docs_then_stats():
+                # the (n, avgdl) sidecar scan chains directly behind
+                # the doc-store write ON ITS THREAD, so it overlaps
+                # the (token-level, slowest) postings write instead of
+                # running as one more serial job tail after all three
+                # writes (round 16, guide §2.6). Same scan over the
+                # same written files refresh_stats() would run —
+                # values identical by construction (pinned by
+                # test_lexical_create_stats_match_rescan).
+                _write_docs()
+                return (
+                    # _read_or_empty, not a bare parquet read: an
+                    # empty corpus writes only _SUCCESS (the
+                    # create-then-stream lifecycle), which cannot
+                    # infer a schema
+                    self._read_or_empty(
+                        self._docs_path, f"{DOCS_SCHEMA}, {DBUCKET} int"
+                    )
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.avg(
+                            F.when(F.col("dl") > 0, F.col("dl"))
+                        ).alias("avgdl"),
+                    )
+                    .first()
+                )
+
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=3) as pool:
+                stats_f = pool.submit(_write_docs_then_stats)
                 futures = [
-                    pool.submit(w)
-                    for w in (_write_postings, _write_termdf, _write_docs)
+                    pool.submit(w) for w in (_write_postings, _write_termdf)
                 ]
                 for f in futures:
                     f.result()
+                row = stats_f.result()
         finally:
             _release_local_checkpoint(side)
         with open(self._props_path, "w") as f:
             json.dump(
-                {"term_buckets": term_buckets, "doc_buckets": doc_buckets}, f
+                {
+                    "term_buckets": term_buckets,
+                    "doc_buckets": doc_buckets,
+                    "n": int(row["n"]),
+                    "avgdl": None
+                    if row["avgdl"] is None
+                    else float(row["avgdl"]),
+                },
+                f,
             )
-        self.refresh_stats()
         return self
 
     # -- reads --------------------------------------------------------

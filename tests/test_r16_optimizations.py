@@ -484,3 +484,27 @@ def test_nb_classify_leaves_no_cachemanager_entry(spark):
     n = out.count()
     assert n > 0
     assert cm.isEmpty(), "nb_classify registered a CacheManager entry"
+
+
+def test_lexical_create_stats_match_rescan(spark, tmp_path):
+    """create()'s concurrent pre-write (n, avgdl) must equal what a
+    post-write refresh_stats() rescan computes — including the
+    empty-doc (dl = 0) exclusion from avgdl."""
+    from retrieval_augmented_generation__rag__chatbot_with_vector_database_spark.sources.lexical_index import (
+        LexicalIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "a b c"), (2, "a a"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    idx = LexicalIndex(spark, f"{tmp_path}/lexstats").create(
+        docs, term_buckets=4, doc_buckets=2
+    )
+    props = idx.properties()
+    assert props["n"] == 4
+    assert props["avgdl"] == 2.5  # (3 + 2) / 2, dl=0 docs excluded
+    idx.refresh_stats()
+    rescanned = idx.properties()
+    assert rescanned["n"] == props["n"]
+    assert rescanned["avgdl"] == props["avgdl"]
